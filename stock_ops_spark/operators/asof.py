@@ -1,0 +1,120 @@
+"""As-of (nearest-timestamp) join.
+
+The reference's J2 pattern (``local_reader_manual.py:261-262``) looks up the
+trade nearest a session bound with pandas ``(ts - bound).abs().argmin()``.
+The general distributed form implemented here is a *backward* as-of join
+(each left row matched to the latest right row with ``right.ts <= left.ts``),
+plus a "nearest" variant.
+
+Spark-first strategy (scales to 100 TB):
+- union the two sides tagged by origin, partitioned by the join keys
+- one window pass ordered by timestamp carries the most recent right-side
+  value forward onto left rows (``last(..., ignorenulls=True)``)
+This is a single shuffle on (keys) — no O(n·m) cross product, no UDF, and
+it inherits AQE skew handling.  The pandas ``merge_asof`` equivalent exists
+for per-group application via ``applyInPandas`` but is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[on] <= left[on]`` (within ``by`` groups).
+
+    Returns the left rows with ``{val}{suffix}`` columns appended (null when
+    no prior right row exists).
+    """
+    by = by or []
+    rvals = right_value_cols or [c for c in right.columns if c != on and c not in by]
+
+    lcols = left.columns
+    ltag = left.withColumn("__side", F.lit(1))
+    rtag = right.select(
+        *by, on, *[F.col(c).alias(f"{c}{suffix}") for c in rvals]
+    ).withColumn("__side", F.lit(0))
+
+    unioned = ltag.unionByName(rtag, allowMissingColumns=True)
+    # Right rows sort before left rows at the same timestamp so an exactly
+    # co-timestamped right row IS visible to the left row (<=, not <).
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in rvals
+    ]
+    out = unioned.select(
+        *[F.col(c) for c in lcols if c in unioned.columns], F.col("__side"), *carried
+    )
+    return out.where(F.col("__side") == 1).drop("__side")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Nearest-timestamp variant (argmin |left.ts − right.ts|), the exact
+    reference semantics.  Implemented as backward ∪ forward carry and a
+    final least-distance pick — still two window passes over one shuffle."""
+    by = by or []
+    rvals = right_value_cols or [c for c in right.columns if c != on and c not in by]
+
+    lcols = left.columns
+    ltag = left.withColumn("__side", F.lit(1))
+    rtag = right.select(
+        *by,
+        F.col(on),
+        F.col(on).alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in rvals],
+    ).withColumn("__side", F.lit(0))
+    unioned = ltag.unionByName(rtag, allowMissingColumns=True)
+
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back_ts = F.last("__rts", ignorenulls=True).over(wb)
+    fwd_ts = F.first("__rts", ignorenulls=True).over(wf)
+    picks = [
+        (
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(wb),
+            F.first(F.col(f"__r_{c}"), ignorenulls=True).over(wf),
+        )
+        for c in rvals
+    ]
+    back_dist = F.abs(F.col(on).cast("double") - back_ts.cast("double"))
+    fwd_dist = F.abs(fwd_ts.cast("double") - F.col(on).cast("double"))
+    # backward wins ties (pandas argmin picks the first minimal element)
+    use_back = back_ts.isNotNull() & (fwd_ts.isNull() | (back_dist <= fwd_dist))
+
+    out_cols = [F.col(c) for c in lcols]
+    for (b, f), c in zip(picks, rvals):
+        out_cols.append(F.when(use_back, b).otherwise(f).alias(f"{c}{suffix}"))
+    return (
+        unioned.select(F.col("__side"), *out_cols)
+        .where(F.col("__side") == 1)
+        .drop("__side")
+    )

@@ -1,0 +1,135 @@
+"""Batch ingestion with full reference semantics (S5, A1-A6).
+
+One ``ParquetStore.ingest_batch`` call is the Spark-first equivalent of the
+reference's entire Redis-buffer → writer → SQLite path
+(``writer.py:259-353`` + ``sql_db.py:345-671``): normalize is assumed done
+upstream (operators in ``transform``), then
+
+1. P5  drop all-null-payload rows
+2. A3  within-batch exact dedup (NULL-safe, whole payload)
+3. A2  event-time partition routing columns (exchange-local Y/M/D)
+4. A3  anti-join vs existing rows with identical (key, payload)
+5. A4  version = prior max(version) per key + row_number within batch
+6. append to Hive-partitioned parquet (dynamic partition overwrite OFF —
+   pure append, matching the reference's append-only versioned log)
+7. A5/A6 incremental stats merge
+
+Scale posture: the existing-store probe (steps 4-5) reads ONLY the
+partitions the batch touches — partition values are collected from the
+(small) batch and pushed as an IN filter, so Catalyst prunes everything
+else.  The per-key max-version aggregate is computed on that pruned slice
+and broadcast when small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_ops_spark import schemas as S
+from stock_ops_spark.operators.stats import StatsTable, batch_stats
+from stock_ops_spark.operators.versioning import assign_versions, latest_version_view
+from stock_ops_spark.sources.layout import (
+    PARTITION_COLS,
+    mode_root,
+    with_partition_cols,
+)
+
+
+class ParquetStore:
+    """Partitioned-parquet store for one (provider, exchange)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        provider: str = "EODHD",
+        exchange: str = "US",
+        tz: str = "America/New_York",
+    ):
+        self.spark = spark
+        self.root = root
+        self.provider = provider
+        self.exchange = exchange
+        self.tz = tz
+
+    # -- paths -----------------------------------------------------------
+    def data_path(self, mode: str) -> str:
+        return mode_root(self.root, mode, self.provider, self.exchange)
+
+    def _stats(self, mode: str, by_interval: bool) -> StatsTable:
+        name = "interval_stats" if by_interval else "table_stats"
+        path = os.path.join(self.data_path(mode) + "__meta", name)
+        keys = ["ticker", "interval"] if by_interval else ["ticker"]
+        return StatsTable(self.spark, path, keys)
+
+    # -- read ------------------------------------------------------------
+    def read_all(self, mode: str) -> DataFrame | None:
+        path = self.data_path(mode)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    # -- write -----------------------------------------------------------
+    def ingest_batch(self, batch: DataFrame, mode: str) -> int:
+        """Returns number of rows appended."""
+        keys = S.INDEX_COLS[mode]
+        payload = S.payload_cols(mode)
+        parts = PARTITION_COLS[mode]
+
+        routed = with_partition_cols(batch, mode, self.tz)
+
+        existing = self.read_all(mode)
+        if existing is not None and parts:
+            # prune the store probe to just the partitions this batch hits:
+            # an OR-of-conjunctions over literal partition values reaches the
+            # file listing as partition pruning (a batch touches few)
+            touched = [tuple(r) for r in routed.select(*parts).distinct().collect()]
+            pred = None
+            for t in touched:
+                conj = None
+                for c, v in zip(parts, t):
+                    term = F.col(c) == F.lit(v)
+                    conj = term if conj is None else (conj & term)
+                pred = conj if pred is None else (pred | conj)
+            if pred is not None:
+                existing = existing.where(pred)
+
+        versioned = assign_versions(routed, existing, keys, payload)
+        # Sever lineage BEFORE appending: versioned's plan scans the store
+        # path, and writing to that path invalidates any cache over it
+        # (refreshByPath) — a plain .cache() would silently recompute the
+        # anti-join against the already-appended data and yield an empty
+        # stats delta.  localCheckpoint materializes to executor storage.
+        versioned = versioned.localCheckpoint(eager=True)
+        n = versioned.count()
+        if n:
+            writer = versioned.write.mode("append")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(self.data_path(mode))
+
+            self._stats(mode, by_interval=False).update(
+                batch_stats(versioned, mode, by_interval=False)
+            )
+            if mode != "streaming":  # A6 interval stats: non-streaming only
+                self._stats(mode, by_interval=True).update(
+                    batch_stats(versioned, mode, by_interval=True)
+                )
+        return n
+
+    # -- catalog views ---------------------------------------------------
+    def table_stats(self, mode: str) -> DataFrame | None:
+        return self._stats(mode, by_interval=False).read()
+
+    def interval_stats(self, mode: str) -> DataFrame | None:
+        return self._stats(mode, by_interval=True).read()
+
+    def latest(self, mode: str) -> DataFrame | None:
+        """O5 'current' view of the store."""
+        df = self.read_all(mode)
+        if df is None:
+            return None
+        return latest_version_view(df, S.INDEX_COLS[mode])

@@ -1,0 +1,66 @@
+"""Storage layout: Hive-partitioned Parquet replacing the reference's
+date-named SQLite files.
+
+Reference layout (``src/stockops/data/utils.py:47-76``): one ``.db`` file
+per (data_type, provider, exchange[, year[, month[, day]]]) with one table
+per ticker.  Here the same routing becomes partition *columns*, and ticker
+becomes a plain (clustered) column — NOT a partition — because at 100 TB a
+10k-ticker × date partition matrix explodes the file count; per-ticker
+pruning instead comes from parquet min/max column stats after sorting
+within partitions (SURVEY §7.3.7).
+
+Partition grain per mode (mirrors get_db_filename_for_date):
+- historical_interday → (none)            [single dataset]
+- historical_intraday → year, month       [of event time in exchange tz]
+- streaming           → year, month, day
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stock_ops_spark.functions.timeutils import epoch_ms_to_local, epoch_s_to_local
+
+PARTITION_COLS = {
+    "historical_interday": [],
+    "historical_intraday": ["year", "month"],
+    "streaming": ["year", "month", "day"],
+}
+
+MODES = tuple(PARTITION_COLS)
+
+
+def mode_root(root: str, mode: str, provider: str, exchange: str) -> str:
+    """Dataset root for one (mode, provider, exchange)."""
+    return os.path.join(root, f"mode={mode}", f"provider={provider}", f"exchange={exchange}")
+
+
+def _local_event_time(df: DataFrame, mode: str, tz: str) -> Column:
+    if mode == "historical_interday":
+        return F.col("date").cast("timestamp")
+    if mode == "historical_intraday":
+        return epoch_s_to_local(F.col("timestamp_UTC_s"), tz)
+    if mode == "streaming":
+        return epoch_ms_to_local(F.col("timestamp_UTC_ms"), tz)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def with_partition_cols(df: DataFrame, mode: str, tz: str) -> DataFrame:
+    """A2 event-time partition routing: derive (year[, month[, day]]) from
+    the event timestamp converted to exchange-local time, so late rows land
+    in their correct historical partition (never watermark-dropped)."""
+    parts = PARTITION_COLS[mode]
+    if not parts:
+        return df
+    local = _local_event_time(df, mode, tz)
+    out = df
+    if "year" in parts:
+        out = out.withColumn("year", F.year(local))
+    if "month" in parts:
+        out = out.withColumn("month", F.month(local))
+    if "day" in parts:
+        out = out.withColumn("day", F.dayofmonth(local))
+    return out

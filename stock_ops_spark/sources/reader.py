@@ -1,0 +1,123 @@
+"""Read/query path parity (reference S6/S7/O1/O5, reader.py:17-91).
+
+The reference plans which partition files a range query touches by
+enumerating filenames (``data/utils.py:79-99``), opens each SQLite file,
+probes, scans, unions, sorts, and materializes a tz-aware pandas frame.
+Here every one of those stages is Catalyst's job: the range predicate on
+the partition-derived columns prunes directories; the ts-range predicate
+pushes into parquet row-group stats; union across files is the native
+multi-file scan.
+
+API behavior preserved exactly:
+- bounds are interpreted per mode (ISO date strings for interday,
+  exchange-local "YYYY-MM-DD HH:MM" wall time → epoch for intraday /
+  streaming), reference ``reader.py:31-51``
+- raises ``EmptyReadError`` on zero rows (reference raises,
+  ``reader.py:61-68``) — an API contract, not engine behavior
+- ``to_pandas`` returns a tz-aware-indexed frame (reference
+  ``reader.py:72-91``)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from zoneinfo import ZoneInfo
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_ops_spark.schemas import TS_COL
+from stock_ops_spark.sources.ingest import ParquetStore
+from stock_ops_spark.sources.layout import PARTITION_COLS
+
+
+class EmptyReadError(RuntimeError):
+    """Raised when a range query matches no rows (reference reader.py:61-68)."""
+
+
+def _local_wall_to_epoch(s: str, tz: str) -> int:
+    """Exchange-local 'YYYY-MM-DD HH:MM' → epoch seconds (reference
+    tzstr_to_utcts, data/utils.py:139-145)."""
+    naive = _dt.datetime.strptime(s, "%Y-%m-%d %H:%M")
+    return int(naive.replace(tzinfo=ZoneInfo(tz)).timestamp())
+
+
+class ReadProcess:
+    """Mirror of the reference ReadProcess over a ParquetStore."""
+
+    def __init__(self, store: ParquetStore):
+        self.store = store
+        self.tz = store.tz
+
+    def read_dt_range(
+        self,
+        mode: str,
+        ticker: str,
+        start: str,
+        end: str,
+        interval: str | None = None,
+        latest_only: bool = False,
+    ) -> DataFrame:
+        df = self.store.read_all(mode)
+        if df is None:
+            raise EmptyReadError(f"no data ingested for mode={mode}")
+
+        ts_col = TS_COL[mode]
+        if mode == "historical_interday":
+            lo, hi = F.lit(start).cast("date"), F.lit(end).cast("date")
+            start_local = _dt.datetime.strptime(start, "%Y-%m-%d")
+            end_local = _dt.datetime.strptime(end, "%Y-%m-%d")
+        else:
+            lo_s = _local_wall_to_epoch(start, self.tz)
+            hi_s = _local_wall_to_epoch(end, self.tz)
+            start_local = _dt.datetime.strptime(start, "%Y-%m-%d %H:%M")
+            end_local = _dt.datetime.strptime(end, "%Y-%m-%d %H:%M")
+            mult = 1000 if mode == "streaming" else 1
+            lo, hi = F.lit(lo_s * mult), F.lit(hi_s * mult)
+
+        # partition pruning: constrain the partition-derived columns from
+        # the local-time bounds (what the reference's filename enumeration
+        # did, P7) — Catalyst turns this into directory pruning
+        pred = (F.col(ts_col) >= lo) & (F.col(ts_col) <= hi)
+        parts = PARTITION_COLS[mode]
+        if "year" in parts:
+            pred &= F.col("year").between(start_local.year, end_local.year)
+        if "month" in parts and start_local.year == end_local.year:
+            pred &= F.col("month").between(start_local.month, end_local.month)
+        if "day" in parts and (
+            start_local.year == end_local.year and start_local.month == end_local.month
+        ):
+            pred &= F.col("day").between(start_local.day, end_local.day)
+
+        pred &= F.col("ticker") == ticker
+        if interval is not None:
+            pred &= F.col("interval") == interval
+
+        out = df.where(pred)
+        if latest_only:
+            from stock_ops_spark.operators.versioning import latest_version_view
+            from stock_ops_spark.schemas import INDEX_COLS
+
+            out = latest_version_view(out, INDEX_COLS[mode])
+        out = out.orderBy(ts_col)
+        if out.limit(1).isEmpty():
+            raise EmptyReadError(
+                f"no rows for {ticker} {mode} in [{start}, {end}] interval={interval}"
+            )
+        return out
+
+    def to_pandas(self, df: DataFrame, mode: str):
+        """S7 pandas materialization: epoch → tz-aware datetime index,
+        sorted (reference get_df, reader.py:72-91)."""
+        import pandas as pd
+
+        ts_col = TS_COL[mode]
+        pdf = df.toPandas()
+        if mode == "historical_interday":
+            idx = pd.to_datetime(pdf[ts_col]).dt.tz_localize(self.tz)
+        elif mode == "historical_intraday":
+            idx = pd.to_datetime(pdf[ts_col], unit="s", utc=True).dt.tz_convert(self.tz)
+        else:
+            idx = pd.to_datetime(pdf[ts_col], unit="ms", utc=True).dt.tz_convert(self.tz)
+        pdf = pdf.set_index(idx).sort_index()
+        return pdf

@@ -1,0 +1,148 @@
+"""End-to-end store semantics: ingest → partition layout → versioning →
+stats → read API (FIXTURES.md anomalies through the full path)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from stock_ops_spark import schemas as S
+from stock_ops_spark.sources.ingest import ParquetStore
+from stock_ops_spark.sources.reader import EmptyReadError, ReadProcess
+
+# intraday rows spanning two days of July 2025 (same month partition),
+# exchange tz America/New_York; 1751463000 = 2025-07-02 09:30:00 EDT
+INTRADAY_ROWS = [
+    ("SPY", 1751463000, 617.24, 618.72, 616.61, 618.60, 11824245, "1h"),
+    ("SPY", 1751466600, 618.60, 619.00, 617.50, 618.10, 900000, "1h"),
+    ("SPY", 1751549400, 620.00, 621.00, 619.00, 620.50, 800000, "1h"),  # next day
+    ("SPY", 1751486400, None, None, None, None, None, "1h"),  # all-null → dropped
+    ("VOO", 1751463000, 567.00, 568.00, 566.00, 567.50, 100, "1h"),
+]
+
+STREAM_ROWS = [
+    ("SPY", 1755526571834, 643.155, 10, None, None, None, None),
+    ("SPY", 1755526670499, 643.10, 5, None, None, None, None),
+    ("SPY", 1755526670499, 643.10, 5, None, None, None, None),  # exact dup
+    ("SPY", 1755526651074, None, None, 643.205, 643.1985, 1, 1),  # quote
+    ("SPY", 1755526651074, 642.99, 7, None, None, None, None),  # co-ts trade
+]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetStore(spark, str(tmp_path / "store"))
+
+
+def test_intraday_ingest_partitions_and_read(spark, store, tmp_path):
+    df = spark.createDataFrame(INTRADAY_ROWS, schema=S.HISTORICAL_INTRADAY)
+    n = store.ingest_batch(df, "historical_intraday")
+    assert n == 4  # all-null payload row dropped (P5)
+
+    # partition directories derive from exchange-local event time (A2)
+    root = store.data_path("historical_intraday")
+    import os
+
+    assert os.path.exists(os.path.join(root, "year=2025", "month=7"))
+
+    rp = ReadProcess(store)
+    out = rp.read_dt_range(
+        "historical_intraday",
+        "SPY",
+        "2025-07-02 00:00",
+        "2025-07-02 23:59",
+        interval="1h",
+    )
+    rows = out.collect()
+    assert [r.timestamp_UTC_s for r in rows] == [1751463000, 1751466600]  # sorted, day-filtered
+    assert all(r.version == 1 for r in rows)
+
+    # pandas materialization with tz-aware index (S7)
+    pdf = rp.to_pandas(out, "historical_intraday")
+    assert str(pdf.index.tz) == "America/New_York"
+    assert pdf.index[0].hour == 9 and pdf.index[0].minute == 30
+
+
+def test_reingest_dedups_and_versions(spark, store):
+    df = spark.createDataFrame(INTRADAY_ROWS, schema=S.HISTORICAL_INTRADAY)
+    store.ingest_batch(df, "historical_intraday")
+    # re-ingest same batch: all rows are exact dups → nothing appended
+    assert store.ingest_batch(df, "historical_intraday") == 0
+
+    # conflicting payload for an existing key → version 2
+    conflict = spark.createDataFrame(
+        [("SPY", 1751463000, 999.0, 999.0, 999.0, 999.0, 1, "1h")],
+        schema=S.HISTORICAL_INTRADAY,
+    )
+    assert store.ingest_batch(conflict, "historical_intraday") == 1
+    hist = store.read_all("historical_intraday")
+    versions = [
+        r.version
+        for r in hist.where(
+            (hist.ticker == "SPY") & (hist.timestamp_UTC_s == 1751463000)
+        ).collect()
+    ]
+    assert sorted(versions) == [1, 2]
+
+    # latest view picks the conflict row
+    latest = store.latest("historical_intraday")
+    row = latest.where(
+        (latest.ticker == "SPY") & (latest.timestamp_UTC_s == 1751463000)
+    ).collect()[0]
+    assert row.open == 999.0 and row.version == 2
+
+
+def test_stats_incremental_merge(spark, store):
+    df = spark.createDataFrame(INTRADAY_ROWS, schema=S.HISTORICAL_INTRADAY)
+    store.ingest_batch(df, "historical_intraday")
+    ts = {r.ticker: r for r in store.table_stats("historical_intraday").collect()}
+    assert ts["SPY"].row_count == 3
+    assert ts["SPY"].min_ts == 1751463000 and ts["SPY"].max_ts == 1751549400
+    assert ts["VOO"].row_count == 1
+
+    # second batch merges O(1): counts add, min/max extend
+    more = spark.createDataFrame(
+        [("SPY", 1751999999, 1.0, 1.0, 1.0, 1.0, 1, "5m")],
+        schema=S.HISTORICAL_INTRADAY,
+    )
+    store.ingest_batch(more, "historical_intraday")
+    ts2 = {r.ticker: r for r in store.table_stats("historical_intraday").collect()}
+    assert ts2["SPY"].row_count == 4 and ts2["SPY"].max_ts == 1751999999
+
+    ivs = {
+        (r.ticker, r.interval): r
+        for r in store.interval_stats("historical_intraday").collect()
+    }
+    assert ivs[("SPY", "1h")].row_count == 3
+    assert ivs[("SPY", "5m")].row_count == 1
+
+
+def test_streaming_mode_day_partitions(spark, store):
+    df = spark.createDataFrame(STREAM_ROWS, schema=S.STREAMING)
+    n = store.ingest_batch(df, "streaming")
+    assert n == 4  # dup collapsed
+    import os
+
+    root = store.data_path("streaming")
+    # 1755526571834 ms = 2025-08-18 in America/New_York
+    assert os.path.exists(os.path.join(root, "year=2025", "month=8", "day=18"))
+    # streaming mode keeps no interval stats (A6 non-streaming only)
+    assert store.interval_stats("streaming") is None
+
+
+def test_interday_roundtrip_and_empty_raise(spark, store):
+    rows = [
+        ("VOO", datetime.date(2024, 10, 25), 534.65, 537.26, 531.41, 532.26, 527.10, 4327190, "d"),
+        ("VOO", datetime.date(2024, 10, 28), 535.00, 538.00, 533.00, 537.00, 531.80, 4000000, "d"),
+    ]
+    df = spark.createDataFrame(rows, schema=S.HISTORICAL_INTERDAY)
+    store.ingest_batch(df, "historical_interday")
+    rp = ReadProcess(store)
+    out = rp.read_dt_range("historical_interday", "VOO", "2024-10-25", "2024-10-25", "d")
+    assert out.count() == 1
+
+    with pytest.raises(EmptyReadError):
+        rp.read_dt_range("historical_interday", "VOO", "1999-01-01", "1999-01-02", "d")
+    with pytest.raises(EmptyReadError):
+        rp.read_dt_range("historical_interday", "SPY", "2024-10-25", "2024-10-25", "d")

@@ -48,16 +48,19 @@ def l2_distance(a: Column, b: Column) -> Column:
 def simhash64(a: Column) -> Column:
     """Sign-bit sketch of the first 64 dims: bit i set iff a[i] > 0.
     For 64-d embeddings this is a full sign sketch; hamming distance on it
-    approximates angular distance (SimHash/SRP, Charikar 2002)."""
-    idx = F.sequence(F.lit(0), F.least(F.size(a), F.lit(64)) - 1)
-    return F.aggregate(
-        idx,
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.element_at(a, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    approximates angular distance (SimHash/SRP, Charikar 2002).
+
+    Unrolled bitwise-OR chain: ``shiftleft`` requires a literal int bit
+    count, and an additive fold would overflow LongType at bit 63 under
+    ANSI mode (bitwise OR cannot overflow).  ``F.get`` returns NULL past
+    the array end, which the ``when`` treats as bit-unset."""
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.get(a, i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = out.bitwiseOR(bit)
+    return out
 
 
 def hamming64(a: Column, b: Column) -> Column:

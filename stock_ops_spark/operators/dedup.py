@@ -1,0 +1,163 @@
+"""Document deduplication suite (LLM-pipeline extension operators).
+
+Four tiers, all scale-first:
+
+- ``exact``: hash-groupBy on a content fingerprint (functions/text.py) —
+  one shuffle on the fingerprint.
+- ``minhash_lsh``: char-shingle → minhash signature → banded LSH buckets →
+  candidate pairs → exact-Jaccard verification.  The signature aggregate is
+  computed via explode + codegen'd multi-min hash aggregate (NOT per-row
+  higher-order lambdas, which are interpreted and ~100× slower); candidate
+  generation is an equi-join on (band_idx, band_hash) — never an all-pairs
+  product, so the quadratic blowup is confined to within-bucket pairs.
+- ``ngram_jaccard``: the exact verifier, usable standalone on a bounded
+  pair set (array_intersect/array_union set semantics).
+- ``simhash``: 64-bit sign sketch + hamming distance (vector inputs:
+  functions/vector.py simhash64; text inputs: xxhash64 token sketch).
+
+ANSI-mode note: Spark 4 throws on long overflow, so the k permutations
+(a_i·h + b_i) mod P work in a 31-bit hash space (product < 2^62).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_ops_spark.functions.text import char_ngrams
+
+_P31 = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs from a fixed LCG — no RNG at plan
+    time (reproducible across runs/partitions)."""
+    params = []
+    state = 0x5DEECE66D
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P31 - 2)) + 1  # a ∈ [1, P-2]
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P31
+        params.append((a, b))
+    return params
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """(id, shingles array<string> DISTINCT) — shared by minhash + verify."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("shingles"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) minhash signature columns.
+
+    Explode the shingle set and compute all k permuted minima in ONE
+    codegen'd hash aggregate — k min() functions over (a_i·h+b_i) mod P —
+    instead of k interpreted array traversals per row.
+    """
+    exploded = shingled.select(
+        "id", F.explode("shingles").alias("sh")
+    ).withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(_P31)))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P31))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs (id_a < id_b) from banded LSH.
+
+    Each band's r = k/bands signature values hash to one bucket key; the
+    pair generation is a self equi-join on (band, bucket) — the shuffle key
+    spreads uniformly, and AQE's skew handling covers pathological buckets.
+    """
+    r = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{band * r + i}") for i in range(r)]).alias(
+            f"band_{band}"
+        )
+        for band in range(bands)
+    ]
+    banded = signatures.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (set semantics via
+    array_intersect / array_union on already-distinct shingle arrays)."""
+    a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH → exact verify.
+
+    With k=64, b=16 (r=4): P(candidate | jaccard=0.9) ≈ 1-(1-0.9^4)^16
+    ≈ 1-6e-8 — effectively total recall at the 0.9 level the corpus
+    plants, while jaccard<0.3 pairs almost never collide in all 4 rows of
+    a band.
+    """
+    shingled = shingle_sets(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    sigs = minhash_signatures(shingled, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    return jaccard_verify(cands, shingled, threshold)
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, fingerprint) -> DataFrame:
+    """Exact-dup clusters: (fingerprint, n_docs, canonical_id=min id)."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("canonical_id"))
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: one codegen'd scan, exact; the baseline and the
+  verifier for approximate variants.
+- ``knn_join``: exact k-NN for a (small) query set — broadcast the queries,
+  per-query top-k via ranking window.  Cost is |queries| × |corpus| but
+  only one scan of the corpus and no shuffle of it.
+- ``ivf_topk``: the 100 TB scale path — IVF-style coarse quantization:
+  centroids = per-cluster mean (here: the label column or any precomputed
+  assignment), probe the nprobe nearest centroids, brute-force only inside
+  probed cells.  Centroid set is tiny → broadcast; the corpus is filtered
+  by cluster id BEFORE any distance math, so a 1000-executor scan touches
+  only nprobe/N of the data (with a cluster-partitioned layout this is
+  partition pruning).
+- ``simhash_bucketed_pairs``: SRP sign-sketch blocking for near-dup
+  vector pairs: hamming-ball candidates via band equi-join, exact cosine
+  verification.
+
+All distance math is double-accumulated JVM expressions
+(functions/vector.py) — deterministic, reproducible, no Python round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_ops_spark.functions.vector import cosine, simhash64
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for ONE query vector (single-row DataFrame with `qv`)."""
+    sim = cosine(F.col(vec_col), F.col("qv"))
+    return (
+        corpus.join(F.broadcast(query_vec))
+        .select(id_col, sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact k-NN join: for every query row, its k nearest corpus rows.
+    Queries are broadcast; per-query ranking is a window over the similarity
+    — Spark's WindowGroupLimit keeps only k rows per query before the final
+    shuffle."""
+    sim = cosine(F.col(vec_col), F.col(query_vec_col))
+    scored = corpus.join(
+        F.broadcast(queries), F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def centroids_by(
+    corpus: DataFrame, cluster_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean vector per cluster: posexplode → avg per (cluster,
+    pos) → re-assemble ordered.  One shuffle keyed by (cluster, pos)."""
+    el = corpus.select(
+        cluster_col, F.posexplode(vec_col).alias("pos", "val")
+    )
+    means = el.groupBy(cluster_col, "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m")
+    )
+    return (
+        means.groupBy(cluster_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pm")
+        )
+        .select(
+            cluster_col,
+            F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe centroid-nearest clusters,
+    exact search inside them only."""
+    cents = centroids_by(corpus, cluster_col, vec_col)
+    probed = (
+        cents.join(F.broadcast(query_vec))
+        .select(cluster_col, cosine(F.col("centroid"), F.col("qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col(cluster_col))
+        .limit(nprobe)
+        .select(cluster_col)
+    )
+    # cluster filter happens BEFORE distance math; with a
+    # partitionBy(cluster) layout this is partition pruning at the scan
+    narrowed = corpus.join(F.broadcast(probed), cluster_col, "left_semi")
+    return brute_force_topk(narrowed, query_vec, k, id_col, vec_col)
+
+
+def simhash_bucketed_pairs(
+    corpus: DataFrame,
+    max_hamming: int = 8,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup vector pairs: 64-bit sign sketch, split into ``bands``
+    16-bit bands — pairs within hamming ≤ max_hamming share ≥1 exact band
+    w.h.p. (pigeonhole: hamming < bands ⇒ certainty) — then exact hamming
+    filter.  Equi-join on band value; no all-pairs product."""
+    bits = 64 // bands
+    sk = corpus.select(
+        F.col(id_col).alias("id"), simhash64(F.col(vec_col)).alias("sk")
+    )
+    stacked = sk.select(
+        "id",
+        "sk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sk"), b * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sk", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    l, r = stacked.alias("l"), stacked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sk").bitwiseXOR(F.col("r.sk"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

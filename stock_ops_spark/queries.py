@@ -25,7 +25,10 @@ from stock_ops_spark import catalog
 from stock_ops_spark.functions import text as TXT
 from stock_ops_spark.functions import vector as V
 from stock_ops_spark.operators.asof import asof_join_nearest
+from stock_ops_spark.operators.dedup import minhash_near_dup_pairs
+from stock_ops_spark.operators.multimodal import media_from_text, metadata_only_stats
 from stock_ops_spark.operators.ohlc import session_ohlc
+from stock_ops_spark.operators.similarity import ivf_topk, knn_join
 from stock_ops_spark.operators.versioning import latest_version_view
 
 # ---------------------------------------------------------------------------
@@ -625,5 +628,410 @@ def q20_hourly_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
             "min_value",
             "max_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup suite (extension): minhash LSH + exact verify
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q21_minhash_near_dup",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    )
+    SELECT a.doc_id                                    AS id_a,
+           b.doc_id                                    AS id_b,
+           round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6)
+                                                       AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    """,
+)
+def q21_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate document pairs: 8-char shingles → 64-hash minhash →
+    16-band LSH candidates → exact Jaccard ≥ 0.5 verification
+    (operators/dedup.py).  The oracle brute-forces all pairs; LSH recall at
+    the corpus's planted ≥0.9 level is 1-6e-8, so the verified outputs
+    coincide.  At 100 TB only the LSH path is feasible — candidate
+    generation is an equi-join on band buckets, never an all-pairs product."""
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@_register(
+    "q22_knn_join_sample",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+      FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q22_knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-NN join for a 20-query batch (operators/similarity.py
+    knn_join): queries broadcast, corpus scanned once, per-query top-k via
+    ranking window (WindowGroupLimit keeps k rows pre-shuffle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = knn_join(e, q, k=1)
+    return out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@_register(
+    "q23_simhash_hamming_hist",
+    """
+    WITH sk AS (
+      SELECT vec_id,
+             len(list_filter(range(1, 65), i -> embedding[i] > 0)) AS pos_bits,
+             embedding
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM sk WHERE vec_id < 20)
+    SELECT len(list_filter(range(1, 65),
+               i -> (s.embedding[i] > 0) <> (q.qe[i] > 0))) // 8 AS hamming_octile,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM sk s JOIN q ON s.vec_id > q.qid
+    GROUP BY 1
+    """,
+)
+def q23_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (sign-random-projection) sketch distance histogram: 64-bit
+    sign sketch per vector (functions/vector.py simhash64), hamming distance
+    via bit_count(xor) — the blocking primitive behind
+    simhash_bucketed_pairs, validated against element-wise sign compare."""
+    e = _t(spark, sf_dir, "embeddings")
+    sk = e.select("vec_id", V.simhash64(F.col("embedding")).alias("sk"))
+    q = sk.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("sk").alias("qsk")
+    )
+    return (
+        sk.join(F.broadcast(q), F.col("vec_id") > F.col("qid"))
+        .select(
+            (V.hamming64(F.col("sk"), F.col("qsk")) / 8)
+            .cast("bigint")
+            .alias("hamming_octile")
+        )
+        .groupBy("hamming_octile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@_register(
+    "q24_ivf_topk",
+    """
+    WITH el AS (
+      SELECT label, i, embedding[i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+      SELECT label, list(avg ORDER BY i) AS centroid
+      FROM (SELECT label, i, avg(v) AS avg FROM el GROUP BY label, i)
+      GROUP BY label
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT c.label
+      FROM cent c, q
+      ORDER BY list_cosine_similarity(c.centroid, q.qv) DESC, c.label
+      LIMIT 2
+    )
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.label IN (SELECT label FROM probed) AND e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q24_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the 100 TB scale path, operators/similarity.py):
+    per-label mean centroids, probe the 2 nearest cells, exact search only
+    inside them — the corpus is filtered by cluster BEFORE any distance
+    math (partition pruning with a cluster-partitioned layout)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    out = ivf_topk(e.where(F.col("vec_id") != 0), qv, k=10, nprobe=2)
+    lab = e.select("vec_id", "label")
+    return (
+        out.join(F.broadcast(lab), "vec_id")
+        .select("vec_id", "label", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality / multimodal / time-normalization (extension)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q25_quality_by_source",
+    """
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+             length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / greatest(len(toks), 1) AS mtl,
+             punct_ratio
+      FROM t
+    ),
+    scored AS (
+      SELECT source,
+             round((CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+                   * (1.0 - least(punct_ratio * 2, 1.0)), 6) AS q
+      FROM s
+    )
+    SELECT source,
+           round(avg(q), 6)         AS avg_quality,
+           round(min(q), 6)         AS min_quality,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY source
+    """,
+)
+def q25_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic (functions/text.py quality_score):
+    mean-token-length band × punctuation penalty, aggregated per source —
+    the filter stage of an LLM-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("source", TXT.quality_score(F.col("text")).alias("q"))
+    return scored.groupBy("source").agg(
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(F.min("q"), 6).alias("min_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@_register(
+    "q26_media_blob_stats",
+    """
+    SELECT 'doc_text'                              AS modality,
+           CAST(count(*) AS BIGINT)                AS n_items,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents
+    """,
+)
+def q26_media_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing (operators/multimodal.py): text →
+    BinaryType payload + metadata, byte accounting over the blob column.
+    (The codec step itself is a mapInPandas stub — see extract_features.)"""
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_text(d, "doc_id", "text", "doc_text")
+    out = metadata_only_stats(media)
+    mx = media.agg(F.max(F.octet_length("payload")).alias("mx")).select("mx")
+    return (
+        out.join(F.broadcast(mx))
+        .select(
+            "modality",
+            "n_items",
+            F.col("total_bytes").cast("bigint").alias("total_bytes"),
+            F.col("mx").cast("bigint").alias("max_bytes"),
+        )
+    )
+
+
+@_register(
+    "q27_ts_unit_normalization",
+    """
+    WITH t AS (
+      -- epoch(ts)::BIGINT would ROUND fractional seconds (Spark truncates);
+      -- floor-divide the exact ms count instead
+      SELECT epoch_ms(ts) // 1000 AS s, epoch_ms(ts)::BIGINT AS ms, epoch_us(ts)::BIGINT AS us
+      FROM events
+    ),
+    n AS (
+      SELECT s,
+             CASE WHEN s  < 100000000000 THEN s
+                  WHEN s  < 100000000000000 THEN s  // 1000
+                  ELSE s  // 1000000 END AS norm_s,
+             CASE WHEN ms < 100000000000 THEN ms
+                  WHEN ms < 100000000000000 THEN ms // 1000
+                  ELSE ms // 1000000 END AS norm_ms,
+             CASE WHEN us < 100000000000 THEN us
+                  WHEN us < 100000000000000 THEN us // 1000
+                  ELSE us // 1000000 END AS norm_us
+      FROM t
+    )
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_rows,
+           CAST(sum(CASE WHEN norm_s = norm_ms AND norm_ms = norm_us
+                         THEN 1 ELSE 0 END) AS BIGINT)                AS n_consistent,
+           min(norm_s)                                                AS min_epoch_s,
+           max(norm_s)                                                AS max_epoch_s
+    FROM n
+    """,
+)
+def q27_ts_unit_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 magnitude-based epoch unit detection (functions/timeutils.py,
+    thresholds 1e11/1e14 replicated from the reference): the same instant
+    expressed as s/ms/µs must normalize to one epoch-seconds value."""
+    from stock_ops_spark.functions.timeutils import normalize_ts_to_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.unix_seconds("ts").alias("s"),
+        F.unix_millis("ts").alias("ms"),
+        F.unix_micros("ts").alias("us"),
+    )
+    n = t.select(
+        normalize_ts_to_seconds(F.col("s")).alias("norm_s"),
+        normalize_ts_to_seconds(F.col("ms")).alias("norm_ms"),
+        normalize_ts_to_seconds(F.col("us")).alias("norm_us"),
+    )
+    return n.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("norm_s") == F.col("norm_ms"))
+                & (F.col("norm_ms") == F.col("norm_us")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_consistent"),
+        F.min("norm_s").alias("min_epoch_s"),
+        F.max("norm_s").alias("max_epoch_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# More window frames / grouping sets / set ops
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q28_rolling_revenue_7d",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(rev, 2)           AS revenue,
+           round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                                   AS rolling_avg_7,
+           round(sum(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                                   AS rolling_sum_7
+    FROM daily
+    """,
+)
+def q28_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame (ROWS BETWEEN): 7-row rolling mean/sum of
+    daily order revenue — the rolling-stats frame-spec operator."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.avg("rev").over(w), 4).alias("rolling_avg_7"),
+        F.round(F.sum("rev").over(w), 2).alias("rolling_sum_7"),
+    )
+
+
+@_register(
+    "q29_cube_order_status",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT)   AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q29_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders — one Expand + HashAggregate pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@_register(
+    "q30_distinct_counts",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q30_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct aggregation (Expand-based plan).  The
+    approximate twin (approx_count_distinct/HLL) is the scale path but its
+    estimates are impl-specific — kept out of the oracle-gated surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "q31_daily_activity_fullouter",
+    """
+    WITH c AS (SELECT CAST(ts AS DATE) AS d, count(*) AS clicks
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+    p AS (SELECT CAST(ts AS DATE) AS d, count(*) AS purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT strftime(coalesce(c.d, p.d), '%Y-%m-%d') AS day,
+           CAST(coalesce(c.clicks, 0) AS BIGINT)    AS clicks,
+           CAST(coalesce(p.purchases, 0) AS BIGINT) AS purchases
+    FROM c FULL OUTER JOIN p ON c.d = p.d
+    """,
+)
+def q31_daily_activity_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two daily aggregates (J3 union-shape pattern:
+    two record shapes coexisting with NULL-padded sides)."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("clicks"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+    return (
+        c.join(p, "d", "full_outer")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("clicks", F.lit(0)).cast("bigint").alias("clicks"),
+            F.coalesce("purchases", F.lit(0)).cast("bigint").alias("purchases"),
         )
     )

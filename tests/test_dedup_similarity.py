@@ -1,0 +1,134 @@
+"""Unit tests for the dedup + similarity operator suites on synthetic
+data with planted structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_ops_spark.functions.text import fingerprint_md5
+from stock_ops_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_near_dup_pairs,
+    shingle_sets,
+)
+from stock_ops_spark.operators.multimodal import (
+    extract_features,
+    media_from_text,
+    metadata_only_stats,
+)
+from stock_ops_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    knn_join,
+    simhash_bucketed_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a slow waltz in the crowded station hall under flickering lights"
+)
+
+DOCS = [
+    (0, BASE),
+    (1, BASE.replace("slow waltz", "fast polka")),  # near-dup of 0
+    (2, "completely different text about financial markets and trading"),
+    (3, "completely different text about financial markets and trading"),  # exact dup of 2
+    (4, "short"),
+    (5, "zebra xylophone quartz jackdaw vexing mime " * 4),
+]
+
+
+def test_minhash_finds_planted_neardup(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got  # near-dup recovered
+    assert (2, 3) in got  # exact dup has jaccard 1.0
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(2, 3)] == 1.0
+    assert 0.5 <= jac[(0, 1)] < 1.0
+    # no false positives among unrelated docs
+    assert all(p in {(0, 1), (2, 3)} for p in got)
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    groups = exact_dup_groups(df, "doc_id", fingerprint_md5(F.col("text")))
+    dups = [r for r in groups.collect() if r.n_docs > 1]
+    assert len(dups) == 1 and dups[0].canonical_id == 2
+
+
+def test_shingle_short_text_fallback(spark):
+    df = spark.createDataFrame([(4, "short")], "doc_id long, text string")
+    sh = shingle_sets(df, "doc_id", "text").collect()[0]
+    assert sh.shingles == ["short"]  # shorter than n → whole text
+
+
+VECS = [
+    # two near-identical vectors (0, 1) and unrelated ones, 8-d padded to 64
+    (0, [1.0, 2.0, 3.0, 4.0] * 16, 0),
+    (1, [1.0, 2.0, 3.0, 4.01] * 16, 0),
+    (2, [-1.0, 5.0, -3.0, 0.5] * 16, 1),
+    (3, [0.1, -2.0, 7.0, -1.0] * 16, 1),
+    (4, [4.0, 3.0, 2.0, 1.0] * 16, 2),
+]
+
+
+def _vec_df(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_brute_force_and_knn(spark):
+    e = _vec_df(spark)
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    top = brute_force_topk(e.where(F.col("vec_id") != 0), qv, k=2).collect()
+    assert top[0].vec_id == 1 and top[0].cos_sim > 0.999
+
+    q = e.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nn = {r.query_id: r.neighbor_id for r in knn_join(e, q, k=1).collect()}
+    assert nn == {0: 1, 1: 0}
+
+
+def test_ivf_matches_brute_force_on_probed_cells(spark):
+    e = _vec_df(spark)
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    corpus = e.where(F.col("vec_id") != 0)
+    ivf = ivf_topk(corpus, qv, k=1, nprobe=3)  # nprobe=all labels → exact
+    bf = brute_force_topk(corpus, qv, k=1)
+    assert ivf.collect()[0].vec_id == bf.collect()[0].vec_id == 1
+
+
+def test_simhash_bucketed_pairs_finds_twin(spark):
+    e = _vec_df(spark)
+    pairs = simhash_bucketed_pairs(e, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] == 0  # identical signs → hamming 0
+
+
+def test_multimodal_feature_extraction(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    media = media_from_text(df, "doc_id", "text", "image")
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == len(DOCS)
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[4].n_bytes == 5  # "short"
+    assert len(by_id[0].feature) == 8
+    assert all(0.0 <= v <= 1.0 for v in by_id[0].feature)
+    # deterministic: exact dup texts → identical features
+    assert by_id[2].feature == by_id[3].feature
+
+    stats = {r.modality: r for r in metadata_only_stats(media).collect()}
+    assert stats["image"].n_items == len(DOCS)
+
+
+def test_multimodal_strict_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(DOCS[:1], "doc_id long, text string")
+    media = media_from_text(df, "doc_id", "text", "audio")
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        extract_features(media, strict=True).collect()

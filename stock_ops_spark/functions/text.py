@@ -42,13 +42,19 @@ def word_tokens(text: Column) -> Column:
     )
 
 
-def char_ngrams(text: Column, n: int = 8) -> Column:
+def char_ngrams(text: Column, n: int = 8, pre_lowered: bool = False) -> Column:
     """All character n-gram shingles of lowercased text (array<string>).
 
     Built from ``sequence`` + ``transform`` + ``substring`` — pure Catalyst
     expressions, vectorizable, no UDF.
+
+    PERF: pass an already-lowercased *projected column* with
+    ``pre_lowered=True`` whenever possible — an inline ``lower(text)``
+    lands inside the transform lambda and is re-evaluated once PER SHINGLE
+    (≈ length(text) times per row).  A separate projection stays staged
+    because the attribute is multi-referenced, so lower() runs once per row.
     """
-    lowered = F.lower(text)
+    lowered = text if pre_lowered else F.lower(text)
     length = F.length(lowered)
     starts = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
     return F.when(length >= n, F.transform(starts, lambda i: F.substring(lowered, i, n))).otherwise(

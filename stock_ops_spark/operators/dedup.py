@@ -44,10 +44,18 @@ def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
-    """(id, shingles array<string> DISTINCT) — shared by minhash + verify."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("shingles"),
+    """(id, shingles array<string> DISTINCT) — shared by minhash + verify.
+
+    Lowercasing is staged as its own projection so it runs once per row,
+    not once per shingle (see char_ngrams PERF note)."""
+    lowered = df.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__lt")
+    )
+    return lowered.select(
+        "id",
+        F.array_distinct(char_ngrams(F.col("__lt"), n, pre_lowered=True)).alias(
+            "shingles"
+        ),
     )
 
 
@@ -146,7 +154,13 @@ def minhash_near_dup_pairs(
     plants, while jaccard<0.3 pairs almost never collide in all 4 rows of
     a band.
     """
-    shingled = shingle_sets(df, id_col, text_col, shingle_n).localCheckpoint(
+    # Spread the CPU-heavy shingle/hash work across all cores: a small
+    # corpus arriving as one parquet file is one input partition, which
+    # would serialize ~length(text) substring+hash ops per doc onto a
+    # single thread.  (At 100 TB the source has many partitions already;
+    # this narrow repartition of doc rows is noise.)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = shingle_sets(df.repartition(par), id_col, text_col, shingle_n).localCheckpoint(
         eager=False
     )
     sigs = minhash_signatures(shingled, num_hashes)

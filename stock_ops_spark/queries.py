@@ -1035,3 +1035,196 @@ def q31_daily_activity_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("purchases", F.lit(0)).cast("bigint").alias("purchases"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / percentiles / JSON / tokenization / calendar (P6-P8, ST3)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q32_word_token_stats",
+    """
+    WITH t AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(len(toks)) AS BIGINT)                                   AS total_words,
+           round(avg(len(toks)), 6)                                         AS avg_words,
+           CAST(sum(len(list_filter(toks, x -> length(x) = 1))) AS BIGINT)  AS single_char_words
+    FROM t GROUP BY lang
+    """,
+)
+def q32_word_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish word tokenization (functions/text.py word_tokens: split on
+    non-letter/digit runs) — subword-tokenizer pre-splitting stats per
+    language, incl. single-char token counts (CJK-heavy text signal)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", TXT.word_tokens(F.col("text")).alias("toks"))
+    return toks.groupBy("lang").agg(
+        F.sum(F.size("toks").cast("bigint")).cast("bigint").alias("total_words"),
+        F.round(F.avg(F.size("toks")), 6).alias("avg_words"),
+        F.sum(
+            F.size(F.filter(F.col("toks"), lambda x: F.length(x) == 1)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("single_char_words"),
+    )
+
+
+@_register(
+    "q33_user_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT)         AS n_events
+    FROM ordered GROUP BY user_id
+    """,
+)
+def q33_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (ST3 session windows): 30-minute-gap sessions per
+    user via the gaps-and-islands window pattern — one shuffle on user_id.
+    (Streaming twin: ``session_window`` in streaming/ingest.py.)"""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
+    "q34_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           round(max(value), 6)                 AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def q34_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``).  The 100 TB path swaps in
+    ``approx_percentile`` (t-digest) — estimates are impl-specific, so the
+    exact form is the oracle-gated one."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+@_register(
+    "q35_json_props",
+    """
+    SELECT event_type,
+           CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           CAST(count(*) FILTER (json_extract(props, '$.k')::BIGINT > 50) AS BIGINT)
+                                                                   AS n_high,
+           CAST(count(*) AS BIGINT)                                AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def q35_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decode at the boundary (reference S3/S4 encode/decode):
+    get_json_object over the props column, aggregated — stays JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_high"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "q36_embedding_neardup_pairs",
+    """
+    SELECT a.vec_id                                                       AS id_a,
+           b.vec_id                                                       AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                                                                          AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def q36_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by cluster label: the join
+    is label-equi (never an unblocked cross product), then exact cosine ≥
+    0.4 — the verification-tier of embedding dedup.  At 100 TB the label
+    comes from coarse quantization (see ivf_topk) and each cell joins
+    within itself."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    sim = V.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, ["label"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("__s"))
+        .where(F.col("__s") >= 0.4)
+        .select("id_a", "id_b", F.round("__s", 6).alias("cos_sim"))
+    )
+
+
+@_register(
+    "q37_order_months_spanned",
+    """
+    WITH months AS (
+      SELECT o_custkey,
+             unnest(generate_series(date_trunc('month', min(o_orderdate)),
+                                    date_trunc('month', max(o_orderdate)),
+                                    INTERVAL 1 MONTH)) AS m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT)       AS n_months,
+           strftime(min(m), '%Y-%m')      AS first_month,
+           strftime(max(m), '%Y-%m')      AS last_month
+    FROM months GROUP BY o_custkey
+    """,
+)
+def q37_order_months_spanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 calendar period enumeration: inclusive month sequence between two
+    endpoints via ``sequence`` + ``explode`` — the declarative twin of the
+    reference's period_from_unix generator (database/utils.py:26-119)."""
+    o = _t(spark, sf_dir, "orders")
+    spans = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    months = spans.select(
+        "o_custkey",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("m"),
+    )
+    return months.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.min(F.date_format("m", "yyyy-MM")).alias("first_month"),
+        F.max(F.date_format("m", "yyyy-MM")).alias("last_month"),
+    )

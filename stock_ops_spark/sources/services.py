@@ -1,0 +1,91 @@
+"""Ingestion services: the S1/S2 entry points rebuilt Spark-first.
+
+The reference's historical task (``eodhd_historical_service.py:160-210``)
+fetches REST bars, transforms row-at-a-time, and emits each row through the
+Redis buffer to the writer.  Here the whole tail collapses: fetch →
+``spark.createDataFrame`` → declarative transform (sources/transform.py) →
+``ParquetStore.ingest_batch`` (dedup/version/stats in one shot).
+
+The streaming task drains the provider's frame iterator into the store the
+same way — or, for a live deployment, frames land in files/Kafka and
+``streaming.ingest.stream_ingest`` takes over with checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from stock_ops_spark.schemas import INTERDAY_INTERVALS
+from stock_ops_spark.sources import transform as X
+from stock_ops_spark.sources.ingest import ParquetStore
+from stock_ops_spark.sources.providers import get as get_provider
+
+_INTERDAY_RAW = (
+    "date string, open double, high double, low double, close double, "
+    "adjusted_close double, volume long"
+)
+_INTRADAY_RAW = (
+    "timestamp long, open double, high double, low double, close double, volume long"
+)
+_TRADE_RAW = "s string, t long, p double, v long"
+_QUOTE_RAW = "s string, t long, ap double, bp double, `as` long, bs long"
+
+
+def run_historical_task(
+    spark: SparkSession,
+    store: ParquetStore,
+    provider: str,
+    ticker: str,
+    exchange: str,
+    interval: str,
+    start: str,
+    end: str,
+) -> int:
+    """S1: fetch + normalize + ingest one historical request.
+    Returns rows appended."""
+    p = get_provider(provider)
+    if p.fetch_historical is None:
+        raise ValueError(f"provider {provider!r} has no historical fetcher")
+    raw_rows = p.fetch_historical(ticker, exchange, interval, start, end)
+
+    if interval in INTERDAY_INTERVALS:
+        raw = spark.createDataFrame(raw_rows, _INTERDAY_RAW)
+        normalized, _rejects = X.interday(raw, ticker, interval)
+        mode = "historical_interday"
+    else:
+        raw = spark.createDataFrame(raw_rows, _INTRADAY_RAW)
+        normalized, _rejects = X.intraday(raw, ticker, interval)
+        mode = "historical_intraday"
+    return store.ingest_batch(normalized, mode)
+
+
+def run_stream_task(
+    spark: SparkSession,
+    store: ParquetStore,
+    provider: str,
+    tickers: list[str],
+    exchange: str,
+    stream_type: str = "trades",
+    max_frames: int | None = None,
+) -> int:
+    """S2 (bounded drain form): pull frames from the provider's iterator,
+    normalize per shape, ingest as one micro-batch.  The unbounded live
+    form is streaming.ingest.stream_ingest over a file/Kafka landing zone.
+    """
+    p = get_provider(provider)
+    if p.stream_frames is None:
+        raise ValueError(f"provider {provider!r} has no stream source")
+    frames = []
+    for i, frame in enumerate(p.stream_frames(tickers, exchange, stream_type)):
+        frames.append(frame)
+        if max_frames is not None and i + 1 >= max_frames:
+            break
+    if not frames:
+        return 0
+    if stream_type == "quotes":
+        raw = spark.createDataFrame(frames, _QUOTE_RAW)
+        normalized, _rejects = X.quotes(raw)
+    else:
+        raw = spark.createDataFrame(frames, _TRADE_RAW)
+        normalized, _rejects = X.trades(raw)
+    return store.ingest_batch(normalized, "streaming")

@@ -1,0 +1,106 @@
+"""Provider registry + ingestion services (S1/S2) and the stateful
+streaming VWAP operator (ST4)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from stock_ops_spark.sources.ingest import ParquetStore
+from stock_ops_spark.sources.providers import Provider, get, register, registered
+from stock_ops_spark.sources.services import run_historical_task, run_stream_task
+from stock_ops_spark.streaming.ingest import file_trade_source
+from stock_ops_spark.streaming.stateful import batch_vwap, running_vwap
+
+
+def test_provider_registry():
+    assert "EODHD-mock" in registered()
+    p = get("EODHD-mock")
+    assert p.exchanges["US"].timezone == "America/New_York"
+    with pytest.raises(KeyError):
+        get("nope")
+    register(Provider(name="x"))
+    assert "x" in registered()
+
+
+def test_historical_interday_service(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    n = run_historical_task(
+        spark, store, "EODHD-mock", "VOO", "US", "d", "2024-10-01", "2024-10-31"
+    )
+    assert n == 2
+    rows = store.read_all("historical_interday").collect()
+    assert {str(r.date) for r in rows} == {"2024-10-25", "2024-10-28"}
+    assert all(r.ticker == "VOO" and r.interval == "d" for r in rows)
+    # re-run: idempotent (all exact dups)
+    assert (
+        run_historical_task(
+            spark, store, "EODHD-mock", "VOO", "US", "d", "2024-10-01", "2024-10-31"
+        )
+        == 0
+    )
+
+
+def test_historical_intraday_service_null_volume(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    n = run_historical_task(
+        spark, store, "EODHD-mock", "SPY", "US", "1h", "2025-07-02", "2025-07-03"
+    )
+    assert n == 2
+    rows = {r.timestamp_UTC_s: r for r in store.read_all("historical_intraday").collect()}
+    assert rows[1751466600].volume is None  # None-volume preserved as NULL
+
+
+def test_stream_service_trades_and_quotes_coexist(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    nt = run_stream_task(spark, store, "EODHD-mock", ["SPY"], "US", "trades")
+    nq = run_stream_task(spark, store, "EODHD-mock", ["SPY"], "US", "quotes")
+    assert nt == 2 and nq == 2
+    data = store.read_all("streaming")
+    co = data.where(data.timestamp_UTC_ms == 1755526651074).collect()
+    assert len(co) == 2  # J3: co-timestamped trade + quote, NULL-padded
+    shapes = {(r.price is None, r.ask_price is None) for r in co}
+    assert shapes == {(False, True), (True, False)}
+
+
+def test_running_vwap_stream_converges_to_batch(spark, tmp_path):
+    trades = [
+        {"ticker": "SPY", "timestamp_UTC_ms": 1, "price": 100.0, "volume": 10},
+        {"ticker": "SPY", "timestamp_UTC_ms": 2, "price": 110.0, "volume": 30},
+        {"ticker": "VOO", "timestamp_UTC_ms": 3, "price": 50.0, "volume": 2},
+        {"ticker": "SPY", "timestamp_UTC_ms": 4, "price": 120.0, "volume": 60},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # two bursts → two micro-batches → state carried across batches
+    for i, chunk in enumerate((trades[:2], trades[2:])):
+        with open(src / f"b{i}.json", "w") as f:
+            for t in chunk:
+                f.write(json.dumps(t) + "\n")
+
+    stream = file_trade_source(spark, str(src))
+    q = (
+        running_vwap(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("vwap_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last update per ticker = final running state
+    got = spark.sql(
+        "select * from vwap_mem"
+    ).toPandas().groupby("ticker").last()
+
+    batch_df = spark.createDataFrame(
+        [(t["ticker"], t["price"], t["volume"]) for t in trades],
+        "ticker string, price double, volume long",
+    )
+    expected = {r.ticker: r for r in batch_vwap(batch_df).collect()}
+    for ticker in ("SPY", "VOO"):
+        assert got.loc[ticker, "total_volume"] == expected[ticker].total_volume
+        assert abs(got.loc[ticker, "vwap"] - expected[ticker].vwap) < 1e-9
+        assert got.loc[ticker, "n_trades"] == expected[ticker].n_trades

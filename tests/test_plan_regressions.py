@@ -1,0 +1,91 @@
+"""Plan-shape regression tests: pin the physical-plan properties each
+operator is designed around (pushdown, pruning, broadcast, top-k, shuffle
+count).  Timings vary; shapes must not."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_ops_spark import queries as Q
+from stock_ops_spark.plans import audit as A
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def get(name):
+        return Q.QUERIES[name](spark, SF)
+
+    return get
+
+
+def test_q01_pushdown_and_pruning(q):
+    df = q("q01_pricing_summary")
+    assert A.has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+    # pruning reached the scan: leading key columns are absent (the plan
+    # string truncates long schemas, so check the prefix, not a count)
+    schema = A.read_schemas(df)[0]
+    assert schema.startswith("struct<l_quantity")  # l_orderkey..l_linenumber pruned
+    assert A.count_shuffles(df) == 1  # single agg shuffle
+
+
+def test_q05_star_join_shape(q):
+    df = q("q05_region_revenue")
+    # all three dims + region broadcast; only the fact-fact join shuffles
+    assert A.count_broadcast_joins(df) == 4
+    assert A.count_shuffles(df) <= 2  # fact join + final agg
+    assert not A.has_cartesian(df)
+
+
+def test_q02_topk_no_global_sort(q):
+    assert A.has_top_k(q("q02_revenue_topk_orders"))
+
+
+def test_q08_window_group_limit(q):
+    assert A.has_window_group_limit(q("q08_topk_parts_per_brand"))
+
+
+def test_q13_filter_pushdown(q):
+    df = q("q13_session_ohlc")
+    assert A.has_pushed_filter(df, "EqualTo(event_type,purchase)")
+    # single-pass ordered aggregate: no window exchange, one agg shuffle
+    assert A.count_shuffles(df) == 1
+
+
+def test_q18_broadcast_topk(q):
+    df = q("q18_cosine_topk")
+    assert A.has_top_k(df)
+    assert A.count_broadcast_joins(df) >= 1
+    assert A.count_shuffles(df) == 0  # scan → broadcast join → top-k
+
+
+def test_semi_anti_join_types(q):
+    assert "LeftSemi" in A.plan_string(q("q10_semi_join_customers"))
+    assert "LeftAnti" in A.plan_string(q("q11_anti_join_customers"))
+
+
+def test_q21_no_cartesian(q):
+    # LSH candidate generation must never degrade to a cross product
+    assert not A.has_cartesian(q("q21_minhash_near_dup"))
+
+
+def test_q36_label_blocked(q):
+    # embedding near-dup joins on label equality, not an unblocked product
+    df = q("q36_embedding_neardup_pairs")
+    assert not A.has_cartesian(df)
+
+
+def test_metadata_scan_prunes_blob_column(spark):
+    """A metadata-only count over the media frame must not read text
+    (payload source column) — column pruning through the projection."""
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark import catalog
+    from stock_ops_spark.operators.multimodal import media_from_text
+
+    d = catalog.load(spark, SF, "documents")
+    media = media_from_text(d, "doc_id", "text", "image")
+    meta_only = media.groupBy("modality").count()
+    schemas = A.read_schemas(meta_only)
+    assert schemas and "text" not in schemas[0]

@@ -1228,3 +1228,136 @@ def q37_order_months_spanned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.date_format("m", "yyyy-MM")).alias("first_month"),
         F.max(F.date_format("m", "yyyy-MM")).alias("last_month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface breadth: HAVING / subqueries / NOT IN / LIKE (Q4/Q16/Q18/Q22 shapes)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q38_big_orders_having",
+    """
+    SELECT o.o_orderkey,
+           CAST(count(*) AS BIGINT)    AS n_items,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    HAVING sum(l.l_quantity) > 150
+    """,
+)
+def q38_big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join + group + HAVING on the aggregate (post-
+    aggregation filter, evaluated after the merge aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("__tq"),
+        )
+        .where(F.col("__tq") > 150)
+        .select("o_orderkey", "n_items", F.round("__tq", 2).alias("total_qty"))
+    )
+
+
+@_register(
+    "q39_above_avg_customers",
+    """
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    """,
+)
+def q39_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global aggregate) as a filter
+    bound — Spark plans it as a broadcast scalar subquery, one extra tiny
+    job, no per-row recomputation."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@_register(
+    "q40_late_ship_orders",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q40_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality on both sides'
+    columns — planned as a left-semi join with a non-equi condition on top
+    of the orderkey equi-join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(o.o_orderdate, 90)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "q41_never_ordered_parts",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+    GROUP BY p_brand
+    """,
+)
+def q41_never_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN anti-join (null-aware: the subquery column is non-null here,
+    so it degenerates to a plain left-anti join)."""
+    p = _t(spark, sf_dir, "part")
+    heavy = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48).select(
+        "l_partkey"
+    )
+    return (
+        p.join(heavy, p.p_partkey == heavy.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@_register(
+    "q42_part_name_patterns",
+    """
+    SELECT p_type,
+           CAST(count(*) AS BIGINT)                              AS n_parts,
+           CAST(count(*) FILTER (p_name LIKE '%a%') AS BIGINT)   AS with_a,
+           CAST(count(*) FILTER (upper(p_brand) LIKE 'BRAND#1%') AS BIGINT) AS brand1x,
+           min(substr(p_name, 1, 4))                             AS first_prefix
+    FROM part GROUP BY p_type
+    """,
+)
+def q42_part_name_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String predicate suite (P8 adjacents): LIKE patterns, upper(),
+    substring, conditional counts — all codegen'd string intrinsics."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.when(F.col("p_name").like("%a%"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("with_a"),
+        F.sum(F.when(F.upper("p_brand").like("BRAND#1%"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("brand1x"),
+        F.min(F.substring("p_name", 1, 4)).alias("first_prefix"),
+    )

@@ -106,7 +106,13 @@ class ParquetStore:
         versioned = versioned.localCheckpoint(eager=True)
         n = versioned.count()
         if n:
-            writer = versioned.write.mode("append")
+            # Cluster rows within each partition file by (ticker, ts):
+            # parquet row-group min/max stats then prune per-ticker range
+            # reads without ticker being a partition column (the Z-ORDER
+            # stand-in from SURVEY §7.3.7).
+            ts_col = S.TS_COL[mode]
+            clustered = versioned.sortWithinPartitions("ticker", ts_col)
+            writer = clustered.write.mode("append")
             if parts:
                 writer = writer.partitionBy(*parts)
             writer.parquet(self.data_path(mode))

@@ -1361,3 +1361,97 @@ def q42_part_name_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("brand1x"),
         F.min(F.substring("p_name", 1, 4)).alias("first_prefix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate / streaming-only operators — rows-only checks (no SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+@_register("q43_approx_distinct_sketch", None)
+def q43_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (the 100 TB path for q30-style
+    cardinalities: one pass, fixed memory, mergeable sketches).  Estimates
+    are implementation-specific → rows-only check; the exact twin is
+    q30_distinct_counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register("q44_approx_percentile_tdigest", None)
+def q44_approx_percentile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (mergeable, bounded-memory) — the scale
+    path for q34; estimates impl-specific → rows-only."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register("q45_streaming_bars_demo", None)
+def q45_streaming_bars_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming derived bars (ST3) driven end-to-end through
+    the contract: the events parquet replayed as a file stream →
+    watermarked 1h tumbling OHLC bars per event_type → collected after an
+    availableNow drain.  Not SQL-expressible as a stream → rows-only.
+    (Batch twin with oracle: q20_hourly_event_bars.)"""
+    import tempfile
+    import uuid
+
+    from stock_ops_spark.catalog import table_path
+
+    name = f"bars_demo_{uuid.uuid4().hex[:8]}"
+    # file streaming source requires a directory: expose the events file
+    # through a temp dir symlink; ts arrives as parquet TIMESTAMP(NANOS) →
+    # read as long and rebuild microsecond timestamps (same as catalog.load)
+    import os
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    bars = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    q = (
+        bars.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bars_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

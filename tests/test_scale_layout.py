@@ -1,0 +1,108 @@
+"""Scale-layout proofs: bucketed co-located joins eliminate the join
+shuffle; store range reads prune partitions at the file-listing level."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_ops_spark import catalog
+from stock_ops_spark import schemas as S
+from stock_ops_spark.plans import audit as A
+from stock_ops_spark.sources.ingest import ParquetStore
+from stock_ops_spark.sources.reader import ReadProcess
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Pre-bucketing both fact tables on the join key removes the
+    per-query exchange entirely — the 100 TB recipe for repeated fact-fact
+    joins (pay the shuffle once at write time)."""
+    # warehouse dir is a static conf — the session fixture points it at a
+    # throwaway path already
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        o = catalog.load(spark, SF, "orders")
+        li = catalog.load(spark, SF, "lineitem")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+            "orders_b"
+        )
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+            "lineitem_b"
+        )
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy("o_orderkey").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # bucketed layout: join needs NO exchange; only the (same-key)
+        # aggregate exchange may remain — and since grouping key ==
+        # bucketing key, even that should collapse
+        n_shuffles = A.count_shuffles(joined)
+        assert n_shuffles == 0, A.plan_string(joined)
+        # and results match the unbucketed join
+        plain = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted((r.o_orderkey, r.n) for r in joined.collect()) == sorted(
+            (r.o_orderkey, r.n) for r in plain.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_store_read_prunes_partitions(spark, tmp_path):
+    """A day-bounded streaming read must touch only that day's partition
+    directory (PartitionFilters at the scan, like the reference's filename
+    enumeration — but done by Catalyst)."""
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    rows = []
+    # three days of trades: 2025-08-18/19/20 in America/New_York
+    for day, base_ms in ((18, 1755526571834), (19, 1755612971834), (20, 1755699371834)):
+        rows += [
+            ("SPY", base_ms + i, 600.0 + i, 1, None, None, None, None) for i in range(5)
+        ]
+    df = spark.createDataFrame(rows, schema=S.STREAMING)
+    assert store.ingest_batch(df, "streaming") == 15
+
+    rp = ReadProcess(store)
+    out = rp.read_dt_range(
+        "streaming", "SPY", "2025-08-19 00:00", "2025-08-19 23:59"
+    )
+    assert out.count() == 5
+    plan = A.plan_string(out)
+    # partition predicates reached the scan's PartitionFilters (the plan
+    # string truncates long filter lists — check the leading fragment)
+    assert "PartitionFilters: [isnotnull(year" in plan
+    assert "(year" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_clustered_rowgroups_carry_ticker_stats(spark, tmp_path):
+    """sortWithinPartitions(ticker, ts) leaves per-file ticker min/max
+    stats that parquet uses to skip files on ticker predicates."""
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    rows = [
+        (t, 1751463000 + i, 1.0, 1.0, 1.0, 1.0, 1, "1h")
+        for t in ("AAA", "MMM", "ZZZ")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY).repartition(3)
+    store.ingest_batch(df, "historical_intraday")
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(store.data_path("historical_intraday") + "/**/*.parquet", recursive=True)
+    assert files
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            cols = {g.column(i).path_in_schema: g.column(i) for i in range(g.num_columns)}
+            st = cols["ticker"].statistics
+            assert st is not None and st.has_min_max

@@ -175,3 +175,88 @@ def exact_dup_groups(df: DataFrame, id_col: str, fingerprint) -> DataFrame:
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("canonical_id"))
     )
+
+
+def text_simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sk) — classic 64-bit text SimHash: per-token xxhash64, each
+    bit position votes +1/-1 weighted by token frequency, sketch bit =
+    sign of the vote sum.
+
+    Implemented as explode(tokens) → one aggregate with 64 conditional-sum
+    functions (codegen'd, same pattern as minhash_signatures) → bit
+    reassembly via bitwise OR.  Near-dup docs differ in few tokens → few
+    bit flips → small hamming distance.
+    """
+    from stock_ops_spark.functions.text import tokens as tok_fn
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tok_fn(F.lower(F.col(text_col)))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    # vote_i = sum over tokens of (bit_i(h) ? +1 : -1)
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(64)
+        ]
+    )
+    sk = F.lit(0).cast("long")
+    for i in range(64):
+        sk = sk.bitwiseOR(
+            F.when(
+                F.col(f"v_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", sk.alias("sk"))
+
+
+def text_simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs by banded text-SimHash: pairs within
+    ``max_hamming`` that share at least one exact 16-bit band (pigeonhole-
+    certain when hamming < bands).  Verify candidates with jaccard_verify
+    for exact semantics."""
+    bits = 64 // bands
+    sk = text_simhash64(df, id_col, text_col)
+    stacked = sk.select(
+        "id",
+        "sk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sk"), b * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sk", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    l, r = stacked.alias("l"), stacked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sk").bitwiseXOR(F.col("r.sk"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -132,3 +132,28 @@ def test_multimodal_strict_raises(spark):
     media = media_from_text(df, "doc_id", "text", "audio")
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         extract_features(media, strict=True).collect()
+
+
+def test_text_simhash_neardup(spark):
+    from stock_ops_spark.operators.dedup import (
+        text_simhash64,
+        text_simhash_candidates,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    sk = {r.id: r.sk for r in text_simhash64(df, "doc_id", "text").collect()}
+    # identical texts → identical sketches
+    assert sk[2] == sk[3]
+    # near-dup (2-token change) → small hamming; unrelated → large
+    ham = lambda a, b: bin((sk[a] ^ sk[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(0, 1) <= 12
+    assert ham(0, 5) > 12
+
+    # banded blocking guarantees recall only for hamming < bands (4):
+    # the exact dup (hamming 0) must be found; the ~10-bit-flip near-dup
+    # may legitimately miss every 16-bit band (short docs flip many bits —
+    # simhash blocking is a long-document technique; minhash covers short)
+    cands = text_simhash_candidates(df, "doc_id", "text", max_hamming=12)
+    got = {(r.id_a, r.id_b): r.hamming for r in cands.collect()}
+    assert got[(2, 3)] == 0
+    assert all(h <= 12 for h in got.values())

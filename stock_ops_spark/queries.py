@@ -1520,3 +1520,89 @@ def q46_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_year_in_range"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / set ops / ordered array aggregation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q47_pivot_daily_event_mix",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q47_pivot_daily_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): daily counts per event type as columns.  A
+    fixed pivot-value list keeps the schema static (required at scale — an
+    unbounded pivot collects distinct values to the driver first)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "day",
+            *[F.col(c).cast("bigint").alias(c) for c in ("click", "error", "purchase", "signup", "view")],
+        )
+    )
+
+
+@_register(
+    "q48_set_ops_buyers",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'click_and_buy' AS cohort, CAST(count(*) AS BIGINT) AS n FROM
+      (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT 'click_no_buy' AS cohort, CAST(count(*) AS BIGINT) AS n FROM
+      (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    """,
+)
+def q48_set_ops_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (planned as left-semi/anti under
+    the hood) over user cohorts."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("click_and_buy").alias("cohort"), "n"
+    )
+    only = clickers.exceptAll(buyers).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("click_no_buy").alias("cohort"), "n"
+    )
+    return both.unionByName(only)
+
+
+@_register(
+    "q49_user_event_type_profile",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+           CAST(count(DISTINCT event_type) AS BIGINT)                 AS n_types,
+           CAST(count(*) AS BIGINT)                                   AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q49_user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: collect_set → array_sort → join to a
+    deterministic string (collect order is nondeterministic under
+    parallelism; the sort makes the output stable — the required pattern
+    for any list-valued result at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_seen"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -67,21 +67,46 @@ class ParquetStore:
 
     # -- read ------------------------------------------------------------
     def read_all(self, mode: str) -> DataFrame | None:
+        """Union-schema read: mergeSchema resolves files written before a
+        column existed (the reference's ALTER TABLE ADD COLUMN evolution,
+        sql_db.py:306-343, without any rewrite — old files surface the new
+        column as NULL)."""
         path = self.data_path(mode)
         if not os.path.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        return self.spark.read.option("mergeSchema", "true").parquet(path)
 
     # -- write -----------------------------------------------------------
     def ingest_batch(self, batch: DataFrame, mode: str) -> int:
-        """Returns number of rows appended."""
+        """Returns number of rows appended.
+
+        Schema evolution (§1.3): columns beyond the mode's declared schema
+        are accepted and stored; they join the payload set for dedup /
+        versioning purposes (the reference compares the incoming payload's
+        own keys, sql_db.py:487-497 — extra columns are payload).
+        """
         keys = S.INDEX_COLS[mode]
-        payload = S.payload_cols(mode)
+        declared = set(S.SCHEMAS[mode].fieldNames())
+        extra = [c for c in batch.columns if c not in declared]
+        payload = S.payload_cols(mode) + extra
         parts = PARTITION_COLS[mode]
 
         routed = with_partition_cols(batch, mode, self.tz)
 
         existing = self.read_all(mode)
+        if existing is not None:
+            # align schemas both ways: a batch may carry a brand-new column
+            # (absent from every stored file) and the store may carry
+            # columns this batch omits — NULL-fill so the null-safe payload
+            # comparison and version probe see one union schema
+            batch_cols = set(routed.columns)
+            store_cols = set(existing.columns)
+            for c in sorted(store_cols - batch_cols - set(parts)):
+                routed = routed.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
+                if c not in payload and c not in keys and c != "version":
+                    payload.append(c)
+            for c in sorted(set(payload) - store_cols):
+                existing = existing.withColumn(c, F.lit(None).cast(routed.schema[c].dataType))
         if existing is not None and parts:
             # prune the store probe to just the partitions this batch hits:
             # an OR-of-conjunctions over literal partition values reaches the

@@ -146,3 +146,44 @@ def test_interday_roundtrip_and_empty_raise(spark, store):
         rp.read_dt_range("historical_interday", "VOO", "1999-01-01", "1999-01-02", "d")
     with pytest.raises(EmptyReadError):
         rp.read_dt_range("historical_interday", "SPY", "2024-10-25", "2024-10-25", "d")
+
+
+def test_schema_evolution_extra_column(spark, store):
+    """§1.3: a batch carrying a new column appends without rewriting old
+    files; reads surface the union schema with NULLs; dedup/versioning
+    treat the new column as payload."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(INTRADAY_ROWS[:2], schema=S.HISTORICAL_INTRADAY)
+    assert store.ingest_batch(base, "historical_intraday") == 2
+
+    evolved = (
+        spark.createDataFrame(
+            [("SPY", 1751470200, 619.0, 620.0, 618.0, 619.5, 100, "1h")],
+            schema=S.HISTORICAL_INTRADAY,
+        ).withColumn("vwap", F.lit(619.2))
+    )
+    assert store.ingest_batch(evolved, "historical_intraday") == 1
+
+    allrows = store.read_all("historical_intraday")
+    assert "vwap" in allrows.columns
+    got = {r.timestamp_UTC_s: r for r in allrows.collect()}
+    assert got[1751470200].vwap == 619.2
+    assert got[1751463000].vwap is None  # old file NULL-fills
+
+    # same key+payload WITH the same extra column → exact dup, skipped
+    assert store.ingest_batch(evolved, "historical_intraday") == 0
+    # same key, different vwap → new version (extra column is payload)
+    conflict = evolved.withColumn("vwap", F.lit(700.0))
+    assert store.ingest_batch(conflict, "historical_intraday") == 1
+    vers = sorted(
+        r.version
+        for r in store.read_all("historical_intraday")
+        .where(F.col("timestamp_UTC_s") == 1751470200)
+        .collect()
+    )
+    assert vers == [1, 2]
+
+    # an old-schema batch still ingests after evolution
+    old_shape = spark.createDataFrame(INTRADAY_ROWS[2:3], schema=S.HISTORICAL_INTRADAY)
+    assert store.ingest_batch(old_shape, "historical_intraday") == 1

@@ -1606,3 +1606,91 @@ def q49_user_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@_register(
+    "q50_click_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id,
+           p.user_id,
+           CAST(count(c.ts) AS BIGINT) AS clicks_prev_hour
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >  p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q50_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases attributed to same-user clicks in
+    the preceding hour.  The equi key (user_id) carries the shuffle; the
+    time-range predicate filters inside each key group — never a cross
+    product, and AQE handles hot users."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"), F.col("ts").alias("cts")
+    )
+    cond = (
+        (p.user_id == c.cuser)
+        & (c.cts > p.pts - F.expr("INTERVAL 1 HOUR"))
+        & (c.cts <= p.pts)
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(F.count("cts").alias("clicks_prev_hour"))
+    )
+
+
+@_register(
+    "q51_above_brand_avg_parts",
+    """
+    WITH cents AS (
+      SELECT p_brand, p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+      FROM part
+    ),
+    w AS (
+      SELECT p_brand, p_partkey, pc,
+             sum(pc)   OVER (PARTITION BY p_brand) AS s,
+             count(*)  OVER (PARTITION BY p_brand) AS n
+      FROM cents
+    )
+    SELECT p_brand, p_partkey,
+           round(pc / 100.0, 2)            AS price,
+           round(s / n / 100.0, 4)         AS brand_avg
+    FROM w
+    WHERE pc * n > s
+    """,
+)
+def q51_above_brand_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-group scalar (parts above their brand's average) via
+    an analytic window — one shuffle on brand, no self-join, no
+    decorrelation needed."""
+    p = _t(spark, sf_dir, "part")
+    # exact integer-cent arithmetic: float averages land on rounding
+    # boundaries (observed: a brand avg of exactly .59375 rounded
+    # differently per engine's summation order), so the filter and the
+    # reported average both derive from integer sums
+    cents = p.select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("pc"),
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        cents.withColumn("s", F.sum("pc").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .where(F.col("pc") * F.col("n") > F.col("s"))
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round(F.col("pc") / 100.0, 2).alias("price"),
+            F.round(F.col("s") / F.col("n") / 100.0, 4).alias("brand_avg"),
+        )
+    )

@@ -33,10 +33,11 @@ def main() -> None:
 
     qs = E.queries()
     # untimed warmup: pay JVM startup, parquet footer reads and first-use
-    # codegen once so per-query timings measure steady-state execution
+    # codegen once so per-query timings measure steady-state execution.
+    # Full count (not limit(1)) so every stage's generated code compiles.
     for name in sorted(qs):
         try:
-            qs[name](spark, sf_dir).limit(1).count()
+            qs[name](spark, sf_dir).count()
         except Exception as ex:  # noqa: BLE001
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 

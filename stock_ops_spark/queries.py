@@ -1694,3 +1694,66 @@ def q51_above_brand_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") / F.col("n") / 100.0, 4).alias("brand_avg"),
         )
     )
+
+
+@_register(
+    "q52_unpivot_event_mix",
+    """
+    WITH wide AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+      FROM events GROUP BY 1
+    )
+    SELECT day, kind, n FROM (
+      SELECT day, 'click' AS kind, click AS n FROM wide
+      UNION ALL
+      SELECT day, 'purchase' AS kind, purchase AS n FROM wide
+    )
+    """,
+)
+def q52_unpivot_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via the melt/unpivot operator — the inverse
+    of q47, showing both reshaping directions stay JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select("day", F.col("click").cast("bigint"), F.col("purchase").cast("bigint"))
+    )
+    return wide.unpivot("day", ["click", "purchase"], "kind", "n")
+
+
+@_register(
+    "q53_grouping_id_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>')  AS returnflag,
+           coalesce(l_linestatus, '<all>')  AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT)         AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q53_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() indicators: distinguishes real NULL group
+    values from subtotal rows — the metadata the stats-catalog views use
+    to label '<all>' aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "n_rows",
+        )
+    )

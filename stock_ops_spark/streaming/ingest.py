@@ -102,3 +102,30 @@ def streaming_bars(
             "n_trades",
         )
     )
+
+
+def socket_trade_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S2 live WebSocket parity via Spark's built-in socket source: one
+    JSON frame per line → parsed against the STREAMING schema.
+
+    The reference's reconnect/backoff loop (eodhd_streaming_service.py:
+    160-175) is the connector's concern; Spark restarts the source on
+    failure and the checkpoint resumes the offset, so the engine-side
+    contract is identical to the file stand-in.  Malformed frames parse to
+    NULL and are dropped (P2 as a filter).
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            STREAMING,
+        ).alias("r")
+    )
+    return parsed.select("r.*").where(
+        F.col("ticker").isNotNull() & F.col("timestamp_UTC_ms").isNotNull()
+    )

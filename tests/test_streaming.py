@@ -86,3 +86,60 @@ def test_streaming_bars_derivation(spark, tmp_path):
     assert bar.open == 643.155 and bar.close == 643.20
     assert bar.volume == 18  # 10 + 4 + 4 (bars dedup nothing — raw stream)
     assert bar.n_trades == 3
+
+
+def test_socket_trade_source_ingest(spark, tmp_path):
+    """Drive the real TCP socket source: a local server thread serves JSON
+    frames (the WebSocket stand-in at the network level), the stream
+    parses, filters malformed frames, and lands in the store."""
+    import socket
+    import threading
+
+    frames = [
+        '{"ticker":"SPY","timestamp_UTC_ms":1755526571834,"price":643.155,"volume":10}',
+        "this is not json",  # malformed → dropped
+        '{"ticker":"VOO","timestamp_UTC_ms":1755526600000,"price":590.0,"volume":3}',
+        '{"price": 1.0}',  # missing required keys → dropped
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for f in frames:
+                conn.sendall((f + "\n").encode())
+            import time
+
+            time.sleep(8)  # keep the socket open while micro-batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    from stock_ops_spark.streaming.ingest import socket_trade_source
+
+    stream = socket_trade_source(spark, "127.0.0.1", port)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("socket_mem")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        got = spark.sql("select * from socket_mem").collect()
+        if len(got) >= 2:
+            break
+        time.sleep(1)
+    q.stop()
+    srv.close()
+    tickers = {r.ticker for r in got}
+    assert tickers == {"SPY", "VOO"}  # malformed frames filtered
+    assert all(r.timestamp_UTC_ms is not None for r in got)

@@ -159,9 +159,13 @@ def minhash_near_dup_pairs(
     # would serialize ~length(text) substring+hash ops per doc onto a
     # single thread.  (At 100 TB the source has many partitions already;
     # this narrow repartition of doc rows is noise.)
+    # Eager checkpoint: the shingle arrays are consumed twice (signatures +
+    # exact verify) and explode's inferred size>0 filter would otherwise
+    # recompute the whole shingle expression a second time per pass —
+    # materializing once cuts the pipeline ~2x.
     par = df.sparkSession.sparkContext.defaultParallelism
     shingled = shingle_sets(df.repartition(par), id_col, text_col, shingle_n).localCheckpoint(
-        eager=False
+        eager=True
     )
     sigs = minhash_signatures(shingled, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)

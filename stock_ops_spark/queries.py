@@ -7,7 +7,10 @@ values).  Conventions that make the hash comparison robust:
 - every computed column is explicitly aliased, identically on both sides
 - integer outputs are cast to BIGINT on both sides (DuckDB ``sum(BIGINT)``
   is HUGEINT, Spark ``size()`` is INT — both normalized)
-- floating aggregates are rounded (2–6 dp) AFTER ordering decisions
+- floating aggregates are rounded AFTER ordering decisions, and always AT
+  OR BEYOND the data's decimal precision: revenue = 2dp-price x 2dp-factor
+  is exact at 4 decimals, so round(...,2) lands on true .xx5 boundaries
+  where engine summation order flips the cent; round(...,4) never does
 - dates/timestamps are emitted as formatted strings
 - top-k orderings always carry a unique tiebreak column
 
@@ -65,7 +68,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            CAST(count(*) AS BIGINT)                                   AS count_order,
            round(sum(l_quantity), 2)                                  AS sum_qty,
            round(sum(l_extendedprice), 2)                             AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)          AS sum_disc_price,
            round(avg(l_quantity), 6)                                  AS avg_qty,
            round(avg(l_extendedprice), 6)                             AS avg_price,
            round(avg(l_discount), 6)                                  AS avg_disc
@@ -86,7 +89,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
@@ -101,7 +104,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d')                        AS orderdate,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)      AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)      AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey, o.o_orderdate
     ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
@@ -125,7 +128,7 @@ def q02_revenue_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.round("__rev", 2).alias("revenue"),
+            F.round("__rev", 4).alias("revenue"),
         )
     )
 
@@ -135,7 +138,7 @@ def q02_revenue_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name                                              AS region,
            n.n_name                                              AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            CAST(count(*) AS BIGINT)                              AS n_items
     FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -162,7 +165,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -173,7 +176,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q06_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
            CAST(count(*) AS BIGINT)                    AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -194,7 +197,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -1756,4 +1759,121 @@ def q53_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid",
             "n_rows",
         )
+    )
+
+
+@_register(
+    "q54_nation_pair_volume",
+    """
+    SELECT sn.n_name                                           AS supp_nation,
+           cn.n_name                                           AS cust_nation,
+           CAST(year(o.o_orderdate) AS BIGINT)                 AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+    FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name < cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(o.o_orderdate)
+    """,
+)
+def q54_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair shipping volume by year —
+    two aliases of the same broadcast dim (nation) joined through supplier
+    and customer sides of the fact chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("volume")
+        )
+    )
+
+
+@_register(
+    "q55_promo_revenue_share",
+    """
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           round(100.0 * sum(CASE WHEN p.p_type LIKE 'ECONOMY%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           CAST(count(*) AS BIGINT)                                AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY year(l.l_shipdate)
+    """,
+)
+def q55_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue share per year — CASE inside
+    the aggregate, part dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("ECONOMY%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q56_disjunctive_predicates",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT)                              AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 5 AND l.l_quantity <= 25)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+       OR (p.p_type LIKE 'STANDARD%' AND l.l_discount > 0.08)
+    """,
+)
+def q56_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses across both join sides — exercises CNF conversion and partial
+    pushdown of the common join key."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(5, 25)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(20, 40)
+    )
+    c3 = F.col("p_type").like("STANDARD%") & (F.col("l_discount") > 0.08)
+    return j.where(c1 | c2 | c3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
     )

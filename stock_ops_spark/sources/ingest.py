@@ -137,7 +137,9 @@ class ParquetStore:
             # stand-in from SURVEY §7.3.7).
             ts_col = S.TS_COL[mode]
             clustered = versioned.sortWithinPartitions("ticker", ts_col)
-            writer = clustered.write.mode("append")
+            # zstd: ~2x smaller than snappy on tick data for ~equal scan
+            # speed — at 100 TB the scan is IO-bound and this is pure win
+            writer = clustered.write.mode("append").option("compression", "zstd")
             if parts:
                 writer = writer.partitionBy(*parts)
             writer.parquet(self.data_path(mode))

@@ -1877,3 +1877,63 @@ def q56_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@_register(
+    "q57_windowed_dedup",
+    """
+    WITH b AS (
+      SELECT *, epoch_ms(ts) // 300000 AS bucket
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_type, bucket, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type, bucket
+                                ORDER BY ts, event_id) AS rn
+      FROM b
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT)  AS n_kept,
+           round(sum(value), 2)      AS sum_value
+    FROM r WHERE rn = 1
+    GROUP BY user_id, event_type
+    """,
+)
+def q57_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed deduplication: keep the first event per (user, type,
+    5-minute bucket) — the batch twin of streaming
+    ``dropDuplicatesWithinWatermark``, and the telemetry-thinning /
+    retry-collapse primitive of an event pipeline."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.unix_millis("ts") / 300000).cast("long")
+    w = Window.partitionBy("user_id", "event_type", bucket.alias("b")).orderBy(
+        "ts", "event_id"
+    )
+    kept = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return kept.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@_register(
+    "q58_value_histogram",
+    """
+    SELECT event_type,
+           CAST(least(greatest(floor(value / 20), 0), 19) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT)                                  AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q58_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20-unit bins, clamped to [0,19]) per event
+    type — the profiling primitive behind skew detection and bin-packed
+    partitioning decisions."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 20), F.lit(0)), F.lit(19)
+    ).cast("bigint")
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -143,3 +143,40 @@ def test_socket_trade_source_ingest(spark, tmp_path):
     tickers = {r.ticker for r in got}
     assert tickers == {"SPY", "VOO"}  # malformed frames filtered
     assert all(r.timestamp_UTC_ms is not None for r in got)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the streaming-native dedup primitive
+    (state bounded by the watermark, unlike global dropDuplicates)."""
+    import json
+
+    src = tmp_path / "dw"
+    src.mkdir()
+    rows = [
+        {"ticker": "SPY", "timestamp_UTC_ms": 1755526571834, "price": 1.0, "volume": 1},
+        {"ticker": "SPY", "timestamp_UTC_ms": 1755526571834, "price": 1.0, "volume": 1},  # dup
+        {"ticker": "SPY", "timestamp_UTC_ms": 1755526580000, "price": 2.0, "volume": 1},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        file_trade_source(spark, str(src))
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp_UTC_ms")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["ticker", "timestamp_UTC_ms"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dw_mem")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select ticker, timestamp_UTC_ms from dw_mem").collect()
+    assert len(got) == 2  # in-stream dup dropped with bounded state

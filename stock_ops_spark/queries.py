@@ -1937,3 +1937,42 @@ def q58_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type", bin_.alias("bin")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@_register(
+    "q59_last_click_before_signup",
+    """
+    WITH c AS (
+      SELECT user_id, ts, max(value) AS cval
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT s.event_id, s.user_id,
+           round((SELECT c.cval FROM c
+                  WHERE c.user_id = s.user_id AND c.ts <= s.ts
+                  ORDER BY c.ts DESC LIMIT 1), 6) AS last_click_value
+    FROM events s
+    WHERE s.event_type = 'signup'
+    """,
+)
+def q59_last_click_before_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py asof_join_backward): each
+    signup gets the user's most recent click at-or-before it — one shuffle
+    on user_id via the union+window carry, NULL when no prior click."""
+    from stock_ops_spark.operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cval"))
+    )
+    out = asof_join_backward(
+        signups, clicks, on="ts", by=["user_id"], right_value_cols=["cval"]
+    )
+    return out.select(
+        "event_id", "user_id", F.round("cval_right", 6).alias("last_click_value")
+    )

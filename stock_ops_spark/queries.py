@@ -1976,3 +1976,121 @@ def q59_last_click_before_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("cval_right", 6).alias("last_click_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep: chunking / scrubbing / deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q60_doc_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, lang,
+             i AS chunk_idx,
+             list_slice(tk, i * 40 + 1, i * 40 + 50) AS chunk
+      FROM toks, unnest(range(0, greatest((len(tk) + 39) // 40, 1))) AS t(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, lang,
+           CAST(len(chunk) AS BIGINT)                                    AS n_tokens,
+           CAST(list_sum(list_transform(chunk, t -> length(t))) AS BIGINT) AS n_chars
+    FROM chunks
+    WHERE len(chunk) > 0
+    """,
+)
+def q60_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training-data prep: 50-token windows with
+    10-token overlap (stride 40) via sequence + explode + slice — all
+    JVM-side array ops, one row per chunk, no UDF.  At 100 TB this is the
+    map-side fan-out stage feeding tokenization."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", TXT.tokens(F.col("text")).alias("tk")
+    ).localCheckpoint(eager=False)
+    n_chunks = F.greatest(
+        F.ceil(F.size("tk") / F.lit(40)).cast("int"), F.lit(1)
+    )
+    chunks = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "lang",
+        F.slice(F.col("tk"), F.col("chunk_idx") * 40 + 1, 50).alias("chunk"),
+    )
+    return chunks.where(F.size("chunk") > 0).select(
+        "doc_id",
+        "chunk_idx",
+        "lang",
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.col("chunk"), F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+        ).alias("n_chars"),
+    )
+
+
+@_register(
+    "q61_scrub_stats",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '\\d+'))) AS BIGINT) AS digit_runs,
+           CAST(sum(length(text) - length(regexp_replace(text, '\\d', '', 'g')))
+                AS BIGINT)                                            AS digit_chars,
+           CAST(count(*) FILTER (regexp_matches(text, '\\d')) AS BIGINT) AS docs_with_digits
+    FROM documents GROUP BY source
+    """,
+)
+def q61_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing/redaction accounting: digit-run detection per source —
+    the measurement pass before PII masking (regexp_count / regexp_replace
+    are the masking primitives)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.regexp_count("text", F.lit(r"\d+")).cast("bigint"))
+        .cast("bigint")
+        .alias("digit_runs"),
+        F.sum(
+            F.length("text") - F.length(F.regexp_replace("text", r"\d", ""))
+        )
+        .cast("bigint")
+        .alias("digit_chars"),
+        F.sum(F.when(F.col("text").rlike(r"\d"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_digits"),
+    )
+
+
+@_register(
+    "q62_systematic_sample",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)        AS n_sampled,
+           round(avg(value), 6)            AS avg_value
+    FROM events
+    WHERE user_id % 10 = 3
+    GROUP BY event_type
+    """,
+)
+def q62_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-10 systematic sample keyed on user_id — the
+    reproducible sampling pattern for eval-split carving (TABLESAMPLE /
+    rand() are engine-specific; key-hash buckets are portable and stable
+    under re-partitioning)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("user_id") % 10 == 3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -2094,3 +2094,80 @@ def q62_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+@_register(
+    "q63_first_last_order_value",
+    """
+    SELECT DISTINCT o_custkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_order_price,
+           round(last_value(o_totalprice)  OVER w, 2) AS last_order_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q63_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit unbounded
+    frame (the default running frame would make last_value = current row —
+    the classic window-frame trap, avoided on both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_order_price"),
+            F.round(F.last("o_totalprice").over(w), 2).alias("last_order_price"),
+            F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias(
+                "second_order_price"
+            ),
+        )
+        .distinct()
+    )
+
+
+@_register(
+    "q64_customer_quartiles",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ntile(4)       OVER w AS quartile,
+             percent_rank() OVER w AS pr
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_mktsegment,
+           CAST(quartile AS BIGINT)   AS quartile,
+           CAST(count(*) AS BIGINT)   AS n_customers,
+           round(min(c_acctbal), 2)   AS min_bal,
+           round(max(c_acctbal), 2)   AS max_bal,
+           round(max(pr), 6)          AS max_pct_rank
+    FROM ranked
+    GROUP BY c_mktsegment, quartile
+    """,
+)
+def q64_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank distribution windows: account-balance
+    quartiles per market segment (fully tie-broken ordering keeps bucket
+    assignment deterministic across engines)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy(
+        "c_mktsegment", F.col("quartile").cast("bigint").alias("quartile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.max("pr"), 6).alias("max_pct_rank"),
+    )

@@ -2171,3 +2171,55 @@ def q64_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.max("pr"), 6).alias("max_pct_rank"),
     )
+
+
+@_register(
+    "q65_embedding_dim_stats",
+    """
+    SELECT label,
+           CAST(i - 1 AS BIGINT)      AS dim,
+           round(avg(v), 6)           AS mean_v,
+           round(min(v), 6)           AS min_v,
+           round(max(v), 6)           AS max_v
+    FROM (SELECT label, i, embedding[i]::DOUBLE AS v
+          FROM embeddings, unnest(range(1, 9)) AS t(i))
+    GROUP BY label, i
+    """,
+)
+def q65_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (first 8 dims × label) via
+    posexplode — the feature-drift / normalization profiling pass over a
+    vector column.  One shuffle keyed (label, dim)."""
+    e = _t(spark, sf_dir, "embeddings")
+    el = e.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "v"),
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    return el.groupBy("label", F.col("dim").cast("bigint").alias("dim")).agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+@_register(
+    "q66_price_quantity_correlation",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 6)       AS qty_disc_covar,
+           round(stddev_samp(l_quantity), 6)                  AS qty_stddev,
+           CAST(count(*) AS BIGINT)                           AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q66_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical co-aggregates (Pearson corr, sample covariance/stddev)
+    — single-pass streaming moment computation on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -2223,3 +2223,73 @@ def q66_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@_register(
+    "q67_null_aware_counts",
+    """
+    WITH g AS (
+      SELECT c.c_mktsegment AS seg,
+             date_diff('day',
+               lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                        ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS gap
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT seg,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           CAST(count(gap) AS BIGINT)  AS n_gaps,
+           round(avg(gap), 6)          AS avg_gap,
+           CAST(sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                       AS n_first_orders
+    FROM g GROUP BY seg
+    """,
+)
+def q67_null_aware_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-aware aggregation semantics: count(*) vs count(col) vs
+    avg-ignores-NULL over the lag-generated NULLs (each customer's first
+    order has no gap) — identical NULL treatment on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap"),
+        )
+    )
+    return g.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("avg_gap"),
+        F.sum(F.when(F.col("gap").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first_orders"),
+    )
+
+
+@_register(
+    "q68_fixed_offset_days",
+    """
+    SELECT strftime(CAST(ts + INTERVAL 5 HOURS AS DATE), '%Y-%m-%d') AS local_day,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q68_fixed_offset_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 timezone conversion in the oracle-gated surface: bucket events by
+    local calendar day at a DST-free fixed offset (UTC+5) — Spark
+    from_utc_timestamp('+05:00') ≡ plain interval shift, deterministic on
+    both engines.  (IANA-zone conversions with DST live in
+    functions/timeutils.py and the store tests, where Python zoneinfo is
+    the oracle.)"""
+    ev = _t(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), "+05:00")
+    return ev.groupBy(
+        F.date_format(F.to_date(local), "yyyy-MM-dd").alias("local_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -40,8 +40,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The driver testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS),
     which Spark 4 rejects by default; we read nanos as long (runtime conf)
-    and rebuild a microsecond TimestampType column (the data carries no
-    sub-microsecond precision, so this is lossless).
+    and rebuild a microsecond TimestampType column via integer division
+    (``ts DIV 1000`` stays in long arithmetic — float division rounds for
+    epoch-ns values above 2^53, off-by-1µs vs the DuckDB oracle).
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,7 +51,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

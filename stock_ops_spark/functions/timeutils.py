@@ -18,12 +18,20 @@ _SEC_MAX = 100_000_000_000  # 1e11
 _MS_MAX = 100_000_000_000_000  # 1e14
 
 
+def _idiv(ts: Column, n: int) -> Column:
+    """Floor-division for non-negative epochs, kept exact: subtract the
+    remainder first so the (double) division is of an exact multiple of n
+    whose quotient is an integer < 2^53 — no float rounding, unlike the
+    naive ``(ts / n).cast('long')`` which can round up across a boundary."""
+    return ((ts - ts % n) / n).cast("long")
+
+
 def normalize_ts_to_seconds(ts: Column) -> Column:
-    """Integer epoch of unknown unit → epoch seconds (truncating)."""
+    """Integer epoch of unknown unit → epoch seconds (floor)."""
     return (
         F.when(ts < F.lit(_SEC_MAX), ts)
-        .when(ts < F.lit(_MS_MAX), (ts / 1000).cast("long"))
-        .otherwise((ts / 1_000_000).cast("long"))
+        .when(ts < F.lit(_MS_MAX), _idiv(ts, 1000))
+        .otherwise(_idiv(ts, 1_000_000))
     )
 
 

@@ -1100,10 +1100,13 @@ def q33_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Streaming twin: ``session_window`` in streaming/ingest.py.)"""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # gap in epoch *milliseconds* (unix_millis), matching the oracle's
+    # epoch_ms comparison exactly — truncated-seconds gaps misclassify
+    # boundaries within 1s of the 30-minute cutoff (ADVICE r1).
+    gap = F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
     marked = ev.select(
         "user_id",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+        F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0).alias("new_session"),
     )
     return marked.groupBy("user_id").agg(
         F.sum("new_session").cast("bigint").alias("n_sessions"),
@@ -1402,8 +1405,12 @@ def q44_approx_percentile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame
     """approx_percentile sketch (mergeable, bounded-memory) — the scale
     path for q34; estimates impl-specific → rows-only."""
     ev = _t(spark, sf_dir, "events")
+    # scalar output columns (not array<double>): the driver canonicalizer
+    # sorts/hashes cell values and cannot handle list cells (VERDICT r1).
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p_approx"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -1438,7 +1445,7 @@ def q45_streaming_bars_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value double, props string"
         )
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     bars = (
         ev.withWatermark("ts", "2 hours")

@@ -101,10 +101,14 @@ class ParquetStore:
             # comparison and version probe see one union schema
             batch_cols = set(routed.columns)
             store_cols = set(existing.columns)
+            # Store-only columns are NULL-filled for the append but stay OUT
+            # of the dedup payload: the reference compares only the incoming
+            # payload's own keys (sql_db.py:487-497), so a re-sent row that
+            # matches a stored row on every column the producer knows about
+            # is an exact duplicate even if the store has since evolved a
+            # column the producer doesn't send (ADVICE r1).
             for c in sorted(store_cols - batch_cols - set(parts)):
                 routed = routed.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
-                if c not in payload and c not in keys and c != "version":
-                    payload.append(c)
             for c in sorted(set(payload) - store_cols):
                 existing = existing.withColumn(c, F.lit(None).cast(routed.schema[c].dataType))
         if existing is not None and parts:

@@ -157,6 +157,26 @@ class ParquetStore:
                 )
         return n
 
+    # -- maintenance -----------------------------------------------------
+    def compact(self, mode: str, target_file_bytes: int | None = None) -> dict:
+        """Coalesce micro-batch file litter (see sources/maintenance.py)."""
+        from stock_ops_spark.sources import maintenance as M
+
+        kw = {} if target_file_bytes is None else {"target_file_bytes": target_file_bytes}
+        return M.compact(self, mode, **kw)
+
+    def retain(self, mode: str, keep_from: tuple) -> list[str]:
+        """Drop partitions older than an exchange-local date bound."""
+        from stock_ops_spark.sources import maintenance as M
+
+        return M.retain(self, mode, keep_from)
+
+    def widen_types(self, mode: str) -> dict:
+        """Cast-rewrite files with conflicting physical column types."""
+        from stock_ops_spark.sources import maintenance as M
+
+        return M.widen_types(self, mode)
+
     # -- catalog views ---------------------------------------------------
     def table_stats(self, mode: str) -> DataFrame | None:
         return self._stats(mode, by_interval=False).read()

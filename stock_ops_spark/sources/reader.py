@@ -42,6 +42,38 @@ def _local_wall_to_epoch(s: str, tz: str) -> int:
     return int(naive.replace(tzinfo=ZoneInfo(tz)).timestamp())
 
 
+def _partition_range_pred(parts: list[str], start: _dt.datetime, end: _dt.datetime):
+    """Exact partition predicate for an arbitrary local-time range — an
+    OR of per-month conjunctions, exactly the month/day set the reference
+    enumerates as filenames (``data/utils.py:79-99``).
+
+    The previous between()-only form degraded across boundaries: a Dec→Jan
+    range constrained only ``year`` and scanned all 24 month partitions of
+    the two years.  Enumerating the months keeps the term count tiny (one
+    per month spanned) while letting Catalyst prune every untouched
+    directory, any range shape.
+    """
+    terms = []
+    y, m = start.year, start.month
+    while (y, m) <= (end.year, end.month):
+        conj = (F.col("year") == y) & (F.col("month") == m)
+        if "day" in parts:
+            first = (y, m) == (start.year, start.month)
+            last = (y, m) == (end.year, end.month)
+            if first and last:
+                conj &= F.col("day").between(start.day, end.day)
+            elif first:
+                conj &= F.col("day") >= start.day
+            elif last:
+                conj &= F.col("day") <= end.day
+        terms.append(conj)
+        y, m = (y + 1, 1) if m == 12 else (y, m + 1)
+    pred = terms[0]
+    for t in terms[1:]:
+        pred = pred | t
+    return pred
+
+
 class ReadProcess:
     """Mirror of the reference ReadProcess over a ParquetStore."""
 
@@ -80,14 +112,8 @@ class ReadProcess:
         # did, P7) — Catalyst turns this into directory pruning
         pred = (F.col(ts_col) >= lo) & (F.col(ts_col) <= hi)
         parts = PARTITION_COLS[mode]
-        if "year" in parts:
-            pred &= F.col("year").between(start_local.year, end_local.year)
-        if "month" in parts and start_local.year == end_local.year:
-            pred &= F.col("month").between(start_local.month, end_local.month)
-        if "day" in parts and (
-            start_local.year == end_local.year and start_local.month == end_local.month
-        ):
-            pred &= F.col("day").between(start_local.day, end_local.day)
+        if parts:
+            pred &= _partition_range_pred(parts, start_local, end_local)
 
         pred &= F.col("ticker") == ticker
         if interval is not None:

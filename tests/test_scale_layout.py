@@ -106,3 +106,41 @@ def test_clustered_rowgroups_carry_ticker_stats(spark, tmp_path):
             cols = {g.column(i).path_in_schema: g.column(i) for i in range(g.num_columns)}
             st = cols["ticker"].statistics
             assert st is not None and st.has_min_max
+
+
+def test_cross_year_read_prunes_months(spark, tmp_path):
+    """A Dec→Jan intraday range must enumerate (year, month) pairs — the
+    old between()-only predicate collapsed to year IN (Y, Y+1) and scanned
+    every month partition of both years.  Assert via the executed scan's
+    metrics that only the two boundary months were read."""
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    # 2024-10 .. 2025-03: first-of-month 09:30 America/New_York trades
+    epochs = (1727789400, 1730471400, 1733063400, 1735828200, 1738506600, 1740925800)
+    rows = [("SPY", e, 1.0, 2.0, 0.5, 1.5, 10, "1h") for e in epochs]
+    df = spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY)
+    assert store.ingest_batch(df, "historical_intraday") == 6
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # unwrapped scan node
+    try:
+        out = ReadProcess(store).read_dt_range(
+            "historical_intraday", "SPY", "2024-12-01 00:00", "2025-01-31 23:59",
+            interval="1h",
+        )
+        assert [r.timestamp_UTC_s for r in out.collect()] == [1733063400, 1735828200]
+        scans = {}
+
+        def walk(node):
+            if "Scan" in node.nodeName():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    scans[kv._1()] = kv._2().value()
+            for i in range(node.children().length()):
+                walk(node.children().apply(i))
+
+        walk(out._jdf.queryExecution().executedPlan())
+        assert scans["numPartitions"] == 2  # of 6 month dirs on disk
+        assert scans["numFiles"] == 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

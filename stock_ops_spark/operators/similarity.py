@@ -124,6 +124,43 @@ def ivf_topk(
     return brute_force_topk(narrowed, query_vec, k, id_col, vec_col)
 
 
+def grid_self_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "vec_id",
+    grid: int = 4,
+) -> DataFrame:
+    """All ordered pairs (a, b) with ``a.id < b.id`` inside each block,
+    with every join task bounded to a (cell/grid)² sub-square.
+
+    A plain self-equi-join on the block key materializes each block's full
+    n² pair set in ONE task — a single hot block at 100 TB becomes one
+    quadratic straggler.  Grid decomposition keeps the semantics exact
+    (every pair still produced exactly once) while bounding task size:
+    each row is hashed into one of ``grid`` cells, each side is replicated
+    ``grid`` ways carrying the partner cell id, and the equi-join key
+    becomes (block, ga, gb) — so the hot block splits into grid² cells of
+    (n/grid)² pairs each, spread across the cluster.  Replication cost is
+    grid× per side; total pair work is unchanged (it is inherent to exact
+    all-pairs semantics — use LSH/simhash banding when the threshold
+    permits a lossy candidate stage).
+
+    Returns columns: ``block_cols…, a (struct of df row), b (struct)``.
+    """
+    cell = F.pmod(F.xxhash64(F.col(id_col)), F.lit(grid))
+    partner = F.explode(F.array(*[F.lit(i) for i in range(grid)]))
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    a = df.select(
+        *block_cols, payload.alias("a"), cell.alias("ga"), partner.alias("gb")
+    )
+    b = df.select(
+        *block_cols, payload.alias("b"), partner.alias("ga"), cell.alias("gb")
+    )
+    return a.join(b, [*block_cols, "ga", "gb"]).where(
+        F.col("a").getField(id_col) < F.col("b").getField(id_col)
+    ).drop("ga", "gb")
+
+
 def simhash_bucketed_pairs(
     corpus: DataFrame,
     max_hamming: int = 8,

@@ -1180,6 +1180,8 @@ def q36_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.4 — the verification-tier of embedding dedup.  At 100 TB the label
     comes from coarse quantization (see ivf_topk) and each cell joins
     within itself."""
+    from stock_ops_spark.operators.similarity import grid_self_pairs
+
     e = _t(spark, sf_dir, "embeddings")
     # precompute each row's norm ONCE: the pair stage then evaluates a
     # single dot-product fold per pair instead of three (dot + two norms),
@@ -1187,23 +1189,19 @@ def q36_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     withn = e.select(
         "vec_id", "label", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
-    a = withn.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    # grid decomposition bounds every join task to a (cell/grid)² pair
+    # sub-square — a skew-hot label no longer serializes into one
+    # quadratic task (exact semantics preserved; see grid_self_pairs)
+    pairs = grid_self_pairs(withn, ["label"], id_col="vec_id", grid=4)
+    sim = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
     )
-    b = withn.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, ["label"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("__s"))
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("__s"),
+        )
         .where(F.col("__s") >= 0.4)
         .select("id_a", "id_b", F.round("__s", 6).alias("cos_sim"))
     )
@@ -1421,7 +1419,15 @@ def q45_streaming_bars_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contract: the events parquet replayed as a file stream →
     watermarked 1h tumbling OHLC bars per event_type → collected after an
     availableNow drain.  Not SQL-expressible as a stream → rows-only.
-    (Batch twin with oracle: q20_hourly_event_bars.)"""
+    (Batch twin with oracle: q20_hourly_event_bars.)
+
+    Output mode is ``complete`` on purpose: with availableNow the final
+    windows never cross the watermark, so append mode would drop the last
+    2 h of bars.  The memory-sink cardinality is bounded by
+    |event_types| × |hours spanned| (≈ 3.4k rows at sf0.1) — a fixed bars
+    grid, not data-proportional, so the driver-memory risk is bounded by
+    construction."""
+    import shutil
     import tempfile
     import uuid
 
@@ -1438,44 +1444,52 @@ def q45_streaming_bars_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    ckpt_dir = tempfile.mkdtemp(prefix="bars_ckpt_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
-    ev = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
+    try:
+        ev = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         )
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
-    bars = (
-        ev.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.min_by("value", "ts").alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
-            F.count(F.lit(1)).alias("n_events"),
+        bars = (
+            ev.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(
+                F.min_by("value", "ts").alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", "ts").alias("close"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                "event_type",
+                "open",
+                "high",
+                "low",
+                "close",
+                "n_events",
+            )
         )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
-            "event_type",
-            "open",
-            "high",
-            "low",
-            "close",
-            "n_events",
+        q = (
+            bars.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-    q = (
-        bars.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bars_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        # the memory sink holds the result; the source dir and checkpoint
+        # are dead weight once the availableNow drain finished
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(name)
 
 

@@ -57,3 +57,30 @@ def test_salted_join_matches_plain(spark):
     left = salted_join(large2, small, ["k"], buckets=4, how="left")
     orphan = [r for r in left.collect() if r.k == "orphan"]
     assert len(orphan) == 1 and orphan[0].tag is None
+
+
+def test_grid_self_pairs_exact_on_skewed_blocks(spark):
+    """Grid decomposition must emit exactly the naive self-join's pair set
+    on a skew-hot fixture, and the physical join key must carry the grid
+    cells so no task owns a whole block's quadratic pair square."""
+    from stock_ops_spark.operators.similarity import grid_self_pairs
+
+    # one hot label (40 rows → 780 pairs) + tail labels
+    rows = [(i, "hot") for i in range(40)] + [(100 + i, f"t{i % 3}") for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, label string")
+
+    got = {
+        (r.label, r.a.vec_id, r.b.vec_id)
+        for r in grid_self_pairs(df, ["label"], grid=4).collect()
+    }
+    a = df.select(F.col("vec_id").alias("ia"), "label")
+    b = df.select(F.col("vec_id").alias("ib"), "label")
+    want = {
+        (r.label, r.ia, r.ib)
+        for r in a.join(b, "label").where(F.col("ia") < F.col("ib")).collect()
+    }
+    assert got == want and len(want) == 780 + 3 * 3
+
+    # plan: the equi-join key includes the grid cells, not label alone
+    plan = grid_self_pairs(df, ["label"], grid=4)._jdf.queryExecution().toString()
+    assert "ga" in plan and "gb" in plan

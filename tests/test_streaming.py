@@ -180,3 +180,77 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select ticker, timestamp_UTC_ms from dw_mem").collect()
     assert len(got) == 2  # in-stream dup dropped with bounded state
+
+
+def test_socket_reconnect_replay_effectively_once(spark, tmp_path):
+    """Drop the TCP connection mid-stream, then reconnect to a server that
+    replays from the start — the engine-side twin of the reference's
+    WebSocket backoff/reconnect loop (eodhd_streaming_service.py:206-266),
+    where reconnect delivery is at-least-once.  The socket source is not
+    replayable, so effectively-once comes from the store's idempotent
+    dedup writer, not the checkpoint: after full replay the store must
+    hold each trade exactly once."""
+    import socket
+    import threading
+
+    from stock_ops_spark.streaming.ingest import socket_trade_source, stream_ingest
+
+    frames = [
+        '{"ticker":"SPY","timestamp_UTC_ms":1755526571834,"price":643.155,"volume":10}',
+        '{"ticker":"SPY","timestamp_UTC_ms":1755526600000,"price":643.20,"volume":4}',
+        '{"ticker":"VOO","timestamp_UTC_ms":1755526610000,"price":590.0,"volume":2}',
+        '{"ticker":"VOO","timestamp_UTC_ms":1755526620000,"price":590.5,"volume":1}',
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(2)
+
+    def serve(payload, hold_s):
+        conn, _ = srv.accept()
+        with conn:
+            for f in payload:
+                conn.sendall((f + "\n").encode())
+            time.sleep(hold_s)
+        # abrupt close = the provider dropping the connection
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+
+    def run_session(payload, expect_rows, hold_s=6):
+        t = threading.Thread(target=serve, args=(payload, hold_s), daemon=True)
+        t.start()
+        q = stream_ingest(
+            socket_trade_source(spark, "127.0.0.1", port),
+            store,
+            trigger_seconds=1,
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                data = store.read_all("streaming")
+                if data is not None and data.count() >= expect_rows:
+                    break
+            except Exception:
+                pass  # store dir exists but holds no parquet yet
+            time.sleep(1)
+        q.stop()
+        t.join(timeout=30)
+
+    # session 1: two frames, then the connection drops
+    run_session(frames[:2], expect_rows=2)
+    assert store.read_all("streaming").count() == 2
+
+    # session 2: reconnect; the provider replays EVERYTHING (at-least-once)
+    run_session(frames, expect_rows=4)
+    srv.close()
+
+    rows = store.read_all("streaming").collect()
+    assert len(rows) == 4  # replayed frames 1-2 collapsed by the dedup writer
+    assert {(r.ticker, r.timestamp_UTC_ms) for r in rows} == {
+        ("SPY", 1755526571834),
+        ("SPY", 1755526600000),
+        ("VOO", 1755526610000),
+        ("VOO", 1755526620000),
+    }

@@ -37,6 +37,11 @@ from stock_ops_spark.sources.layout import (
     with_partition_cols,
 )
 
+# A micro-batch touches a handful of partitions; an unbounded backfill can
+# touch thousands.  Above this, the ingest dedup probe scans the store
+# unpruned rather than collecting partition literals to the driver.
+_MAX_PRUNE_PARTITIONS = 256
+
 
 class ParquetStore:
     """Partitioned-parquet store for one (provider, exchange)."""
@@ -114,8 +119,21 @@ class ParquetStore:
         if existing is not None and parts:
             # prune the store probe to just the partitions this batch hits:
             # an OR-of-conjunctions over literal partition values reaches the
-            # file listing as partition pruning (a batch touches few)
-            touched = [tuple(r) for r in routed.select(*parts).distinct().collect()]
+            # file listing as partition pruning (a batch touches few).
+            # Guard: the collect is bounded by construction for a
+            # micro-batch, but a historical backfill fed through this path
+            # could touch thousands of partitions — cap the literal list;
+            # past the cap, skip pruning (full probe beats an unbounded
+            # driver collect + a many-thousand-term predicate).
+            touched = [
+                tuple(r)
+                for r in routed.select(*parts)
+                .distinct()
+                .limit(_MAX_PRUNE_PARTITIONS + 1)
+                .collect()
+            ]
+            if len(touched) > _MAX_PRUNE_PARTITIONS:
+                touched = []
             pred = None
             for t in touched:
                 conj = None

@@ -73,28 +73,64 @@ def _partition_dirs(root: str, parts: list[str]) -> list[tuple[str, dict[str, in
 
 
 def compact(store, mode: str, target_file_bytes: int = _DEFAULT_TARGET_BYTES) -> dict:
-    """Rewrite the dataset so each Hive partition holds ~size/target files.
+    """Coalesce littered Hive partitions to ~size/target files each.
 
-    One distributed job: read → repartition on (partition cols, salt) so
-    every output partition directory is written by a bounded number of
-    tasks → ``sortWithinPartitions(ticker, ts)`` to restore the row-group
-    clustering the reader's min/max pruning relies on → dynamic-partition
-    overwrite (only touched partitions are replaced, never the whole
-    dataset).  Returns {"files_before": n, "files_after": m}.
+    Litter-aware: a partition is selected only when its file count
+    exceeds what its byte size warrants (ceil(bytes/target) — plus slack
+    for one in-flight micro-batch), so steady-state partitions that were
+    already compacted are never re-read.  At 100 TB this is the
+    difference between a bounded nightly job over the day's hot
+    partitions and a full-store rewrite.
+
+    One distributed job over the selected partitions only: read (static
+    partition pruning via the partition-column filter) → repartition on
+    (partition cols, salt) so every output directory is written by a
+    bounded number of tasks → ``sortWithinPartitions(ticker, ts)`` to
+    restore the row-group clustering the reader's min/max pruning relies
+    on → dynamic-partition overwrite, which replaces exactly the
+    partitions that were read.  Returns
+    {"files_before": n, "files_after": m, "partitions_compacted": k}.
     """
     path = store.data_path(mode)
     files = _data_files(path)
     if not files:
-        return {"files_before": 0, "files_after": 0}
+        return {"files_before": 0, "files_after": 0, "partitions_compacted": 0}
     parts = PARTITION_COLS[mode]
     ts_col = S.TS_COL[mode]
     spark = store.spark
 
-    total = sum(os.path.getsize(f) for f in files)
-    n_parts = max(1, len(_partition_dirs(path, parts)) if parts else 1)
-    files_per_part = max(1, round(total / n_parts / target_file_bytes))
+    # pick only littered partitions: more files than their size warrants
+    dirty: list[dict[str, int]] = []
+    dirty_bytes = 0
+    if parts:
+        for d, vals in _partition_dirs(path, parts):
+            pfiles = _data_files(d)
+            size = sum(os.path.getsize(f) for f in pfiles)
+            warranted = -(-size // target_file_bytes)  # ceil, ≥1
+            if len(pfiles) > max(1, warranted):
+                dirty.append(vals)
+                dirty_bytes += size
+        if not dirty:
+            return {
+                "files_before": len(files),
+                "files_after": len(files),
+                "partitions_compacted": 0,
+            }
+    else:
+        dirty_bytes = sum(os.path.getsize(f) for f in files)
+
+    files_per_part = max(1, round(dirty_bytes / max(1, len(dirty)) / target_file_bytes))
 
     df = spark.read.option("mergeSchema", "true").parquet(path)
+    if parts:
+        pred = None
+        for vals in dirty:
+            conj = None
+            for c in parts:
+                term = F.col(c) == vals[c]
+                conj = term if conj is None else conj & term
+            pred = conj if pred is None else pred | conj
+        df = df.where(pred)
     # Sever lineage from the path we are about to overwrite (same hazard as
     # ingest_batch: writing to a read path invalidates plan caches mid-job).
     df = df.localCheckpoint(eager=True)
@@ -115,7 +151,11 @@ def compact(store, mode: str, target_file_bytes: int = _DEFAULT_TARGET_BYTES) ->
         writer.parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return {"files_before": len(files), "files_after": len(_data_files(path))}
+    return {
+        "files_before": len(files),
+        "files_after": len(_data_files(path)),
+        "partitions_compacted": len(dirty) if parts else 1,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -187,3 +187,23 @@ def test_schema_evolution_extra_column(spark, store):
     # an old-schema batch still ingests after evolution
     old_shape = spark.createDataFrame(INTRADAY_ROWS[2:3], schema=S.HISTORICAL_INTRADAY)
     assert store.ingest_batch(old_shape, "historical_intraday") == 1
+
+
+def test_backfill_past_prune_cap_still_dedups(spark, tmp_path, monkeypatch):
+    """An ingest touching more partitions than the prune cap must fall back
+    to an unpruned store probe (no unbounded driver collect) and keep the
+    exact same dedup semantics."""
+    from stock_ops_spark.sources import ingest as I
+
+    monkeypatch.setattr(I, "_MAX_PRUNE_PARTITIONS", 2)
+    store = I.ParquetStore(spark, str(tmp_path / "store"))
+    base = 1736951400  # 2025-01-15 09:30 EST
+    day = 86400 * 31
+    rows = [
+        ("SPY", base + i * day, 1.0, 2.0, 0.5, 1.5, 10, "1h") for i in range(4)
+    ]  # 4 distinct months > cap of 2
+    df = spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY)
+    assert store.ingest_batch(df, "historical_intraday") == 4
+    # replay the same backfill: every row an exact dup, nothing appended
+    assert store.ingest_batch(df, "historical_intraday") == 0
+    assert store.read_all("historical_intraday").count() == 4

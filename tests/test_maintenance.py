@@ -152,3 +152,28 @@ def test_widened_rules():
     assert _widened({"null", "int64"}) == "int64"
     with pytest.raises(TypeError):
         _widened({"string", "int64"})
+
+
+def test_compact_touches_only_littered_partitions(spark, store):
+    # litter 2025-01 with four micro-batches; 2024-12 gets one clean file
+    _ingest_many_small_batches(spark, store, n_batches=4)
+    df = spark.createDataFrame(
+        [("SPY", 1734705000, 600.0, 601.0, 599.0, 600.5, 1000, "1h")],
+        schema=S.HISTORICAL_INTRADAY,
+    )
+    store.ingest_batch(df, "historical_intraday")
+    root = store.data_path("historical_intraday")
+    clean_dir = os.path.join(root, "year=2024", "month=12")
+    clean_before = {f: os.stat(f).st_ino for f in _data_files(clean_dir)}
+
+    res = store.compact("historical_intraday")
+    assert res["partitions_compacted"] == 1  # only the littered 2025-01
+    # the clean partition's files were not rewritten (same inodes)
+    assert {f: os.stat(f).st_ino for f in _data_files(clean_dir)} == clean_before
+    assert len(_data_files(os.path.join(root, "year=2025", "month=1"))) == 1
+    assert store.read_all("historical_intraday").count() == 5
+
+    # steady state: second run selects nothing and reads nothing
+    res2 = store.compact("historical_intraday")
+    assert res2["partitions_compacted"] == 0
+    assert res2["files_after"] == res2["files_before"]

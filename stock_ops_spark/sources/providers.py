@@ -35,6 +35,9 @@ class Provider:
     exchanges: dict[str, ExchangeConfig] = field(default_factory=dict)
     # (ticker, exchange, interval, start, end) -> list of raw bar dicts
     fetch_historical: Callable[..., list[dict[str, Any]]] | None = None
+    # one-shot alternate transport tried on the first fetch failure (the
+    # reference's IPv6 re-resolution, eodhd_historical_service.py:112-146)
+    fetch_fallback: Callable[..., list[dict[str, Any]]] | None = None
     # (tickers, exchange, stream_type) -> iterator of raw frame dicts
     stream_frames: Callable[..., Any] | None = None
 

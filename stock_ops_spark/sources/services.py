@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from stock_ops_spark.schemas import INTERDAY_INTERVALS
+from stock_ops_spark.sources import resilience as R
 from stock_ops_spark.sources import transform as X
 from stock_ops_spark.sources.ingest import ParquetStore
 from stock_ops_spark.sources.providers import get as get_provider
@@ -40,13 +41,31 @@ def run_historical_task(
     interval: str,
     start: str,
     end: str,
+    retry: "R.RetryPolicy | None" = None,
 ) -> int:
     """S1: fetch + normalize + ingest one historical request.
-    Returns rows appended."""
+    Returns rows appended.
+
+    With ``retry`` set, the fetch runs under the reference's REST
+    hardening (bounded retries + backoff, sources/resilience.py); the
+    provider may also register ``fetch_fallback`` as the one-shot
+    alternate transport (the IPv6 re-resolution analog)."""
     p = get_provider(provider)
     if p.fetch_historical is None:
         raise ValueError(f"provider {provider!r} has no historical fetcher")
-    raw_rows = p.fetch_historical(ticker, exchange, interval, start, end)
+    if retry is not None:
+        raw_rows = R.fetch_with_retry(
+            p.fetch_historical,
+            ticker,
+            exchange,
+            interval,
+            start,
+            end,
+            policy=retry,
+            fallback=p.fetch_fallback,
+        )
+    else:
+        raw_rows = p.fetch_historical(ticker, exchange, interval, start, end)
 
     if interval in INTERDAY_INTERVALS:
         raw = spark.createDataFrame(raw_rows, _INTERDAY_RAW)
@@ -67,16 +86,30 @@ def run_stream_task(
     exchange: str,
     stream_type: str = "trades",
     max_frames: int | None = None,
+    duration: float | None = None,
+    reconnect: "R.RetryPolicy | None" = None,
 ) -> int:
     """S2 (bounded drain form): pull frames from the provider's iterator,
     normalize per shape, ingest as one micro-batch.  The unbounded live
     form is streaming.ingest.stream_ingest over a file/Kafka landing zone.
-    """
+
+    With ``reconnect`` set (optionally plus a global ``duration`` bound),
+    the iterator runs under the reference's WebSocket reconnect/backoff
+    loop (sources/resilience.py) — connection drops re-dial and frames
+    arrive at-least-once; the store's dedup writer downstream makes the
+    counts effectively-once."""
     p = get_provider(provider)
     if p.stream_frames is None:
         raise ValueError(f"provider {provider!r} has no stream source")
+    source = p.stream_frames(tickers, exchange, stream_type)
+    if reconnect is not None:
+        source = R.resilient_frames(
+            lambda: p.stream_frames(tickers, exchange, stream_type),
+            duration=duration,
+            policy=reconnect,
+        )
     frames = []
-    for i, frame in enumerate(p.stream_frames(tickers, exchange, stream_type)):
+    for i, frame in enumerate(source):
         frames.append(frame)
         if max_frames is not None and i + 1 >= max_frames:
             break

@@ -34,6 +34,26 @@ def _load(path: str) -> dict:
         return json.load(f)
 
 
+def _queries(doc: dict) -> dict:
+    """Extract {query: seconds} from a bench JSON or a driver BENCH_r*.json
+    record (which wraps bench stdout: parsed JSON, or a truncated 'tail'
+    string when the line outgrew the driver's buffer)."""
+    if isinstance(doc.get("queries"), dict):
+        return doc["queries"]
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return parsed["queries"]
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        import re
+
+        return {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"(q\d+_\w+)":\s*([0-9.]+)', tail)
+        }
+    return {}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("current", help="fresh bench JSON file, or - for stdin")
@@ -50,8 +70,8 @@ def main() -> int:
             return 2
         base_path = cands[-1]
 
-    cur = _load(args.current).get("queries", {})
-    base = _load(base_path).get("queries", {})
+    cur = _queries(_load(args.current))
+    base = _queries(_load(base_path))
 
     regressions = []
     for q in sorted(set(cur) & set(base)):

@@ -2314,3 +2314,89 @@ def q68_fixed_offset_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@_register(
+    "q69_stream_stream_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id,
+           p.user_id,
+           CAST(count(*) AS BIGINT) AS clicks_prev_hour
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >  p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q69_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q50: purchases and clicks replayed as TWO file
+    streams, interval-joined IN FLIGHT (watermarked stream-stream join,
+    state bounded by watermark + tolerance — runs indefinitely at scale),
+    pair counts aggregated at rest from the landed join output.
+
+    availableNow over a single file processes both sides in one
+    micro-batch, so the inner join's result is exactly its batch form —
+    which is why this streaming query can carry a full SQL oracle
+    (unmatched purchases drop out of the inner join on both engines).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stock_ops_spark.catalog import table_path
+
+    name = f"ss_attr_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    stream_dir = tempfile.mkdtemp(prefix="events_ssj_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ssj_ckpt_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
+    try:
+
+        def side(event_type: str, alias_ts: str):
+            return (
+                spark.readStream.schema(
+                    "event_id long, ts long, user_id long, event_type string, "
+                    "value double, props string"
+                )
+                .parquet(stream_dir)
+                .where(F.col("event_type") == event_type)
+                .withColumn(alias_ts, F.timestamp_micros(F.expr("ts DIV 1000")))
+            )
+
+        p = side("purchase", "pts").select(
+            "event_id", "user_id", F.col("pts")
+        ).withWatermark("pts", "2 hours")
+        c = side("click", "cts").select(
+            F.col("user_id").alias("cuser"), F.col("cts")
+        ).withWatermark("cts", "2 hours")
+        cond = (
+            (p.user_id == c.cuser)
+            & (c.cts > p.pts - F.expr("INTERVAL 1 HOUR"))
+            & (c.cts <= p.pts)
+        )
+        pairs = p.join(c, cond).select("event_id", "user_id")
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("clicks_prev_hour"))
+    )

@@ -1,0 +1,86 @@
+"""Distributed connected components — dedup-cluster formation.
+
+Near-dup pair generation (minhash LSH, simhash banding, embedding
+blocking — operators/dedup.py, operators/similarity.py) yields EDGES;
+canonicalizing a corpus needs the transitive closure: every document in a
+duplicate CLUSTER collapses to one canonical representative.  This is
+min-label propagation over the pair graph, the standard Spark-shaped
+formulation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14):
+
+- labels start as each node's own id;
+- each round, every node takes the min label among itself and its
+  neighbors (one shuffle: edges ⋈ labels, then a min-agg);
+- converged when no label changed (one bounded `isEmpty` probe per
+  round — a driver *flag*, not driver data).
+
+Rounds needed = graph diameter.  Dedup clusters are dense blobs of
+mutual near-dups (diameter 2-4 in practice), so propagation beats the
+O(log n)-guaranteed-but-constant-heavy large-star/small-star alternation
+for this workload; ``max_iters`` caps adversarial chains.  Each round
+localCheckpoints the labels to sever the growing lineage — iteration i
+re-reads a materialized frame, not a 2^i-deep plan.
+
+No reference twin: the reference dedups exact rows only
+(sql_db.py:487-497); clustering is part of the training-data extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Return (node, component) with component = min node id reachable.
+
+    ``edges`` is undirected input (each pair once is enough).  ``nodes``
+    optionally supplies the full node universe (single-column DataFrame);
+    nodes without any edge become singleton components — exactly what a
+    dedup pipeline wants (unique docs keep themselves as canonical).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    bi = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    bi = bi.repartition("s").localCheckpoint(eager=True)  # reused every round
+
+    labels = bi.select(F.col("s").alias("node")).distinct()
+    if nodes is not None:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+        labels = labels.union(universe).distinct()
+    labels = labels.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        msgs = bi.join(labels, bi.s == labels.node).select(
+            F.col("d").alias("node"), F.col("label")
+        )
+        new = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+        )
+        labels = new
+        if changed.limit(1).isEmpty():
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def cluster_summary(components: DataFrame) -> DataFrame:
+    """Per-cluster accounting: size and canonical (min) member — the
+    scrub-plan view a dedup job reports before dropping non-canonicals."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"),
+    )

@@ -2400,3 +2400,182 @@ def q69_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_id", "user_id")
         .agg(F.count(F.lit(1)).alias("clicks_prev_hour"))
     )
+
+
+@_register(
+    "q70_neardup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT component, CAST(count(*) AS BIGINT) AS size
+    FROM comp GROUP BY component
+    """,
+)
+def q70_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster formation: minhash-LSH near-dup pairs (q21's
+    candidate+verify pipeline) → distributed connected components
+    (operators/graph.py min-label propagation) → per-cluster size with
+    the min doc_id as the canonical representative.  Unique docs appear
+    as singleton clusters.  The oracle computes the same closure with a
+    recursive CTE — feasible only at oracle scale; the propagation loop
+    is the form that survives 100 TB."""
+    from stock_ops_spark.operators.graph import cluster_summary, connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs, nodes=d.select("doc_id"))
+    return cluster_summary(comp)
+
+
+@_register(
+    "q71_price_qty_regression",
+    """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4)       AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)   AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)          AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)        AS avg_qty,
+           round(regr_avgy(l_extendedprice, l_quantity), 4)        AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q71_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_*): one pass, map-side
+    partial — the statistical surface beyond corr/covar (q66).  Both
+    engines implement the same ANSI regr_* definitions."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_qty"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+    )
+
+
+@_register(
+    "q72_region_nation_roster",
+    """
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT)                    AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q72_region_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered by contract,
+    so determinism comes from array_sort before the join — the distributed
+    equivalent of string_agg(... ORDER BY ...)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
+
+
+@_register(
+    "q73_winnowing_fingerprints",
+    """
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(range(1, length(lower(text)) + 1),
+                            i -> ord(substr(lower(text), i, 1))) AS c
+      FROM documents
+    ),
+    kh AS (
+      SELECT doc_id,
+             CASE WHEN len(c) >= 8 THEN
+               list_transform(range(1, len(c) - 8 + 2),
+                              i -> list_sum(list_transform(range(0, 8),
+                                            j -> c[i + j] * (31 ** (7 - j))))::BIGINT)
+             ELSE [] END AS h
+      FROM codes
+    ),
+    fp AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= 4 THEN
+               list_distinct(list_transform(range(1, len(h) - 4 + 2),
+                                            i -> list_min(h[i : i + 3])))
+             ELSE [] END AS fps
+      FROM kh
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           list_min(fps)            AS min_fp,
+           list_max(fps)            AS max_fp
+    FROM fp
+    """,
+)
+def q73_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): 8-gram rolling hash (Horner base-31, pure integer — bit-
+    identical on both engines), min-select over every 4-hash window,
+    distinct the selected mins.  All inside per-row higher-order
+    expressions: no shuffle at all until a downstream join on
+    fingerprints; at 100 TB this is a map-only scan."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.lower(F.col("text")).alias("t"))
+        .withColumn(
+            "c", F.expr("transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1)))")
+        )
+        .withColumn(
+            "h",
+            F.expr(
+                "CASE WHEN size(c) >= 8 THEN "
+                "  transform(sequence(1, size(c) - 7), "
+                "            i -> aggregate(sequence(0, 7), CAST(0 AS BIGINT), "
+                "                           (acc, j) -> acc * 31 + element_at(c, i + j))) "
+                "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.expr(
+                "CASE WHEN size(h) >= 4 THEN "
+                "  array_distinct(transform(sequence(1, size(h) - 3), "
+                "                           i -> array_min(slice(h, i, 4)))) "
+                "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fps"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+    )

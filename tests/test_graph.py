@@ -1,0 +1,40 @@
+"""Connected components: min-label propagation (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_ops_spark.operators.graph import cluster_summary, connected_components
+
+
+def test_components_chain_triangle_singleton(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated node 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 12, 99)], "n long")
+    comp = {r.node: r.component for r in connected_components(edges, nodes=nodes).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    sizes = {
+        r.component: r.size
+        for r in cluster_summary(connected_components(edges, nodes=nodes)).collect()
+    }
+    assert sizes == {1: 4, 10: 3, 99: 1}
+
+
+def test_components_long_chain_converges(spark):
+    # a 30-node path exercises multi-round propagation and the
+    # convergence probe (diameter 29 < max_iters default 50)
+    n = 30
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = connected_components(edges)
+    assert {r.component for r in out.collect()} == {0}
+    assert out.count() == n
+
+
+def test_components_without_node_universe(spark):
+    edges = spark.createDataFrame([(5, 7)], "id_a long, id_b long")
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {(5, 5), (7, 5)}

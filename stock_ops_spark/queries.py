@@ -2579,3 +2579,173 @@ def q73_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("fps").alias("max_fp"),
         )
     )
+
+
+@_register(
+    "q74_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q74_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by tf-idf with a
+    reciprocal (non-log) idf, integer-scaled: score = tf * (N*1e6 // df).
+    Pure integer arithmetic keeps the RANKING bit-identical across
+    engines (a log idf differs in the last ulp and can flip rank-boundary
+    ties).  Shape at scale: tf is one shuffle on (doc, term), df one
+    map-side-combined shuffle on term, N a broadcast scalar, the rank a
+    WindowGroupLimit top-k — no all-pairs anything."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # one scalar to the driver: the corpus size
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.expr(f"CAST({n_docs} AS BIGINT) * 1000000 DIV df")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
+
+
+@_register(
+    "q75_stratified_sample",
+    """
+    WITH rates AS (
+      SELECT * FROM (VALUES ('purchase', 100), ('click', 10), ('view', 5)) AS t(et, rate)
+    ),
+    sampled AS (
+      SELECT e.event_type, e.value
+      FROM events e JOIN rates r ON e.event_type = r.et
+      WHERE e.event_id % 100 < r.rate
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)   AS n_sampled,
+           round(sum(value), 4)       AS sum_value
+    FROM sampled GROUP BY event_type
+    """,
+)
+def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates applied via a
+    key-hash predicate (event_id % 100 < rate) — the reproducible twin of
+    sampleBy(), pushed down to the scan as a cheap filter.  Different
+    strata keep 100%/10%/5%; unknown strata drop (inner join against the
+    broadcast rate table)."""
+    ev = _t(spark, sf_dir, "events")
+    rates = ev.sparkSession.createDataFrame(
+        [("purchase", 100), ("click", 10), ("view", 5)], "et string, rate int"
+    )
+    return (
+        ev.join(F.broadcast(rates), ev.event_type == rates.et)
+        .where(F.col("event_id") % 100 < F.col("rate"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "q76_bigram_vocab",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT b.bg
+      FROM toks,
+           unnest(CASE WHEN len(t) >= 2 THEN
+                    list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+                  ELSE [] END) AS b(bg)
+    ),
+    counted AS (SELECT bg, count(*) AS n FROM bigrams GROUP BY bg),
+    ranked AS (
+      SELECT bg, n, row_number() OVER (ORDER BY n DESC, bg) AS rnk FROM counted
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, bg, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def q76_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary: adjacent-token pairs, global counts,
+    top-20 — the n-gram statistics pass of a training-data pipeline.
+    Map-only bigram construction inside a HOF (no shuffle until the
+    count), one map-side-combined aggregation, then a single top-k.  The
+    global row_number window is intentionally AFTER the aggregate, on
+    |vocab| rows, not |tokens|."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "").alias(
+            "t"
+        )
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "          i -> concat(element_at(t, i), '_', element_at(t, i + 1)))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("bg")
+    )
+    counted = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bg"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "bg",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

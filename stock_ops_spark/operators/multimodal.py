@@ -110,6 +110,67 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_ms", T.LongType(), True),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    dim: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Frame sampling: 1 video row → N frame rows via ``mapInPandas``.
+
+    The output-cardinality-change shape is what matters at scale: the
+    iterator contract lets one input batch yield many output batches, so
+    a 2 GB video expands to frames WITHOUT materializing all of them in
+    one pandas frame — yield per input row, Arrow re-batches downstream.
+
+    The decoder is the declared stub (no ffmpeg in this container):
+    "frames" are deterministic byte slices of the payload at
+    ``every_ms`` spacing, each with a decode_stub feature — the schema,
+    timing metadata, and expansion plumbing are the real contract a
+    ffmpeg-backed decoder drops into.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real frame decoding requires ffmpeg/pyav, absent here"
+                )
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                if payload is None:
+                    continue
+                # fake "duration": 1 ms per payload byte
+                n = min(max_frames, max(1, len(payload) // every_ms))
+                step = max(1, len(payload) // n)
+                frames = [payload[i * step : (i + 1) * step] for i in range(n)]
+                yield pd.DataFrame(
+                    {
+                        "media_id": [row["media_id"]] * n,
+                        "frame_idx": list(range(n)),
+                        "frame_ms": [i * step for i in range(n)],
+                        "frame_bytes": frames,
+                        "feature": [decode_stub(fb, dim) for fb in frames],
+                    }
+                )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def metadata_only_stats(media: DataFrame) -> DataFrame:
     """Blob-size accounting per modality.  (Reads payload lengths; a pure
     metadata query — count/meta only — would prune the binary column out of

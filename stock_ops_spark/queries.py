@@ -2749,3 +2749,100 @@ def q76_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+@_register(
+    "q77_embedding_quantization",
+    """
+    WITH el AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE         AS val
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM el GROUP BY pos
+    ),
+    q AS (
+      SELECT el.label,
+             least(255, greatest(0,
+               floor((el.val - d.mn) * 256.0 / (d.mx - d.mn + 1e-9))))::BIGINT AS code,
+             abs(el.val - (d.mn + (least(255, greatest(0,
+               floor((el.val - d.mn) * 256.0 / (d.mx - d.mn + 1e-9)))) + 0.5)
+               * (d.mx - d.mn + 1e-9) / 256.0)) AS err
+      FROM el JOIN dims d USING (pos)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT)            AS n_values,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+           round(avg(err), 6)                  AS avg_err,
+           round(max(err), 6)                  AS max_err
+    FROM q GROUP BY label
+    """,
+)
+def q77_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with per-dimension
+    [min, max] codebooks, plus reconstruction-error accounting per label —
+    the compression pass before a 100 TB vector corpus ships to training.
+    floor() keeps the code assignment bit-exact across engines (round()
+    half-up vs half-even diverges at cell boundaries).  Plan shape: one
+    64-key dim-stats aggregate, codebook broadcast back, map-side code
+    math, one label aggregate — the raw vectors never shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    el = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    dims = el.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    rng = F.col("mx") - F.col("mn") + F.lit(1e-9)
+    code = F.least(
+        F.lit(255),
+        F.greatest(F.lit(0), F.floor((F.col("val") - F.col("mn")) * 256.0 / rng)),
+    ).cast("bigint")
+    joined = el.join(F.broadcast(dims), "pos").withColumn("code", code)
+    err = F.abs(
+        F.col("val") - (F.col("mn") + (F.col("code") + 0.5) * rng / 256.0)
+    )
+    return (
+        joined.withColumn("err", err)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.countDistinct("code").alias("n_codes"),
+            F.round(F.avg("err"), 6).alias("avg_err"),
+            F.round(F.max("err"), 6).alias("max_err"),
+        )
+    )
+
+
+@_register(
+    "q78_frame_sample_accounting",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             least(8, greatest(1, octet_length(text::BLOB) // 1000)) AS n_frames,
+             octet_length(text::BLOB)
+               // least(8, greatest(1, octet_length(text::BLOB) // 1000)) AS flen
+      FROM documents
+    )
+    SELECT doc_id                  AS media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(flen AS BIGINT)     AS frame_len
+    FROM f
+    """,
+)
+def q78_frame_sample_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1→N plumbing under the driver gate: documents → fake
+    'video' payloads → mapInPandas frame sampling (operators/multimodal.py
+    sample_frames) → per-media frame accounting.  The oracle recomputes
+    the stub's deterministic slicing arithmetic in SQL, so the Arrow
+    expansion path (schema, cardinality change, per-frame bytes) is
+    hash-verified even though the real codec is stubbed."""
+    from stock_ops_spark.operators.multimodal import media_from_text, sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_text(d, "doc_id", "text", "video")
+    frames = sample_frames(media, every_ms=1000, max_frames=8)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(F.octet_length("frame_bytes")).cast("bigint").alias("frame_len"),
+    )

@@ -157,3 +157,41 @@ def test_text_simhash_neardup(spark):
     got = {(r.id_a, r.id_b): r.hamming for r in cands.collect()}
     assert got[(2, 3)] == 0
     assert all(h <= 12 for h in got.values())
+
+
+def test_multimodal_frame_sampling(spark):
+    """1→N expansion through mapInPandas: per-video frame rows with
+    timing metadata and per-frame features; strict mode marks the codec
+    boundary."""
+    from stock_ops_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        media_from_text,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 5000), (2, "y" * 1500), (3, "z" * 10)],
+        "doc_id long, text string",
+    )
+    media = media_from_text(docs, "doc_id", "text", "video")
+    frames = sample_frames(media, every_ms=1000, max_frames=8)
+    assert frames.schema == FRAME_SCHEMA
+    rows = frames.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    # 5000 bytes @ 1000 ms → 5 frames; 1500 → 1; tiny payload → 1 frame
+    assert {m: len(v) for m, v in by_media.items()} == {1: 5, 2: 1, 3: 1}
+    for r in rows:
+        assert r.feature is not None and len(r.feature) == 8
+        assert r.frame_bytes is not None and len(r.frame_bytes) > 0
+    # frame indices dense from 0, frame_ms monotone
+    for m, v in by_media.items():
+        v.sort(key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in v] == list(range(len(v)))
+        assert all(a.frame_ms < b.frame_ms for a, b in zip(v, v[1:]))
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        sample_frames(media, strict=True).collect()

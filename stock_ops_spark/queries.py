@@ -2626,7 +2626,9 @@ def q74_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are unique per (doc, term) already — a plain count is the
+    # doc frequency without a distinct-aggregate expand
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # one scalar to the driver: the corpus size
     scored = tf.join(df, "term").select(
         "doc_id",

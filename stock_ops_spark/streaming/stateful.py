@@ -93,3 +93,89 @@ def batch_vwap(trades: DataFrame) -> DataFrame:
         F.sum("volume").cast("long").alias("total_volume"),
         F.count(F.lit(1)).alias("n_trades"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization with event-time state timeout
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start_ms", LongType(), True),
+        StructField("session_end_ms", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("sum_value", DoubleType(), True),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType(), True),
+        StructField("end_ms", LongType(), True),
+        StructField("n", LongType(), True),
+        StructField("sv", DoubleType(), True),
+    ]
+)
+
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+    """Arbitrary-stateful sessionization: extend the open session with
+    every event within the gap; close-and-emit on a gap jump or on
+    event-time timeout (the watermark passed start+gap: no in-gap event
+    can arrive any more).  Closed sessions are emitted exactly once —
+    the operator's output is append-shaped."""
+    import pandas as pd
+
+    closed = []
+    if state.hasTimedOut:
+        start, end, n, sv = state.get
+        closed.append((key[0], start, end, n, sv))
+        state.remove()
+    else:
+        ts = []
+        vals = []
+        for pdf in pdfs:
+            ts.extend(int(t.value // 1_000_000) for t in pdf["ts"])
+            vals.extend(float(v) for v in pdf["value"])
+        order = sorted(range(len(ts)), key=ts.__getitem__)
+        cur = state.get if state.exists else None
+        for i in order:
+            t, v = ts[i], vals[i]
+            if cur is None:
+                cur = (t, t, 1, v)
+            elif t - cur[1] <= _SESSION_GAP_MS:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+            else:
+                closed.append((key[0], *cur))
+                cur = (t, t, 1, v)
+        if cur is not None:
+            state.update(cur)
+            # timeout once the watermark clears the last event + gap
+            state.setTimeoutTimestamp(cur[1] + _SESSION_GAP_MS)
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value"],
+        )
+
+
+def streaming_sessions(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user —
+    ``applyInPandasWithState`` + EventTimeTimeout: state is closed by the
+    WATERMARK, not by wall-clock, so replays are deterministic.  Expects
+    columns (user_id, ts: timestamp, value)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -104,3 +104,66 @@ def test_running_vwap_stream_converges_to_batch(spark, tmp_path):
         assert got.loc[ticker, "total_volume"] == expected[ticker].total_volume
         assert abs(got.loc[ticker, "vwap"] - expected[ticker].vwap) < 1e-9
         assert got.loc[ticker, "n_trades"] == expected[ticker].n_trades
+
+
+def test_streaming_sessions_gap_and_timeout(spark, tmp_path):
+    """Sessionization with EventTimeTimeout: a gap jump closes the old
+    session in-batch; the watermark closes idle sessions via timeout;
+    open sessions are never emitted (append semantics)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.streaming.stateful import streaming_sessions
+
+    t0 = 1_755_000_000_000  # ms
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    # burst 1: user 1 two events 10 min apart; user 2 one event
+    write(
+        "a.json",
+        [
+            {"user_id": 1, "ts_ms": t0, "value": 1.0},
+            {"user_id": 1, "ts_ms": t0 + 600_000, "value": 2.0},
+            {"user_id": 2, "ts_ms": t0 + 300_000, "value": 5.0},
+        ],
+        mtime=1_000_000,
+    )
+    # burst 2: user 1 again 2h later (gap jump; also advances watermark
+    # past user 2's last event + gap -> timeout)
+    write("b.json", [{"user_id": 1, "ts_ms": t0 + 7_200_000, "value": 3.0}], mtime=1_000_100)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts"), "value")
+    )
+    q = (
+        streaming_sessions(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id): (r.session_start_ms, r.session_end_ms, r.n_events, r.sum_value)
+        for r in spark.sql("select * from sess_mem").collect()
+    }
+    # user 1's first session closed by the gap jump; second stays open
+    assert rows[1] == (t0, t0 + 600_000, 2, 3.0)
+    # user 2's session closed by event-time timeout
+    assert rows[2] == (t0 + 300_000, t0 + 300_000, 1, 5.0)
+    assert len(rows) == 2

@@ -89,3 +89,35 @@ def test_metadata_scan_prunes_blob_column(spark):
     meta_only = media.groupBy("modality").count()
     schemas = A.read_schemas(meta_only)
     assert schemas and "text" not in schemas[0]
+
+
+def test_q36_grid_join_keys(q):
+    # the self-join equi key must carry the grid cells (bounded tasks)
+    plan = A.plan_string(q("q36_embedding_neardup_pairs"))
+    assert "ga" in plan and "gb" in plan
+
+
+def test_q74_tfidf_shape(q):
+    df = q("q74_tfidf_top_terms")
+    assert not A.has_cartesian(df)
+    # vocab-sized doc-frequency side broadcasts into the tf join
+    assert A.count_broadcast_joins(df) >= 1
+    assert A.has_window_group_limit(df)  # top-3 per doc pre-shuffle limit
+
+
+def test_q76_window_after_aggregate(q):
+    df = q("q76_bigram_vocab")
+    assert not A.has_cartesian(df)
+    # bigram construction is map-only: the only wide exchanges are the
+    # vocab count and the single-partition top-k, never token-sized
+    assert A.count_shuffles(df) <= 2
+
+
+def test_q77_codebook_broadcast(q):
+    df = q("q77_embedding_quantization")
+    assert A.count_broadcast_joins(df) >= 1  # 64-row codebook broadcast
+    assert not A.has_cartesian(df)
+
+
+def test_q70_components_no_cartesian(q):
+    assert not A.has_cartesian(q("q70_neardup_clusters"))

@@ -2848,3 +2848,96 @@ def q78_frame_sample_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.max(F.octet_length("frame_bytes")).cast("bigint").alias("frame_len"),
     )
+
+
+@_register(
+    "q79_fuzzy_part_names",
+    """
+    SELECT a.p_brand,
+           a.p_partkey                         AS key_a,
+           b.p_partkey                         AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q79_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: within-brand part-name pairs at edit
+    distance ≤ 3 — the catalog-reconciliation shape.  Brand equi-join
+    blocks the candidate space (never an unblocked product); levenshtein
+    runs JVM-side on the blocked pairs only.  For a skew-hot brand the
+    same grid_self_pairs decomposition as q36 applies."""
+    p = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
+    a = p.select(
+        "p_brand", F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        "p_brand", F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "p_brand")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(dist <= 3)
+        .select("p_brand", "key_a", "key_b", dist.cast("bigint").alias("dist"))
+    )
+
+
+@_register(
+    "q80_median_mode_orders",
+    """
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+             strftime(o_orderdate, '%Y-%m') AS om
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT)                  AS n_orders,
+             round(quantile_cont(pc, 0.5) / 100.0, 4)  AS median_price
+      FROM cents GROUP BY o_orderpriority
+    ),
+    mcount AS (
+      SELECT o_orderpriority, om, count(*) AS c FROM cents GROUP BY 1, 2
+    ),
+    modal AS (
+      SELECT o_orderpriority, om AS modal_month, c AS modal_count,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY c DESC, om) AS rn
+      FROM mcount
+    )
+    SELECT m.o_orderpriority, m.n_orders, m.median_price,
+           d.modal_month, CAST(d.modal_count AS BIGINT) AS modal_count
+    FROM med m JOIN modal d
+      ON m.o_orderpriority = d.o_orderpriority AND d.rn = 1
+    """,
+)
+def q80_median_mode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated percentile over integer cents — the
+    interpolation arithmetic is identical IEEE ops on both engines) and
+    deterministic mode (ranked counts with an explicit count-desc,
+    value-asc tiebreak; engine-native mode() has unspecified ties)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("om"),
+    )
+    med = cents.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(pc, 0.5)") / 100.0, 4).alias("median_price"),
+    )
+    mcount = cents.groupBy("o_orderpriority", "om").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("c").desc(), F.col("om"))
+    modal = (
+        mcount.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("om").alias("modal_month"),
+            F.col("c").cast("bigint").alias("modal_count"),
+        )
+    )
+    return med.join(modal, "o_orderpriority")

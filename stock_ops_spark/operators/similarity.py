@@ -124,6 +124,54 @@ def ivf_topk(
     return brute_force_topk(narrowed, query_vec, k, id_col, vec_col)
 
 
+def knn_join_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Approximate k-NN join for LARGE query sets — the scale path past
+    ``knn_join``'s broadcast-small-Q precondition.
+
+    Both sides block on the corpus's coarse quantization: each query is
+    routed to its ``nprobe`` nearest centroids (centroids are tiny →
+    broadcast), then queries meet corpus rows through an EQUI-join on
+    cluster id — |Q| × |corpus|/N_cells work per probe instead of
+    |Q| × |corpus|, and neither side is ever broadcast whole.  With a
+    cluster-partitioned corpus layout the equi-join co-locates without a
+    corpus shuffle.  Exactness: recall misses only neighbors whose cell
+    the query didn't probe (the IVF contract; raise nprobe to trade cost
+    for recall)."""
+    cents = centroids_by(corpus, cluster_col, vec_col)
+    qsim = cosine(F.col("centroid"), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        qsim.desc_nulls_last(), F.col(cluster_col)
+    )
+    routed = (
+        queries.join(F.broadcast(cents))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= nprobe)
+        .select(query_id_col, query_vec_col, cluster_col)
+    )
+    sim = cosine(F.col(vec_col), F.col(query_vec_col))
+    scored = corpus.join(routed, cluster_col).where(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("cos_sim"))
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def grid_self_pairs(
     df: DataFrame,
     block_cols: list[str],

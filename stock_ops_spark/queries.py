@@ -2941,3 +2941,53 @@ def q80_median_mode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return med.join(modal, "o_orderpriority")
+
+
+@_register(
+    "q81_within_cluster_knn",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+      FROM embeddings e JOIN q
+        ON e.label = q.label AND e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q81_within_cluster_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN join at scale: a 2% query sample meets the corpus
+    through a cluster-id EQUI-join (each query searches its own cell) —
+    the knn_join_ivf shape with self-label routing, which makes the
+    result exactly SQL-expressible.  Neither side broadcasts whole; with
+    a cluster-partitioned layout the corpus never shuffles.  Per-query
+    top-1 via ranking window (WindowGroupLimit)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "label",
+        F.col("embedding").alias("qv"),
+    )
+    sim = V.cosine(F.col("embedding"), F.col("qv"))
+    scored = (
+        e.join(q, "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cos_sim"))
+    )

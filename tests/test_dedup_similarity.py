@@ -195,3 +195,43 @@ def test_multimodal_frame_sampling(spark):
 
     with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
         sample_frames(media, strict=True).collect()
+
+
+def test_knn_join_ivf_matches_exact_on_probed_cells(spark):
+    """Cluster-blocked kNN join: same answers as the exact broadcast join
+    whenever the true neighbor lives in a probed cell, and the plan never
+    broadcasts the query side whole."""
+    import random
+
+    from stock_ops_spark.operators.similarity import knn_join, knn_join_ivf
+
+    rng = random.Random(7)
+    rows = []
+    # two well-separated clusters in 8-d
+    for i in range(60):
+        label = i % 2
+        base = [5.0, 0, 0, 0, 0, 0, 0, 0] if label == 0 else [0, 5.0, 0, 0, 0, 0, 0, 0]
+        rows.append(
+            (i, [v + rng.uniform(-0.5, 0.5) for v in base], label)
+        )
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = corpus.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_join(corpus, queries, k=2).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_join_ivf(corpus, queries, k=2, nprobe=1).collect()
+    }
+    # clusters are separated: nprobe=1 already finds the exact neighbors
+    assert approx == exact
+
+    plan = knn_join_ivf(corpus, queries, k=2, nprobe=1)._jdf.queryExecution().toString()
+    # centroids broadcast; query side meets corpus via equi-join, and the
+    # final neighbor search joins on the cluster column
+    assert "label" in plan

@@ -38,3 +38,48 @@ def test_components_without_node_universe(spark):
     edges = spark.createDataFrame([(5, 7)], "id_a long, id_b long")
     got = {(r.node, r.component) for r in connected_components(edges).collect()}
     assert got == {(5, 5), (7, 5)}
+
+
+# -- property: Spark CC == pure-Python union-find on arbitrary graphs ------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=18,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical component = min member
+    comp = {}
+    for n in parent:
+        comp[n] = find(n)
+    return comp
+
+
+@given(edges=edge_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_components_match_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _union_find(edges)

@@ -61,6 +61,23 @@ def media_from_text(df: DataFrame, id_col: str, text_col: str, modality: str) ->
     )
 
 
+def _decoder(dim: int):
+    """Build the decode function as a NESTED closure so cloudpickle ships
+    it by value: the mapInPandas workers then need no import of this repo
+    (a driver process running from an arbitrary cwd would otherwise hit
+    ModuleNotFoundError in the Python worker)."""
+
+    def decode(payload: bytes) -> list[float] | None:
+        if payload is None:
+            return None
+        acc = [0] * dim
+        for i, b in enumerate(payload):
+            acc[i % dim] = (acc[i % dim] * 31 + b) % 65521
+        return [v / 65521.0 for v in acc]
+
+    return decode
+
+
 def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake feature vector from raw bytes.
 
@@ -68,12 +85,7 @@ def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
     sampling in a real deployment.  Keeps a stable contract: fixed dim,
     reproducible values.
     """
-    if payload is None:
-        return None
-    acc = [0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] = (acc[i % dim] * 31 + b) % 65521
-    return [v / 65521.0 for v in acc]
+    return _decoder(dim)(payload)
 
 
 def extract_features(
@@ -85,6 +97,7 @@ def extract_features(
     collect on the driver, and partitioning is preserved (scale by
     repartitioning upstream on media_id).
     """
+    decode = _decoder(dim)  # by-value closure: workers need no repo import
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -102,7 +115,7 @@ def extract_features(
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else None
                     ),
-                    "feature": pdf["payload"].map(lambda p: decode_stub(p, dim)),
+                    "feature": pdf["payload"].map(decode),
                 }
             )
             yield out
@@ -141,6 +154,7 @@ def sample_frames(
     timing metadata, and expansion plumbing are the real contract a
     ffmpeg-backed decoder drops into.
     """
+    decode = _decoder(dim)  # by-value closure: workers need no repo import
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -164,7 +178,7 @@ def sample_frames(
                         "frame_idx": list(range(n)),
                         "frame_ms": [i * step for i in range(n)],
                         "frame_bytes": frames,
-                        "feature": [decode_stub(fb, dim) for fb in frames],
+                        "feature": [decode(fb) for fb in frames],
                     }
                 )
 

@@ -2991,3 +2991,56 @@ def q81_within_cluster_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("query_id", "neighbor_id", F.round("c", 6).alias("cos_sim"))
     )
+
+
+@_register(
+    "q82_multiset_except_all",
+    """
+    WITH rem AS (
+      SELECT l_orderkey FROM lineitem
+      EXCEPT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_kept
+    FROM rem GROUP BY l_orderkey
+    """,
+)
+def q82_multiset_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) difference — exceptAll: per order, the lineitem
+    multiplicity that survives after removing the returned ones.
+    Multiset semantics (duplicates subtract one-for-one) are exactly what
+    distinct-based EXCEPT cannot express."""
+    li = _t(spark, sf_dir, "lineitem")
+    all_items = li.select("l_orderkey")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        all_items.exceptAll(returned)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@_register(
+    "q83_multiset_intersect_all",
+    """
+    WITH paired AS (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_paired
+    FROM paired GROUP BY user_id
+    """,
+)
+def q83_multiset_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection — intersectAll: per user the min(clicks,
+    purchases) multiplicity, i.e. how many purchases can be 1:1-paired
+    with clicks.  The multiset twin of q48's distinct set ops."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return (
+        clicks.intersectAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_paired"))
+    )

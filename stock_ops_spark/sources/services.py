@@ -122,3 +122,50 @@ def run_stream_task(
         raw = spark.createDataFrame(frames, _TRADE_RAW)
         normalized, _rejects = X.trades(raw)
     return store.ingest_batch(normalized, "streaming")
+
+
+def run_command(
+    spark: SparkSession,
+    store: ParquetStore,
+    command_type: str,
+    command: dict,
+    provider: str = "EODHD-mock",
+    retry: "R.RetryPolicy | None" = None,
+) -> int:
+    """Controller twin (reference controller.py:9-39 +
+    data_pipeline_flow.py:13-31): dispatch one orchestration command dict
+    to the matching service.  Command shapes follow the reference exactly
+    — historical: {ticker, exchange, interval, start, end}; streaming:
+    {tickers, exchange, stream_type, duration}.  Returns rows appended.
+
+    The reference's exactly-one-service invariant becomes an explicit
+    command_type check; unknown types raise (the Prefect flow's
+    ValueError path)."""
+    if command_type == "fetch_historical":
+        return run_historical_task(
+            spark,
+            store,
+            provider,
+            ticker=command["ticker"],
+            exchange=command["exchange"],
+            interval=command["interval"],
+            start=command["start"],
+            end=command["end"],
+            retry=retry,
+        )
+    if command_type == "start_stream":
+        tickers = command["tickers"]
+        if isinstance(tickers, str):
+            tickers = [tickers]  # reference wraps the scalar the same way
+        return run_stream_task(
+            spark,
+            store,
+            provider,
+            tickers=tickers,
+            exchange=command["exchange"],
+            stream_type=command.get("stream_type", "trades"),
+            max_frames=command.get("max_frames"),
+            duration=command.get("duration"),
+            reconnect=retry,
+        )
+    raise ValueError(f"Unsupported command type: {command_type!r}")

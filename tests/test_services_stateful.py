@@ -167,3 +167,40 @@ def test_streaming_sessions_gap_and_timeout(spark, tmp_path):
     # user 2's session closed by event-time timeout
     assert rows[2] == (t0 + 300_000, t0 + 300_000, 1, 5.0)
     assert len(rows) == 2
+
+
+def test_run_command_dispatch(spark, tmp_path):
+    """Controller-twin dispatch: reference command dicts route to the
+    right service; unknown types raise."""
+    from stock_ops_spark.sources.ingest import ParquetStore
+    from stock_ops_spark.sources.services import run_command
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    n = run_command(
+        spark,
+        store,
+        "fetch_historical",
+        {
+            "ticker": "SPY",
+            "exchange": "US",
+            "interval": "1h",
+            "start": "2025-07-01 09:30",
+            "end": "2025-07-03 16:00",
+        },
+    )
+    assert n == 2  # the mock provider's two intraday bars
+    assert store.read_all("historical_intraday").count() == 2
+
+    n2 = run_command(
+        spark,
+        store,
+        "start_stream",
+        {"tickers": "SPY", "exchange": "US", "stream_type": "trades", "max_frames": 2},
+    )
+    assert n2 == 2
+    assert store.read_all("streaming").count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Unsupported command type"):
+        run_command(spark, store, "bogus", {})

@@ -144,9 +144,11 @@ def sample_frames(
     """Frame sampling: 1 video row → N frame rows via ``mapInPandas``.
 
     The output-cardinality-change shape is what matters at scale: the
-    iterator contract lets one input batch yield many output batches, so
-    a 2 GB video expands to frames WITHOUT materializing all of them in
-    one pandas frame — yield per input row, Arrow re-batches downstream.
+    iterator contract lets one input batch yield any number of output
+    batches of any size.  Frames are emitted one pandas frame per INPUT
+    batch (cheap); for GB-sized payloads a decoder would flush every few
+    rows instead so the expansion never materializes at once — the same
+    contract, different flush granularity.
 
     The decoder is the declared stub (no ffmpeg in this container):
     "frames" are deterministic byte slices of the payload at
@@ -164,21 +166,32 @@ def sample_frames(
                 raise NotImplementedError(
                     "real frame decoding requires ffmpeg/pyav, absent here"
                 )
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
+            # accumulate the whole input batch into ONE output frame —
+            # orders of magnitude cheaper than a pandas frame per row.
+            # (For truly huge payloads — GB videos — flush every few rows
+            # instead; the iterator contract supports either.)
+            ids, idxs, mss, fbs, feats = [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
                 # fake "duration": 1 ms per payload byte
                 n = min(max_frames, max(1, len(payload) // every_ms))
                 step = max(1, len(payload) // n)
-                frames = [payload[i * step : (i + 1) * step] for i in range(n)]
+                for i in range(n):
+                    fb = payload[i * step : (i + 1) * step]
+                    ids.append(media_id)
+                    idxs.append(i)
+                    mss.append(i * step)
+                    fbs.append(fb)
+                    feats.append(decode(fb))
+            if ids:
                 yield pd.DataFrame(
                     {
-                        "media_id": [row["media_id"]] * n,
-                        "frame_idx": list(range(n)),
-                        "frame_ms": [i * step for i in range(n)],
-                        "frame_bytes": frames,
-                        "feature": [decode(fb) for fb in frames],
+                        "media_id": ids,
+                        "frame_idx": idxs,
+                        "frame_ms": mss,
+                        "frame_bytes": fbs,
+                        "feature": feats,
                     }
                 )
 

@@ -204,3 +204,41 @@ def test_run_command_dispatch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="Unsupported command type"):
         run_command(spark, store, "bogus", {})
+
+
+def test_reference_ci_workflow_end_to_end(spark, tmp_path):
+    """The reference's CI workflow verbatim (local_ETL.py::test_ci): two
+    historical fetches (intraday 1h, interday d) and two stream drains
+    (trades, quotes) dispatched as command dicts — every command lands
+    rows in the right store mode."""
+    from stock_ops_spark.sources.ingest import ParquetStore
+    from stock_ops_spark.sources.services import run_command
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    commands = [
+        (
+            {"ticker": "SPY", "exchange": "US", "interval": "1h",
+             "start": "2025-07-02 09:30", "end": "2025-07-03 16:00"},
+            "fetch_historical",
+        ),
+        (
+            {"ticker": "VOO", "exchange": "US", "interval": "d",
+             "start": "2024-10-25", "end": "2024-11-04"},
+            "fetch_historical",
+        ),
+        ({"stream_type": "trades", "tickers": "SPY", "exchange": "US",
+          "max_frames": 20}, "start_stream"),
+        ({"stream_type": "quotes", "tickers": "SPY", "exchange": "US",
+          "max_frames": 20}, "start_stream"),
+    ]
+    for command, command_type in commands:
+        assert run_command(spark, store, command_type, command) > 0
+
+    assert store.read_all("historical_intraday").count() == 2
+    assert store.read_all("historical_interday").count() == 2
+    stream_rows = store.read_all("streaming").collect()
+    assert len(stream_rows) == 4  # 2 trades + 2 quotes
+    assert {r.ticker for r in stream_rows} == {"SPY"}
+    # trades carry price/volume, quotes carry ask/bid — one store schema
+    assert any(r.price is not None for r in stream_rows)
+    assert any(r.ask_price is not None for r in stream_rows)

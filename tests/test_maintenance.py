@@ -177,3 +177,26 @@ def test_compact_touches_only_littered_partitions(spark, store):
     res2 = store.compact("historical_intraday")
     assert res2["partitions_compacted"] == 0
     assert res2["files_after"] == res2["files_before"]
+
+
+def test_compact_unpartitioned_mode(spark, store):
+    # interday mode is unpartitioned: compaction coalesces the whole
+    # dataset's litter via the salt-only path
+    import datetime as _dt
+
+    rows = [
+        ("SPY", _dt.date(2024, 10, d), 1.0, 2.0, 0.5, 1.5, 1.2, 100, "d")
+        for d in range(1, 5)
+    ]
+    for r in rows:
+        df = spark.createDataFrame([r], schema=S.HISTORICAL_INTERDAY)
+        assert store.ingest_batch(df, "historical_interday") == 1
+    path = store.data_path("historical_interday")
+    assert len(_data_files(path)) >= 4
+
+    before = sorted(map(tuple, store.read_all("historical_interday").collect()))
+    res = store.compact("historical_interday")
+    assert res["files_after"] < res["files_before"]
+    assert res["files_after"] == 1
+    after = sorted(map(tuple, store.read_all("historical_interday").collect()))
+    assert after == before

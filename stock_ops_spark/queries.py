@@ -2357,6 +2357,12 @@ def q69_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     stream_dir = tempfile.mkdtemp(prefix="events_ssj_")
     ckpt_dir = tempfile.mkdtemp(prefix="ssj_ckpt_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
+    # Join state lives in one store PER shuffle partition PER side; at this
+    # availableNow demo's state volume 8 partitions cut runtime 3x vs 32.
+    # (A live deployment sizes this to state volume / executor count —
+    # the conf is restored after the drain.)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
 
         def side(event_type: str, alias_ts: str):
@@ -2393,6 +2399,7 @@ def q69_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         q.awaitTermination(300)
         q.stop()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     return (

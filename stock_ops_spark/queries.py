@@ -3055,3 +3055,75 @@ def q83_multiset_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_paired"))
     )
+
+
+@_register(
+    "q84_trailing_hour_purchases",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS tms, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+           round(sum(value) OVER w, 4)     AS sum_trailing_1h
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY tms
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q84_trailing_hour_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: per user, the purchase count and
+    value over the trailing hour of EVENT TIME — unlike ROWS frames
+    (q28), the frame width varies with timestamp density, and peer rows
+    (same tms) enter the frame together, which both engines define
+    identically."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("tms"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tms")
+        .rangeBetween(-3_600_000, 0)
+    )
+    return p.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_trailing_1h"),
+    )
+
+
+@_register(
+    "q85_grouping_sets_sql",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                                       AS gid,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q85_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the raw SQL surface (the engine's
+    spark.sql path over registered views — same Catalyst plan as the
+    DataFrame API): two one-dimension marginals plus the grand total,
+    disambiguated by grouping() bits.  Complements rollup (q53) and cube
+    (q29)."""
+    o = _t(spark, sf_dir, "orders")
+    view = "orders_q85"
+    o.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                                           AS gid,
+               CAST(count(*) AS BIGINT)    AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -200,3 +200,35 @@ def test_compact_unpartitioned_mode(spark, store):
     assert res["files_after"] == 1
     after = sorted(map(tuple, store.read_all("historical_interday").collect()))
     assert after == before
+
+
+def test_compact_preserves_evolved_schema_reads(spark, store):
+    # older file lacks the evolved column; compaction must keep the
+    # merged-read results identical (old rows surface NULL before and
+    # after, physically NULL-filled after the rewrite)
+    from pyspark.sql import types as T
+
+    b1 = spark.createDataFrame(
+        [("SPY", 1736951400, 1.0, 2.0, 0.5, 1.5, 10, "1h")],
+        schema=S.HISTORICAL_INTRADAY,
+    )
+    store.ingest_batch(b1, "historical_intraday")
+    evolved = T.StructType(
+        list(S.HISTORICAL_INTRADAY.fields) + [T.StructField("vwap", T.DoubleType(), True)]
+    )
+    b2 = spark.createDataFrame(
+        [("SPY", 1736955000, 1.0, 2.0, 0.5, 1.5, 10, "1h", 1.25)], schema=evolved
+    )
+    store.ingest_batch(b2, "historical_intraday")
+
+    def snapshot():
+        return sorted(
+            (r.timestamp_UTC_s, r.vwap)
+            for r in store.read_all("historical_intraday").collect()
+        )
+
+    before = snapshot()
+    res = store.compact("historical_intraday")
+    assert res["files_after"] == 1
+    after = snapshot()
+    assert after == before == [(1736951400, None), (1736955000, 1.25)]

@@ -3127,3 +3127,62 @@ def q85_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@_register(
+    "q86_joint_dedup_consensus",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    ),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+               / (len(a.s) + len(b.s)
+                  - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    )
+    SELECT tp.id_a, tp.id_b,
+           round(tp.j, 6) AS jaccard,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6) AS cos_sim,
+           CAST(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]) >= 0.99 AS BIGINT)
+                          AS vector_agrees
+    FROM tp
+    JOIN embeddings ea ON ea.vec_id = tp.id_a
+    JOIN embeddings eb ON eb.vec_id = tp.id_b
+    """,
+)
+def q86_joint_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint text+vector dedup: every text near-dup candidate pair (the
+    q21 minhash-LSH pipeline) is scored against the documents' embedding
+    cosine — agreement between independent modalities is the precision
+    filter a production dedup pipeline applies before destructive
+    deletion.  The pair set is LSH-small, so the embedding joins
+    broadcast the pair list, never the embedding table."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("j")
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    cs = V.cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        F.broadcast(pairs)
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("j", 6).alias("jaccard"),
+            F.round(cs, 6).alias("cos_sim"),
+            (cs >= 0.99).cast("bigint").alias("vector_agrees"),
+        )
+    )

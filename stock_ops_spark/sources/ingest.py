@@ -34,6 +34,7 @@ from stock_ops_spark.operators.versioning import assign_versions, latest_version
 from stock_ops_spark.sources.layout import (
     PARTITION_COLS,
     mode_root,
+    partition_values_predicate,
     with_partition_cols,
 )
 
@@ -134,13 +135,7 @@ class ParquetStore:
             ]
             if len(touched) > _MAX_PRUNE_PARTITIONS:
                 touched = []
-            pred = None
-            for t in touched:
-                conj = None
-                for c, v in zip(parts, t):
-                    term = F.col(c) == F.lit(v)
-                    conj = term if conj is None else (conj & term)
-                pred = conj if pred is None else (pred | conj)
+            pred = partition_values_predicate(parts, touched)
             if pred is not None:
                 existing = existing.where(pred)
 

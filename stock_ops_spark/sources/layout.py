@@ -64,3 +64,17 @@ def with_partition_cols(df: DataFrame, mode: str, tz: str) -> DataFrame:
     if "day" in parts:
         out = out.withColumn("day", F.dayofmonth(local))
     return out
+
+
+def partition_values_predicate(parts: list[str], tuples) -> "Column | None":
+    """OR-of-conjunctions over literal partition tuples — reaches the file
+    listing as static partition pruning.  Shared by the ingest dedup
+    probe and maintenance compaction.  Returns None for an empty list."""
+    pred = None
+    for t in tuples:
+        conj = None
+        for c, v in zip(parts, t):
+            term = F.col(c) == F.lit(v)
+            conj = term if conj is None else (conj & term)
+        pred = conj if pred is None else (pred | conj)
+    return pred

@@ -33,7 +33,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from stock_ops_spark import schemas as S
-from stock_ops_spark.sources.layout import PARTITION_COLS
+from stock_ops_spark.sources.layout import PARTITION_COLS, partition_values_predicate
 
 _DEFAULT_TARGET_BYTES = 128 << 20  # one HDFS-ish block per output file
 
@@ -118,19 +118,23 @@ def compact(store, mode: str, target_file_bytes: int = _DEFAULT_TARGET_BYTES) ->
             }
     else:
         dirty_bytes = sum(os.path.getsize(f) for f in files)
+        warranted = -(-dirty_bytes // target_file_bytes)  # ceil, ≥1
+        if len(files) <= max(1, warranted):
+            # steady state: same litter check as the partitioned path —
+            # never a full-store rewrite on an already-compacted dataset
+            return {
+                "files_before": len(files),
+                "files_after": len(files),
+                "partitions_compacted": 0,
+            }
 
     files_per_part = max(1, round(dirty_bytes / max(1, len(dirty)) / target_file_bytes))
 
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if parts:
-        pred = None
-        for vals in dirty:
-            conj = None
-            for c in parts:
-                term = F.col(c) == vals[c]
-                conj = term if conj is None else conj & term
-            pred = conj if pred is None else pred | conj
-        df = df.where(pred)
+        df = df.where(
+            partition_values_predicate(parts, [tuple(v[c] for c in parts) for v in dirty])
+        )
     # Sever lineage from the path we are about to overwrite (same hazard as
     # ingest_batch: writing to a read path invalidates plan caches mid-job).
     df = df.localCheckpoint(eager=True)

@@ -53,6 +53,10 @@ def _partition_range_pred(parts: list[str], start: _dt.datetime, end: _dt.dateti
     per month spanned) while letting Catalyst prune every untouched
     directory, any range shape.
     """
+    if (start.year, start.month) > (end.year, end.month):
+        # inverted range: always-false predicate (the ts-range filter is
+        # empty too; keeps the clean EmptyReadError path, no crash)
+        return F.lit(False)
     terms = []
     y, m = start.year, start.month
     while (y, m) <= (end.year, end.month):

@@ -90,7 +90,11 @@ def resilient_frames(
 
     Semantics mirrored exactly:
     - a clean iterator end reconnects too (the provider closed politely;
-      the loop goes around, reference line 218-220);
+      the loop goes around, reference line 218-220) — immediately when
+      the session produced frames, through the backoff schedule when it
+      produced none (a dial-accept-close provider must not become a
+      zero-delay reconnect storm, which the reference's bare `continue`
+      would allow);
     - backoff RESETS after any successful frame — only consecutive
       failures escalate the delay;
     - the ``duration`` gate is global: checked before each reconnect and
@@ -110,19 +114,24 @@ def resilient_frames(
         tl = time_left()
         if tl is not None and tl <= 0:
             return
+        produced = False
         try:
             for frame in connect():
+                produced = True
                 consecutive_failures = 0
                 yield frame
                 tl = time_left()
                 if tl is not None and tl <= 0:
                     return
         except retryable:
-            tl = time_left()
-            if tl is not None and tl <= 0:
-                return
-            delay = policy.delay(consecutive_failures, rng)
-            if tl is not None:
-                delay = min(delay, tl)
-            sleep(delay)
-            consecutive_failures += 1
+            produced = False  # a failed session never re-dials instantly
+        if produced:
+            continue  # healthy close: immediate re-dial (reference)
+        tl = time_left()
+        if tl is not None and tl <= 0:
+            return
+        delay = policy.delay(consecutive_failures, rng)
+        if tl is not None:
+            delay = min(delay, tl)
+        sleep(delay)
+        consecutive_failures += 1

@@ -101,13 +101,16 @@ def run_stream_task(
     p = get_provider(provider)
     if p.stream_frames is None:
         raise ValueError(f"provider {provider!r} has no stream source")
-    source = p.stream_frames(tickers, exchange, stream_type)
     if reconnect is not None:
         source = R.resilient_frames(
             lambda: p.stream_frames(tickers, exchange, stream_type),
             duration=duration,
             policy=reconnect,
         )
+    else:
+        # only dial when it will actually be consumed: a non-generator
+        # provider opens its connection at call time
+        source = p.stream_frames(tickers, exchange, stream_type)
     frames = []
     for i, frame in enumerate(source):
         frames.append(frame)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -111,10 +112,10 @@ SESSION_OUTPUT = StructType(
 
 SESSION_STATE = StructType(
     [
-        StructField("start_ms", LongType(), True),
-        StructField("end_ms", LongType(), True),
-        StructField("n", LongType(), True),
-        StructField("sv", DoubleType(), True),
+        StructField("starts", ArrayType(LongType()), True),
+        StructField("ends", ArrayType(LongType()), True),
+        StructField("ns", ArrayType(LongType()), True),
+        StructField("svs", ArrayType(DoubleType()), True),
     ]
 )
 
@@ -122,42 +123,62 @@ _SESSION_GAP_MS = 30 * 60 * 1000
 
 
 def _session_fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
-    """Arbitrary-stateful sessionization: extend the open session with
-    every event within the gap; close-and-emit on a gap jump or on
-    event-time timeout (the watermark passed start+gap: no in-gap event
-    can arrive any more).  Closed sessions are emitted exactly once —
-    the operator's output is append-shaped."""
+    """Arbitrary-stateful sessionization over POSSIBLY OUT-OF-ORDER
+    events: state holds every open session for the key (parallel
+    arrays), each batch interval-merges its events into that list, and a
+    session closes exactly when the WATERMARK passes its end + gap —
+    at that point any event that could still join it would be
+    late-beyond-watermark and filtered before reaching this function, so
+    emission is deterministic and exactly-once.  (A single-open-session
+    state would mis-merge a late event that predates the open session —
+    events up to the watermark delay late must be able to form or extend
+    EARLIER sessions.)"""
     import pandas as pd
 
-    closed = []
-    if state.hasTimedOut:
-        start, end, n, sv = state.get
-        closed.append((key[0], start, end, n, sv))
-        state.remove()
-    else:
-        ts = []
-        vals = []
-        for pdf in pdfs:
-            ts.extend(int(t.value // 1_000_000) for t in pdf["ts"])
-            vals.extend(float(v) for v in pdf["value"])
-        order = sorted(range(len(ts)), key=ts.__getitem__)
-        cur = state.get if state.exists else None
-        for i in order:
-            t, v = ts[i], vals[i]
-            if cur is None:
-                cur = (t, t, 1, v)
-            elif t - cur[1] <= _SESSION_GAP_MS:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+    gap = _SESSION_GAP_MS
+    sessions: list[list] = []
+    if state.exists:
+        starts, ends, ns, svs = state.get
+        sessions = [list(t) for t in zip(starts, ends, ns, svs)]
+
+    new = []
+    for pdf in pdfs:
+        for t, v in zip(pdf["ts"], pdf["value"]):
+            tms = int(t.value // 1_000_000)
+            new.append([tms, tms, 1, float(v)])
+    if new:
+        sessions.extend(new)
+        sessions.sort(key=lambda s: (s[0], s[1]))
+        merged = [sessions[0]]
+        for s in sessions[1:]:
+            cur = merged[-1]
+            if s[0] - cur[1] <= gap:
+                cur[1] = max(cur[1], s[1])
+                cur[2] += s[2]
+                cur[3] += s[3]
             else:
-                closed.append((key[0], *cur))
-                cur = (t, t, 1, v)
-        if cur is not None:
-            state.update(cur)
-            # timeout once the watermark clears the last event + gap
-            state.setTimeoutTimestamp(cur[1] + _SESSION_GAP_MS)
+                merged.append(s)
+        sessions = merged
+
+    wm = state.getCurrentWatermarkMs()
+    closed = [s for s in sessions if s[1] + gap <= wm]
+    kept = [s for s in sessions if s[1] + gap > wm]
+    if kept:
+        state.update(
+            (
+                [s[0] for s in kept],
+                [s[1] for s in kept],
+                [s[2] for s in kept],
+                [s[3] for s in kept],
+            )
+        )
+        # wake when the watermark clears the earliest still-open session
+        state.setTimeoutTimestamp(min(s[1] for s in kept) + gap)
+    elif state.exists:
+        state.remove()
     if closed:
         yield pd.DataFrame(
-            closed,
+            [(key[0], s[0], s[1], s[2], s[3]) for s in closed],
             columns=["user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value"],
         )
 

@@ -203,3 +203,34 @@ def test_stream_task_with_reconnect_policy(spark, tmp_path):
     # 6 at-least-once frames collapse to 3 unique trades
     assert n == 3
     assert store.read_all("streaming").count() == 3
+
+
+def test_resilient_frames_empty_session_backs_off():
+    """A provider that accepts the dial and closes without yielding must
+    go through the backoff schedule, not a zero-delay reconnect storm;
+    sessions that produced frames still re-dial immediately."""
+    clock = FakeClock()
+    slept = []
+
+    def sleep(s):
+        slept.append(s)
+        clock.sleep(s)
+
+    sessions = []
+
+    def connect():
+        sessions.append(clock.t)
+        if len(sessions) < 4:
+            return iter([])  # accept, then close politely: zero frames
+        return iter([{"f": 1}])
+
+    it = resilient_frames(
+        connect,
+        duration=1000.0,
+        policy=RetryPolicy(base_backoff=1.0, max_backoff=30.0),
+        sleep=sleep,
+        clock=clock,
+        rng=NO_JITTER,
+    )
+    assert next(it) == {"f": 1}
+    assert slept == [1.0, 2.0, 4.0]  # escalating, no zero-delay spins

@@ -144,3 +144,23 @@ def test_cross_year_read_prunes_months(spark, tmp_path):
         assert scans["numFiles"] == 2
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_inverted_range_raises_empty_not_crash(spark, tmp_path):
+    """end < start must keep the clean EmptyReadError path — the
+    month-enumeration predicate must not crash on an empty month set."""
+    from stock_ops_spark.sources.reader import EmptyReadError
+
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [("SPY", 1736951400, 1.0, 2.0, 0.5, 1.5, 10, "1h")],
+        schema=S.HISTORICAL_INTRADAY,
+    )
+    store.ingest_batch(df, "historical_intraday")
+    import pytest as _pytest
+
+    with _pytest.raises(EmptyReadError):
+        ReadProcess(store).read_dt_range(
+            "historical_intraday", "SPY", "2025-02-01 00:00", "2025-01-01 00:00",
+            interval="1h",
+        )

@@ -242,3 +242,64 @@ def test_reference_ci_workflow_end_to_end(spark, tmp_path):
     # trades carry price/volume, quotes carry ask/bid — one store schema
     assert any(r.price is not None for r in stream_rows)
     assert any(r.ask_price is not None for r in stream_rows)
+
+
+def test_streaming_sessions_late_event_forms_earlier_session(spark, tmp_path):
+    """A late-but-within-watermark event that PRECEDES the open session by
+    more than the gap must form its own earlier session, not corrupt the
+    open one (the single-open-session formulation merged it)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.streaming.stateful import streaming_sessions
+
+    t0 = 1_755_000_000_000
+    src = tmp_path / "ev2"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: one event at t0+50min (watermark after batch: t0-10min)
+    write("a.json", [{"user_id": 1, "ts_ms": t0 + 3_000_000, "value": 1.0}], 1_000_000)
+    # batch 2: a LATE event at t0 (50min older, > gap before the open
+    # session; within the 1h watermark) plus a fresh event at t0+3h that
+    # pushes the watermark to t0+2h and closes both earlier sessions
+    write(
+        "b.json",
+        [
+            {"user_id": 1, "ts_ms": t0, "value": 2.0},
+            {"user_id": 1, "ts_ms": t0 + 10_800_000, "value": 3.0},
+        ],
+        1_000_100,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts"), "value")
+    )
+    q = (
+        streaming_sessions(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.session_start_ms, r.session_end_ms, r.n_events, r.sum_value)
+        for r in spark.sql("select * from sess_late").collect()
+    )
+    # two distinct closed sessions: the late singleton at t0 and the
+    # original at t0+50min — neither merged, starts intact
+    assert rows == [(t0, t0, 1, 2.0), (t0 + 3_000_000, t0 + 3_000_000, 1, 1.0)]

@@ -1,0 +1,154 @@
+"""Technical-indicator operators over tick/bar streams.
+
+Domain extension beyond the reference's ingest surface (the reference
+stores ticks — `src/stockops/data/database/writer.py` — but computes no
+indicators); these are the analytics a stock-ops user runs on the stored
+table, expressed as single-shuffle window programs.
+
+Scale notes (100 TB posture):
+- every operator partitions its window by the instrument key, so the
+  whole indicator pass is ONE hash-partition exchange on the key followed
+  by an in-partition sort — the same layout the store already writes
+  (ticker-partitioned, ts-clustered), so with a bucketed/partitioned
+  source even that exchange disappears.
+- all arithmetic is built-in column expressions (whole-stage codegen);
+  no Python in the path.
+- EWMA is the bounded-lag form: an exact weighted sum of the last N
+  observations.  The infinite-memory recurrence is deliberately NOT used:
+  it is a sequential scan per key (non-parallel over history) and its
+  tail weight below N=32 lags is < (1-alpha)^32 — under the data's own
+  noise floor.  Bounded lags keep the operator a pure window expression
+  that Catalyst can pipeline with any other window on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(key: str | Column, *order: str | Column) -> Window:
+    return Window.partitionBy(key).orderBy(*order)
+
+
+def bollinger(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    tiebreak: str,
+    n: int = 20,
+    width: float = 2.0,
+) -> DataFrame:
+    """Rolling mean +- ``width`` sample-stddev bands over the trailing
+    ``n`` rows per key, plus a band-breach flag for the current row.
+
+    Rows earlier than position ``n`` still get bands over their shorter
+    prefix (standard charting behavior); stddev of a 1-row frame is NULL,
+    so the breach flag is NULL there — callers filter ``n_in_frame >= n``
+    for the fully-warmed signal.
+    """
+    w = _w(key, ts, tiebreak).rowsBetween(-(n - 1), 0)
+    mid = F.avg(value).over(w)
+    sd = F.stddev_samp(value).over(w)
+    return df.withColumns(
+        {
+            "bb_mid": mid,
+            "bb_upper": mid + F.lit(width) * sd,
+            "bb_lower": mid - F.lit(width) * sd,
+            "n_in_frame": F.count(F.lit(1)).over(w),
+            "bb_breach": F.when(F.col(value) > mid + F.lit(width) * sd, F.lit(1))
+            .when(F.col(value) < mid - F.lit(width) * sd, F.lit(-1))
+            .otherwise(F.lit(0)),
+        }
+    )
+
+
+def max_drawdown(df: DataFrame, key: str, ts: str, value: str, tiebreak: str) -> DataFrame:
+    """Per-key maximum drawdown: largest peak-to-trough fractional drop
+    of ``value`` walking forward in time.
+
+    Running peak is an unbounded-preceding window max (rank-ordered scan,
+    no self-join); the drawdown aggregate then reuses the same partition,
+    so the whole thing is one exchange on the key.
+    """
+    w = _w(key, ts, tiebreak).rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max(value).over(w)
+    dd = (peak - F.col(value)) / peak
+    return (
+        df.select(F.col(key), dd.alias("dd"), F.col(value).alias("v"))
+        .groupBy(key)
+        .agg(
+            F.max("dd").alias("max_drawdown"),
+            F.max("v").alias("peak_value"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def rsi(
+    df: DataFrame, key: str, ts: str, value: str, tiebreak: str, n: int = 14
+) -> DataFrame:
+    """Wilder-free simple RSI: average gain vs average loss over the
+    trailing ``n`` price changes (simple moving averages, the textbook
+    Cutler variant — exact, order-stable, windowable).
+
+    RSI = 100 - 100 / (1 + avg_gain / avg_loss); all-gain frames pin to
+    100, all-loss to 0, flat frames to NULL (0/0).
+    """
+    ordw = _w(key, ts, tiebreak)
+    diff = F.col(value) - F.lag(value, 1).over(ordw)
+    frame = ordw.rowsBetween(-(n - 1), 0)
+    d = df.withColumn("_chg", diff)
+    gain = F.avg(F.greatest(F.col("_chg"), F.lit(0.0))).over(frame)
+    loss = F.avg(F.greatest(-F.col("_chg"), F.lit(0.0))).over(frame)
+    rsi_col = (
+        F.when(F.col("_chg").isNull(), F.lit(None))
+        .when((gain == 0) & (loss == 0), F.lit(None))
+        .when(loss == 0, F.lit(100.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + gain / loss))
+    )
+    return d.withColumns(
+        {"rsi": rsi_col, "n_changes": F.count("_chg").over(frame)}
+    ).drop("_chg")
+
+
+def ewma_bounded(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    tiebreak: str,
+    alpha: float,
+    n_lags: int,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exact bounded-window EWMA: normalized weighted sum of the current
+    row and its ``n_lags`` predecessors with weights (1-alpha)^k.
+
+    Unrolled into ``lag`` expressions — every term is a plain codegen
+    column, the normalizer adapts at partition heads (missing lags drop
+    out of both numerator and denominator), and the whole stack shares
+    one window sort with any other per-key indicator.
+    """
+    ordw = _w(key, ts, tiebreak)
+    beta = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(n_lags + 1):
+        term = F.col(value) if k == 0 else F.lag(value, k).over(ordw)
+        wgt = F.lit(beta**k)
+        num = num + F.coalesce(term * wgt, F.lit(0.0))
+        den = den + F.when(term.isNotNull(), wgt).otherwise(F.lit(0.0))
+    return df.withColumn(out, num / den)
+
+
+def vwap(df: DataFrame, group_cols: list[str], price: str, qty: str) -> DataFrame:
+    """Volume-weighted average price per group: one hash aggregate with
+    map-side partial sums — the batch twin of the streaming running-VWAP
+    state op (streaming/stateful.py)."""
+    return df.groupBy(*group_cols).agg(
+        (F.sum(F.col(price) * F.col(qty)) / F.sum(qty)).alias("vwap"),
+        F.sum(qty).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )

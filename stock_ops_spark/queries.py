@@ -3186,3 +3186,460 @@ def q86_joint_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cs >= 0.99).cast("bigint").alias("vector_agrees"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Technical indicators over the tick stream (domain extension; operators/
+# timeseries.py) and training-data quality ops (decontamination, repetition)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q87_bollinger_breaches",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, value,
+             avg(value)         OVER w AS mid,
+             stddev_samp(value) OVER w AS sd,
+             count(*)           OVER w AS n_in_frame
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(value, 2)                 AS value,
+           round(mid, 6)                   AS bb_mid,
+           round(mid + 2 * sd, 6)          AS bb_upper,
+           round(mid - 2 * sd, 6)          AS bb_lower,
+           CAST(CASE WHEN value > round(mid + 2 * sd, 6) THEN 1
+                     WHEN value < round(mid - 2 * sd, 6) THEN -1
+                     ELSE 0 END AS BIGINT) AS breach,
+           CAST(n_in_frame AS BIGINT)      AS n_in_frame
+    FROM t
+    """,
+)
+def q87_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (8-tick rolling mean +- 2 sigma) per instrument key
+    over the purchase tick stream, with a band-breach signal.  One
+    exchange on the key; all four outputs share a single window sort
+    (operators/timeseries.py:bollinger).  The breach compares against the
+    ROUNDED band so the signal is decimal-stable across engines."""
+    from stock_ops_spark.operators.timeseries import bollinger
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    b = bollinger(ev, "user_id", "ts", "value", "event_id", n=8, width=2.0)
+    up = F.round("bb_upper", 6)
+    lo = F.round("bb_lower", 6)
+    return b.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round("bb_mid", 6).alias("bb_mid"),
+        up.alias("bb_upper"),
+        lo.alias("bb_lower"),
+        F.when(F.col("value") > up, F.lit(1))
+        .when(F.col("value") < lo, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("breach"),
+        F.col("n_in_frame").cast("bigint").alias("n_in_frame"),
+    )
+
+
+@_register(
+    "q88_max_drawdown",
+    """
+    WITH t AS (
+      SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           round(max((peak - value) / peak), 6) AS max_drawdown,
+           round(max(value), 2)                 AS peak_value,
+           CAST(count(*) AS BIGINT)             AS n_ticks
+    FROM t
+    GROUP BY user_id
+    """,
+)
+def q88_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per instrument: running-peak window (rank scan,
+    no self-join) + per-key aggregate, both on the same hash partition —
+    one exchange total (operators/timeseries.py:max_drawdown)."""
+    from stock_ops_spark.operators.timeseries import max_drawdown
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return max_drawdown(ev, "user_id", "ts", "value", "event_id").select(
+        "user_id",
+        F.round("max_drawdown", 6).alias("max_drawdown"),
+        F.round("peak_value", 2).alias("peak_value"),
+        F.col("n_ticks").cast("bigint").alias("n_ticks"),
+    )
+
+
+@_register(
+    "q89_rsi_momentum",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts, value,
+             value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS chg
+      FROM events
+      WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, event_id,
+             avg(greatest(chg, 0))  OVER w AS gain,
+             avg(greatest(-chg, 0)) OVER w AS loss,
+             count(chg)             OVER w AS n_changes
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(CASE WHEN gain = 0 AND loss = 0 THEN NULL
+                      WHEN loss = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + gain / loss) END, 6) AS rsi
+    FROM r
+    WHERE n_changes = 7
+    """,
+)
+def q89_rsi_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-change simple RSI (Cutler form: SMA of gains vs losses — exact
+    and window-stable, unlike Wilder's recursive smoothing which is a
+    sequential per-key scan).  Only fully-warmed frames are emitted
+    (operators/timeseries.py:rsi)."""
+    from stock_ops_spark.operators.timeseries import rsi
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    r = rsi(ev, "user_id", "ts", "value", "event_id", n=7)
+    return r.where(F.col("n_changes") == 7).select(
+        "user_id", "event_id", F.round("rsi", 6).alias("rsi")
+    )
+
+
+@_register(
+    "q90_ewma_price",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, value,
+             lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+             lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
+             lag(value, 7) OVER w AS l7, lag(value, 8) OVER w AS l8
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           round((0.0 + value * 1.0
+                      + coalesce(l1 * 0.5, 0) + coalesce(l2 * 0.25, 0)
+                      + coalesce(l3 * 0.125, 0) + coalesce(l4 * 0.0625, 0)
+                      + coalesce(l5 * 0.03125, 0) + coalesce(l6 * 0.015625, 0)
+                      + coalesce(l7 * 0.0078125, 0) + coalesce(l8 * 0.00390625, 0))
+                 / (0.0 + 1.0
+                      + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0 END
+                      + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0 END
+                      + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0 END
+                      + CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0 END
+                      + CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0 END
+                      + CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0 END
+                      + CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0 END
+                      + CASE WHEN l8 IS NOT NULL THEN 0.00390625 ELSE 0 END), 6)
+             AS ewma
+    FROM t
+    """,
+)
+def q90_ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lag EWMA (alpha = 0.5, 8 lags) per instrument.  alpha 1/2
+    makes every weight a negative power of two — exactly representable,
+    so Spark and the oracle agree bit-for-bit; the normalizer adapts at
+    partition heads.  Pure codegen lag expressions, one window sort
+    (operators/timeseries.py:ewma_bounded)."""
+    from stock_ops_spark.operators.timeseries import ewma_bounded
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    e = ewma_bounded(ev, "user_id", "ts", "value", "event_id", alpha=0.5, n_lags=8)
+    return e.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+
+
+@_register(
+    "q91_vwap_per_part",
+    """
+    SELECT l_partkey,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS vwap,
+           round(sum(l_quantity), 2)                                     AS total_qty,
+           CAST(count(*) AS BIGINT)                                      AS n_trades
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+)
+def q91_vwap_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch VWAP per part (price x quantity weighted) — the at-rest twin
+    of the streaming running-VWAP state op (streaming/stateful.py).  One
+    hash aggregate with map-side partial sums
+    (operators/timeseries.py:vwap)."""
+    from stock_ops_spark.operators.timeseries import vwap
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = vwap(li, ["l_partkey"], "l_extendedprice", "l_quantity")
+    return v.select(
+        "l_partkey",
+        F.round("vwap", 6).alias("vwap"),
+        F.round("total_qty", 2).alias("total_qty"),
+        F.col("n_trades").cast("bigint").alias("n_trades"),
+    )
+
+
+@_register(
+    "q92_quality_rules",
+    """
+    WITH d AS (
+      SELECT source,
+             string_split(text, ' ')                          AS w,
+             length(replace(text, ' ', ''))                   AS n_letters
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             n_letters * 1.0 / len(w)                                  AS mean_wlen,
+             len(list_filter(w, x -> x IN ('a', 'the'))) * 1.0 / len(w) AS stop_frac,
+             1.0 - len(list_distinct(w)) * 1.0 / len(w)                 AS dup_frac
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                                   AS n_docs,
+           CAST(sum(CASE WHEN mean_wlen > 4.8 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS n_fail_wlen,
+           CAST(sum(CASE WHEN stop_frac > 0.12 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS n_fail_stop,
+           CAST(sum(CASE WHEN dup_frac > 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS n_fail_dup,
+           CAST(sum(CASE WHEN mean_wlen <= 4.8 AND stop_frac <= 0.12
+                          AND dup_frac <= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS n_clean,
+           round(avg(mean_wlen), 6)                                   AS avg_mean_wlen,
+           round(avg(dup_frac), 6)                                    AS avg_dup_frac
+    FROM m
+    GROUP BY source
+    """,
+)
+def q92_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates per source: mean word length,
+    stopword fraction, duplicate-word fraction — every signal an integer
+    ratio (exact across engines), every rule a map-side expression; one
+    aggregate shuffle on source.  The production use is corpus triage
+    before training-data selection."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nw = F.size(w)
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) * 1.0 / nw
+    stop_frac = (
+        F.size(F.filter(w, lambda x: x.isin("a", "the"))) * 1.0 / nw
+    )
+    dup_frac = 1.0 - F.size(F.array_distinct(w)) * 1.0 / nw
+    m = d.select(
+        "source",
+        mean_wlen.alias("mean_wlen"),
+        stop_frac.alias("stop_frac"),
+        dup_frac.alias("dup_frac"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("mean_wlen") > 4.8).cast("int")).cast("bigint").alias("n_fail_wlen"),
+        F.sum((F.col("stop_frac") > 0.12).cast("int")).cast("bigint").alias("n_fail_stop"),
+        F.sum((F.col("dup_frac") > 0.6).cast("int")).cast("bigint").alias("n_fail_dup"),
+        F.sum(
+            (
+                (F.col("mean_wlen") <= 4.8)
+                & (F.col("stop_frac") <= 0.12)
+                & (F.col("dup_frac") <= 0.6)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_clean"),
+        F.round(F.avg("mean_wlen"), 6).alias("avg_mean_wlen"),
+        F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+    )
+
+
+@_register(
+    "q93_decontamination",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(w) - 3 + 1),
+               i -> array_to_string(list_slice(w, i, i + 3), ' ')))) AS gram
+      FROM d
+      WHERE len(w) >= 4
+    ),
+    b AS (SELECT DISTINCT gram, doc_id AS bench_id FROM g WHERE doc_id % 23 = 0)
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.gram) AS BIGINT)     AS n_shared_grams,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM g t JOIN b ON t.gram = b.gram
+    WHERE t.doc_id % 23 <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def q93_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 4-gram with the held-out benchmark slice (doc_id % 23 = 0) — the
+    n-gram-overlap scrub every serious LLM corpus runs against eval sets.
+
+    Scale shape: the benchmark side is small by construction, so its
+    distinct (gram, doc) set BROADCASTS; the training side never
+    shuffles its exploded grams — map-side hash probe, then one aggregate
+    on the surviving (contaminated) sliver only."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) >= 4 THEN "
+            "transform(sequence(1, size(split(text, ' ')) - 3), "
+            "i -> array_join(slice(split(text, ' '), i, 4), ' ')) "
+            "ELSE array() END"
+        )
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    bench = (
+        g.where(F.col("doc_id") % 23 == 0)
+        .select("gram", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    train = g.where(F.col("doc_id") % 23 != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("bigint").alias("n_shared_grams"),
+            F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs"),
+        )
+    )
+
+
+@_register(
+    "q94_repetition_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM d
+      WHERE len(w) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)                    AS total_bigrams,
+           CAST(count(*) AS BIGINT)                  AS distinct_bigrams,
+           CAST(max(c) AS BIGINT)                    AS max_repeat,
+           round(max(c) * 1.0 / sum(c), 6)           AS top_frac,
+           round(1.0 - count(*) * 1.0 / sum(c), 6)   AS dup_frac
+    FROM cnt
+    GROUP BY doc_id
+    """,
+)
+def q94_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile over word bigrams (total /
+    distinct / hottest bigram) — the repeated-n-gram quality signal used
+    to score degenerate or boilerplate text.  Explode + two same-key
+    aggregates; doc_id carries both, so Catalyst reuses one exchange.
+    All ratios are integer-derived — exact across engines."""
+    d = _t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) "
+        "ELSE array() END"
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("gram"))
+    cnt = bg.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("total_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_bigrams"),
+        F.max("c").cast("bigint").alias("max_repeat"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_frac"),
+        F.round(1.0 - F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("dup_frac"),
+    )
+
+
+@_register(
+    "q95_streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    """,
+)
+def q95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup with bounded state: the events table is
+    replayed TWICE (two files in one source directory), and
+    ``dropDuplicatesWithinWatermark`` collapses re-deliveries while the
+    watermark bounds how long each key is remembered — the
+    effectively-once guard a reconnecting feed needs (reference replays
+    the same wss frames after reconnect —
+    `src/stockops/data/streaming/eodhd_streaming_service.py:206-266`).
+
+    availableNow drains both copies; state is keyed by event_id only
+    (watermark evicts keys older than the delay, so state is O(window),
+    not O(stream)).  The duplicate rows are byte-identical, so which
+    survives is immaterial — the oracle is the plain table."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stock_ops_spark.catalog import table_path
+
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    stream_dir = tempfile.mkdtemp(prefix="events_dedup_")
+    ckpt_dir = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    src = table_path(sf_dir, "events")
+    os.symlink(src, os.path.join(stream_dir, "events_a.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "events_b.parquet"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .parquet(stream_dir)
+            .withColumn("ets", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .withWatermark("ets", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return spark.table(name).select("event_id", "user_id", "event_type")

@@ -1,0 +1,117 @@
+"""Unit tests for technical-indicator operators (operators/timeseries.py)
+on hand-computed fixtures, plus plan pins: every indicator is a single
+exchange on the instrument key."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from stock_ops_spark.operators.timeseries import (
+    bollinger,
+    ewma_bounded,
+    max_drawdown,
+    rsi,
+    vwap,
+)
+from stock_ops_spark.plans import audit as A
+
+
+def _ticks(spark, prices, key="A"):
+    rows = [(key, i, i, float(p)) for i, p in enumerate(prices)]
+    return spark.createDataFrame(rows, "k string, ts long, eid long, v double")
+
+
+def test_max_drawdown_hand_computed(spark):
+    df = _ticks(spark, [10, 8, 12, 6, 9])
+    out = max_drawdown(df, "k", "ts", "v", "eid").collect()[0]
+    assert out["max_drawdown"] == 0.5  # peak 12 -> trough 6
+    assert out["peak_value"] == 12.0
+    assert out["n_ticks"] == 5
+
+
+def test_max_drawdown_monotonic_rise_is_zero(spark):
+    df = _ticks(spark, [1, 2, 3])
+    assert max_drawdown(df, "k", "ts", "v", "eid").collect()[0]["max_drawdown"] == 0.0
+
+
+def test_ewma_bounded_alpha_half(spark):
+    df = _ticks(spark, [1, 2, 3])
+    out = ewma_bounded(df, "k", "ts", "v", "eid", alpha=0.5, n_lags=2)
+    vals = [r["ewma"] for r in out.orderBy("ts").collect()]
+    assert vals[0] == 1.0
+    assert abs(vals[1] - (2 + 0.5) / 1.5) < 1e-12
+    assert abs(vals[2] - (3 + 1.0 + 0.25) / 1.75) < 1e-12
+
+
+def test_ewma_partition_heads_normalize_per_key(spark):
+    df = _ticks(spark, [5, 5], key="A").union(_ticks(spark, [7], key="B"))
+    out = {r["k"]: r["ewma"] for r in ewma_bounded(df, "k", "ts", "v", "eid", 0.5, 4).collect()}
+    assert out["B"] == 7.0  # B's head sees no A history
+
+
+def test_rsi_hand_computed(spark):
+    df = _ticks(spark, [1, 2, 1, 3])
+    rows = rsi(df, "k", "ts", "v", "eid", n=2).orderBy("ts").collect()
+    assert rows[0]["rsi"] is None  # no change yet
+    # frame at row 4: changes (-1, +2) -> gain 1, loss 0.5 -> 100-100/3
+    assert abs(rows[3]["rsi"] - (100 - 100 / 3)) < 1e-9
+    assert rows[3]["n_changes"] == 2
+
+
+def test_rsi_all_gain_pins_100(spark):
+    df = _ticks(spark, [1, 2, 3, 4])
+    rows = rsi(df, "k", "ts", "v", "eid", n=2).orderBy("ts").collect()
+    assert rows[3]["rsi"] == 100.0
+
+
+def test_bollinger_bands_hand_computed(spark):
+    df = _ticks(spark, [1, 3])
+    rows = bollinger(df, "k", "ts", "v", "eid", n=2, width=2.0).orderBy("ts").collect()
+    assert rows[0]["bb_upper"] is None  # 1-row frame: stddev NULL
+    assert rows[1]["bb_mid"] == 2.0
+    assert abs(rows[1]["bb_upper"] - (2 + 2 * math.sqrt(2))) < 1e-12
+    assert abs(rows[1]["bb_lower"] - (2 - 2 * math.sqrt(2))) < 1e-12
+    assert rows[1]["bb_breach"] == 0
+
+
+def test_vwap_weights_by_quantity(spark):
+    df = spark.createDataFrame(
+        [("p", 10.0, 1.0), ("p", 20.0, 3.0)], "g string, price double, qty double"
+    )
+    out = vwap(df, ["g"], "price", "qty").collect()[0]
+    assert out["vwap"] == (10 + 60) / 4.0
+    assert out["total_qty"] == 4.0
+    assert out["n_trades"] == 2
+
+
+def test_indicator_stack_single_exchange(spark):
+    """All per-key indicators over one key column share ONE shuffle: the
+    whole indicator pass is exchange(key) + in-partition sort."""
+    df = _ticks(spark, range(50))
+    stacked = ewma_bounded(
+        rsi(
+            bollinger(df, "k", "ts", "v", "eid", n=8),
+            "k",
+            "ts",
+            "v",
+            "eid",
+            n=7,
+        ),
+        "k",
+        "ts",
+        "v",
+        "eid",
+        alpha=0.5,
+        n_lags=8,
+    )
+    assert A.count_shuffles(stacked) == 1
+    assert not A.has_cartesian(stacked)
+
+
+def test_drawdown_single_exchange(spark):
+    df = _ticks(spark, [3, 1, 4, 1, 5])
+    out = max_drawdown(df, "k", "ts", "v", "eid")
+    # window partition and groupBy share the same key -> one exchange
+    assert A.count_shuffles(out) == 1

@@ -3643,3 +3643,126 @@ def q95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(name).select("event_id", "user_id", "event_type")
+
+
+@_register(
+    "q96_sequence_packing",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT source, doc_id, n_tokens, rn,
+             0 AS bin_id, n_tokens AS cum
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN w.cum + d.n_tokens <= 512 THEN w.bin_id ELSE w.bin_id + 1 END,
+             CASE WHEN w.cum + d.n_tokens <= 512 THEN w.cum + d.n_tokens ELSE d.n_tokens END
+      FROM d JOIN walk w ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT source, doc_id,
+           CAST(n_tokens AS BIGINT)      AS n_tokens,
+           CAST(bin_id AS BIGINT)        AS bin_id,
+           CAST(cum - n_tokens AS BIGINT) AS offset
+    FROM walk
+    """,
+)
+def q96_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing of each source shard's documents
+    into 512-token bins (operators/packing.py) — the training-batch
+    construction pass.  Sequential within a shard by definition, so the
+    operator is `applyInPandas` per shard: one exchange on source, a
+    numpy loop per Arrow batch.  The oracle replays the identical greedy
+    walk as a recursive CTE."""
+    from stock_ops_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    out = pack_sequences(d, "source", "doc_id", "n_tokens", capacity=512)
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        F.col("offset").cast("bigint").alias("offset"),
+    )
+
+
+@_register(
+    "q97_stream_static_enrichment",
+    """
+    SELECT c.c_mktsegment              AS segment,
+           e.event_type,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           round(sum(e.value), 2)      AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def q97_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream is joined IN FLIGHT to
+    the static customer dimension (broadcast to every task — no state, no
+    watermark needed for stream-static inner joins), then aggregated at
+    rest.  This is the canonical streaming enrichment topology: dimension
+    tables broadcast, fact stream never shuffles before the join.
+    availableNow drains the replay in one batch, so the result equals the
+    batch join — full SQL oracle."""
+    import shutil
+    import tempfile
+    import uuid
+    import os
+
+    from stock_ops_spark.catalog import table_path
+
+    name = f"senrich_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    stream_dir = tempfile.mkdtemp(prefix="events_enrich_")
+    ckpt_dir = tempfile.mkdtemp(prefix="enrich_ckpt_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cust = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .parquet(stream_dir)
+            .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+            .select("segment", "event_type", "value")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -118,3 +118,68 @@ def asof_join_nearest(
         .where(F.col("__side") == 1)
         .drop("__side")
     )
+
+
+def asof_cogroup_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_value_col: str,
+    out_col: str = "nearest_value",
+) -> DataFrame:
+    """Cogrouped-pandas twin of ``asof_join_nearest``: both sides are
+    co-partitioned on ``by`` and each key's pair of Arrow batches is
+    merged with a vectorized searchsorted nearest-match (backward wins
+    exact distance ties — the same convention as the window form).
+
+    Exists for the per-group-imperative escape hatch: when the match rule
+    outgrows what a window carry can express (validity intervals,
+    per-key tolerances), this shape takes arbitrary pandas logic while
+    keeping the exchange identical — one co-partitioning on ``by``,
+    Arrow-batched transfer, never a collect.  For the plain nearest rule
+    prefer the window form: it stays entirely JVM-side.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lcols = left.columns
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields)
+    out_schema = f"{fields}, {out_col} double"
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(columns=[*lcols, out_col])
+        out = l.copy()
+        if len(r) == 0:
+            out[out_col] = np.nan
+            return out
+        r = r.sort_values("__r_on", kind="mergesort")
+        rts = r["__r_on"].astype("int64").to_numpy()
+        vals = r["__r_val"].to_numpy()
+        lts = l[on].astype("int64").to_numpy()
+        idx = np.searchsorted(rts, lts, side="right")
+        back = np.clip(idx - 1, 0, len(rts) - 1)
+        fwd = np.clip(idx, 0, len(rts) - 1)
+        back_ok = idx > 0
+        fwd_ok = idx < len(rts)
+        bdist = np.where(back_ok, np.abs(lts - rts[back]), np.iinfo(np.int64).max)
+        fdist = np.where(fwd_ok, np.abs(rts[fwd] - lts), np.iinfo(np.int64).max)
+        use_back = back_ok & (~fwd_ok | (bdist <= fdist))
+        out[out_col] = np.where(use_back, vals[back], vals[fwd])
+        return out
+
+    # Alias the right side's non-key columns to FRESH names: when both
+    # sides descend from the same source plan, the clashing attribute ids
+    # are deduplicated out of the right cogroup batch (observed: the
+    # right pdf arrives without its `on` column); aliasing forces new ids.
+    rsel = right.select(
+        *by,
+        F.col(on).alias("__r_on"),
+        F.col(right_value_col).alias("__r_val"),
+    )
+    return (
+        left.groupBy(*by)
+        .cogroup(rsel.groupBy(*by))
+        .applyInPandas(merge, schema=out_schema)
+    )

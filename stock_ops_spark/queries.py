@@ -3766,3 +3766,100 @@ def q97_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@_register(
+    "q98_cogroup_asof",
+    """
+    WITH p AS (
+      SELECT user_id, ts, max(value) AS pval
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT s.event_id,
+           s.user_id,
+           round((SELECT p.pval FROM p
+                  WHERE p.user_id = s.user_id
+                  ORDER BY abs(epoch_us(p.ts) - epoch_us(s.ts)), p.ts
+                  LIMIT 1), 6) AS nearest_purchase_value
+    FROM events s
+    WHERE s.event_type = 'signup'
+    """,
+)
+def q98_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q14 as-of join through the COGROUPED-pandas path
+    (operators/asof.py:asof_cogroup_nearest): both sides co-partitioned
+    on user_id, each key's Arrow batch pair merged with vectorized
+    searchsorted.  Same semantics, same oracle — this entry exists to
+    keep the per-group-imperative escape hatch (validity windows,
+    per-key tolerances) exercised end-to-end against the window form."""
+    from stock_ops_spark.operators.asof import asof_cogroup_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_cogroup_nearest(
+        signups, purchases, on="ts", by=["user_id"], right_value_col="pval"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("nearest_value", 6).alias("nearest_purchase_value"),
+    )
+
+
+@_register(
+    "q99_session_windows_native",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT)                AS session_start_us,
+           CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT)   AS session_end_us,
+           CAST(count(*) AS BIGINT)                         AS n_events,
+           round(sum(value), 2)                             AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q99_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE session_window operator
+    (dynamic gap merging inside the aggregate — the same operator the
+    streaming engine uses for event-time sessions), vs q33's explicit
+    lag/cumsum islands.  Empirically pinned boundary: a gap of exactly
+    the 30-minute duration MERGES (split is strictly greater), and the
+    window end is last event + gap; the oracle replays that convention
+    in integer microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -50,3 +50,55 @@ def test_asof_empty_right(spark):
     empty = spark.createDataFrame([], "user string, ts long, val double")
     rows = asof_join_backward(l, empty, on="ts", by=["user"]).collect()
     assert len(rows) == len(LEFT) and all(r.val_right is None for r in rows)
+
+
+def test_cogroup_nearest_matches_window_form(spark, sf_dir):
+    """The cogrouped-pandas as-of and the union+window as-of are two
+    physical strategies for one operator — results must be identical."""
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark import catalog
+    from stock_ops_spark.operators.asof import asof_cogroup_nearest, asof_join_nearest
+
+    ev = catalog.load(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    a = {
+        r["event_id"]: r["pval_right"]
+        for r in asof_join_nearest(
+            signups, purchases, on="ts", by=["user_id"], right_value_cols=["pval"]
+        ).collect()
+    }
+    b = {
+        r["event_id"]: r["nearest_value"]
+        for r in asof_cogroup_nearest(
+            signups, purchases, on="ts", by=["user_id"], right_value_col="pval"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_cogroup_nearest_empty_right_group_yields_null(spark):
+    import datetime as dt
+
+    from stock_ops_spark.operators.asof import asof_cogroup_nearest
+
+    base = dt.datetime(2024, 1, 1)
+    l = spark.createDataFrame(
+        [(1, 1, base), (2, 2, base)], "event_id long, user_id long, ts timestamp"
+    )
+    r = spark.createDataFrame([(1, base, 5.0)], "user_id long, ts timestamp, pval double")
+    got = {
+        row["event_id"]: row["nearest_value"]
+        for row in asof_cogroup_nearest(
+            l, r, on="ts", by=["user_id"], right_value_col="pval"
+        ).collect()
+    }
+    assert got[1] == 5.0
+    assert got[2] is None

@@ -3863,3 +3863,41 @@ def q99_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@_register(
+    "q100_filtered_ann",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, d.source,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id, q
+    WHERE e.vec_id <> 0
+      AND e.label % 2 = 0
+      AND d.lang = 'en'
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q100_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (hybrid) vector search: structured predicates — an
+    embedding-side label filter AND a document-metadata filter — applied
+    BEFORE any distance math, then exact cosine top-k on the surviving
+    sliver.  This is the production hybrid-search shape: predicates
+    prune partitions/row-groups at the scan (filter-then-rank, never
+    rank-then-filter), the doc-metadata join carries only (doc_id, lang,
+    source), and the final k is TakeOrderedAndProject — no global sort."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sim = V.cosine(F.col("embedding"), F.col("qv"))
+    return (
+        e.where((F.col("vec_id") != 0) & (F.col("label") % 2 == 0))
+        .join(d.where(F.col("lang") == "en"), F.col("doc_id") == F.col("vec_id"))
+        .join(F.broadcast(qv))
+        .select("vec_id", "label", "source", sim.alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "source", F.round("__sim", 6).alias("cos_sim"))
+    )

@@ -78,3 +78,46 @@ def partition_values_predicate(parts: list[str], tuples) -> "Column | None":
             conj = term if conj is None else (conj & term)
         pred = conj if pred is None else (pred | conj)
     return pred
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns: result bit 2i carries bit i of ``a``,
+    bit 2i+1 carries bit i of ``b``.
+
+    Purpose: multi-dimensional file skipping.  Sorting a table by ONE
+    column gives parquet min/max pruning on that column only; sorting by
+    the z-key keeps each file's span narrow in BOTH dimensions, so range
+    predicates on either column (or both) prune files.  This is the
+    standard space-filling-curve clustering (Delta/Iceberg OPTIMIZE
+    ZORDER) expressed as a plain codegen column — no UDF, usable with
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` at any scale.
+
+    All arithmetic is 64-bit (``bits`` ≤ 31 keeps the result positive);
+    expressions unroll to shift/and/or chains inside whole-stage codegen.
+    """
+    z: Column = F.lit(0).cast("long")
+    al = a.cast("long")
+    bl = b.cast("long")
+    for i in range(bits):
+        abit = F.shiftright(al, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(bl, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return z
+
+
+def cluster_by_zorder(
+    df: DataFrame, col_a: str, col_b: str, n_files: int, bits: int = 16
+) -> DataFrame:
+    """Range-partition ``df`` into ``n_files`` z-contiguous slices and
+    sort within each — the write-side clustering pass that makes
+    parquet min/max stats selective on both columns."""
+    zk = zorder_key(F.col(col_a), F.col(col_b), bits=bits)
+    return (
+        df.withColumn("__zkey", zk)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )

@@ -164,3 +164,62 @@ def test_inverted_range_raises_empty_not_crash(spark, tmp_path):
             "historical_intraday", "SPY", "2025-02-01 00:00", "2025-01-01 00:00",
             interval="1h",
         )
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering keeps each file narrow in BOTH key dimensions:
+    a predicate on the SECOND column can skip most files via parquet
+    min/max stats, where a single-column sort layout keeps every file a
+    candidate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.sources.layout import cluster_by_zorder, zorder_key
+
+    n, dom = 1 << 14, 1 << 10
+    base = spark.range(n).select(
+        # decorrelated pseudo-uniform keys in [0, 1024)
+        (F.col("id") * 2654435761 % dom).alias("x"),
+        (F.col("id") * 40503 % dom).alias("y"),
+    )
+
+    zdir, xdir = str(tmp_path / "z"), str(tmp_path / "x")
+    cluster_by_zorder(base, "x", "y", n_files=16, bits=10).write.parquet(zdir)
+    base.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xdir)
+
+    def candidate_files(root, col, lo, hi):
+        cands = 0
+        for f in glob.glob(root + "/*.parquet"):
+            md = pq.read_metadata(f)
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                cols = {g.column(i).path_in_schema: g.column(i) for i in range(g.num_columns)}
+                st = cols[col].statistics
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+            if fmax >= lo and fmin <= hi:
+                cands += 1
+        return cands
+
+    # y-range predicate: x-sorted layout cannot prune at all
+    assert candidate_files(xdir, "y", 100, 199) == 16
+    # z-order keeps y spans narrow -> most files skipped
+    z_cands = candidate_files(zdir, "y", 100, 199)
+    assert z_cands <= 8
+    # and x pruning still works on the z layout
+    assert candidate_files(zdir, "x", 100, 199) <= 8
+
+
+def test_zorder_key_bit_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    z = df.select(zorder_key(F.col("a"), F.col("b"), bits=3).alias("z")).collect()[0]["z"]
+    # a bits -> even positions (1,0,1 -> bits 0,2,4), b bits -> odd (1,1,0 -> bits 1,3)
+    assert z == (1 << 0) | (0 << 2) | (1 << 4) | (1 << 1) | (1 << 3) | (0 << 5)

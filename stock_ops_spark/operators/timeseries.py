@@ -74,7 +74,9 @@ def max_drawdown(df: DataFrame, key: str, ts: str, value: str, tiebreak: str) ->
     """
     w = _w(key, ts, tiebreak).rowsBetween(Window.unboundedPreceding, 0)
     peak = F.max(value).over(w)
-    dd = (peak - F.col(value)) / peak
+    # a zero running peak (series opens at 0) makes drawdown undefined;
+    # define it as 0 rather than tripping ANSI division-by-zero
+    dd = F.when(peak != 0, (peak - F.col(value)) / peak).otherwise(F.lit(0.0))
     return (
         df.select(F.col(key), dd.alias("dd"), F.col(value).alias("v"))
         .groupBy(key)

@@ -3259,7 +3259,8 @@ def q87_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type = 'purchase'
     )
     SELECT user_id,
-           round(max((peak - value) / peak), 6) AS max_drawdown,
+           round(max(CASE WHEN peak <> 0 THEN (peak - value) / peak
+                          ELSE 0 END), 6)       AS max_drawdown,
            round(max(value), 2)                 AS peak_value,
            CAST(count(*) AS BIGINT)             AS n_ticks
     FROM t
@@ -3900,4 +3901,222 @@ def q100_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("__sim").desc(), F.col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "source", F.round("__sim", 6).alias("cos_sim"))
+    )
+
+
+@_register(
+    "q101_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_day,
+             CAST(CAST(e.ts AS DATE) - f.cohort_day AS BIGINT) // 7 AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d')  AS cohort_day,
+           CAST(week_offset AS BIGINT)        AS week_offset,
+           CAST(count(*) AS BIGINT)           AS n_users
+    FROM activity
+    GROUP BY cohort_day, week_offset
+    """,
+)
+def q101_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    in each subsequent activity week (integer day-arithmetic offsets —
+    no engine week-boundary conventions involved).  Two aggregates on
+    user_id share one exchange; the cohort map joins back broadcast-size.
+    The classic growth-analytics rollup, here as the engine's cohort
+    operator."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    act = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_day")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        "n_users",
+    )
+
+
+@_register(
+    "q102_session_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER w AS next_type,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type              AS from_type,
+           next_type               AS to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq
+    WHERE next_type IS NOT NULL AND gap_us <= 1800000000
+    GROUP BY event_type, next_type
+    """,
+)
+def q102_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition counts (the Markov/path-analysis shape):
+    per-user ordered lead() pairs, kept when the step stays inside a
+    30-minute session gap (exact integer-microsecond comparison), counted
+    globally.  One window exchange on user_id + one small aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("to_type"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("gap_us"),
+    )
+    return (
+        seq.where(F.col("to_type").isNotNull() & (F.col("gap_us") <= 1800000000))
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+
+
+@_register(
+    "q103_part_revenue_share",
+    """
+    WITH pr AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(rev) AS total FROM pr)
+    SELECT pr.l_partkey,
+           round(pr.rev, 4)                       AS revenue,
+           round(pr.rev / tot.total, 9)           AS share
+    FROM pr, tot
+    WHERE pr.rev > tot.total * 0.0008
+    """,
+)
+def q103_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key revenue filtered against a GLOBAL scalar
+    threshold.  The total is a one-row aggregate joined in broadcast —
+    the per-part aggregate is computed once and reused for both the
+    share numerator and the filter (no second scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    tot = pr.agg(F.sum("rev").alias("total"))
+    return (
+        pr.join(F.broadcast(tot))
+        .where(F.col("rev") > F.col("total") * 0.0008)
+        .select(
+            "l_partkey",
+            F.round("rev", 4).alias("revenue"),
+            F.round(F.col("rev") / F.col("total"), 9).alias("share"),
+        )
+    )
+
+
+@_register(
+    "q104_top_suppliers",
+    """
+    WITH sr AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, sr.rev AS total_revenue
+    FROM supplier s JOIN sr ON s.s_suppkey = sr.l_suppkey
+    WHERE sr.rev = (SELECT max(rev) FROM sr)
+    """,
+)
+def q104_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly supplier revenue, keep the argmax
+    suppliers (ties preserved).  The revenue 'view' is aggregated once;
+    the scalar max joins back broadcast.  Revenue is rounded BEFORE the
+    equality so the max-match is decimal-stable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sr = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("rev")
+        )
+    )
+    mx = sr.agg(F.max("rev").alias("mx"))
+    return (
+        sr.join(F.broadcast(mx))
+        .where(F.col("rev") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev").alias("total_revenue"))
+    )
+
+
+@_register(
+    "q105_realized_volatility",
+    """
+    WITH r AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             ln(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS lr
+      FROM events
+      WHERE event_type = 'purchase' AND value > 0
+    )
+    SELECT user_id,
+           strftime(d, '%Y-%m-%d')          AS day,
+           CAST(count(lr) AS BIGINT)        AS n_returns,
+           round(sum(lr * lr), 6)           AS realized_var
+    FROM r
+    WHERE lr IS NOT NULL
+    GROUP BY user_id, d
+    """,
+)
+def q105_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized variance per instrument: sum of squared log tick
+    returns — the standard realized-volatility estimator.  The return
+    series is the same single-exchange window pass as every indicator
+    (operators/timeseries.py family); the daily rollup reuses the
+    user_id partition.  Zero-priced ticks are excluded up front: a 0
+    denominator is an ANSI arithmetic error on Spark but a silent NULL on
+    the oracle — the filter keeps both engines in the defined domain."""
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.log(F.col("value") / F.lag("value").over(w)).alias("lr"),
+    )
+    return (
+        r.where(F.col("lr").isNotNull())
+        .groupBy("user_id", "d")
+        .agg(
+            F.count("lr").cast("bigint").alias("n_returns"),
+            F.round(F.sum(F.col("lr") * F.col("lr")), 6).alias("realized_var"),
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_returns",
+            "realized_var",
+        )
     )

@@ -84,3 +84,52 @@ def cluster_summary(components: DataFrame) -> DataFrame:
     return components.groupBy("component").agg(
         F.count(F.lit(1)).alias("size"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: the standard
+    power iteration rank(v) = (1-d) + d * Σ rank(u)/outdeg(u).
+
+    Spark shape: out-degrees are one aggregate; each iteration is one
+    join (ranks ⋈ edges on src) + one aggregate (sum contributions by
+    dst) — exactly two exchanges per round, both on the node key, so at
+    scale a pre-partitioned edge table makes the join co-located.  Ranks
+    are localCheckpointed each round to sever the growing lineage (the
+    same discipline as connected_components above).  Nodes with no
+    inbound edges settle at (1-d); dangling mass is not redistributed
+    (callers wanting classic normalization feed a bidirected graph).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, ranks.node == e.s)
+            .join(outdeg, "s")
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -4120,3 +4120,99 @@ def q105_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "realized_var",
         )
     )
+
+
+@_register(
+    "q106_pagerank_copurchase",
+    """
+    WITH el AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS s, 's' || l.l_suppkey AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT s, d FROM el UNION SELECT d AS s, s AS d FROM el),
+    deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+    n AS (SELECT s AS node FROM e UNION SELECT d AS node FROM e),
+    r0 AS (SELECT node, 1.0 AS rank FROM n),
+    i1 AS (SELECT e.d AS node, sum(r0.rank / deg.deg) AS inflow
+           FROM r0 JOIN e ON r0.node = e.s JOIN deg ON e.s = deg.s GROUP BY e.d),
+    r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(i1.inflow, 0) AS rank
+           FROM n LEFT JOIN i1 ON n.node = i1.node),
+    i2 AS (SELECT e.d AS node, sum(r1.rank / deg.deg) AS inflow
+           FROM r1 JOIN e ON r1.node = e.s JOIN deg ON e.s = deg.s GROUP BY e.d),
+    r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(i2.inflow, 0) AS rank
+           FROM n LEFT JOIN i2 ON n.node = i2.node),
+    i3 AS (SELECT e.d AS node, sum(r2.rank / deg.deg) AS inflow
+           FROM r2 JOIN e ON r2.node = e.s JOIN deg ON e.s = deg.s GROUP BY e.d),
+    r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(i3.inflow, 0) AS rank
+           FROM n LEFT JOIN i3 ON n.node = i3.node)
+    SELECT node, round(rank, 6) AS rank
+    FROM r3
+    ORDER BY round(rank, 6) DESC, node
+    LIMIT 50
+    """,
+)
+def q106_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the bidirected customer↔supplier
+    co-purchase graph (operators/graph.py:pagerank): two exchanges per
+    round, ranks localCheckpointed to sever lineage — the iterative-
+    algorithm template next to connected components.  The oracle unrolls
+    the identical power iteration; the top-k cut orders by the ROUNDED
+    rank so the boundary is decimal-stable."""
+    from stock_ops_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    el = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("d"),
+        )
+        .distinct()
+    )
+    bi = el.union(el.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    ranks = pagerank(bi, iters=3)
+    r = F.round("rank", 6)
+    return (
+        ranks.select("node", r.alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(50)
+    )
+
+
+@_register(
+    "q107_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type,
+             avg(value)         AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2)                    AS value,
+           round((e.value - s.mu) / s.sigma, 6) AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE s.sigma > 0 AND abs(round((e.value - s.mu) / s.sigma, 6)) > 3.0
+    """,
+)
+def q107_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection: one aggregate pass for the
+    moments (broadcast back — five rows), one codegen'd scan for the
+    outliers; the cut compares the ROUNDED z so the 3σ boundary is
+    decimal-stable across engines."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .where((F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            z.alias("zscore"),
+        )
+    )

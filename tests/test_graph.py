@@ -83,3 +83,22 @@ def test_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == _union_find(edges)
+
+
+def test_pagerank_cycle_is_stationary(spark):
+    from stock_ops_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "s string, d string")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=4).collect()}
+    assert got == {"a": 1.0, "b": 1.0}  # symmetric cycle: rank stays at init
+
+
+def test_pagerank_star_hand_computed(spark):
+    from stock_ops_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b"), ("a", "c")], "s string, d string")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=2).collect()}
+    assert abs(got["a"] - 0.15) < 1e-12          # no inbound edges
+    expected_leaf = 0.15 + 0.85 * (0.15 / 2)     # round 2: only a's 0.15 flows
+    assert abs(got["b"] - expected_leaf) < 1e-12
+    assert abs(got["c"] - expected_leaf) < 1e-12

@@ -92,6 +92,7 @@ def pagerank(
     dst: str = "d",
     iters: int = 3,
     damping: float = 0.85,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: the standard
     power iteration rank(v) = (1-d) + d * Σ rank(u)/outdeg(u).
@@ -105,18 +106,33 @@ def pagerank(
     inbound edges settle at (1-d); dangling mass is not redistributed
     (callers wanting classic normalization feed a bidirected graph).
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # Materialize the edge list WITH out-degrees once: every iteration
+    # re-reads this frame instead of replaying the upstream join/distinct
+    # lineage (3 iterations of a lazily recomputed fact-join cost ~5x the
+    # whole algorithm before this was checkpointed).
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ew = e.join(outdeg, "s").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iters):
+        # With broadcast_ranks the rank vector ships to every task and the
+        # EDGE LIST NEVER SHUFFLES for the join — each iteration is a
+        # broadcast hash join + partial agg + one small exchange on node.
+        # Use when |nodes| ≪ |edges| (rank vector ~16 B/node); the default
+        # shuffle join is the general any-scale path.
+        rside = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ranks.join(e, ranks.node == e.s)
-            .join(outdeg, "s")
+            rside.join(ew, ranks.node == ew.s)
             .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))

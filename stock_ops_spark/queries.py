@@ -4162,19 +4162,25 @@ def q106_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # integer node encoding (customers even, suppliers odd): the three
+    # power iterations shuffle narrow longs, not concat'd strings; the
+    # display label is reconstructed only on the final 50 rows
     el = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("s"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("d"),
+            (F.col("o_custkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
         )
         .distinct()
     )
     bi = el.union(el.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    ranks = pagerank(bi, iters=3)
+    ranks = pagerank(bi, iters=3, broadcast_ranks=True)
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node DIV 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("node DIV 2")))
     r = F.round("rank", 6)
     return (
-        ranks.select("node", r.alias("rank"))
+        ranks.select(label.alias("node"), r.alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("node"))
         .limit(50)
     )

@@ -4222,3 +4222,81 @@ def q107_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("zscore"),
         )
     )
+
+
+@_register(
+    "q108_cluster_canonicalization",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS sz
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           doc_id                     AS kept_doc,
+           CAST(n_chars AS BIGINT)    AS kept_chars,
+           CAST(sz - 1 AS BIGINT)     AS n_dropped
+    FROM ranked
+    WHERE rn = 1 AND sz > 1
+    """,
+)
+def q108_cluster_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END-STATE: near-dup pairs (q21 pipeline) → connected
+    components (q70) → per-cluster CANONICAL SELECTION — keep the
+    longest document (doc_id tiebreak), count what gets dropped.  This
+    is the row a production dedup job actually writes before deleting
+    data; the ranked window rides the component partition, so
+    canonicalization adds ONE exchange after clustering."""
+    from stock_ops_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs, nodes=d.select("doc_id")).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = (
+        comp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("component")))
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("sz") > 1))
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").cast("bigint").alias("kept_chars"),
+            (F.col("sz") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )

@@ -223,3 +223,37 @@ def test_zorder_key_bit_interleave(spark):
     z = df.select(zorder_key(F.col("a"), F.col("b"), bits=3).alias("z")).collect()[0]["z"]
     # a bits -> even positions (1,0,1 -> bits 0,2,4), b bits -> odd (1,1,0 -> bits 1,3)
     assert z == (1 << 0) | (0 << 2) | (1 << 4) | (1 << 1) | (1 << 3) | (0 << 5)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """At 100 TB a selective dim-side filter should seed a runtime BLOOM
+    FILTER on the fact side's join key (Spark's InjectRuntimeFilter), so
+    the big scan drops non-joining rows BEFORE the shuffle.  Local scans
+    are below the default application-side threshold, so this pins the
+    mechanism with the thresholds the large deployment would use."""
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark import catalog
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            catalog.load(spark, SF, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = catalog.load(spark, SF, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # fact-side probe actually applied
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -3556,9 +3556,13 @@ def q93_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q94_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition profile over word bigrams (total /
     distinct / hottest bigram) — the repeated-n-gram quality signal used
-    to score degenerate or boilerplate text.  Explode + two same-key
-    aggregates; doc_id carries both, so Catalyst reuses one exchange.
-    All ratios are integer-derived — exact across engines."""
+    to score degenerate or boilerplate text.
+
+    SHUFFLE-FREE: the hottest-bigram count is a run-length scan over the
+    doc's SORTED bigram array (aggregate HOF), so the whole profile is a
+    per-row projection — no explode, no groupBy, nothing leaves the map
+    side.  (The explode + two-aggregate form this replaced moved ~1.5M
+    grams through two exchanges at sf0.1 for the same integers.)"""
     d = _t(spark, sf_dir, "documents")
     bigrams = F.expr(
         "CASE WHEN size(split(text, ' ')) >= 2 THEN "
@@ -3567,14 +3571,40 @@ def q94_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(split(text, ' '), i + 1))) "
         "ELSE array() END"
     )
-    bg = d.select("doc_id", F.explode(bigrams).alias("gram"))
-    cnt = bg.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    return cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("total_bigrams"),
-        F.count(F.lit(1)).cast("bigint").alias("distinct_bigrams"),
-        F.max("c").cast("bigint").alias("max_repeat"),
-        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_frac"),
-        F.round(1.0 - F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("dup_frac"),
+    # eligibility filter on the RAW text before any array is built: a
+    # filter on a derived column would be pushed beneath the projection
+    # with the whole bigram pipeline substituted in — evaluating it twice
+    # (measured 0.15s -> 2.6s at sf0.1)
+    d = d.where(F.size(F.split(F.col("text"), " ")) >= 2)
+    # stage the sorted array once (HOF lambdas re-evaluate inline exprs)
+    staged = d.select("doc_id", F.array_sort(bigrams).alias("bg"))
+    max_run = F.expr(
+        "CASE WHEN size(bg) >= 2 THEN "
+        "aggregate(sequence(2, size(bg)), "
+        "named_struct('mx', 1, 'cur', 1), "
+        "(acc, i) -> IF(element_at(bg, i) = element_at(bg, i - 1), "
+        "named_struct('mx', greatest(acc.mx, acc.cur + 1), 'cur', acc.cur + 1), "
+        "named_struct('mx', acc.mx, 'cur', 1)), "
+        "acc -> acc.mx) "
+        "ELSE least(size(bg), 1) END"
+    )
+    # project each scalar ONCE — the ratio columns below must reference
+    # these, not repeat the expressions (a repeated HOF re-runs the scan)
+    scalars = staged.select(
+        "doc_id",
+        F.size("bg").cast("bigint").alias("total_bigrams"),
+        F.size(F.array_distinct("bg")).cast("bigint").alias("distinct_bigrams"),
+        max_run.cast("bigint").alias("max_repeat"),
+    )
+    return scalars.select(
+        "doc_id",
+        "total_bigrams",
+        "distinct_bigrams",
+        "max_repeat",
+        F.round(F.col("max_repeat") * 1.0 / F.col("total_bigrams"), 6).alias("top_frac"),
+        F.round(1.0 - F.col("distinct_bigrams") * 1.0 / F.col("total_bigrams"), 6).alias(
+            "dup_frac"
+        ),
     )
 
 
@@ -4299,4 +4329,73 @@ def q108_cluster_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_chars").cast("bigint").alias("kept_chars"),
             (F.col("sz") - 1).cast("bigint").alias("n_dropped"),
         )
+    )
+
+
+@_register(
+    "q109_resample_ffill",
+    """
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                    INTERVAL 1 DAY))::DATE AS d
+    ),
+    ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (SELECT user_id, d, value AS close FROM ranked WHERE rn = 1),
+    grid AS (
+      SELECT u.user_id, days.d
+      FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN days
+    )
+    SELECT g.user_id,
+           strftime(g.d, '%Y-%m-%d')  AS day,
+           round(last_value(daily.close IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.d), 2) AS close,
+           CAST(CASE WHEN daily.close IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                                      AS gap_filled
+    FROM grid g
+    LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+    """,
+)
+def q109_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample + forward fill (pandas ``asfreq('D').ffill()``
+    distributed): per instrument, every calendar day gets the last known
+    close, with gap provenance.  The day spine is generated (sequence +
+    explode) and BROADCAST onto the distinct-key set — never a shuffle
+    of the fact table for the grid; the carry is the same
+    last-ignorenulls window as the as-of join (operators/asof.py), one
+    exchange on the instrument key."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    rn_w = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("d"), "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(rn_w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "d", F.col("value").alias("close"))
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    grid = daily.select("user_id").distinct().crossJoin(F.broadcast(days))
+    carry = Window.partitionBy("user_id").orderBy("d")
+    out = grid.join(daily, ["user_id", "d"], "left")
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.last("close", ignorenulls=True).over(carry), 2).alias("close"),
+        F.when(F.col("close").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("gap_filled"),
     )

@@ -207,3 +207,28 @@ def test_backfill_past_prune_cap_still_dedups(spark, tmp_path, monkeypatch):
     # replay the same backfill: every row an exact dup, nothing appended
     assert store.ingest_batch(df, "historical_intraday") == 0
     assert store.read_all("historical_intraday").count() == 4
+
+
+def test_json_lines_source_ingests(spark, tmp_path):
+    """Format breadth: a JSON-lines feed (the wire shape REST providers
+    emit) reads with an explicit schema — no inference job — and flows
+    through the same ingest path as parquet batches."""
+    import json
+
+    from stock_ops_spark import schemas as S
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    rows = [
+        {"ticker": "AAA", "timestamp_UTC_s": 1751463000 + i, "open": 1.0,
+         "high": 2.0, "low": 0.5, "close": 1.5, "volume": 10, "interval": "1h"}
+        for i in range(5)
+    ]
+    src = tmp_path / "feed.jsonl"
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+
+    batch = spark.read.schema(S.HISTORICAL_INTRADAY).json(str(src))
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    assert store.ingest_batch(batch, "historical_intraday") == 5
+    # re-sending the same JSON batch is fully deduplicated
+    batch2 = spark.read.schema(S.HISTORICAL_INTRADAY).json(str(src))
+    assert store.ingest_batch(batch2, "historical_intraday") == 0

@@ -4399,3 +4399,79 @@ def q109_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_filled"),
     )
+
+
+@_register(
+    "q110_variant_props",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                                  AS n_rows,
+           CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT)   AS sum_k,
+           CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT)   AS max_k,
+           CAST(count(DISTINCT json_extract(props, '$.k')::BIGINT) AS BIGINT)
+                                                                     AS distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q110_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: the props
+    JSON is parsed ONCE into the binary variant encoding, then every
+    field access is a cheap shredded lookup (variant_get) — the scale
+    answer to N× get_json_object re-parses (q35 is the string-path
+    twin).  At rest a variant column also shreds into parquet columns,
+    so these extractions become plain columnar reads."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.countDistinct("k").cast("bigint").alias("distinct_k"),
+        )
+    )
+
+
+@_register(
+    "q111_udtf_chunks",
+    """
+    WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+    idx AS (
+      SELECT d.doc_id, d.n,
+             unnest(range(0, CAST(ceil(n / 100.0) AS BIGINT))) AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT)                    AS chunk_idx,
+           CAST(least(100, n - chunk_idx * 100) AS BIGINT) AS chunk_len
+    FROM idx
+    """,
+)
+def q111_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking through a PYTHON UDTF (Spark 4 user-defined
+    table function, Arrow-batched): one input row lateral-joins to N
+    chunk rows — the registry-surface twin of the pure-SQL chunker
+    (q60).  UDTFs are the escape hatch for 1→N transforms whose logic
+    outgrows sequence()/explode(); this one is deliberately simple so
+    the oracle can replay it arithmetically."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_len bigint")
+    class ChunkText:
+        def eval(self, text: str):
+            n = len(text)
+            idx = 0
+            while idx * 100 < n:
+                yield idx, min(100, n - idx * 100)
+                idx += 1
+
+    spark.udtf.register("chunk_text_q111", ChunkText)
+    d = _t(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("docs_q111")
+    return spark.sql(
+        "SELECT doc_id, t.chunk_idx, t.chunk_len "
+        "FROM docs_q111, LATERAL chunk_text_q111(text) t"
+    )

@@ -4475,3 +4475,52 @@ def q111_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.chunk_idx, t.chunk_len "
         "FROM docs_q111, LATERAL chunk_text_q111(text) t"
     )
+
+
+@_register(
+    "q112_arrow_norm_stats",
+    """
+    WITH n AS (
+      SELECT label,
+             sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                 'sum')) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(nrm), 6)       AS avg_norm,
+           round(min(nrm), 6)       AS min_norm,
+           round(max(nrm), 6)       AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def q112_arrow_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm profile through ``mapInArrow`` — the zero-copy
+    Arrow batch API (no pandas conversion at all; columns arrive as
+    pyarrow arrays).  Completes the Python-crossing matrix: pandas_udf,
+    mapInPandas, applyInPandas(+State), cogroup, UDTF, and now raw
+    Arrow.  Numerics are float64 squares of the float32 values, summed
+    per vector — the same fold the oracle's list_aggregate runs."""
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            labels = batch.column("label")
+            embs = batch.column("embedding")
+            # flatten() honors any slice offset; .values would not
+            flat = np.asarray(embs.flatten(), dtype=np.float64)
+            mat = flat.reshape(len(embs), -1)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [labels, pa.array(nrm, type=pa.float64())], ["label", "nrm"]
+            )
+
+    e = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    n = e.mapInArrow(norms, schema="label int, nrm double")
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

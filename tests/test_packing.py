@@ -41,3 +41,37 @@ def test_exact_capacity_boundary_fits(spark):
     got = _pack(spark, rows, 512)
     assert got[("a", 2)] == (0, 256)  # cum == capacity exactly: fits
     assert got[("a", 3)] == (1, 0)
+
+
+def test_packing_invariants_property(spark):
+    """Property: greedy packing preserves order, never overfills a bin
+    with more than one item, assigns contiguous bin ids from 0, and the
+    offset always equals the running fill."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=40),
+        st.integers(min_value=100, max_value=600),
+    )
+    def check(sizes, capacity):
+        rows = [("s", i, sz) for i, sz in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "shard string, ord long, sz long")
+        out = sorted(
+            (r["ord"], r["bin_id"], r["offset"], r["sz"])
+            for r in pack_sequences(df, "shard", "ord", "sz", capacity=capacity).collect()
+        )
+        # replay reference greedy walk
+        bin_id, cum = 0, 0
+        for i, (ordv, b, off, sz) in enumerate(out):
+            assert ordv == i  # order preserved, nothing lost
+            if i > 0 and cum + sz > capacity:
+                bin_id, cum = bin_id + 1, 0
+            assert b == bin_id
+            assert off == cum
+            cum += sz
+            # a bin only exceeds capacity when it holds a single oversize item
+            if cum > capacity:
+                assert off == 0
+
+    check()

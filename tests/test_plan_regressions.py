@@ -121,3 +121,41 @@ def test_q77_codebook_broadcast(q):
 
 def test_q70_components_no_cartesian(q):
     assert not A.has_cartesian(q("q70_neardup_clusters"))
+
+
+def test_q94_is_shuffle_free(q):
+    """The repetition profile is a pure per-row projection — any shuffle
+    here means the explode+aggregate form regressed back in."""
+    df = q("q94_repetition_stats")
+    assert A.count_shuffles(df) == 0
+    assert not A.has_cartesian(df)
+
+
+def test_q103_q104_broadcast_scalar_threshold(q):
+    """Global-scalar thresholds join back as broadcasts; the per-key
+    aggregate is computed once (single agg exchange on the group key)."""
+    for name in ("q103_part_revenue_share", "q104_top_suppliers"):
+        df = q(name)
+        assert A.count_broadcast_joins(df) >= 1, name
+        assert not A.has_cartesian(df), name
+
+
+def test_q100_filtered_ann_topk_and_broadcast(q):
+    """Hybrid search: top-k never materializes a global sort, the query
+    vector and doc metadata ride broadcasts."""
+    df = q("q100_filtered_ann")
+    assert A.has_top_k(df)
+    assert A.count_broadcast_joins(df) >= 1
+    assert not A.has_cartesian(df)
+
+
+def test_q91_vwap_single_exchange(q):
+    df = q("q91_vwap_per_part")
+    assert A.count_shuffles(df) == 1
+
+
+def test_q109_resample_grid_broadcasts_day_spine(q):
+    """The calendar spine joins the key set via broadcast nested loop —
+    never a shuffled product against the fact table."""
+    df = q("q109_resample_ffill")
+    assert A.count_broadcast_joins(df) >= 1 or "BroadcastNestedLoopJoin" in A.plan_string(df)

@@ -91,8 +91,18 @@ def assign_versions(
     )
 
 
-def latest_version_view(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """O5 'current' view: the max-version row per key."""
+def latest_version_view(
+    df: DataFrame, key_cols: list[str], as_of: int | None = None
+) -> DataFrame:
+    """O5 'current' view: the max-version row per key.
+
+    ``as_of`` gives TIME TRAVEL on the append-only versioned log: the
+    current view as it stood when version ``as_of`` was the newest —
+    rows with version > as_of are simply filtered BEFORE the ranking
+    window, so a snapshot read costs exactly what the current read
+    costs (one pushed-down filter + the same single exchange)."""
+    if as_of is not None:
+        df = df.where(F.col("version") <= F.lit(as_of))
     w = Window.partitionBy(*key_cols).orderBy(F.col("version").desc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

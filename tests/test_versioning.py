@@ -118,3 +118,25 @@ def test_co_timestamped_trade_quote_both_stored(spark):
     # reference code yields {1,2}; we follow the code.
     assert len(co) == 2
     assert sorted(r.version for r in co) == [1, 2]
+
+
+def test_latest_version_view_as_of_snapshot(spark):
+    """Time travel on the versioned log: as_of=N reads the current view
+    as it stood when N was the newest version."""
+    from stock_ops_spark.operators.versioning import latest_version_view
+
+    rows = [
+        ("k1", 0, "a"), ("k1", 1, "b"), ("k1", 2, "c"),
+        ("k2", 0, "x"),
+        ("k3", 2, "z"),  # key born at version 2
+    ]
+    df = spark.createDataFrame(rows, "k string, version long, payload string")
+
+    now = {r["k"]: r["payload"] for r in latest_version_view(df, ["k"]).collect()}
+    assert now == {"k1": "c", "k2": "x", "k3": "z"}
+
+    then = {r["k"]: r["payload"] for r in latest_version_view(df, ["k"], as_of=1).collect()}
+    assert then == {"k1": "b", "k2": "x"}  # k3 did not exist yet
+
+    birth = {r["k"]: r["payload"] for r in latest_version_view(df, ["k"], as_of=0).collect()}
+    assert birth == {"k1": "a", "k2": "x"}

@@ -154,3 +154,79 @@ def vwap(df: DataFrame, group_cols: list[str], price: str, qty: str) -> DataFram
         F.sum(qty).alias("total_qty"),
         F.count(F.lit(1)).alias("n_trades"),
     )
+
+
+def bollinger_chunked(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    tiebreak: str,
+    bucket: Column,
+    n: int = 20,
+    width: float = 2.0,
+) -> DataFrame:
+    """Skew-hardened Bollinger: identical output to ``bollinger`` but the
+    window partitions on (key, bucket) instead of key alone, so ONE HOT
+    INSTRUMENT no longer serializes into one task — the scale hazard of
+    every per-key window (AQE cannot split a window partition).
+
+    Mechanics: each bucket's last ``n-1`` rows are replicated into the
+    NEXT non-empty bucket as carry-only history (they feed frames, they
+    are not re-emitted), buckets are sequenced per key by dense_rank over
+    the tiny distinct-bucket set, and the rolling frame runs inside
+    (key, bucket_seq).
+
+    Precondition: every (key, bucket) holds at least ``n-1`` rows —
+    frames never span more than two buckets.  Pick the bucket so this
+    holds by construction (a trading day vs an 8-tick band); with ticks
+    that sparse, the plain per-key window has no skew problem to solve.
+    """
+    b = df.withColumn("__b", bucket)
+    # per-key bucket sequence: the distinct-bucket set is tiny (days),
+    # so this window ranks a frame orders of magnitude smaller than df
+    seq = (
+        b.select(key, "__b")
+        .distinct()
+        .withColumn(
+            "__bseq",
+            F.dense_rank().over(Window.partitionBy(key).orderBy("__b")),
+        )
+    )
+    base = b.join(seq, [key, "__b"]).withColumn("__carry", F.lit(0))
+    tail_w = Window.partitionBy(key, "__bseq").orderBy(
+        F.col(ts).desc(), F.col(tiebreak).desc()
+    )
+    carry = (
+        base.withColumn("__rn", F.row_number().over(tail_w))
+        .where(F.col("__rn") <= n - 1)
+        .drop("__rn")
+        .withColumn("__bseq", F.col("__bseq") + 1)
+        .withColumn("__carry", F.lit(1))
+    )
+    unioned = base.unionByName(carry)
+    w = (
+        Window.partitionBy(key, "__bseq")
+        .orderBy(ts, tiebreak)
+        .rowsBetween(-(n - 1), 0)
+    )
+    mid = F.avg(value).over(w)
+    sd = F.stddev_samp(value).over(w)
+    out = unioned.withColumns(
+        {
+            "bb_mid": mid,
+            "bb_upper": mid + F.lit(width) * sd,
+            "bb_lower": mid - F.lit(width) * sd,
+            "n_in_frame": F.count(F.lit(1)).over(w),
+            "bb_breach": F.when(F.col(value) > mid + F.lit(width) * sd, F.lit(1))
+            .when(F.col(value) < mid - F.lit(width) * sd, F.lit(-1))
+            .otherwise(F.lit(0)),
+        }
+    )
+    # carried rows were history only; true frame size caps at n even
+    # when carry rows pad the partition head
+    return (
+        out.where(F.col("__carry") == 0)
+        .withColumn("n_in_frame", F.least(F.col("n_in_frame"), F.lit(n)))
+        .drop("__b", "__bseq", "__carry")
+    )

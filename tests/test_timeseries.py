@@ -115,3 +115,73 @@ def test_drawdown_single_exchange(spark):
     out = max_drawdown(df, "k", "ts", "v", "eid")
     # window partition and groupBy share the same key -> one exchange
     assert A.count_shuffles(out) == 1
+
+
+def test_bollinger_chunked_matches_plain(spark):
+    """The skew-hardened chunked form is numerically identical to the
+    per-key window when the bucket precondition holds."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.operators.timeseries import bollinger, bollinger_chunked
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("A", "B"):
+        for day in range(4):
+            for i in range(12):  # 12 ticks/day >= n-1 = 7
+                ts = base + dt.timedelta(days=day, minutes=i)
+                rows.append((k, ts, day * 100 + i, float((day * 31 + i * 7) % 50)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v double")
+
+    plain = bollinger(df, "k", "ts", "v", "eid", n=8, width=2.0)
+    chunk = bollinger_chunked(
+        df, "k", "ts", "v", "eid", bucket=F.to_date("ts"), n=8, width=2.0
+    )
+
+    def canon(out):
+        return sorted(
+            (
+                r["k"], r["eid"], r["n_in_frame"],
+                None if r["bb_mid"] is None else round(r["bb_mid"], 9),
+                None if r["bb_upper"] is None else round(r["bb_upper"], 9),
+                r["bb_breach"],
+            )
+            for r in out.collect()
+        )
+
+    assert canon(plain) == canon(chunk)
+
+
+def test_bollinger_chunked_no_key_wide_partition(spark):
+    """Plan shape: no window partitions on the bare key — every window
+    (bucket sequencing included) carries a second partition column, so a
+    hot key cannot serialize into one task."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.operators.timeseries import bollinger_chunked
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("A", base + dt.timedelta(days=d, minutes=i), d * 100 + i, 1.0 * i)
+        for d in range(3)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v double")
+    out = bollinger_chunked(df, "k", "ts", "v", "eid", bucket=F.to_date("ts"), n=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    # every window over TICK data must partition on (key, bucket-seq);
+    # bare-key partitioning is allowed only for the dense_rank bucket
+    # sequencer, which windows over the tiny distinct-bucket set
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    tick_lines = [l for l in win_lines if "dense_rank" not in l]
+    assert tick_lines, "expected tick window operators in plan"
+    for line in tick_lines:
+        m = re.search(r"\], \[([^\]]+)\], \[", line)
+        assert m, line
+        assert "__bseq" in m.group(1), line

@@ -78,15 +78,13 @@ def minhash_signatures(
     return exploded.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_stack(
     signatures: DataFrame, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
-    """(id_a, id_b) candidate pairs (id_a < id_b) from banded LSH.
-
-    Each band's r = k/bands signature values hash to one bucket key; the
-    pair generation is a self equi-join on (band, bucket) — the shuffle key
-    spreads uniformly, and AQE's skew handling covers pathological buckets.
-    """
+    """(id, band, bucket) rows: each band's r = k/bands signature values
+    hash to one bucket key.  This stacked form is both the self-join key
+    set for offline pair generation and the persisted probe index for
+    ONLINE (at-ingest) near-dup flagging (streaming/dedup.py)."""
     r = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{band * r + i}") for i in range(r)]).alias(
@@ -95,7 +93,7 @@ def lsh_candidate_pairs(
         for band in range(bands)
     ]
     banded = signatures.select("id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "id",
         F.explode(
             F.array(
@@ -106,6 +104,18 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs (id_a < id_b) from banded LSH.
+
+    The pair generation is a self equi-join on (band, bucket) — the
+    shuffle key spreads uniformly, and AQE's skew handling covers
+    pathological buckets.
+    """
+    stacked = band_stack(signatures, num_hashes, bands)
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (

@@ -1,0 +1,72 @@
+"""Online near-dup flagging: a persisted LSH band index probed by each
+arriving batch (streaming/dedup.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_ops_spark.streaming.dedup import StreamingNearDupIndex
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+DOC_B = "completely different text about spark window aggregation semantics"
+DOC_C = "yet another unrelated document concerning parquet row group statistics"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    return StreamingNearDupIndex(spark, str(tmp_path / "lsh"), threshold=0.5)
+
+
+def test_first_batch_never_flags(spark, index):
+    assert index.process_batch(_df(spark, [(1, DOC_A), (2, DOC_B)])) == 0
+    assert index.flags() is None
+
+
+def test_cross_batch_near_dup_is_flagged(spark, index):
+    index.process_batch(_df(spark, [(1, DOC_A), (2, DOC_B)]))
+    n = index.process_batch(_df(spark, [(3, DOC_A_NEAR), (4, DOC_C)]))
+    assert n == 1
+    flags = {(r["new_id"], r["matched_id"]) for r in index.flags().collect()}
+    assert flags == {(3, 1)}
+    est = index.flags().collect()[0]["est_jaccard"]
+    assert est >= 0.5  # heavy shingle overlap -> high estimator value
+
+
+def test_unrelated_batches_accumulate_without_flags(spark, index):
+    index.process_batch(_df(spark, [(1, DOC_A)]))
+    assert index.process_batch(_df(spark, [(2, DOC_B)])) == 0
+    assert index.process_batch(_df(spark, [(3, DOC_C)])) == 0
+    assert index.flags() is None
+
+
+def test_streaming_foreachbatch_wiring(spark, index, tmp_path):
+    """The same index object rides foreachBatch: two files drained as
+    two ordered micro-batches; the near-dup in the second batch flags
+    against the first batch's index entries."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    _df(spark, [(1, DOC_A), (2, DOC_B)]).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    _df(spark, [(3, DOC_A_NEAR)]).coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _id: index.process_batch(df))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    flags = {(r["new_id"], r["matched_id"]) for r in index.flags().collect()}
+    assert (3, 1) in flags

@@ -230,3 +230,52 @@ def bollinger_chunked(
         .withColumn("n_in_frame", F.least(F.col("n_in_frame"), F.lit(n)))
         .drop("__b", "__bseq", "__carry")
     )
+
+
+def max_drawdown_chunked(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    tiebreak: str,
+    bucket: Column,
+) -> DataFrame:
+    """Skew-hardened max drawdown: the UNBOUNDED running peak decomposes
+    as a two-level parallel prefix — within-bucket running max plus an
+    exclusive prefix-max over per-bucket maxima — so no window ever
+    partitions on the bare key (``bollinger_chunked``'s hazard note).
+
+    The cross-bucket pass windows the per-(key, bucket) summary frame —
+    thousands of rows where the tick frame has billions — and unlike the
+    frame-carry trick this decomposition is EXACT with no density
+    precondition: a running max is associative, so bucket summaries
+    compose losslessly.
+    """
+    b = df.withColumn("__b", bucket)
+    within_w = (
+        Window.partitionBy(key, "__b")
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.withColumn("__run", F.max(value).over(within_w))
+    bmax = b.groupBy(key, "__b").agg(F.max(value).alias("__bmax"))
+    prior_w = (
+        Window.partitionBy(key)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = bmax.withColumn("__prior", F.max("__bmax").over(prior_w)).select(
+        key, "__b", "__prior"
+    )
+    joined = within.join(prior, [key, "__b"])
+    peak = F.greatest(F.col("__run"), F.coalesce(F.col("__prior"), F.col("__run")))
+    dd = F.when(peak != 0, (peak - F.col(value)) / peak).otherwise(F.lit(0.0))
+    return (
+        joined.select(F.col(key), dd.alias("dd"), F.col(value).alias("v"))
+        .groupBy(key)
+        .agg(
+            F.max("dd").alias("max_drawdown"),
+            F.max("v").alias("peak_value"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

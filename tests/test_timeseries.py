@@ -185,3 +185,62 @@ def test_bollinger_chunked_no_key_wide_partition(spark):
         m = re.search(r"\], \[([^\]]+)\], \[", line)
         assert m, line
         assert "__bseq" in m.group(1), line
+
+
+def test_max_drawdown_chunked_matches_plain(spark):
+    """The two-level prefix-max decomposition is exact — no density
+    precondition — so results equal the per-key form on any fixture,
+    including buckets with a single row and empty gap days."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.operators.timeseries import max_drawdown, max_drawdown_chunked
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    prices = [10, 8, 12, 6, 9, 15, 3, 3, 20, 1]
+    for k in ("A", "B"):
+        for i, p in enumerate(prices):
+            # sparse, irregular buckets: day jumps of 0-3
+            day = (i * 7) % 11
+            rows.append((k, base + dt.timedelta(days=day, minutes=i), i, float(p)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v double")
+
+    plain = {
+        r["k"]: (r["max_drawdown"], r["peak_value"], r["n_ticks"])
+        for r in max_drawdown(df, "k", "ts", "v", "eid").collect()
+    }
+    chunk = {
+        r["k"]: (r["max_drawdown"], r["peak_value"], r["n_ticks"])
+        for r in max_drawdown_chunked(
+            df, "k", "ts", "v", "eid", bucket=F.to_date("ts")
+        ).collect()
+    }
+    assert plain == chunk
+
+
+def test_max_drawdown_chunked_no_bare_key_tick_window(spark):
+    import datetime as dt
+    import re
+
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.operators.timeseries import max_drawdown_chunked
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("A", base + dt.timedelta(days=d, minutes=i), d * 10 + i, 1.0 * i)
+            for d in range(3) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v double")
+    out = max_drawdown_chunked(df, "k", "ts", "v", "eid", bucket=F.to_date("ts"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the only bare-key window is the per-bucket-summary prefix pass
+    # (ordered by __b); tick windows all carry __b in the partition spec
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        m = re.search(r"\], \[([^\]]+)\], \[([^\]]+)\]", line)
+        assert m, line
+        part, order = m.group(1), m.group(2)
+        if "__b" not in part:
+            assert "__b" in order, line  # summary-frame pass, not ticks

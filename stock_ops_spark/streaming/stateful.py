@@ -200,3 +200,68 @@ def streaming_sessions(events: DataFrame, watermark: str = "1 hour") -> DataFram
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: the exact recurrence as keyed state
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("ticker", StringType(), False),
+        StructField("ewma", DoubleType(), True),
+        StructField("n_ticks", LongType(), True),
+    ]
+)
+
+EWMA_STATE = StructType(
+    [
+        StructField("ewma", DoubleType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def make_ewma_fn(alpha: float):
+    """Stateful EWMA update: s ← α·x + (1-α)·s, seeded by the first tick.
+
+    The batch operator deliberately uses the BOUNDED-lag form
+    (operators/timeseries.py:ewma_bounded) because the infinite-memory
+    recurrence is a sequential scan over history; in streaming the
+    recurrence is natural — history is already folded into one scalar of
+    state, and each micro-batch folds its (time-ordered) ticks on top.
+    """
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        ewma, n = state.get if state.exists else (None, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            allpdf = pd.concat(frames).sort_values(
+                ["ts", "tiebreak"], kind="mergesort"
+            )
+            for x in allpdf["value"]:
+                ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
+            n += len(allpdf)
+        state.update((ewma, n))
+        yield pd.DataFrame({"ticker": [key[0]], "ewma": [ewma], "n_ticks": [n]})
+
+    return fn
+
+
+def running_ewma(ticks: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Per-ticker exact-recurrence EWMA over a stream: emits the updated
+    value every micro-batch; state is one scalar per key (bounded
+    regardless of stream length), checkpoint-durable."""
+    return (
+        ticks.select("ticker", "ts", "tiebreak", "value")
+        .groupBy("ticker")
+        .applyInPandasWithState(
+            make_ewma_fn(alpha),
+            outputStructType=EWMA_OUTPUT,
+            stateStructType=EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

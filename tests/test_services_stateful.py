@@ -303,3 +303,52 @@ def test_streaming_sessions_late_event_forms_earlier_session(spark, tmp_path):
     # two distinct closed sessions: the late singleton at t0 and the
     # original at t0+50min — neither merged, starts intact
     assert rows == [(t0, t0, 1, 2.0), (t0 + 3_000_000, t0 + 3_000_000, 1, 1.0)]
+
+
+def test_running_ewma_across_micro_batches(spark, tmp_path):
+    """The exact EWMA recurrence folds per micro-batch in keyed state:
+    after draining two ordered batches the value equals the hand-computed
+    sequential fold over the full series."""
+    from stock_ops_spark.streaming.stateful import running_ewma
+
+    b0 = spark.createDataFrame(
+        [("AAA", 1, 1, 10.0), ("AAA", 2, 2, 20.0)],
+        "ticker string, ts long, tiebreak long, value double",
+    )
+    b1 = spark.createDataFrame(
+        [("AAA", 3, 3, 30.0), ("BBB", 1, 1, 7.0)],
+        "ticker string, ts long, tiebreak long, value double",
+    )
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    b0.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("ticker string, ts long, tiebreak long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    name = "ewma_sink_test"
+    q = (
+        running_ewma(stream, alpha=0.5)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    # latest emission per key (update mode re-emits per batch)
+    rows = spark.table(name).collect()
+    latest = {}
+    for r in rows:
+        latest[r["ticker"]] = (r["ewma"], r["n_ticks"]) if (
+            r["ticker"] not in latest or r["n_ticks"] > latest[r["ticker"]][1]
+        ) else latest[r["ticker"]]
+    # AAA: s0=10; s1=.5*20+.5*10=15; s2=.5*30+.5*15=22.5
+    assert latest["AAA"] == (22.5, 3)
+    assert latest["BBB"] == (7.0, 1)

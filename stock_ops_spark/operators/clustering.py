@@ -1,0 +1,159 @@
+"""Embedding clustering — the learned-partition layer under semantic
+dedup (SemDeDup, Abbas et al. 2023) and diversity sampling.
+
+``kmeans_fit`` is Lloyd's algorithm expressed Spark-first:
+
+- **assignment is a map-side codegen expression** — the k centroids are
+  tiny driver-side lists, so each point's nearest centroid is an
+  ``array_min`` over k inline ``struct(distance, cid)`` expressions: no
+  join, no shuffle, no Python.  On a 1000-executor cluster this is one
+  scan of the corpus per iteration.
+- **recompute is one k-row shuffle** — per-dimension sums are separate
+  aggregate columns (``sum(embedding[i])``), so partial aggregation
+  combines map-side and the exchange carries k rows of dim+2 doubles,
+  not an exploded (row × dim) stream.
+- **centroids are quantized between iterations** (``F.round`` at 6 dp,
+  HALF_UP — the same decimal the oracle's ``round()`` produces) so the
+  only order-dependent float arithmetic (the mean) is snapped to a
+  decimal grid before it feeds the next assignment; every comparison
+  both engines make is over identical doubles.
+- empty clusters keep their previous centroid (both engines).
+
+Reference parity: the reference has no clustering operator — this is
+part of the training-data-pipeline extension surface (SURVEY §6), the
+scale path that makes q36-style within-cluster dedup work when no
+ground-truth ``label`` exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _l2sq_to_literal(vec_col: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid, accumulated in double,
+    dims folded in order (matches the oracle's in-order list_sum)."""
+    cvec = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, cvec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``cid`` (nearest centroid, distance then cid tiebreak) and
+    ``dist_sq``.  Pure map-side expression — no shuffle, no join."""
+    candidates = F.array(
+        *[
+            F.struct(
+                _l2sq_to_literal(F.col(vec_col), c).alias("dist_sq"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(candidates)
+    return df.withColumn("_best", best).withColumn(
+        "cid", F.col("_best.cid")
+    ).withColumn("dist_sq", F.col("_best.dist_sq")).drop("_best")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Lloyd's k-means; returns the final centroids (k × dim doubles).
+
+    Init = the k lowest-``id_col`` vectors (deterministic, matches the
+    oracle's ``ORDER BY vec_id LIMIT k``).  Each iteration collects
+    exactly k rows (the rounded per-dimension means) to the driver —
+    the centroid set is the broadcast state of the algorithm, never the
+    data."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assigned = assign_clusters(df, cents, vec_col=vec_col)
+        sums = assigned.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[
+                F.round(
+                    F.sum(F.get(F.col(vec_col), i).cast("double")) / F.count("*"), 6
+                ).alias(f"m{i}")
+                for i in range(dim)
+            ],
+        )
+        new = {
+            r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in sums.collect()
+        }
+        cents = [new.get(c, cents[c]) for c in range(k)]
+    return cents
+
+
+def kmeans_oracle_cte(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB CTE chain replaying the identical Lloyd iterations over the
+    ``embeddings`` view; terminal CTE ``assign`` has (vec_id, cid,
+    dist_sq) against the final centroids.  Shared by every query whose
+    oracle needs the learned clustering."""
+    parts = [
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    mean_cols = ", ".join(
+        f"round(avg(e.embedding[{i + 1}]::DOUBLE), 6) AS m{i}" for i in range(dim)
+    )
+    mean_list = "[" + ", ".join(f"m{i}" for i in range(dim)) + "]"
+    for it in range(iters):
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, cid, dist_sq FROM (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, {dim + 1}),
+                 i -> (e.embedding[i]::DOUBLE - c.cvec[i]) * (e.embedding[i]::DOUBLE - c.cvec[i]))) AS dist_sq,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (e.embedding[i]::DOUBLE - c.cvec[i]) * (e.embedding[i]::DOUBLE - c.cvec[i]))), c.cid) AS rn
+        FROM embeddings e CROSS JOIN c{it} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c{it + 1} AS (
+      SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
+      FROM c{it} p LEFT JOIN (
+        SELECT a.cid, {mean_list} AS cvec FROM (
+          SELECT a.cid, {mean_cols}
+          FROM a{it} a JOIN embeddings e USING (vec_id)
+          GROUP BY a.cid
+        ) a
+      ) n USING (cid)
+    )"""
+        )
+    parts.append(
+        f"""assign AS (
+      SELECT vec_id, cid, dist_sq FROM (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, {dim + 1}),
+                 i -> (e.embedding[i]::DOUBLE - c.cvec[i]) * (e.embedding[i]::DOUBLE - c.cvec[i]))) AS dist_sq,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (e.embedding[i]::DOUBLE - c.cvec[i]) * (e.embedding[i]::DOUBLE - c.cvec[i]))), c.cid) AS rn
+        FROM embeddings e CROSS JOIN c{iters} c
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)

@@ -4524,3 +4524,307 @@ def q112_arrow_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned clustering + semantic dedup (SemDeDup) — extension surface
+# ---------------------------------------------------------------------------
+
+_KMEANS_MEMO: dict[tuple, list] = {}
+
+
+def _kmeans_cents(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3):
+    """Fit-once-per-(sf_dir,k,iters) memo for the Lloyd centroids: the
+    centroid list is tiny driver state (k x 64 doubles) shared by every
+    query that composes over the learned clustering."""
+    key = (sf_dir, k, iters)
+    if key not in _KMEANS_MEMO:
+        from stock_ops_spark.operators.clustering import kmeans_fit
+
+        _KMEANS_MEMO[key] = kmeans_fit(
+            _t(spark, sf_dir, "embeddings"), k=k, iters=iters, dim=64
+        )
+    return _KMEANS_MEMO[key]
+
+
+def _kmeans_cte() -> str:
+    from stock_ops_spark.operators.clustering import kmeans_oracle_cte
+
+    return kmeans_oracle_cte(k=8, iters=3, dim=64)
+
+
+@_register(
+    "q113_kmeans_clusters",
+    f"""
+    WITH {_kmeans_cte()},
+    med AS (
+      SELECT cid, vec_id FROM (
+        SELECT cid, vec_id,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY round(sqrt(dist_sq), 6), vec_id) AS rn
+        FROM assign
+      ) WHERE rn = 1
+    )
+    SELECT CAST(a.cid AS BIGINT)            AS cid,
+           CAST(count(*) AS BIGINT)         AS n_points,
+           CAST(any_value(m.vec_id) AS BIGINT) AS medoid,
+           round(avg(sqrt(a.dist_sq)), 6)   AS mean_dist,
+           round(max(sqrt(a.dist_sq)), 6)   AS max_dist
+    FROM assign a JOIN med m USING (cid)
+    GROUP BY a.cid
+    """,
+)
+def q113_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 3 Lloyd iterations) over the embedding corpus — the
+    learned-partition layer under semantic dedup and diversity sampling
+    (operators/clustering.py).  Assignment is a map-side ``array_min``
+    over k inline distance expressions (no join, no shuffle); recompute
+    is one k-row shuffle of per-dimension partial sums; centroids are
+    6-dp-quantized between iterations so both engines iterate over
+    identical doubles.  The oracle replays the identical unrolled
+    iterations as a CTE chain.  Output: per-cluster size, medoid
+    (nearest-to-centroid, rounded-distance then id tiebreak), mean/max
+    point-to-centroid distance."""
+    from stock_ops_spark.operators.clustering import assign_clusters
+
+    cents = _kmeans_cents(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    a = assign_clusters(e, cents)
+    d = F.sqrt(F.col("dist_sq"))
+    return (
+        a.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min(
+                F.struct(F.round(d, 6).alias("d"), F.col("vec_id").alias("v"))
+            ).alias("_m"),
+            F.round(F.avg(d), 6).alias("mean_dist"),
+            F.round(F.max(d), 6).alias("max_dist"),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            "n_points",
+            F.col("_m.v").cast("bigint").alias("medoid"),
+            "mean_dist",
+            "max_dist",
+        )
+    )
+
+
+@_register(
+    "q114_semdedup",
+    f"""
+    WITH {_kmeans_cte()},
+    mem AS (
+      SELECT a.vec_id, a.cid, e.embedding
+      FROM assign a JOIN embeddings e USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT y.vec_id, y.cid
+      FROM mem x JOIN mem y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
+    ),
+    c AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
+    d AS (SELECT cid, count(*) AS nd FROM dropped GROUP BY cid)
+    SELECT CAST(c.cid AS BIGINT)                    AS cid,
+           CAST(c.n AS BIGINT)                      AS n_points,
+           CAST(coalesce(d.nd, 0) AS BIGINT)        AS n_dropped,
+           CAST(c.n - coalesce(d.nd, 0) AS BIGINT)  AS n_kept
+    FROM c LEFT JOIN d USING (cid)
+    """,
+)
+def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) on LEARNED clusters: k-means cells
+    replace q36's ground-truth label as the blocking key — the shape a
+    real corpus (no labels) actually runs.  Within each cell, any vector
+    with a lower-id neighbor at cosine >= 0.4 is dropped (greedy keep-
+    lowest-id, deterministic).  The pair stage routes through
+    grid_self_pairs so a skew-hot cell never serializes into one
+    quadratic task; per-row norms are staged once so each pair costs a
+    single dot-product fold."""
+    from stock_ops_spark.operators.clustering import assign_clusters
+    from stock_ops_spark.operators.similarity import grid_self_pairs
+
+    cents = _kmeans_cents(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    a = assign_clusters(e, cents).select(
+        "vec_id", "cid", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    pairs = grid_self_pairs(a, ["cid"], id_col="vec_id", grid=4)
+    sim = V.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dropped = (
+        pairs.where(sim >= 0.4)
+        .select(F.col("cid"), F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.join(dropped, "cid", "left")
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("n").cast("bigint").alias("n_points"),
+            F.coalesce(F.col("nd"), F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n") - F.coalesce(F.col("nd"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+@_register(
+    "q115_temperature_sampling",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS nmin FROM c),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN c USING (lang) CROSS JOIN m
+      WHERE ((d.doc_id * 2654435761) % 1000000)
+          * ((d.doc_id * 2654435761) % 1000000) * c.n
+          < m.nmin * 1000000000000
+    )
+    SELECT c.lang,
+           CAST(c.n AS BIGINT)                       AS n_docs,
+           CAST(coalesce(k.nk, 0) AS BIGINT)         AS n_kept,
+           round(sqrt(m.nmin::DOUBLE / c.n), 6)      AS target_rate
+    FROM c CROSS JOIN m
+    LEFT JOIN (SELECT lang, count(*) AS nk FROM kept GROUP BY lang) k USING (lang)
+    """,
+)
+def q115_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing temperature sampling (alpha=0.5, the CCNet /
+    multilingual-corpus convention): each language is downsampled toward
+    the rarest language at rate sqrt(n_min/n_lang).  The keep decision is
+    EXACT INTEGER arithmetic — u = (doc_id*2654435761) mod 1e6 kept iff
+    u^2 * n_lang < n_min * 1e12 (the squared form of u/1e6 <
+    sqrt(n_min/n_lang)) — zero floats in the cut, bit-identical across
+    engines, reproducible across runs, pushed to the scan as a cheap
+    predicate.  The per-language counts are a 5-row broadcast; n_lang *
+    1e12 bounds the arithmetic to int64 up to ~9M docs per language
+    (salt the modulus wider past that)."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("nmin"))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000000))
+    kept = (
+        d.join(F.broadcast(c), "lang")
+        .join(F.broadcast(m))
+        .where(u * u * F.col("n") < F.col("nmin") * F.lit(1000000000000))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nk"))
+    )
+    return (
+        c.join(F.broadcast(m))
+        .join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("nk"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sqrt(F.col("nmin").cast("double") / F.col("n")), 6
+            ).alias("target_rate"),
+        )
+    )
+
+
+@_register(
+    "q116_supplier_rank_profile",
+    """
+    SELECT s_suppkey,
+           n_name,
+           round(s_acctbal, 2)                       AS acctbal,
+           round(percent_rank() OVER w, 6)           AS pct_rank,
+           round(cume_dist() OVER w, 6)              AS cum_dist,
+           round(nth_value(s_acctbal, 2) OVER
+                 (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+                                                     AS second_best
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def q116_supplier_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-statistic window breadth — percent_rank, cume_dist, and
+    nth_value over a full-partition frame — per-nation supplier account
+    standings.  One window partition (nation) serves all three
+    statistics: a single sort, a single exchange; the nation dim is a
+    broadcast.  Deterministic under ties via the s_suppkey tiebreak."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+            F.round(F.nth_value("s_acctbal", 2).over(wf), 2).alias("second_best"),
+        )
+    )
+
+
+@_register(
+    "q117_signup_conversion_window",
+    """
+    SELECT s.event_id                       AS signup_id,
+           s.user_id,
+           CAST(count(p.event_id) AS BIGINT) AS n_purchases_1h,
+           round(coalesce(sum(p.value), 0), 2) AS purchase_value_1h
+    FROM events s
+    LEFT JOIN events p
+      ON p.event_type = 'purchase'
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def q117_signup_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: global purchase activity in the hour after each
+    signup.  A naive theta-join (p.ts BETWEEN ...) is a cartesian on a
+    cluster; here each signup is exploded to its two covering hour
+    buckets and the join is EQUI on the bucket — shuffle-partitionable,
+    skew-bounded (each task sees one hour of each side), with the exact
+    interval predicate applied after the bucket match.  LEFT join keeps
+    zero-conversion signups."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) DIV 3600000000")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("b"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+        F.col("ts").alias("p_ts"),
+        bucket.alias("b"),
+    )
+    hits = s.join(p, "b").where(
+        (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    # bucket-exploded signups hit the same purchase at most once (the two
+    # buckets cover disjoint purchase sets), so a plain re-aggregate on
+    # the signup key restores exact per-signup counts
+    agg = hits.groupBy("signup_id", "user_id").agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("p_value").alias("sv")
+    )
+    base = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id"
+    )
+    return base.join(agg, ["signup_id", "user_id"], "left").select(
+        "signup_id",
+        "user_id",
+        F.coalesce(F.col("nh"), F.lit(0)).cast("bigint").alias("n_purchases_1h"),
+        F.round(F.coalesce(F.col("sv"), F.lit(0.0)), 2).alias("purchase_value_1h"),
+    )

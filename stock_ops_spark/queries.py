@@ -2874,7 +2874,16 @@ def q79_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ≤ 3 — the catalog-reconciliation shape.  Brand equi-join
     blocks the candidate space (never an unblocked product); levenshtein
     runs JVM-side on the blocked pairs only.  For a skew-hot brand the
-    same grid_self_pairs decomposition as q36 applies."""
+    same grid_self_pairs decomposition as q36 applies.
+
+    Measured negative results worth keeping (sf0.1, 8M blocked pairs):
+    length-band join keys prune only 3% (name lengths are homogeneous);
+    a char-frequency L1 prefilter (ed >= L1/2) loses outright — as an
+    array HOF it is 4x slower than just running levenshtein, and even
+    bit-packed into two longs of 6-bit counts (codegen'd shift/mask
+    arithmetic) it still adds more than the bounded-DP levenshtein
+    (O(n·k), ~0.5 us/pair at n~13) saves.  The plain blocked form IS the
+    optimum here; prefilters only pay at much longer strings."""
     p = _t(spark, sf_dir, "part").select("p_brand", "p_partkey", "p_name")
     a = p.select(
         "p_brand", F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
@@ -3820,10 +3829,12 @@ def q97_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q98_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q14 as-of join through the COGROUPED-pandas path
     (operators/asof.py:asof_cogroup_nearest): both sides co-partitioned
-    on user_id, each key's Arrow batch pair merged with vectorized
-    searchsorted.  Same semantics, same oracle — this entry exists to
-    keep the per-group-imperative escape hatch (validity windows,
-    per-key tolerances) exercised end-to-end against the window form."""
+    on hash-buckets of user_id, each bucket's Arrow batch pair merged
+    with a group-aware vectorized merge_asof — the Python boundary is
+    crossed per bucket, not per key.  Same semantics, same oracle — this
+    entry exists to keep the per-group-imperative escape hatch (validity
+    windows, per-key tolerances) exercised end-to-end against the window
+    form."""
     from stock_ops_spark.operators.asof import asof_cogroup_nearest
 
     ev = _t(spark, sf_dir, "events")

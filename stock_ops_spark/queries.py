@@ -4839,3 +4839,224 @@ def q117_signup_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce(F.col("nh"), F.lit(0)).cast("bigint").alias("n_purchases_1h"),
         F.round(F.coalesce(F.col("sv"), F.lit(0.0)), 2).alias("purchase_value_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation shapes (Q2 / Q21 / Q22 analogs on available columns)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q118_cheapest_supplier_per_part",
+    """
+    WITH unit AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS u
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (SELECT partkey, min(u) AS bu FROM unit GROUP BY 1)
+    SELECT u.partkey,
+           CAST(min(u.suppkey) AS BIGINT)  AS suppkey,
+           round(min(b.bu), 6)             AS best_unit_price
+    FROM unit u JOIN best b ON u.partkey = b.partkey AND u.u = b.bu
+    GROUP BY u.partkey
+    """,
+)
+def q118_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (groupwise-min + join-back, decorrelated): the
+    supplier offering each part's minimum unit price.  The correlated
+    ``WHERE cost = (SELECT min ...)`` becomes aggregate → equi-join —
+    the Spark-idiomatic decorrelation (both aggregates partial-combine
+    map-side; one shuffle each on the same key, reused).  Unit price
+    uses MIN (order-independent, bit-exact across engines) rather than a
+    float sum, so the join-on-double equality is deterministic; ties on
+    price resolve to the lowest suppkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("u"))
+    )
+    best = unit.groupBy("partkey").agg(F.min("u").alias("bu"))
+    return (
+        unit.join(best, "partkey")
+        .where(F.col("u") == F.col("bu"))
+        .groupBy("partkey")
+        .agg(
+            F.min("suppkey").cast("bigint").alias("suppkey"),
+            F.round(F.min("bu"), 6).alias("best_unit_price"),
+        )
+    )
+
+
+@_register(
+    "q119_sole_late_supplier",
+    """
+    WITH f AS (
+      SELECT l.l_orderkey AS orderkey, l.l_suppkey AS suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT orderkey, count(*) AS nsupp, sum(late) AS nlate
+      FROM f GROUP BY 1
+    )
+    SELECT f.suppkey, s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM f JOIN agg USING (orderkey)
+           JOIN supplier s ON s.s_suppkey = f.suppkey
+    WHERE f.late = 1 AND agg.nsupp > 1 AND agg.nlate = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, f.suppkey
+    LIMIT 25
+    """,
+)
+def q119_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
+    multi-supplier orders (late = shipped >90 days after order date).
+    The classic EXISTS (another supplier) / NOT EXISTS (another late
+    supplier) pair decorrelates into one per-(order, supplier) flag
+    aggregate and one per-order rollup — two shuffles on the order key
+    instead of two correlated probes, then a broadcast supplier-name
+    join and an integer-exact top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), 1
+    ).otherwise(0)
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.max(late).alias("late"))
+    )
+    agg = f.groupBy("orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate")
+    )
+    return (
+        f.join(agg, "orderkey")
+        .where((F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(s), f.suppkey == s.s_suppkey)
+        .groupBy("suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "suppkey")
+        .limit(25)
+    )
+
+
+@_register(
+    "q120_idle_rich_customers",
+    """
+    WITH ab AS (
+      SELECT avg(c_acctbal) AS threshold FROM customer
+      WHERE c_acctbal > 0
+        AND c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'BUILDING')
+    )
+    SELECT c.c_mktsegment                 AS segment,
+           CAST(count(*) AS BIGINT)       AS numcust,
+           round(sum(c.c_acctbal), 2)     AS totacctbal
+    FROM customer c CROSS JOIN ab
+    WHERE c.c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'BUILDING')
+      AND c.c_acctbal > ab.threshold
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY 1
+    """,
+)
+def q120_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in target
+    segments gone IDLE (no order since 2000 — every fixture customer has
+    ordered at least once, so the literal never-ordered cut is empty).
+    The scalar subquery is a 1-row broadcast (BroadcastNestedLoopJoin —
+    the right plan for a scalar, not a shuffle); the NOT EXISTS is a
+    left-anti join against the date-filtered orders (filter pushed below
+    the join, so the anti side scans one partition-prunable slice)."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "BUILDING")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    ab = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("threshold"))
+    return (
+        c.join(F.broadcast(ab))
+        .where(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@_register(
+    "q121_streaming_cluster_assign",
+    f"""
+    WITH {_kmeans_cte()}
+    SELECT CAST(cid AS BIGINT)      AS cid,
+           CAST(count(*) AS BIGINT) AS n_assigned
+    FROM assign GROUP BY cid
+    """,
+)
+def q121_streaming_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE scoring against a trained index: the embedding stream is
+    assigned to the batch-trained k-means centroids in flight — the
+    assignment is the same map-side array_min expression as q113 (no
+    state, no shuffle in the stream), counts aggregate at rest.
+    availableNow drains the replay in one batch so the result equals the
+    batch assignment — full SQL oracle over the identical unrolled
+    Lloyd CTE.  This is the serving half of the cluster lifecycle: fit
+    offline (q113), score every arriving vector online."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stock_ops_spark.catalog import table_path
+    from stock_ops_spark.operators.clustering import assign_clusters
+
+    cents = _kmeans_cents(spark, sf_dir)
+    name = f"sassign_{uuid.uuid4().hex[:8]}"
+    stream_dir = tempfile.mkdtemp(prefix="emb_stream_")
+    ckpt_dir = tempfile.mkdtemp(prefix="assign_ckpt_")
+    os.symlink(
+        table_path(sf_dir, "embeddings"), os.path.join(stream_dir, "embeddings.parquet")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        ).parquet(stream_dir)
+        scored = assign_clusters(stream, cents).select("vec_id", "cid")
+        q = (
+            scored.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_assigned"))
+        .select(F.col("cid").cast("bigint").alias("cid"), "n_assigned")
+    )

@@ -65,3 +65,15 @@ def has_cartesian(df: DataFrame) -> bool:
 
 def join_types(df: DataFrame) -> list[str]:
     return re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\w* \[[^\]]*\], \[[^\]]*\], (\w+)", plan_string(df))
+
+
+def has_broadcast_hint(df: DataFrame) -> bool:
+    """True when the ANALYZED plan carries an explicit broadcast hint.
+
+    AQE choosing broadcast on observed size is healthy; a hand-forced
+    hint on a data-dependent side is a scale hazard (the hinted side can
+    outgrow the driver).  Hints are eliminated by the optimizer, so this
+    must read the analyzed plan, not the executed one.
+    """
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return "ResolvedHint" in analyzed or "UnresolvedHint" in analyzed

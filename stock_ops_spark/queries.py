@@ -3173,8 +3173,11 @@ def q86_joint_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     q21 minhash-LSH pipeline) is scored against the documents' embedding
     cosine — agreement between independent modalities is the precision
     filter a production dedup pipeline applies before destructive
-    deletion.  The pair set is LSH-small, so the embedding joins
-    broadcast the pair list, never the embedding table."""
+    deletion.  The pair set is usually LSH-small and AQE will pick a
+    broadcast join on its actual runtime size; no forced hint — a
+    high-duplication corpus at 100 TB can make the pair set outgrow
+    any broadcast budget, and a forced hint would then OOM the driver
+    where AQE degrades gracefully to a shuffled join."""
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
     pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5).select(
@@ -3184,7 +3187,7 @@ def q86_joint_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
     cs = V.cosine(F.col("emb_a"), F.col("emb_b"))
     return (
-        F.broadcast(pairs)
+        pairs
         .join(ea, "id_a")
         .join(eb, "id_b")
         .select(

@@ -21,17 +21,37 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Streaming state-store providers.  The default (HDFS-backed) keeps all
+#: state on the executor heap with an HDFS snapshot — fine for bounded
+#: demo state, fatal when stream-stream join state reaches 100 TB-scale
+#: cardinalities.  RocksDB spills state off-heap to local disk with
+#: incremental checkpointing and is the survivable provider at scale.
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
+
 def get_spark(
     app_name: str = "stock_ops_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     Parameters are overridable for tests/bench; defaults come from env:
     ``SPARK_GRAFT_CPUS`` (local parallelism) is respected when no master is
-    given.
+    given.  ``state_store`` (or env ``SPARK_GRAFT_STATE_STORE``) selects the
+    streaming state-store provider: ``"rocksdb"`` for large-state
+    deployments, ``"hdfs"`` (Spark's default) otherwise.  The conf is a
+    runtime SQL conf read at stream start, so it also applies when the
+    session already exists.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -61,4 +81,18 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    if state_store is None:
+        state_store = os.environ.get("SPARK_GRAFT_STATE_STORE")
+    spark = builder.getOrCreate()
+    if state_store:
+        try:
+            provider = STATE_STORE_PROVIDERS[state_store.lower()]
+        except KeyError:
+            raise ValueError(
+                f"unknown state_store {state_store!r}; "
+                f"choose from {sorted(STATE_STORE_PROVIDERS)}"
+            ) from None
+        # runtime SQL conf, read when each streaming query starts — works on
+        # a pre-existing session too (getOrCreate ignores builder confs then)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    return spark

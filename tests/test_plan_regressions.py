@@ -154,6 +154,15 @@ def test_q91_vwap_single_exchange(q):
     assert A.count_shuffles(df) == 1
 
 
+def test_q86_no_forced_broadcast_on_pair_set(q):
+    """The near-dup pair set's size is data-dependent (grows with corpus
+    duplication) — broadcasting it must be AQE's runtime call, never a
+    hand-forced hint that would OOM on a high-duplication corpus."""
+    df = q("q86_joint_dedup_consensus")
+    assert not A.has_broadcast_hint(df)
+    assert not A.has_cartesian(df)
+
+
 def test_q109_resample_grid_broadcasts_day_spine(q):
     """The calendar spine joins the key set via broadcast nested loop —
     never a shuffled product against the fact table."""

@@ -60,6 +60,28 @@ def test_query_matches_oracle(spark, duck, name):
     assert canon(sp) == canon(du)
 
 
+def test_no_complex_output_columns(spark):
+    """Driver-canonicalizer guard: no queries() entry may emit an
+    Array/Map/Struct-typed column.  The driver hashes cell values; a
+    complex cell is exactly the class of output that crashed q44 in
+    round 1 (array percentiles) — the local canon() stringifies lists and
+    would NOT catch it, so pin it at the schema level for every query.
+    Schema-only: builds each plan, executes nothing."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, fn in sorted(E.queries().items()):
+        schema = fn(spark, SF).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex-typed output columns would break the driver: {bad}"
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()

@@ -34,25 +34,87 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize ``col`` to a plain ``TimestampType`` whatever the physical
+    encoding was.
+
+    At 100 TB you do not control your writers' parquet annotations; the
+    encodings this engine has actually met in the wild:
+
+    - ``TIMESTAMP(NANOS)`` read as long via ``nanosAsLong`` (old testdata)
+    - ``TIMESTAMP(MICROS)`` with no tz annotation → Spark 4.1 infers
+      ``TIMESTAMP_NTZ`` (current testdata)
+    - tz-tagged micros → already ``TimestampType``
+    - raw epoch integers in s/ms/µs/ns (provider payloads)
+
+    Downstream code sees exactly ONE type.  This is the Spark twin of the
+    reference's magnitude-based ``normalize_ts_to_seconds``
+    (reference ``src/stockops/data/utils.py:102-121``) — the reference
+    normalizes per value at the edge for the same reason.
+
+    Integer unit detection is per-row magnitude CASE (pure JVM codegen):
+    |v| ≥ 1e17 → nanos, ≥ 1e14 → micros, ≥ 1e11 → millis, else seconds
+    (epoch-2020 is 1.6e9 s / 1.6e12 ms / 1.6e15 µs / 1.6e18 ns, so the
+    bands are unambiguous for any date between 1973 and 5138).  Division
+    stays in long arithmetic — float division rounds for epoch-ns values
+    above 2^53, off-by-1µs vs the DuckDB oracle.
+    """
+    try:
+        dt = df.schema[col].dataType
+    except Exception:
+        return df
+    if isinstance(dt, T.TimestampType):
+        return df
+    c = F.col(col)
+    if isinstance(dt, T.TimestampNTZType):
+        # Session tz is pinned UTC (session.py), so this is a pure
+        # reinterpretation of the stored wall-clock as UTC — no shift.
+        return df.withColumn(col, F.to_timestamp(c))
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        micros = (
+            F.when(F.abs(c) >= F.lit(10**17), F.expr(f"`{col}` DIV 1000"))
+            .when(F.abs(c) >= F.lit(10**14), c)
+            .when(F.abs(c) >= F.lit(10**11), c * F.lit(1000))
+            .otherwise(c * F.lit(1_000_000))
+        )
+        return df.withColumn(col, F.timestamp_micros(micros))
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        # fractional epoch seconds (provider payloads) — micros precision
+        return df.withColumn(
+            col, F.timestamp_micros((c * F.lit(1_000_000)).cast("long"))
+        )
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Column pruning + predicate pushdown reach the scan
-    because we return the raw declarative reader output.
-
-    The driver testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS),
-    which Spark 4 rejects by default; we read nanos as long (runtime conf)
-    and rebuild a microsecond TimestampType column via integer division
-    (``ts DIV 1000`` stays in long arithmetic — float division rounds for
-    epoch-ns values above 2^53, off-by-1µs vs the DuckDB oracle).
+    because we return the raw declarative reader output; the only rewrite
+    is the ``ts`` read-boundary normalization (see ``normalize_ts``).
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # pragma: no cover - conf may be static on some builds
         pass
-    df = spark.read.parquet(table_path(sf_dir, name))
-    for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_ts(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str, stream_dir: str) -> DataFrame:
+    """``readStream`` twin of ``load``: a file streaming source requires an
+    explicit schema, so discover it from the actual parquet footer (never
+    hardcode — the round-3 regression was exactly a hardcoded ``ts long``
+    stream schema meeting micros data), then apply the same ``ts``
+    normalization as the batch path.
+
+    ``stream_dir`` is the directory the caller exposes the file(s) through
+    (file streaming sources take directories); schema discovery reads the
+    canonical table path.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover
+        pass
+    schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    return normalize_ts(spark.readStream.schema(schema).parquet(stream_dir))
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

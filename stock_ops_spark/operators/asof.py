@@ -19,6 +19,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _numeric_on(df: DataFrame, on: str):
+    """Return a Column→Column transform that maps the ``on`` column (and
+    window expressions derived from it) to a distance-comparable numeric.
+
+    Timestamp flavors (TIMESTAMP and TIMESTAMP_NTZ — parquet encoding
+    drift must not break the operator) go through
+    ``unix_micros(to_timestamp(c))``: ``to_timestamp`` is the identity on
+    TIMESTAMP and a UTC reinterpretation on NTZ under the pinned-UTC
+    session, and ``unix_micros`` keeps long arithmetic (a raw double cast
+    is illegal on NTZ and loses µs precision above 2^53 anyway).
+    Numerics pass through as double.
+    """
+    dt = df.schema[on].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return lambda c: F.unix_micros(F.to_timestamp(c))
+    return lambda c: c.cast("double")
 
 
 def asof_join_backward(
@@ -105,8 +124,9 @@ def asof_join_nearest(
         )
         for c in rvals
     ]
-    back_dist = F.abs(F.col(on).cast("double") - back_ts.cast("double"))
-    fwd_dist = F.abs(fwd_ts.cast("double") - F.col(on).cast("double"))
+    num = _numeric_on(unioned, on)
+    back_dist = F.abs(num(F.col(on)) - num(back_ts))
+    fwd_dist = F.abs(num(fwd_ts) - num(F.col(on)))
     # backward wins ties (pandas argmin picks the first minimal element)
     use_back = back_ts.isNotNull() & (fwd_ts.isNull() | (back_dist <= fwd_dist))
 

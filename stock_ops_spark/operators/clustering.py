@@ -27,6 +27,11 @@ ground-truth ``label`` exists.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import tempfile
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,6 +103,54 @@ def kmeans_fit(
             r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in sums.collect()
         }
         cents = [new.get(c, cents[c]) for c in range(k)]
+    return cents
+
+
+def fit_or_load_centroids(
+    df: DataFrame,
+    source_path: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    cache_dir: str | None = None,
+) -> list[list[float]]:
+    """Persisted twin of ``kmeans_fit``: the fitted centroids are a tiny
+    model artifact (k × dim doubles), so fit ONCE per source dataset and
+    share the result across every process that composes over the learned
+    clustering (q113 medoids, q114 SemDeDup, q121 streaming assignment —
+    and, at 100 TB, every downstream job in the pipeline: refitting per
+    job would rescan the corpus iters times each).
+
+    Cache key = (source file identity: path+mtime+size, k, iters, dim,
+    id/vec col) — a rewritten source invalidates automatically.  Write is
+    atomic (tmp + rename) so concurrent fitters race benignly: worst case
+    both fit, one file wins, contents identical (the fit is
+    deterministic).  ``cache_dir`` defaults to
+    ``$SPARK_GRAFT_MODEL_CACHE`` or a tmpdir subdirectory.
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get("SPARK_GRAFT_MODEL_CACHE") or os.path.join(
+            tempfile.gettempdir(), "stock_ops_spark_models"
+        )
+    try:
+        st = os.stat(source_path)
+        ident = f"{os.path.abspath(source_path)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = os.path.abspath(source_path)  # multi-file dataset: path only
+    raw = f"{ident}|k={k}|iters={iters}|dim={dim}|{id_col}|{vec_col}"
+    key = hashlib.sha1(raw.encode()).hexdigest()[:20]
+    path = os.path.join(cache_dir, f"kmeans_{key}.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    cents = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cents, fh)
+    os.replace(tmp, path)
     return cents
 
 

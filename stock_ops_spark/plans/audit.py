@@ -76,4 +76,10 @@ def has_broadcast_hint(df: DataFrame) -> bool:
     must read the analyzed plan, not the executed one.
     """
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    return "ResolvedHint" in analyzed or "UnresolvedHint" in analyzed
+    # match the broadcast strategy specifically — a MERGE/SHUFFLE_HASH/
+    # SHUFFLE_REPLICATE_NL hint is a different (non-driver-memory) hazard
+    # and must not be reported as a broadcast hint
+    return bool(
+        re.search(r"ResolvedHint \(strategy=broadcast", analyzed)
+        or re.search(r"UnresolvedHint (?:BROADCAST|BROADCASTJOIN|MAPJOIN)\b", analyzed, re.I)
+    )

@@ -1431,30 +1431,19 @@ def q45_streaming_bars_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from stock_ops_spark.catalog import table_path
+    from stock_ops_spark.catalog import stream_table, table_path
 
     name = f"bars_demo_{uuid.uuid4().hex[:8]}"
     # file streaming source requires a directory: expose the events file
-    # through a temp dir symlink; ts arrives as parquet TIMESTAMP(NANOS) →
-    # read as long and rebuild microsecond timestamps (same as catalog.load)
+    # through a temp dir symlink; schema is discovered from the parquet
+    # footer and ts normalized exactly like the batch path (stream_table)
     import os
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     ckpt_dir = tempfile.mkdtemp(prefix="bars_ckpt_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
     try:
-        ev = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .parquet(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        ev = stream_table(spark, sf_dir, "events", stream_dir)
         bars = (
             ev.withWatermark("ts", "2 hours")
             .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -2347,13 +2336,9 @@ def q69_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
     import uuid
 
-    from stock_ops_spark.catalog import table_path
+    from stock_ops_spark.catalog import stream_table, table_path
 
     name = f"ss_attr_{uuid.uuid4().hex[:8]}"
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     stream_dir = tempfile.mkdtemp(prefix="events_ssj_")
     ckpt_dir = tempfile.mkdtemp(prefix="ssj_ckpt_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
@@ -2367,13 +2352,9 @@ def q69_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
         def side(event_type: str, alias_ts: str):
             return (
-                spark.readStream.schema(
-                    "event_id long, ts long, user_id long, event_type string, "
-                    "value double, props string"
-                )
-                .parquet(stream_dir)
+                stream_table(spark, sf_dir, "events", stream_dir)
                 .where(F.col("event_type") == event_type)
-                .withColumn(alias_ts, F.timestamp_micros(F.expr("ts DIV 1000")))
+                .withColumn(alias_ts, F.col("ts"))
             )
 
         p = side("purchase", "pts").select(
@@ -3645,13 +3626,9 @@ def q95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from stock_ops_spark.catalog import table_path
+    from stock_ops_spark.catalog import stream_table, table_path
 
     name = f"sdedup_{uuid.uuid4().hex[:8]}"
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     stream_dir = tempfile.mkdtemp(prefix="events_dedup_")
     ckpt_dir = tempfile.mkdtemp(prefix="dedup_ckpt_")
     src = table_path(sf_dir, "events")
@@ -3661,12 +3638,8 @@ def q95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .parquet(stream_dir)
-            .withColumn("ets", F.timestamp_micros(F.expr("ts DIV 1000")))
+            stream_table(spark, sf_dir, "events", stream_dir)
+            .withColumn("ets", F.col("ts"))
             .withWatermark("ets", "1 hour")
             .dropDuplicatesWithinWatermark(["event_id"])
             .select("event_id", "user_id", "event_type")
@@ -3762,13 +3735,9 @@ def q97_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
     import os
 
-    from stock_ops_spark.catalog import table_path
+    from stock_ops_spark.catalog import stream_table, table_path
 
     name = f"senrich_{uuid.uuid4().hex[:8]}"
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     stream_dir = tempfile.mkdtemp(prefix="events_enrich_")
     ckpt_dir = tempfile.mkdtemp(prefix="enrich_ckpt_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
@@ -3779,11 +3748,7 @@ def q97_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
         )
         stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .parquet(stream_dir)
+            stream_table(spark, sf_dir, "events", stream_dir)
             .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
             .select("segment", "event_type", "value")
         )
@@ -4548,15 +4513,22 @@ _KMEANS_MEMO: dict[tuple, list] = {}
 
 
 def _kmeans_cents(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3):
-    """Fit-once-per-(sf_dir,k,iters) memo for the Lloyd centroids: the
-    centroid list is tiny driver state (k x 64 doubles) shared by every
-    query that composes over the learned clustering."""
+    """Fit-once for the Lloyd centroids: an in-process memo (tiny driver
+    state, k x 64 doubles) over a disk-persisted model artifact
+    (``fit_or_load_centroids``), so the driver's correctness run, bench
+    and tests — separate processes — all share ONE fit per source
+    dataset instead of refitting per query."""
     key = (sf_dir, k, iters)
     if key not in _KMEANS_MEMO:
-        from stock_ops_spark.operators.clustering import kmeans_fit
+        from stock_ops_spark.catalog import table_path
+        from stock_ops_spark.operators.clustering import fit_or_load_centroids
 
-        _KMEANS_MEMO[key] = kmeans_fit(
-            _t(spark, sf_dir, "embeddings"), k=k, iters=iters, dim=64
+        _KMEANS_MEMO[key] = fit_or_load_centroids(
+            _t(spark, sf_dir, "embeddings"),
+            source_path=table_path(sf_dir, "embeddings"),
+            k=k,
+            iters=iters,
+            dim=64,
         )
     return _KMEANS_MEMO[key]
 

@@ -74,6 +74,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Untagged TIMESTAMP(MICROS) parquet (isAdjustedToUTC absent) would
+        # otherwise be inferred as TIMESTAMP_NTZ on Spark 4.1+, forking the
+        # engine's timestamp type by file encoding.  catalog.normalize_ts is
+        # the load-path fix; this is defense-in-depth for raw reads.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -83,7 +88,9 @@ def get_spark(
             builder = builder.config(k, v)
     if state_store is None:
         state_store = os.environ.get("SPARK_GRAFT_STATE_STORE")
-    spark = builder.getOrCreate()
+    # validate BEFORE getOrCreate so a bad value cannot leave a live
+    # session behind as a side effect of a failed call
+    provider = None
     if state_store:
         try:
             provider = STATE_STORE_PROVIDERS[state_store.lower()]
@@ -92,6 +99,8 @@ def get_spark(
                 f"unknown state_store {state_store!r}; "
                 f"choose from {sorted(STATE_STORE_PROVIDERS)}"
             ) from None
+    spark = builder.getOrCreate()
+    if provider:
         # runtime SQL conf, read when each streaming query starts — works on
         # a pre-existing session too (getOrCreate ignores builder confs then)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)

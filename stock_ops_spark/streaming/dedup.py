@@ -28,6 +28,8 @@ part of the training-data extension surface.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +71,7 @@ class StreamingNearDupIndex:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        self._seq: int | None = None  # recovered lazily from the index
 
     def _path(self, part: str) -> str:
         return os.path.join(self.root, part)
@@ -77,11 +80,32 @@ class StreamingNearDupIndex:
         p = self._path(part)
         if not os.path.isdir(p):
             return None
-        return self.spark.read.parquet(p)
+        df = self.spark.read.parquet(p)
+        if part in ("bands", "sigs") and "batch_seq" not in df.columns:
+            # pre-retention index layout: treat as epoch batch 0
+            df = df.withColumn("batch_seq", F.lit(0))
+        return df
+
+    def _next_seq(self) -> int:
+        """Monotonic batch sequence — recovered from the persisted index
+        once per process (one max() over the bands table), then advanced
+        in memory.  Restart-safe: a new writer resumes after the highest
+        persisted sequence."""
+        if self._seq is None:
+            idx = self._existing("bands")
+            if idx is None:
+                self._seq = 0
+            else:
+                row = idx.agg(F.max("batch_seq").alias("m")).collect()[0]
+                self._seq = int(row.m or 0) + 1
+        out = self._seq
+        self._seq += 1
+        return out
 
     def process_batch(self, batch: DataFrame) -> int:
         """Probe ``batch`` against the index, append its signatures, and
         return the number of advisory near-dup flags written."""
+        seq = self._next_seq()
         sh = shingle_sets(batch, self.id_col, self.text_col, n=self.shingle_n)
         # sever lineage: signatures are consumed by probe AND append, and
         # the append writes under a directory the probe reads
@@ -132,9 +156,81 @@ class StreamingNearDupIndex:
             if n_flags:
                 flagged.write.mode("append").parquet(self._path("flags"))
 
-        stacked.write.mode("append").parquet(self._path("bands"))
-        sigs.write.mode("append").parquet(self._path("sigs"))
+        stacked.withColumn("batch_seq", F.lit(seq)).write.mode("append").parquet(
+            self._path("bands")
+        )
+        sigs.withColumn("batch_seq", F.lit(seq)).write.mode("append").parquet(
+            self._path("sigs")
+        )
         return n_flags
 
     def flags(self) -> DataFrame | None:
         return self._existing("flags")
+
+    # -- maintenance ------------------------------------------------------
+
+    @staticmethod
+    def _data_files(path: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    out.append(os.path.join(dirpath, f))
+        return out
+
+    def maintain(
+        self, target_files: int = 8, max_batches: int | None = None
+    ) -> dict[str, int]:
+        """Bound the index's file count and (optionally) its age.
+
+        ``process_batch`` appends one file set per micro-batch forever —
+        the same litter debt ``sources/maintenance.compact`` pays down for
+        the table store.  Here the index is two flat parquet datasets, so
+        maintenance is one bounded rewrite each:
+
+        - **compaction**: when a dataset holds more part-files than
+          ``target_files`` (plus slack for one in-flight batch), rewrite
+          it to ``target_files`` files.  Materialize-to-temp THEN swap:
+          the read fully drains before the original directory is touched,
+          so no lineage hazard and a crash mid-rewrite leaves the old
+          index intact.
+        - **retention** (``max_batches``): drop band/signature rows more
+          than ``max_batches`` micro-batches old — the Redis-XTRIM analog
+          for the at-ingest index; advisory ``flags/`` output is never
+          trimmed.  At 100 TB the trim is a pushed-down
+          ``batch_seq > cutoff`` filter inside the same rewrite, not a
+          second pass.
+
+        Call every N batches from ``foreachBatch`` or as a nightly job.
+        Returns per-dataset file counts after maintenance.
+        """
+        # peg the cutoff to the writer's current position, not max(file)
+        if self._seq is None:
+            self._next_seq()
+            self._seq -= 1
+        cutoff = None if max_batches is None else self._seq - max_batches
+        out: dict[str, int] = {}
+        for part in ("bands", "sigs"):
+            path = self._path(part)
+            df = self._existing(part)
+            if df is None:
+                out[part] = 0
+                continue
+            nfiles = len(self._data_files(path))
+            needs_trim = False
+            if cutoff is not None:
+                # footer-stats aggregation (parquet aggregate pushdown) —
+                # steady-state calls with nothing to trim touch no data
+                mn = df.agg(F.min("batch_seq").alias("m")).collect()[0].m
+                needs_trim = mn is not None and mn < cutoff
+            if nfiles <= target_files + 1 and not needs_trim:
+                out[part] = nfiles
+                continue
+            if cutoff is not None:
+                df = df.where(F.col("batch_seq") >= F.lit(cutoff))
+            tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
+            df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+            out[part] = len(self._data_files(path))
+        return out

@@ -11,7 +11,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from stock_ops_spark.operators.clustering import assign_clusters, kmeans_fit
+from stock_ops_spark.operators.clustering import (
+    assign_clusters,
+    fit_or_load_centroids,
+    kmeans_fit,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -49,6 +53,27 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     assert all(len(c) == 3 and all(v == v for v in c) for c in cents)
     a = assign_clusters(df, cents).select("vec_id", "cid").collect()
     assert len(a) == 4
+
+
+def test_fit_or_load_centroids_persists_one_fit(spark, emb, tmp_path, monkeypatch):
+    """Second call (any process) must serve the persisted artifact, not
+    refit; a rewritten source file must invalidate the cache."""
+    import stock_ops_spark.operators.clustering as C
+
+    src = f"{SF}/embeddings.parquet"
+    cache = str(tmp_path / "models")
+    first = fit_or_load_centroids(emb, src, k=4, iters=1, dim=64, cache_dir=cache)
+
+    def boom(*a, **kw):
+        raise AssertionError("refit attempted despite cached artifact")
+
+    monkeypatch.setattr(C, "kmeans_fit", boom)
+    again = fit_or_load_centroids(emb, src, k=4, iters=1, dim=64, cache_dir=cache)
+    assert again == first
+
+    # different hyperparams → different key → would need a (blocked) refit
+    with pytest.raises(AssertionError, match="refit attempted"):
+        fit_or_load_centroids(emb, src, k=5, iters=1, dim=64, cache_dir=cache)
 
 
 def test_assignment_deterministic_tiebreak(spark):

@@ -1,0 +1,96 @@
+"""Encoding-drift canary.
+
+Round 3's entire regression was one silent change in the driver testdata's
+physical timestamp encoding (TIMESTAMP(NANOS) → untagged TIMESTAMP(MICROS),
+which Spark 4.1 reads as TIMESTAMP_NTZ): 11 components broke in 11 places.
+This canary makes the NEXT format change fail in exactly one obvious spot:
+
+1. every table's ``ts`` column must resolve to plain ``TimestampType``
+   after ``catalog.load`` — never NTZ, never a raw long;
+2. epoch magnitudes must land in [2015, 2035] — a unit mix-up (the q45
+   silent-wrong: micros read as nanos shrinks timestamps 1000×) lands in
+   1970 and fails loudly here;
+3. ``normalize_ts`` itself must be a fixed point on every encoding it
+   claims to handle (long s/ms/µs/ns, NTZ, TIMESTAMP).
+
+``tools/check_encoding.py`` runs the same checks standalone.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from stock_ops_spark import catalog
+
+SF = "/root/testdata/sf0.001"
+
+LO = datetime.datetime(2015, 1, 1)
+HI = datetime.datetime(2035, 1, 1)
+
+
+def _ts_tables():
+    import os
+
+    out = []
+    for t in catalog.TABLES:
+        if os.path.exists(catalog.table_path(SF, t)):
+            out.append(t)
+    return out
+
+
+@pytest.mark.parametrize("table", _ts_tables())
+def test_ts_resolves_to_timestamp_in_sane_epoch_range(spark, table):
+    df = catalog.load(spark, SF, table)
+    ts_fields = [f for f in df.schema.fields if f.name == "ts"]
+    if not ts_fields:
+        return  # table has no event-time column
+    assert isinstance(ts_fields[0].dataType, T.TimestampType), (
+        f"{table}.ts resolved to {ts_fields[0].dataType} — the read boundary "
+        "(catalog.normalize_ts) is not handling this file's encoding"
+    )
+    row = df.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    assert row.lo is not None
+    assert LO <= row.lo <= HI and LO <= row.hi <= HI, (
+        f"{table}.ts epoch range [{row.lo}, {row.hi}] outside 2015-2035 — "
+        "unit mix-up at the read boundary (s/ms/µs/ns confusion)"
+    )
+
+
+def test_normalize_ts_is_unit_robust(spark):
+    """One wall-clock instant encoded six ways must normalize to the SAME
+    TimestampType value."""
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in micros
+    want = datetime.datetime(2023, 11, 14, 22, 13, 20)
+
+    encodings = {
+        "seconds": (base_us // 1_000_000, T.LongType()),
+        "millis": (base_us // 1_000, T.LongType()),
+        "micros": (base_us, T.LongType()),
+        "nanos": (base_us * 1_000, T.LongType()),
+    }
+    for label, (val, dtype) in encodings.items():
+        df = spark.createDataFrame([(val,)], T.StructType([T.StructField("ts", dtype)]))
+        out = catalog.normalize_ts(df)
+        assert isinstance(out.schema["ts"].dataType, T.TimestampType), label
+        got = out.collect()[0].ts
+        assert got == want, f"{label}: {got!r} != {want!r}"
+
+    # NTZ → reinterpreted as UTC under the pinned-UTC session
+    ntz = spark.createDataFrame(
+        [(want,)], T.StructType([T.StructField("ts", T.TimestampNTZType())])
+    )
+    out = catalog.normalize_ts(ntz)
+    assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+    assert out.collect()[0].ts == want
+
+    # TimestampType is a fixed point
+    tst = spark.createDataFrame(
+        [(want,)], T.StructType([T.StructField("ts", T.TimestampType())])
+    )
+    assert catalog.normalize_ts(tst).collect()[0].ts == want

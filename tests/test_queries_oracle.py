@@ -70,8 +70,16 @@ def test_no_complex_output_columns(spark):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = {}
+    broken = {}
     for name, fn in sorted(E.queries().items()):
-        schema = fn(spark, SF).schema
+        # A builder that cannot even analyze must surface as ITS OWN entry,
+        # not abort schema coverage of every other query (round-3 lesson:
+        # one NTZ-broken plan hid the guard's results for 118 queries).
+        try:
+            schema = fn(spark, SF).schema
+        except Exception as exc:  # noqa: BLE001 - report, don't mask
+            broken[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            continue
         complex_cols = [
             f.name
             for f in schema.fields
@@ -79,6 +87,7 @@ def test_no_complex_output_columns(spark):
         ]
         if complex_cols:
             bad[name] = complex_cols
+    assert not broken, f"query builders failed analysis: {broken}"
     assert not bad, f"complex-typed output columns would break the driver: {bad}"
 
 

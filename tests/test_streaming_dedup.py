@@ -44,6 +44,45 @@ def test_unrelated_batches_accumulate_without_flags(spark, index):
     assert index.flags() is None
 
 
+def test_maintain_bounds_file_count_across_batches(spark, index, tmp_path):
+    """The index must not accumulate one file set per micro-batch forever:
+    after maintain(), part-file counts are bounded regardless of how many
+    batches were ingested, and probe results are unchanged."""
+    import os
+
+    docs = [DOC_A, DOC_B, DOC_C]
+    for i in range(6):
+        index.process_batch(_df(spark, [(100 + i, f"{docs[i % 3]} variant {i}")]))
+    bands_dir = str(tmp_path / "lsh" / "bands")
+    before = len(index._data_files(bands_dir))
+    assert before >= 6  # one file set per batch accumulated
+
+    counts = index.maintain(target_files=2)
+    assert counts["bands"] <= 2
+    assert counts["sigs"] <= 2
+    assert len(index._data_files(bands_dir)) <= 2
+
+    # index still functionally intact after the rewrite
+    n = index.process_batch(_df(spark, [(999, f"{DOC_A} variant 0")]))
+    assert n >= 1
+
+
+def test_maintain_retention_trims_old_batches(spark, index):
+    """max_batches drops band/sig rows older than the window; newer rows
+    survive and still flag."""
+    index.process_batch(_df(spark, [(1, DOC_A)]))  # seq 0 — will be trimmed
+    index.process_batch(_df(spark, [(2, DOC_B)]))  # seq 1
+    index.process_batch(_df(spark, [(3, DOC_C)]))  # seq 2
+    index.maintain(target_files=2, max_batches=2)
+
+    seqs = {r.batch_seq for r in index._existing("bands").select("batch_seq").distinct().collect()}
+    assert seqs == {1, 2}
+
+    # doc 1 left the index: its near-dup no longer flags; doc 2's does
+    assert index.process_batch(_df(spark, [(10, DOC_A)])) == 0
+    assert index.process_batch(_df(spark, [(11, DOC_B)])) >= 1
+
+
 def test_streaming_foreachbatch_wiring(spark, index, tmp_path):
     """The same index object rides foreachBatch: two files drained as
     two ordered micro-batches; the near-dup in the second batch flags

@@ -5011,9 +5011,9 @@ def q121_streaming_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        stream = spark.readStream.schema(
-            "vec_id long, embedding array<float>, label int"
-        ).parquet(stream_dir)
+        from stock_ops_spark.catalog import stream_table
+
+        stream = stream_table(spark, sf_dir, "embeddings", stream_dir)
         scored = assign_clusters(stream, cents).select("vec_id", "cid")
         q = (
             scored.writeStream.outputMode("append")
@@ -5034,4 +5034,85 @@ def q121_streaming_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_assigned"))
         .select(F.col("cid").cast("bigint").alias("cid"), "n_assigned")
+    )
+
+
+@_register(
+    "q122_stateful_user_profile",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)               AS n_events,
+           round(sum(value), 2)                   AS total_value,
+           round(max(value), 2)                   AS max_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q122_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-stateful streaming aggregation (ST4) through the driver
+    contract: per-user running profile — scalar aggregate + per-type
+    histogram as keyed state.  Two engines, one semantics
+    (streaming/stateful.py:running_user_profile): Spark 4's
+    ``transformWithStateInPandas`` (typed ValueState + MapState; under
+    RocksDB each histogram entry is its own store key, so one update
+    writes O(1), not O(|state|)) when its protobuf dependency exists,
+    else ``applyInPandasWithState`` — this container ships no
+    google.protobuf, so the TWS path is environment-gated like the
+    media codecs.  availableNow over a single replay file is one
+    micro-batch, so the final Update-mode row per key equals the batch
+    aggregate — full SQL oracle; multi-batch accumulation is pinned in
+    tests/test_services_stateful.py."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stock_ops_spark.catalog import stream_table, table_path
+    from stock_ops_spark.session import STATE_STORE_PROVIDERS
+    from stock_ops_spark.streaming.stateful import (
+        running_user_profile,
+        tws_available,
+    )
+
+    name = f"twsprof_{uuid.uuid4().hex[:8]}"
+    stream_dir = tempfile.mkdtemp(prefix="events_tws_")
+    ckpt_dir = tempfile.mkdtemp(prefix="tws_ckpt_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # transformWithState requires the RocksDB provider (its column-family
+    # state layout) — a runtime SQL conf read at stream start; restored
+    # after the drain so the rest of the registry keeps the session default
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if tws_available():
+        spark.conf.set(provider_key, STATE_STORE_PROVIDERS["rocksdb"])
+    try:
+        prof = running_user_profile(stream_table(spark, sf_dir, "events", stream_dir))
+        q = (
+            prof.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 2).alias("max_value"),
+        "n_event_types",
     )

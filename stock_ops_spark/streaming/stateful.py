@@ -265,3 +265,187 @@ def running_ewma(ticks: DataFrame, alpha: float = 0.5) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState: Spark 4's typed-state successor API
+# ---------------------------------------------------------------------------
+
+PROFILE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+        StructField("max_value", DoubleType(), True),
+        StructField("n_event_types", LongType(), True),
+    ]
+)
+
+
+def make_profile_processor():
+    """Per-user running activity profile on ``transformWithStateInPandas``
+    — Spark 4's successor to ``applyInPandasWithState``.  What the new
+    API buys at scale, demonstrated here:
+
+    - **typed state variables** instead of one monolithic state tuple:
+      a ``ValueState`` for the scalar aggregate and a ``MapState`` for
+      the per-event-type histogram.  Under the RocksDB provider
+      (session.py), MapState keys are separate store entries — updating
+      one event-type count no longer rewrites the whole state blob,
+      which is the difference between O(1) and O(|state|) writes per
+      key per batch on wide histograms.
+    - state schemas declared as DDL strings per variable, so state
+      evolution (adding a variable) does not invalidate the checkpoint
+      of the others.
+    - the same processor object also supports timers
+      (``handle.registerTimer``) and per-variable TTL — not used here.
+
+    Deferred import + class definition: the class body references the
+    pyspark StatefulProcessor ABC, and workers unpickle this by VALUE
+    (the factory closure ships the definition), so a driver running from
+    any cwd works — same discipline as operators/multimodal.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningUserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n bigint, total double, mx double"
+            )
+            self._types = handle.getMapState(
+                "types", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = self._agg.get() or (0, 0.0, None)
+            for pdf in rows:
+                valid = pdf.dropna(subset=["value"])
+                n += len(valid)
+                total += float(valid["value"].sum())
+                if len(valid):
+                    m = float(valid["value"].max())
+                    mx = m if mx is None else max(mx, m)
+                for et, cnt in valid["event_type"].value_counts().items():
+                    k = (et,)
+                    prev = (
+                        self._types.getValue(k)[0]
+                        if self._types.containsKey(k)
+                        else 0
+                    )
+                    self._types.updateValue(k, (prev + int(cnt),))
+            self._agg.update((n, total, mx))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                    "n_event_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningUserProfile()
+
+
+PROFILE_STATE = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("total", DoubleType(), True),
+        StructField("mx", DoubleType(), True),
+        StructField("ets", ArrayType(StringType()), True),
+        StructField("ns", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _profile_fn_legacy(key, pdfs: Iterator, state: GroupState) -> Iterator:
+    """applyInPandasWithState twin of the TWS profile processor —
+    identical semantics, one monolithic state tuple (the histogram rides
+    as parallel arrays, rewritten whole each update: exactly the write
+    amplification the TWS MapState removes)."""
+    import pandas as pd
+
+    n, total, mx, ets, ns = (
+        state.get if state.exists else (0, 0.0, None, [], [])
+    )
+    hist = dict(zip(ets, ns))
+    for pdf in pdfs:
+        valid = pdf.dropna(subset=["value"])
+        n += len(valid)
+        total += float(valid["value"].sum())
+        if len(valid):
+            m = float(valid["value"].max())
+            mx = m if mx is None else max(mx, m)
+        for et, cnt in valid["event_type"].value_counts().items():
+            hist[et] = hist.get(et, 0) + int(cnt)
+    state.update((n, total, mx, list(hist.keys()), list(hist.values())))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx],
+            "n_event_types": [len(hist)],
+        }
+    )
+
+
+def tws_available() -> bool:
+    """transformWithState's state-server protocol is protobuf-based; the
+    sandbox image ships no ``google.protobuf``, so the TWS path is
+    environment-gated exactly like media codecs (operators/multimodal.py)
+    — the operator code is real and the fallback is semantics-identical."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_profile(events: DataFrame, engine: str = "auto") -> DataFrame:
+    """Per-user running (n, Σvalue, max, distinct-type count) over a
+    stream; emits the updated profile for each key every micro-batch
+    (Update mode).  Batch twin for tests/oracles: ``batch_user_profile``.
+
+    ``engine='tws'`` uses ``transformWithStateInPandas`` (typed state,
+    RocksDB column families — the scale path); ``'legacy'`` uses
+    ``applyInPandasWithState``; ``'auto'`` picks TWS when its protobuf
+    dependency exists in the environment.
+    """
+    if engine == "auto":
+        engine = "tws" if tws_available() else "legacy"
+    sel = events.select("user_id", "event_type", "value")
+    if engine == "tws":
+        return sel.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=make_profile_processor(),
+            outputStructType=PROFILE_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _profile_fn_legacy,
+        outputStructType=PROFILE_OUTPUT,
+        stateStructType=PROFILE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_user_profile(events: DataFrame) -> DataFrame:
+    """Ground truth the streaming profile must equal after draining."""
+    valid = events.where(F.col("value").isNotNull())
+    return valid.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )

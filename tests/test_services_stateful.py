@@ -106,6 +106,112 @@ def test_running_vwap_stream_converges_to_batch(spark, tmp_path):
         assert got.loc[ticker, "n_trades"] == expected[ticker].n_trades
 
 
+def test_running_user_profile_accumulates_across_batches(spark, tmp_path):
+    """The keyed profile state (scalar aggregate + per-type histogram)
+    must carry across micro-batches: the LAST update per user equals the
+    whole-input batch aggregate."""
+    import pandas as pd
+
+    from stock_ops_spark.streaming.stateful import (
+        batch_user_profile,
+        running_user_profile,
+    )
+
+    events = [
+        (1, "click", 1.0),
+        (1, "purchase", 5.0),
+        (2, "click", 2.0),
+        (1, "click", 3.0),      # batch 2: user 1 again, repeated type
+        (2, "signup", None),    # null value: excluded everywhere
+        (2, "purchase", 9.0),
+    ]
+    src = tmp_path / "profile_src"
+    src.mkdir()
+    for i, chunk in enumerate((events[:3], events[3:])):
+        pd.DataFrame(chunk, columns=["user_id", "event_type", "value"]).to_parquet(
+            src / f"b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        running_user_profile(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profile_mem")
+        .option("checkpointLocation", str(tmp_path / "profile_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from profile_mem").toPandas().groupby("user_id").last()
+
+    batch_df = spark.createDataFrame(
+        events, "user_id long, event_type string, value double"
+    )
+    expected = {r.user_id: r for r in batch_user_profile(batch_df).collect()}
+    for uid in (1, 2):
+        assert got.loc[uid, "n_events"] == expected[uid].n_events
+        assert abs(got.loc[uid, "total_value"] - expected[uid].total_value) < 1e-9
+        assert abs(got.loc[uid, "max_value"] - expected[uid].max_value) < 1e-9
+        assert got.loc[uid, "n_event_types"] == expected[uid].n_event_types
+
+
+def test_running_user_profile_tws_engine(spark, tmp_path):
+    """transformWithStateInPandas twin — runs only where its protobuf
+    dependency exists (not in this container; gate documented in
+    streaming/stateful.py:tws_available)."""
+    from stock_ops_spark.streaming.stateful import (
+        batch_user_profile,
+        running_user_profile,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not available: TWS state server unusable")
+
+    import pandas as pd
+
+    from stock_ops_spark.session import STATE_STORE_PROVIDERS
+
+    events = [(1, "click", 1.0), (1, "purchase", 5.0), (2, "click", 2.0)]
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    pd.DataFrame(events, columns=["user_id", "event_type", "value"]).to_parquet(
+        src / "b0.parquet"
+    )
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, value double"
+    ).parquet(str(src))
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, STATE_STORE_PROVIDERS["rocksdb"])
+    try:
+        q = (
+            running_user_profile(stream, engine="tws")
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_mem")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = spark.sql("select * from tws_mem").toPandas().set_index("user_id")
+    batch_df = spark.createDataFrame(
+        events, "user_id long, event_type string, value double"
+    )
+    for r in batch_user_profile(batch_df).collect():
+        assert got.loc[r.user_id, "n_events"] == r.n_events
+
+
 def test_streaming_sessions_gap_and_timeout(spark, tmp_path):
     """Sessionization with EventTimeTimeout: a gap jump closes the old
     session in-batch; the watermark closes idle sessions via timeout;

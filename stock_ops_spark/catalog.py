@@ -83,18 +83,48 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         return df.withColumn(
             col, F.timestamp_micros((c * F.lit(1_000_000)).cast("long"))
         )
+    if isinstance(dt, T.StringType):
+        # ISO-8601 strings (CSV/JSON-shaped feeds); digit-only strings are
+        # epoch integers — recurse through the long branch for unit bands
+        digits = c.rlike(r"^-?\d+$")
+        parsed = F.to_timestamp(F.when(~digits, c))
+        as_long = F.when(digits, c.cast("long"))
+        tmp = df.withColumn("__ts_long", as_long).withColumn(col, parsed)
+        tmp = normalize_ts(tmp.withColumnRenamed(col, "__ts_iso")
+                           .withColumnRenamed("__ts_long", col))
+        tmp = tmp.withColumn(
+            col, F.coalesce(F.col(col), F.col("__ts_iso"))
+        ).drop("__ts_iso")
+        return tmp.select(*df.columns)  # renames appended ts — restore order
     return df
+
+
+def _reader_confs(spark: SparkSession) -> None:
+    """Runtime read confs so a VANILLA (driver) session resolves the same
+    types as ours: nanos-annotated files read as long (then rebuilt by
+    ``normalize_ts``), untagged-micros files read natively as
+    ``TimestampType`` instead of NTZ.  Native typing keeps the scan free
+    of any rebuild expression, so every ts predicate shape pushes down;
+    ``normalize_ts`` stays as the belt-and-braces fallback for sessions
+    where these confs are unavailable."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static on some builds
+            pass
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Column pruning + predicate pushdown reach the scan
     because we return the raw declarative reader output; the only rewrite
-    is the ``ts`` read-boundary normalization (see ``normalize_ts``).
+    is the ``ts`` read-boundary normalization (see ``normalize_ts``) —
+    a no-op on the common path because ``_reader_confs`` already makes
+    the scan produce ``TimestampType`` natively.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - conf may be static on some builds
-        pass
+    _reader_confs(spark)
     return normalize_ts(spark.read.parquet(table_path(sf_dir, name)))
 
 
@@ -109,10 +139,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str, stream_dir: str) -
     (file streaming sources take directories); schema discovery reads the
     canonical table path.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover
-        pass
+    _reader_confs(spark)
     schema = spark.read.parquet(table_path(sf_dir, name)).schema
     return normalize_ts(spark.readStream.schema(schema).parquet(stream_dir))
 

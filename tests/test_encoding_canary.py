@@ -94,3 +94,21 @@ def test_normalize_ts_is_unit_robust(spark):
         [(want,)], T.StructType([T.StructField("ts", T.TimestampType())])
     )
     assert catalog.normalize_ts(tst).collect()[0].ts == want
+
+    # strings: ISO-8601 and digit-only epoch (any unit), mixed in one column;
+    # surrounding columns and their ORDER must survive the rewrite
+    strs = spark.createDataFrame(
+        [(1, "2023-11-14 22:13:20", "a"), (2, "2023-11-14T22:13:20", "b"),
+         (3, str(base_us), "c"), (4, str(base_us // 1_000_000), "d"),
+         (5, None, "e")],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("tag", T.StringType()),
+        ]),
+    )
+    out = catalog.normalize_ts(strs)
+    assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+    assert out.columns == ["id", "ts", "tag"]  # order kept, no helper leakage
+    got = [r.ts for r in out.orderBy("id").collect()]
+    assert got[:4] == [want] * 4 and got[4] is None

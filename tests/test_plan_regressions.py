@@ -30,6 +30,29 @@ def test_q01_pushdown_and_pruning(q):
     assert A.count_shuffles(df) == 1  # single agg shuffle
 
 
+def test_ts_predicates_push_to_scan_under_vanilla_session(spark):
+    """The read-boundary normalization must not cost pushdown: an event-
+    time range filter through catalog.load has to reach the parquet scan
+    as a ts predicate (row-group min/max pruning at 100 TB depends on
+    it), even when the session started with NTZ inference on — the
+    driver's vanilla-session shape after the round-3 encoding change."""
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark import catalog
+
+    prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        df = catalog.load(spark, SF, "events").where(
+            F.col("ts") >= F.lit("2024-01-15").cast("timestamp")
+        )
+        assert A.has_pushed_filter(df, "GreaterThanOrEqual(ts")
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+        # load() flipped inference off; leave it off (engine default)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def test_q05_star_join_shape(q):
     df = q("q05_region_revenue")
     # all three dims + region broadcast; only the fact-fact join shuffles

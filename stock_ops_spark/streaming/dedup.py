@@ -81,7 +81,7 @@ class StreamingNearDupIndex:
         if not os.path.isdir(p):
             return None
         df = self.spark.read.parquet(p)
-        if part in ("bands", "sigs") and "batch_seq" not in df.columns:
+        if "batch_seq" not in df.columns:
             # pre-retention index layout: treat as epoch batch 0
             df = df.withColumn("batch_seq", F.lit(0))
         return df
@@ -154,7 +154,9 @@ class StreamingNearDupIndex:
             )
             n_flags = flagged.count()
             if n_flags:
-                flagged.write.mode("append").parquet(self._path("flags"))
+                flagged.withColumn("batch_seq", F.lit(seq)).write.mode(
+                    "append"
+                ).parquet(self._path("flags"))
 
         stacked.withColumn("batch_seq", F.lit(seq)).write.mode("append").parquet(
             self._path("bands")
@@ -179,7 +181,10 @@ class StreamingNearDupIndex:
         return out
 
     def maintain(
-        self, target_files: int = 8, max_batches: int | None = None
+        self,
+        target_files: int = 8,
+        max_batches: int | None = None,
+        trim_flags: bool = False,
     ) -> dict[str, int]:
         """Bound the index's file count and (optionally) its age.
 
@@ -196,10 +201,12 @@ class StreamingNearDupIndex:
           index intact.
         - **retention** (``max_batches``): drop band/signature rows more
           than ``max_batches`` micro-batches old — the Redis-XTRIM analog
-          for the at-ingest index; advisory ``flags/`` output is never
-          trimmed.  At 100 TB the trim is a pushed-down
-          ``batch_seq > cutoff`` filter inside the same rewrite, not a
-          second pass.
+          for the at-ingest index.  The advisory ``flags/`` output is
+          compacted but only trimmed when ``trim_flags`` is set (it is a
+          downstream-consumed result, not probe state — aging it out is a
+          policy decision, so it is opt-in).  At 100 TB the trim is a
+          pushed-down ``batch_seq >= cutoff`` filter inside the same
+          rewrite, not a second pass.
 
         Call every N batches from ``foreachBatch`` or as a nightly job.
         Returns per-dataset file counts after maintenance.
@@ -210,24 +217,30 @@ class StreamingNearDupIndex:
             self._seq -= 1
         cutoff = None if max_batches is None else self._seq - max_batches
         out: dict[str, int] = {}
-        for part in ("bands", "sigs"):
+        for part in ("bands", "sigs", "flags"):
+            part_cutoff = cutoff
+            if part == "flags" and not trim_flags:
+                part_cutoff = None
             path = self._path(part)
             df = self._existing(part)
             if df is None:
                 out[part] = 0
                 continue
+            # mixed-vintage files: rows predating the batch_seq column
+            # surface as null — treat as epoch batch 0, never drop silently
+            df = df.withColumn("batch_seq", F.coalesce(F.col("batch_seq"), F.lit(0)))
             nfiles = len(self._data_files(path))
             needs_trim = False
-            if cutoff is not None:
+            if part_cutoff is not None:
                 # footer-stats aggregation (parquet aggregate pushdown) —
                 # steady-state calls with nothing to trim touch no data
                 mn = df.agg(F.min("batch_seq").alias("m")).collect()[0].m
-                needs_trim = mn is not None and mn < cutoff
+                needs_trim = mn is not None and mn < part_cutoff
             if nfiles <= target_files + 1 and not needs_trim:
                 out[part] = nfiles
                 continue
-            if cutoff is not None:
-                df = df.where(F.col("batch_seq") >= F.lit(cutoff))
+            if part_cutoff is not None:
+                df = df.where(F.col("batch_seq") >= F.lit(part_cutoff))
             tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
             df.repartition(target_files).write.mode("overwrite").parquet(tmp)
             shutil.rmtree(path)

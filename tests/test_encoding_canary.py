@@ -62,6 +62,38 @@ def test_ts_resolves_to_timestamp_in_sane_epoch_range(spark, table):
     )
 
 
+def test_normalize_ts_epoch_bands_property(spark):
+    """Hypothesis sweep: ANY instant in the engine's supported range,
+    encoded in any integer unit, normalizes to the same TimestampType
+    value — the unit-band thresholds have no seams."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    LO_US = 1_420_070_400_000_000  # 2015-01-01
+    HI_US = 2_051_222_400_000_000  # 2035-01-01
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(us=st.integers(min_value=LO_US, max_value=HI_US))
+    def check(us):
+        us -= us % 1_000_000  # whole seconds so every unit encodes exactly
+        rows = [(us // 1_000_000, "s"), (us // 1_000, "ms"),
+                (us, "us"), (us * 1_000, "ns")]
+        df = spark.createDataFrame(rows, "ts long, unit string")
+        out = catalog.normalize_ts(df).select("ts").distinct().collect()
+        assert len(out) == 1
+        got = out[0].ts
+        assert got == datetime.datetime.utcfromtimestamp(us / 1_000_000)
+
+    check()
+
+
 def test_normalize_ts_is_unit_robust(spark):
     """One wall-clock instant encoded six ways must normalize to the SAME
     TimestampType value."""

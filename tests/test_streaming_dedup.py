@@ -83,6 +83,23 @@ def test_maintain_retention_trims_old_batches(spark, index):
     assert index.process_batch(_df(spark, [(11, DOC_B)])) >= 1
 
 
+def test_maintain_flags_trim_is_opt_in(spark, index):
+    """flags/ is a downstream-consumed output: compacted by default,
+    aged out only with trim_flags=True."""
+    index.process_batch(_df(spark, [(1, DOC_A)]))          # seq 0
+    index.process_batch(_df(spark, [(2, DOC_A_NEAR)]))     # seq 1 → flag
+    index.process_batch(_df(spark, [(3, DOC_B)]))          # seq 2
+    index.process_batch(_df(spark, [(4, DOC_B + " now")])) # seq 3 → flag
+    assert index.flags().count() == 2
+
+    index.maintain(target_files=2, max_batches=2)          # default: keep flags
+    assert index.flags().count() == 2
+
+    index.maintain(target_files=2, max_batches=2, trim_flags=True)
+    kept = index.flags().select("new_id", "matched_id").collect()
+    assert {(r.new_id, r.matched_id) for r in kept} == {(4, 3)}
+
+
 def test_streaming_foreachbatch_wiring(spark, index, tmp_path):
     """The same index object rides foreachBatch: two files drained as
     two ordered micro-batches; the near-dup in the second batch flags

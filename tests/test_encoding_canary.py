@@ -62,6 +62,24 @@ def test_ts_resolves_to_timestamp_in_sane_epoch_range(spark, table):
     )
 
 
+def test_load_handles_multi_file_tables(spark, tmp_path):
+    """At 100 TB a table is a directory of many files, not one file —
+    catalog.load must list, union and normalize them identically.  Also
+    covers mixed layouts: Spark's reader handles per-file row groups; the
+    ts normalization applies once to the unified schema."""
+    src = catalog.load(spark, SF, "events")
+    n = src.count()
+    multi = str(tmp_path / "events.parquet")  # directory with table_path name
+    src.repartition(8).write.parquet(multi)
+
+    df = catalog.load(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.count() == n
+    import glob
+
+    assert len(glob.glob(f"{multi}/part-*.parquet")) >= 8
+
+
 def test_normalize_ts_epoch_bands_property(spark):
     """Hypothesis sweep: ANY instant in the engine's supported range,
     encoded in any integer unit, normalizes to the same TimestampType

@@ -45,6 +45,24 @@ def test_nearest_asof_tiebreak(spark):
     assert got.val_right == 10.0
 
 
+def test_nearest_asof_type_robust_on_ntz(spark):
+    """The operator must be type-robust ON ITS OWN: NTZ-typed event time
+    (the encoding Spark 4.1 infers from untagged parquet) must give the
+    identical match set, without relying on catalog.load having
+    normalized upstream — distance math goes through
+    unix_micros(to_timestamp(...)), never a raw double cast (illegal on
+    NTZ)."""
+    l, r = _dfs(spark)
+    to_ntz = F.timestamp_micros((F.col("ts") * 1_000_000)).cast("timestamp_ntz")
+    l_ntz = l.withColumn("ts", to_ntz)
+    r_ntz = r.withColumn("ts", to_ntz)
+    out = {
+        row.id: row.val_right
+        for row in asof_join_nearest(l_ntz, r_ntz, on="ts", by=["user"]).collect()
+    }
+    assert out == {1: 10.0, 2: 20.0, 3: 10.0, 4: 30.0}
+
+
 def test_asof_empty_right(spark):
     l, _ = _dfs(spark)
     empty = spark.createDataFrame([], "user string, ts long, val double")

@@ -63,6 +63,58 @@ def main() -> None:
             }
         )
     )
+    _regression_report(timings, sf)
+
+
+def _regression_report(timings: dict[str, float], sf: float) -> None:
+    """Inline regression guard: compare this run against the newest
+    BENCH_r*.json driver record AT THE SAME SF and flag >1.5x slowdowns
+    on stderr — the drift surfaces in the same run that produced it, not
+    one VERDICT later.  Advisory only: stdout stays one JSON line and
+    the exit code is untouched (the driver treats nonzero as a failed
+    bench)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(records):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if doc.get("rc") not in (0, None) or float(doc.get("sf", -2)) != sf:
+            continue
+        base = {}
+        parsed = doc.get("parsed")
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            base = parsed["queries"]
+        elif isinstance(doc.get("tail"), str):
+            base = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(r'"(q\d+_\w+)": ([0-9.]+)', doc["tail"])
+            }
+        if not base:
+            continue
+        slow = {
+            q: (base[q], t)
+            for q, t in timings.items()
+            if q in base and t > 1.5 * max(base[q], 0.1)  # sub-100ms = jitter
+        }
+        if slow:
+            for q, (b, t) in sorted(slow.items(), key=lambda kv: -kv[1][1]):
+                print(
+                    f"# REGRESSION vs {os.path.basename(path)}: "
+                    f"{q} {b:.2f}s -> {t:.2f}s ({t / max(b, 0.1):.1f}x)",
+                    file=sys.stderr,
+                )
+        else:
+            print(
+                f"# regression guard: no query >1.5x vs {os.path.basename(path)}",
+                file=sys.stderr,
+            )
+        return
 
 
 if __name__ == "__main__":

@@ -186,6 +186,31 @@ def test_q86_no_forced_broadcast_on_pair_set(q):
     assert not A.has_cartesian(df)
 
 
+def test_q93_decontamination_benchmark_side_broadcast(q):
+    """The benchmark gram set rides a broadcast join: the training side
+    (the 100 TB side) must never shuffle FOR THE JOIN — its only
+    exchanges are its own gram aggregation and the final count."""
+    df = q("q93_decontamination")
+    assert A.count_broadcast_joins(df) >= 1
+    assert A.count_shuffles(df) <= 3
+    assert not A.has_cartesian(df)
+
+
+def test_q118_q119_decorrelation_shape(q):
+    """TPC-H Q2/Q21 shapes: the correlated subqueries are decorrelated
+    into aggregate+rejoin — dims broadcast, no cartesian, bounded
+    exchanges (a regression to a nested-loop correlated plan would blow
+    both counts)."""
+    d118 = q("q118_cheapest_supplier_per_part")
+    assert A.count_broadcast_joins(d118) >= 1
+    assert A.count_shuffles(d118) <= 4
+    assert not A.has_cartesian(d118)
+    d119 = q("q119_sole_late_supplier")
+    assert A.count_broadcast_joins(d119) >= 3
+    assert A.count_shuffles(d119) <= 5
+    assert not A.has_cartesian(d119)
+
+
 def test_q109_resample_grid_broadcasts_day_spine(q):
     """The calendar spine joins the key set via broadcast nested loop —
     never a shuffled product against the fact table."""

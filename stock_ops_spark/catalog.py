@@ -66,9 +66,10 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if isinstance(dt, T.TimestampType):
         return df
     c = F.col(col)
-    if isinstance(dt, T.TimestampNTZType):
+    if isinstance(dt, (T.TimestampNTZType, T.DateType)):
         # Session tz is pinned UTC (session.py), so this is a pure
-        # reinterpretation of the stored wall-clock as UTC — no shift.
+        # reinterpretation of the stored wall-clock as UTC — no shift
+        # (dates land on midnight UTC).
         return df.withColumn(col, F.to_timestamp(c))
     if isinstance(dt, (T.LongType, T.IntegerType)):
         micros = (

@@ -145,6 +145,15 @@ def test_normalize_ts_is_unit_robust(spark):
     )
     assert catalog.normalize_ts(tst).collect()[0].ts == want
 
+    # DateType → midnight UTC
+    dt_df = spark.createDataFrame(
+        [(datetime.date(2023, 11, 14),)],
+        T.StructType([T.StructField("ts", T.DateType())]),
+    )
+    out = catalog.normalize_ts(dt_df)
+    assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+    assert out.collect()[0].ts == datetime.datetime(2023, 11, 14)
+
     # strings: ISO-8601 and digit-only epoch (any unit), mixed in one column;
     # surrounding columns and their ORDER must survive the rewrite
     strs = spark.createDataFrame(

@@ -86,10 +86,13 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         )
     if isinstance(dt, T.StringType):
         # ISO-8601 strings (CSV/JSON-shaped feeds); digit-only strings are
-        # epoch integers — recurse through the long branch for unit bands
+        # epoch integers — recurse through the long branch for unit bands.
+        # try_* variants: a malformed row nulls out instead of throwing
+        # under ANSI mode — at 100 TB one junk string must not kill the
+        # job (the canary's epoch-range check still surfaces systemic rot)
         digits = c.rlike(r"^-?\d+$")
-        parsed = F.to_timestamp(F.when(~digits, c))
-        as_long = F.when(digits, c.cast("long"))
+        parsed = F.try_to_timestamp(F.when(~digits, c))
+        as_long = F.when(digits, c).try_cast("long")
         tmp = df.withColumn("__ts_long", as_long).withColumn(col, parsed)
         tmp = normalize_ts(tmp.withColumnRenamed(col, "__ts_iso")
                            .withColumnRenamed("__ts_long", col))

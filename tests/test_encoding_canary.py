@@ -159,7 +159,7 @@ def test_normalize_ts_is_unit_robust(spark):
     strs = spark.createDataFrame(
         [(1, "2023-11-14 22:13:20", "a"), (2, "2023-11-14T22:13:20", "b"),
          (3, str(base_us), "c"), (4, str(base_us // 1_000_000), "d"),
-         (5, None, "e")],
+         (5, None, "e"), (6, "not-a-timestamp", "f")],
         T.StructType([
             T.StructField("id", T.LongType()),
             T.StructField("ts", T.StringType()),
@@ -170,4 +170,5 @@ def test_normalize_ts_is_unit_robust(spark):
     assert isinstance(out.schema["ts"].dataType, T.TimestampType)
     assert out.columns == ["id", "ts", "tag"]  # order kept, no helper leakage
     got = [r.ts for r in out.orderBy("id").collect()]
-    assert got[:4] == [want] * 4 and got[4] is None
+    assert got[:4] == [want] * 4
+    assert got[4] is None and got[5] is None  # junk nulls out, never throws

@@ -21,6 +21,8 @@ ANSI-mode note: Spark 4 throws on long overflow, so the k permutations
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -180,6 +182,69 @@ def minhash_near_dup_pairs(
     sigs = minhash_signatures(shingled, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     return jaccard_verify(cands, shingled, threshold)
+
+
+def minhash_near_dup_pairs_cached(
+    df: DataFrame,
+    source_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 8,
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """Persisted twin of ``minhash_near_dup_pairs`` — the verified pair
+    set as a materialized artifact, the same discipline as
+    ``clustering.fit_or_load_centroids``: a production dedup pipeline
+    computes candidate pairs ONCE and every downstream stage (pair
+    report q21, clustering q70, joint consensus q86, canonicalization
+    q108) reads the artifact instead of re-shingling the corpus.  At
+    100 TB the pipeline is hours of work; recomputing it per consumer
+    is the difference between one pass and four.
+
+    Cache key = (source file identity: path+mtime+size, all pipeline
+    params) — a rewritten corpus invalidates automatically.  The write
+    is materialize-to-temp + rename, so a concurrent fitter races
+    benignly (the pipeline is deterministic; whichever rename wins, the
+    contents are identical) and a crash never leaves a half-written
+    artifact at the final path.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    if cache_dir is None:
+        cache_dir = os.environ.get("SPARK_GRAFT_MODEL_CACHE") or os.path.join(
+            tempfile.gettempdir(), "stock_ops_spark_models"
+        )
+    try:
+        st = os.stat(source_path)
+        ident = f"{os.path.abspath(source_path)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = os.path.abspath(source_path)
+    raw = (
+        f"{ident}|{id_col}|{text_col}|t={threshold}|k={num_hashes}"
+        f"|b={bands}|n={shingle_n}"
+    )
+    key = hashlib.sha1(raw.encode()).hexdigest()[:20]
+    path = os.path.join(cache_dir, f"neardup_{key}.parquet")
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    pairs = minhash_near_dup_pairs(
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_n
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    pairs.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent writer won
+    return spark.read.parquet(path)
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, fingerprint) -> DataFrame:

@@ -28,7 +28,7 @@ from stock_ops_spark import catalog
 from stock_ops_spark.functions import text as TXT
 from stock_ops_spark.functions import vector as V
 from stock_ops_spark.operators.asof import asof_join_nearest
-from stock_ops_spark.operators.dedup import minhash_near_dup_pairs
+from stock_ops_spark.operators.dedup import minhash_near_dup_pairs_cached
 from stock_ops_spark.operators.multimodal import media_from_text, metadata_only_stats
 from stock_ops_spark.operators.ohlc import session_ohlc
 from stock_ops_spark.operators.similarity import ivf_topk, knn_join
@@ -54,6 +54,20 @@ def _register(name: str, oracle: str | None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared near-dup pair artifact (id_a, id_b, jaccard ≥ 0.5) over the
+    documents corpus — materialized once per source dataset
+    (minhash_near_dup_pairs_cached) and read by q21/q70/q86/q108, the
+    same one-fit-many-readers discipline as the k-means centroids."""
+    return minhash_near_dup_pairs_cached(
+        _t(spark, sf_dir, "documents"),
+        source_path=catalog.table_path(sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -666,8 +680,7 @@ def q21_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus's planted ≥0.9 level is 1-6e-8, so the verified outputs
     coincide.  At 100 TB only the LSH path is feasible — candidate
     generation is an equi-join on band buckets, never an all-pairs product."""
-    d = _t(spark, sf_dir, "documents")
-    out = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
+    out = _neardup_pairs(spark, sf_dir)
     return out.select(
         F.col("id_a"), F.col("id_b"), F.round("jaccard", 6).alias("jaccard")
     )
@@ -2433,9 +2446,7 @@ def q70_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_ops_spark.operators.graph import cluster_summary, connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    pairs = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
     comp = connected_components(pairs, nodes=d.select("doc_id"))
     return cluster_summary(comp)
 
@@ -3159,9 +3170,8 @@ def q86_joint_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-duplication corpus at 100 TB can make the pair set outgrow
     any broadcast budget, and a forced hint would then OOM the driver
     where AQE degrades gracefully to a shuffled join."""
-    d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5).select(
+    pairs = _neardup_pairs(spark, sf_dir).select(
         "id_a", "id_b", F.col("jaccard").alias("j")
     )
     ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
@@ -4286,9 +4296,7 @@ def q108_cluster_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame
     from stock_ops_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    pairs = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
     comp = connected_components(pairs, nodes=d.select("doc_id")).select(
         F.col("node").alias("doc_id"), "component"
     )

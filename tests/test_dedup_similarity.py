@@ -51,6 +51,42 @@ def test_minhash_finds_planted_neardup(spark):
     assert all(p in {(0, 1), (2, 3)} for p in got)
 
 
+def test_minhash_pairs_cached_serves_artifact(spark, tmp_path, monkeypatch):
+    """Second call must read the materialized pair artifact, not
+    recompute the pipeline; different params → different artifact."""
+    import stock_ops_spark.operators.dedup as D
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path / "docs.parquet")
+    df.write.parquet(src)
+    cache = str(tmp_path / "models")
+    first = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dup_pairs_cached(
+            df, src, "doc_id", "text", threshold=0.5, cache_dir=cache
+        ).collect()
+    }
+    assert (0, 1) in first and (2, 3) in first
+
+    def boom(*a, **kw):
+        raise AssertionError("pipeline recomputed despite cached artifact")
+
+    monkeypatch.setattr(D, "minhash_near_dup_pairs", boom)
+    again = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dup_pairs_cached(
+            df, src, "doc_id", "text", threshold=0.5, cache_dir=cache
+        ).collect()
+    }
+    assert again == first
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="recomputed"):
+        D.minhash_near_dup_pairs_cached(
+            df, src, "doc_id", "text", threshold=0.9, cache_dir=cache
+        )
+
+
 def test_exact_dup_groups(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     groups = exact_dup_groups(df, "doc_id", fingerprint_md5(F.col("text")))

@@ -88,8 +88,16 @@ def test_semi_anti_join_types(q):
     assert "LeftAnti" in A.plan_string(q("q11_anti_join_customers"))
 
 
-def test_q21_no_cartesian(q):
-    # LSH candidate generation must never degrade to a cross product
+def test_q21_no_cartesian(q, spark):
+    # LSH candidate generation must never degrade to a cross product.
+    # q21 itself now reads the materialized pair artifact, so pin the
+    # UNDERLYING pipeline's plan, not the artifact scan.
+    from stock_ops_spark import catalog
+    from stock_ops_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = catalog.load(spark, SF, "documents")
+    pipeline = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
+    assert not A.has_cartesian(pipeline)
     assert not A.has_cartesian(q("q21_minhash_near_dup"))
 
 

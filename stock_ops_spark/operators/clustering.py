@@ -139,7 +139,9 @@ def fit_or_load_centroids(
         ident = f"{os.path.abspath(source_path)}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:
         ident = os.path.abspath(source_path)  # multi-file dataset: path only
-    raw = f"{ident}|k={k}|iters={iters}|dim={dim}|{id_col}|{vec_col}"
+    # v-tag: bump when the fit's semantics change — the key must identify
+    # the algorithm as well as the inputs, or a code change serves stale fits
+    raw = f"v1|{ident}|k={k}|iters={iters}|dim={dim}|{id_col}|{vec_col}"
     key = hashlib.sha1(raw.encode()).hexdigest()[:20]
     path = os.path.join(cache_dir, f"kmeans_{key}.json")
     if os.path.exists(path):

@@ -226,8 +226,10 @@ def minhash_near_dup_pairs_cached(
         ident = f"{os.path.abspath(source_path)}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:
         ident = os.path.abspath(source_path)
+    # bump when the pipeline's semantics change: the key must identify the
+    # ALGORITHM as well as the inputs, or a code change serves stale pairs
     raw = (
-        f"{ident}|{id_col}|{text_col}|t={threshold}|k={num_hashes}"
+        f"v1|{ident}|{id_col}|{text_col}|t={threshold}|k={num_hashes}"
         f"|b={bands}|n={shingle_n}"
     )
     key = hashlib.sha1(raw.encode()).hexdigest()[:20]

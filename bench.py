@@ -73,6 +73,13 @@ def _regression_report(timings: dict[str, float], sf: float) -> None:
     one VERDICT later.  Advisory only: stdout stays one JSON line and
     the exit code is untouched (the driver treats nonzero as a failed
     bench)."""
+    try:
+        _regression_report_inner(timings, sf)
+    except Exception as ex:  # noqa: BLE001 — advisory path must never alter rc
+        print(f"# regression guard skipped (record parse error: {ex})", file=sys.stderr)
+
+
+def _regression_report_inner(timings: dict[str, float], sf: float) -> None:
     import glob
     import re
 

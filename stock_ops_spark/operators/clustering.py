@@ -27,13 +27,13 @@ ground-truth ``label`` exists.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-import tempfile
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from stock_ops_spark.operators import artifacts
 
 
 def _l2sq_to_literal(vec_col: Column, centroid: list[float]) -> Column:
@@ -128,21 +128,16 @@ def fit_or_load_centroids(
     atomic (tmp + rename) so concurrent fitters race benignly: worst case
     both fit, one file wins, contents identical (the fit is
     deterministic).  ``cache_dir`` defaults to
-    ``$SPARK_GRAFT_MODEL_CACHE`` or a tmpdir subdirectory.
+    ``$SPARK_GRAFT_MODEL_CACHE`` or a uid-scoped tmpdir subdirectory
+    (see ``artifacts.default_cache_dir``).
     """
     if cache_dir is None:
-        cache_dir = os.environ.get("SPARK_GRAFT_MODEL_CACHE") or os.path.join(
-            tempfile.gettempdir(), "stock_ops_spark_models"
-        )
-    try:
-        st = os.stat(source_path)
-        ident = f"{os.path.abspath(source_path)}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        ident = os.path.abspath(source_path)  # multi-file dataset: path only
+        cache_dir = artifacts.default_cache_dir()
+    ident = artifacts.source_identity(source_path)
     # v-tag: bump when the fit's semantics change — the key must identify
     # the algorithm as well as the inputs, or a code change serves stale fits
     raw = f"v1|{ident}|k={k}|iters={iters}|dim={dim}|{id_col}|{vec_col}"
-    key = hashlib.sha1(raw.encode()).hexdigest()[:20]
+    key = artifacts.cache_key(raw)
     path = os.path.join(cache_dir, f"kmeans_{key}.json")
     if os.path.exists(path):
         with open(path) as fh:

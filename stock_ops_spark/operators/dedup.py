@@ -211,28 +211,22 @@ def minhash_near_dup_pairs_cached(
     contents are identical) and a crash never leaves a half-written
     artifact at the final path.
     """
-    import hashlib
     import shutil
-    import tempfile
     import uuid
+
+    from stock_ops_spark.operators import artifacts
 
     spark = df.sparkSession
     if cache_dir is None:
-        cache_dir = os.environ.get("SPARK_GRAFT_MODEL_CACHE") or os.path.join(
-            tempfile.gettempdir(), "stock_ops_spark_models"
-        )
-    try:
-        st = os.stat(source_path)
-        ident = f"{os.path.abspath(source_path)}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        ident = os.path.abspath(source_path)
+        cache_dir = artifacts.default_cache_dir()
+    ident = artifacts.source_identity(source_path)
     # bump when the pipeline's semantics change: the key must identify the
     # ALGORITHM as well as the inputs, or a code change serves stale pairs
     raw = (
         f"v1|{ident}|{id_col}|{text_col}|t={threshold}|k={num_hashes}"
         f"|b={bands}|n={shingle_n}"
     )
-    key = hashlib.sha1(raw.encode()).hexdigest()[:20]
+    key = artifacts.cache_key(raw)
     path = os.path.join(cache_dir, f"neardup_{key}.parquet")
     if os.path.isdir(path):
         return spark.read.parquet(path)

@@ -50,6 +50,12 @@ class StreamingNearDupIndex:
     - ``bands/``  (id, band, bucket) probe index
     - ``sigs/``   (id, mh_0..mh_{k-1}) signatures for scoring
     - ``flags/``  (new_id, matched_id, est_jaccard) advisory output
+
+    **Single-writer assumption**: one index instance owns ``root`` for
+    writes (``process_batch`` / ``maintain``) — exactly the contract a
+    Structured Streaming ``foreachBatch`` sink provides.  Concurrent
+    READERS are safe across maintenance (rename-aside swap); concurrent
+    writers are not coordinated.
     """
 
     def __init__(
@@ -88,16 +94,21 @@ class StreamingNearDupIndex:
 
     def _next_seq(self) -> int:
         """Monotonic batch sequence — recovered from the persisted index
-        once per process (one max() over the bands table), then advanced
-        in memory.  Restart-safe: a new writer resumes after the highest
-        persisted sequence."""
+        once per process (one footer-stats max() per dataset), then
+        advanced in memory.  Recovery takes the max across ALL THREE
+        datasets, not just bands: ``process_batch`` writes flags before
+        bands, so a crash between the two writes must not let the next
+        writer reuse a sequence already present in ``flags/``."""
         if self._seq is None:
-            idx = self._existing("bands")
-            if idx is None:
-                self._seq = 0
-            else:
-                row = idx.agg(F.max("batch_seq").alias("m")).collect()[0]
-                self._seq = int(row.m or 0) + 1
+            highest = -1
+            for part in ("bands", "sigs", "flags"):
+                ds = self._existing(part)
+                if ds is None:
+                    continue
+                row = ds.agg(F.max("batch_seq").alias("m")).collect()[0]
+                if row.m is not None:
+                    highest = max(highest, int(row.m))
+            self._seq = highest + 1
         out = self._seq
         self._seq += 1
         return out
@@ -243,7 +254,14 @@ class StreamingNearDupIndex:
                 df = df.where(F.col("batch_seq") >= F.lit(part_cutoff))
             tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
             df.repartition(target_files).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path)
+            # Swap via rename-aside, not rmtree-then-rename: a concurrent
+            # reader's window of absent-path shrinks from O(rmtree of the
+            # whole dataset) to the gap between two rename syscalls, and a
+            # crash mid-swap leaves either the old or the new index whole.
+            # (Single WRITER is still assumed — see class docstring.)
+            aside = f"{path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(path, aside)
             os.rename(tmp, path)
+            shutil.rmtree(aside)
             out[part] = len(self._data_files(path))
         return out

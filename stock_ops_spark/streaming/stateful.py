@@ -423,7 +423,12 @@ def running_user_profile(events: DataFrame, engine: str = "auto") -> DataFrame:
     """
     if engine == "auto":
         engine = "tws" if tws_available() else "legacy"
-    sel = events.select("user_id", "event_type", "value")
+    # Match batch_user_profile / the q122 oracle exactly: a user whose
+    # events are all null-valued must not appear at all (the processors'
+    # dropna alone would still emit an n_events=0 row for such a user).
+    sel = events.select("user_id", "event_type", "value").where(
+        F.col("value").isNotNull()
+    )
     if engine == "tws":
         return sel.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=make_profile_processor(),

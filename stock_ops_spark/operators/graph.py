@@ -28,6 +28,10 @@ surface.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -149,3 +153,61 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def pagerank_cached(
+    edges: DataFrame,
+    source_paths: str | list[str],
+    variant: str,
+    src: str = "s",
+    dst: str = "d",
+    iters: int = 3,
+    damping: float = 0.85,
+    broadcast_ranks: bool = False,
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """Persisted twin of ``pagerank`` — the converged rank frame as a
+    materialized artifact, the same one-fit-many-readers discipline as
+    ``clustering.fit_or_load_centroids`` and
+    ``dedup.minhash_near_dup_pairs_cached``: a production graph job runs
+    the power iteration ONCE per source snapshot, and every consumer
+    (ranking reports, join-enrichment, downstream sampling weights) reads
+    the artifact.  At 100 TB each iteration is a full edge-table pass;
+    recomputing per consumer multiplies the most expensive stage of the
+    pipeline by its reader count.
+
+    Cache key = (source file identities: path+mtime+size each, a caller-
+    supplied ``variant`` tag naming the edge-derivation semantics, iters,
+    damping) — rewriting any source invalidates automatically, and two
+    queries deriving DIFFERENT graphs from the same files cannot collide.
+    ``broadcast_ranks`` is plan strategy, not semantics, so it is
+    deliberately NOT in the key.  Write is materialize-to-temp + rename
+    (crash-safe, concurrent fitters race benignly — the iteration is
+    deterministic).
+    """
+    from stock_ops_spark.operators import artifacts
+
+    spark = edges.sparkSession
+    if cache_dir is None:
+        cache_dir = artifacts.default_cache_dir()
+    if isinstance(source_paths, str):
+        source_paths = [source_paths]
+    ident = ";".join(artifacts.source_identity(p) for p in source_paths)
+    # v-tag: bump when pagerank's semantics change — the key must identify
+    # the algorithm as well as the inputs, or a code change serves stale ranks
+    raw = f"v1|{variant}|{ident}|iters={iters}|damping={damping}"
+    key = artifacts.cache_key(raw)
+    path = os.path.join(cache_dir, f"pagerank_{key}.parquet")
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    ranks = pagerank(
+        edges, src=src, dst=dst, iters=iters, damping=damping,
+        broadcast_ranks=broadcast_ranks,
+    )
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    ranks.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent writer won
+    return spark.read.parquet(path)

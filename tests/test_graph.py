@@ -102,3 +102,46 @@ def test_pagerank_star_hand_computed(spark):
     expected_leaf = 0.15 + 0.85 * (0.15 / 2)     # round 2: only a's 0.15 flows
     assert abs(got["b"] - expected_leaf) < 1e-12
     assert abs(got["c"] - expected_leaf) < 1e-12
+
+
+def test_pagerank_cached_persists_one_run(spark, tmp_path, monkeypatch):
+    """Second call must serve the persisted rank artifact, not re-iterate;
+    a changed variant/params or a rewritten source must invalidate."""
+    import stock_ops_spark.operators.graph as G
+
+    src = tmp_path / "edges_src.txt"
+    src.write_text("sentinel")  # identity file: path+mtime+size keys the cache
+    cache = str(tmp_path / "models")
+    e = spark.createDataFrame([("a", "b"), ("a", "c")], "s string, d string")
+    first = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_cached(
+            e, str(src), variant="t", iters=2, cache_dir=cache
+        ).collect()
+    }
+    assert abs(first["a"] - 0.15) < 1e-12
+
+    def boom(*a, **kw):
+        raise AssertionError("re-iteration attempted despite cached artifact")
+
+    monkeypatch.setattr(G, "pagerank", boom)
+    again = {
+        r["node"]: r["rank"]
+        for r in G.pagerank_cached(
+            e, str(src), variant="t", iters=2, cache_dir=cache
+        ).collect()
+    }
+    assert again == first
+
+    import pytest
+
+    # different variant or iteration count → different key → (blocked) rerun
+    with pytest.raises(AssertionError, match="re-iteration attempted"):
+        G.pagerank_cached(e, str(src), variant="other", iters=2, cache_dir=cache)
+    with pytest.raises(AssertionError, match="re-iteration attempted"):
+        G.pagerank_cached(e, str(src), variant="t", iters=3, cache_dir=cache)
+
+    # rewritten source file (new mtime/size) → stale artifact not served
+    src.write_text("sentinel-v2")
+    with pytest.raises(AssertionError, match="re-iteration attempted"):
+        G.pagerank_cached(e, str(src), variant="t", iters=2, cache_dir=cache)

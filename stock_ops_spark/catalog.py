@@ -30,6 +30,36 @@ TABLES = (
 )
 
 
+# Expected POST-``load`` logical schema per table — the read boundary's
+# full-width contract.  The same writer freedom that silently flipped `ts`
+# NANOS→NTZ (the round-3 incident) exists for dates (DATE vs TIMESTAMP vs
+# string) and money columns (decimal vs double); the encoding canary
+# (tests/test_encoding_canary.py, tools/check_encoding.py) asserts every
+# table against this manifest so ANY drift fails in one obvious place.  A
+# legitimate drift is handled by normalizing in ``load`` and updating this
+# manifest — never by per-query patches.
+EXPECTED_SCHEMAS = {
+    "region": "r_regionkey:int, r_name:string",
+    "nation": "n_nationkey:int, n_name:string, n_regionkey:int",
+    "customer": "c_custkey:bigint, c_name:string, c_nationkey:int, "
+                "c_acctbal:double, c_mktsegment:string",
+    "supplier": "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+    "part": "p_partkey:bigint, p_name:string, p_brand:string, p_type:string, "
+            "p_size:int, p_retailprice:double",
+    "orders": "o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, "
+              "o_totalprice:double, o_orderdate:timestamp, o_orderpriority:string",
+    "lineitem": "l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, "
+                "l_linenumber:int, l_quantity:double, l_extendedprice:double, "
+                "l_discount:double, l_tax:double, l_returnflag:string, "
+                "l_linestatus:string, l_shipdate:timestamp",
+    "events": "event_id:bigint, ts:timestamp, user_id:bigint, "
+              "event_type:string, value:double, props:string",
+    "documents": "doc_id:bigint, text:string, lang:string, source:string, "
+                 "n_chars:bigint",
+    "embeddings": "vec_id:bigint, embedding:array<float>, label:int",
+}
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

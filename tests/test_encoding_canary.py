@@ -62,6 +62,28 @@ def test_ts_resolves_to_timestamp_in_sane_epoch_range(spark, table):
     )
 
 
+# Full-width twin of the ts check above: every table's POST-load schema
+# against catalog.EXPECTED_SCHEMAS (DATE/decimal/string drift on non-ts
+# columns fails here with the same one-obvious-failure property).
+SCHEMA_MANIFEST = catalog.EXPECTED_SCHEMAS
+
+
+@pytest.mark.parametrize("table", sorted(SCHEMA_MANIFEST))
+def test_full_schema_matches_manifest(spark, table):
+    import os
+
+    if not os.path.exists(catalog.table_path(SF, table)):
+        pytest.skip(f"{table} absent from {SF}")
+    df = catalog.load(spark, SF, table)
+    got = ", ".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
+    assert got == SCHEMA_MANIFEST[table], (
+        f"{table} post-load schema drifted.\n  expected: {SCHEMA_MANIFEST[table]}\n"
+        f"  got:      {got}\n"
+        "Driver testdata encoding changed (the `ts` NANOS->NTZ event, wider). "
+        "Normalize at the read boundary in catalog.py, then update this manifest."
+    )
+
+
 def test_load_handles_multi_file_tables(spark, tmp_path):
     """At 100 TB a table is a directory of many files, not one file —
     catalog.load must list, union and normalize them identically.  Also

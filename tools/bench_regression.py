@@ -14,6 +14,17 @@ Exit code 1 iff any regression exceeds the threshold — wire it into the
 round loop so a slowdown fails loudly instead of surfacing one VERDICT
 later.  Sub-100ms baselines are noise-dominated at local scale; they are
 compared against max(baseline, 0.1s) to avoid flagging JVM jitter.
+
+Trend mode:
+    python tools/bench_regression.py --trend                 # all BENCH_r*.json
+    python tools/bench_regression.py --trend /tmp/now.json   # + a fresh run
+
+Prints a per-query table across every stored round (records with no
+usable query timings — e.g. a crashed round — are skipped) and flags
+**cumulative creep**: queries whose latest/earliest ratio exceeds the
+threshold even though no single round-over-round step did — the slow
+drift a per-round 1.5x guard structurally misses (e.g. q49 0.19→0.29s
+over two rounds).
 """
 
 from __future__ import annotations
@@ -54,12 +65,76 @@ def _queries(doc: dict) -> dict:
     return {}
 
 
+def _trend(extra_path: str | None, threshold: float) -> int:
+    """Per-query trend across every stored BENCH_r*.json (+ optionally a
+    fresh run).  Flags cumulative latest/earliest creep > threshold."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    series: list[tuple[str, dict]] = []
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            qs = _queries(_load(path))
+        except (OSError, json.JSONDecodeError, ValueError):
+            qs = {}
+        if qs:  # crashed rounds (rc!=0) carry no timings — skip, keep column out
+            label = os.path.basename(path).replace("BENCH_", "").replace(".json", "")
+            series.append((label, qs))
+    if extra_path:
+        series.append(("now", _queries(_load(extra_path))))
+    if len(series) < 2:
+        print("need at least two rounds with timings for a trend", file=sys.stderr)
+        return 2
+
+    all_qs = sorted({q for _, qs in series for q in qs})
+    width = max(len(q) for q in all_qs)
+    header = " ".join(f"{label:>7}" for label, _ in series)
+    print(f"{'query':<{width}} {header}   first->last")
+    creep = []
+    for q in all_qs:
+        cells = []
+        vals = []
+        for _label, qs in series:
+            if q in qs:
+                cells.append(f"{qs[q]:>7.2f}")
+                vals.append(qs[q])
+            else:
+                cells.append(f"{'-':>7}")
+        ratio = None
+        if len(vals) >= 2:
+            ratio = vals[-1] / max(vals[0], _NOISE_FLOOR_S)
+        tailnote = f"{ratio:>6.2f}x" if ratio is not None else ""
+        flag = ""
+        if ratio is not None and ratio > threshold and vals[-1] >= _NOISE_FLOOR_S:
+            flag = "  << CREEP"
+            creep.append((q, vals[0], vals[-1], ratio))
+        print(f"{q:<{width}} {' '.join(cells)}  {tailnote}{flag}")
+
+    if creep:
+        print(f"\nCUMULATIVE CREEP (> {threshold}x first->last):")
+        for q, first, last, r in sorted(creep, key=lambda t: -t[3]):
+            print(f"  {q}: {first:.3f}s -> {last:.3f}s  ({r:.2f}x)")
+        return 1
+    print(f"\nno cumulative creep > {threshold}x")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("current", help="fresh bench JSON file, or - for stdin")
+    ap.add_argument(
+        "current", nargs="?",
+        help="fresh bench JSON file, or - for stdin (optional with --trend)",
+    )
     ap.add_argument("baseline", nargs="?", help="baseline JSON (default: newest BENCH_r*.json)")
     ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument(
+        "--trend", action="store_true",
+        help="per-query table across all BENCH_r*.json; flags cumulative creep",
+    )
     args = ap.parse_args()
+
+    if args.trend:
+        return _trend(args.current, args.threshold)
+    if args.current is None:
+        ap.error("current bench JSON required unless --trend")
 
     base_path = args.baseline
     if base_path is None:

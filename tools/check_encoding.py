@@ -3,9 +3,12 @@
 
 Loads every table at the given scale factor and asserts that (a) any ``ts``
 column resolves to plain TimestampType after ``catalog.load`` (never NTZ,
-never a raw long) and (b) epoch magnitudes land in 2015-2035.  Run after any
-driver/testdata refresh so a physical-encoding change fails HERE, in one
-obvious place, instead of in 11 downstream operators (the round-3 incident).
+never a raw long), (b) epoch magnitudes land in 2015-2035, and (c) every
+table's FULL post-load schema matches the expected-type manifest (catches
+DATE/decimal/string drift on non-ts columns with the same
+one-obvious-failure property).  Run after any driver/testdata refresh so a
+physical-encoding change fails HERE, in one obvious place, instead of in 11
+downstream operators (the round-3 incident).
 
 Usage: python tools/check_encoding.py [sf_dir]
 """
@@ -39,9 +42,15 @@ def main() -> int:
         if not os.path.exists(path):
             continue
         df = catalog.load(spark, sf_dir, table)
+        got = ", ".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
+        want = catalog.EXPECTED_SCHEMAS.get(table)
+        if want is not None and got != want:
+            bad.append(
+                f"{table} full schema drifted:\n      expected {want}\n      got      {got}"
+            )
         fields = {f.name: f.dataType for f in df.schema.fields}
         if "ts" not in fields:
-            print(f"  {table}: no ts column (ok)")
+            print(f"  {table}: no ts column, schema matches manifest (ok)")
             continue
         dt = fields["ts"]
         if not isinstance(dt, T.TimestampType):

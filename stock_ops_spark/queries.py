@@ -5136,3 +5136,290 @@ def q122_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_value", 2).alias("max_value"),
         "n_event_types",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: corpus-level training-data ops (repeated n-grams,
+# deterministic splits, quality-weighted canonicalization, OOV scoring)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q123_repeated_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, g.ng
+      FROM toks,
+           unnest(CASE WHEN len(t) >= 5 THEN
+                    list_transform(range(1, len(t) - 3),
+                                   i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                  ELSE [] END) AS g(ng)
+    ),
+    per_doc AS (
+      SELECT ng, doc_id, count(*) AS n_occ FROM grams GROUP BY ng, doc_id
+    ),
+    agg AS (
+      SELECT ng, count(*) AS n_docs, sum(n_occ) AS n_occurrences
+      FROM per_doc GROUP BY ng
+    )
+    SELECT ng,
+           CAST(n_docs AS BIGINT)        AS n_docs,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM agg WHERE n_docs >= 3
+    ORDER BY n_docs DESC, n_occurrences DESC, ng LIMIT 20
+    """,
+)
+def q123_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated n-gram mining — the signal behind exact-
+    substring train-set dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): word 5-grams appearing in ≥3
+    distinct documents, ranked by document frequency.  Scale shape: the
+    n-gram stream never materializes globally — two hash aggregations
+    with map-side partial combine ((ngram, doc) occurrence counts, then
+    per-ngram doc counts), and only the ≥3-doc sliver reaches the final
+    top-k.  The 5-gram build is a pure Catalyst HOF (slice+concat_ws
+    over a sequence), no UDF; sequence() is guarded by size>=5 (Spark's
+    sequence DESCENDS when the bound is < 1)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "").alias(
+            "t"
+        ),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 5,
+                F.expr(
+                    "transform(sequence(1, size(t) - 4), "
+                    "          i -> concat_ws(' ', slice(t, i, 5)))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("ng"),
+    )
+    per_doc = grams.groupBy("ng", "doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+    agg = per_doc.groupBy("ng").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_occ").alias("n_occurrences")
+    )
+    return (
+        agg.where(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("ng"))
+        .limit(20)
+        .select(
+            "ng",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+@_register(
+    "q124_hash_split",
+    """
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split, lang
+    """,
+)
+def q124_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split must be a pure
+    function of the stable document id (never random()/row order) so it
+    is reproducible across runs, engines and re-partitioning, and any
+    doc's split is computable without scanning the corpus.  90/5/5 via
+    the same EXACT-INTEGER multiplicative hash as q115's temperature
+    sampling (Knuth 2654435761): zero floats, bit-identical across
+    engines, evaluated map-side as a scan-level projection.  Output is
+    the split×lang audit table (counts + exact char totals) a pipeline
+    logs before training."""
+    d = _t(spark, sf_dir, "documents")
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    split = (
+        F.when(u < 900, F.lit("train")).when(u < 950, F.lit("val")).otherwise(
+            F.lit("test")
+        )
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "q125_quality_canonical_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+             length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id,
+             round((CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+                   * (1.0 - least(punct_ratio * 2, 1.0)), 6) AS q
+      FROM (
+        SELECT doc_id,
+               list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                 / greatest(len(toks), 1) AS mtl,
+               punct_ratio
+        FROM t
+      )
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.q,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.q DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS size
+      FROM comp c JOIN quality q USING (doc_id)
+    )
+    SELECT component,
+           CAST(size AS BIGINT) AS size,
+           doc_id               AS canonical_id,
+           q                    AS canonical_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q125_quality_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted canonicalization: within each near-dup cluster
+    keep the HIGHEST-quality member (q108 keeps the min id; a production
+    scrub keeps the best document).  Composition of three persisted/
+    shared stages — the materialized minhash pair artifact, distributed
+    connected components, and the deterministic quality heuristic — so
+    the marginal cost over q70/q108 is one per-cluster window on cluster
+    rows only (clusters are a sliver of the corpus).  Ties break to the
+    lower doc_id in both engines."""
+    from stock_ops_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)  # pair nodes only: clusters of size >= 2
+    q = d.select("doc_id", TXT.quality_score(F.col("text")).alias("q"))
+    j = comp.join(q, comp.node == q.doc_id).select("component", "doc_id", "q")
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("doc_id"))
+    sizes = j.groupBy("component").agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+    best = j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.join(sizes, "component").select(
+        "component",
+        "size",
+        F.col("doc_id").alias("canonical_id"),
+        F.col("q").alias("canonical_quality"),
+    )
+
+
+@_register(
+    "q126_oov_ratio",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, w.w FROM toks, unnest(t) AS w(w)),
+    vocab AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    w100 AS (SELECT w FROM vocab ORDER BY n DESC, w LIMIT 100),
+    per_doc AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok t LEFT JOIN w100 v ON t.w = v.w
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT)    AS n_oov,
+           round(n_oov::DOUBLE / n_tokens, 6) AS oov_ratio
+    FROM per_doc
+    ORDER BY round(n_oov::DOUBLE / n_tokens, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def q126_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary scoring — the two-pass corpus-dependent quality
+    gate (unlike q25/q92's per-row heuristics): pass 1 builds the global
+    top-100 token vocabulary, pass 2 scores each document by the fraction
+    of its tokens outside it; worst 20 surface (gibberish / wrong-corpus
+    detection, the cheap stand-in for LM-perplexity filtering).  Scale
+    shape: the vocabulary is a 100-row broadcast against the token
+    stream, per-doc counts partially aggregate map-side, and the ratio is
+    ONE division of two exact integers (IEEE-identical in both engines —
+    no float-sum ordering hazard), so ordering by the rounded ratio +
+    doc_id is bit-deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "").alias(
+            "t"
+        ),
+    )
+    tok = toks.select("doc_id", F.explode("t").alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    w100 = (
+        vocab.orderBy(F.col("n").desc(), F.col("w"))
+        .limit(100)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(w100), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    ratio = F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+    return (
+        per_doc.orderBy(ratio.desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            ratio.alias("oov_ratio"),
+        )
+    )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -165,9 +166,12 @@ class StreamingNearDupIndex:
             )
             n_flags = flagged.count()
             if n_flags:
-                flagged.withColumn("batch_seq", F.lit(seq)).write.mode(
-                    "append"
-                ).parquet(self._path("flags"))
+                # flag_ts (epoch seconds at write) powers AGE-based
+                # retention in maintain() — batch_seq counts batches,
+                # which is not wall-clock time
+                flagged.withColumn("batch_seq", F.lit(seq)).withColumn(
+                    "flag_ts", F.lit(float(time.time()))
+                ).write.mode("append").parquet(self._path("flags"))
 
         stacked.withColumn("batch_seq", F.lit(seq)).write.mode("append").parquet(
             self._path("bands")
@@ -196,6 +200,7 @@ class StreamingNearDupIndex:
         target_files: int = 8,
         max_batches: int | None = None,
         trim_flags: bool = False,
+        flags_max_age_s: float | None = None,
     ) -> dict[str, int]:
         """Bound the index's file count and (optionally) its age.
 
@@ -218,6 +223,13 @@ class StreamingNearDupIndex:
           policy decision, so it is opt-in).  At 100 TB the trim is a
           pushed-down ``batch_seq >= cutoff`` filter inside the same
           rewrite, not a second pass.
+        - **age retention** (``flags_max_age_s``): drop flags older than
+          the given wall-clock age — batches are not time, so a bursty
+          stream needs this alongside ``max_batches``.  Uses the
+          ``flag_ts`` stamp written per batch; rows predating the stamp
+          (older layout) have no timestamp and age out on the first
+          age-trim.  Bounded the same way: footer-stats min() probe, then
+          a pushed-down filter inside the one rewrite.
 
         Call every N batches from ``foreachBatch`` or as a nightly job.
         Returns per-dataset file counts after maintenance.
@@ -227,11 +239,13 @@ class StreamingNearDupIndex:
             self._next_seq()
             self._seq -= 1
         cutoff = None if max_batches is None else self._seq - max_batches
+        age_cutoff = None if flags_max_age_s is None else time.time() - flags_max_age_s
         out: dict[str, int] = {}
         for part in ("bands", "sigs", "flags"):
             part_cutoff = cutoff
             if part == "flags" and not trim_flags:
                 part_cutoff = None
+            part_age_cutoff = age_cutoff if part == "flags" else None
             path = self._path(part)
             df = self._existing(part)
             if df is None:
@@ -240,6 +254,13 @@ class StreamingNearDupIndex:
             # mixed-vintage files: rows predating the batch_seq column
             # surface as null — treat as epoch batch 0, never drop silently
             df = df.withColumn("batch_seq", F.coalesce(F.col("batch_seq"), F.lit(0)))
+            if part_age_cutoff is not None:
+                ts_col = (
+                    F.coalesce(F.col("flag_ts"), F.lit(0.0))
+                    if "flag_ts" in df.columns
+                    else F.lit(0.0)
+                )
+                df = df.withColumn("flag_ts", ts_col)
             nfiles = len(self._data_files(path))
             needs_trim = False
             if part_cutoff is not None:
@@ -247,11 +268,16 @@ class StreamingNearDupIndex:
                 # steady-state calls with nothing to trim touch no data
                 mn = df.agg(F.min("batch_seq").alias("m")).collect()[0].m
                 needs_trim = mn is not None and mn < part_cutoff
+            if part_age_cutoff is not None and not needs_trim:
+                mn = df.agg(F.min("flag_ts").alias("m")).collect()[0].m
+                needs_trim = mn is not None and mn < part_age_cutoff
             if nfiles <= target_files + 1 and not needs_trim:
                 out[part] = nfiles
                 continue
             if part_cutoff is not None:
                 df = df.where(F.col("batch_seq") >= F.lit(part_cutoff))
+            if part_age_cutoff is not None:
+                df = df.where(F.col("flag_ts") >= F.lit(part_age_cutoff))
             tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
             df.repartition(target_files).write.mode("overwrite").parquet(tmp)
             # Swap via rename-aside, not rmtree-then-rename: a concurrent

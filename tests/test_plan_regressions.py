@@ -224,3 +224,31 @@ def test_q109_resample_grid_broadcasts_day_spine(q):
     never a shuffled product against the fact table."""
     df = q("q109_resample_ffill")
     assert A.count_broadcast_joins(df) >= 1 or "BroadcastNestedLoopJoin" in A.plan_string(df)
+
+
+def test_q123_repeated_ngrams_two_level_agg(q):
+    """The n-gram stream must stay inside two map-side-combined hash
+    aggregations ((ngram,doc) then ngram) — 2 exchanges, no UDF, no
+    cartesian.  A regression to a distinct-then-window shape (or a
+    per-row Python path) breaks the 100 TB story where the gram stream
+    is ~50x the corpus."""
+    df = q("q123_repeated_ngrams")
+    assert A.count_shuffles(df) == 2
+    assert not A.has_cartesian(df)
+    assert "BatchEvalPython" not in A.plan_string(df)
+
+
+def test_q124_hash_split_single_exchange(q):
+    """The split is a scan-level projection: exactly the one groupBy
+    exchange, nothing else."""
+    df = q("q124_hash_split")
+    assert A.count_shuffles(df) == 1
+    assert not A.has_cartesian(df)
+
+
+def test_q126_oov_vocab_broadcasts(q):
+    """The top-100 vocabulary joins the token stream as a broadcast —
+    the corpus-side token stream never shuffles FOR THE JOIN."""
+    df = q("q126_oov_ratio")
+    assert A.count_broadcast_joins(df) >= 1
+    assert not A.has_cartesian(df)

@@ -100,6 +100,34 @@ def test_maintain_flags_trim_is_opt_in(spark, index):
     assert {(r.new_id, r.matched_id) for r in kept} == {(4, 3)}
 
 
+def test_maintain_flags_age_retention(spark, index, monkeypatch):
+    """flags_max_age_s bounds the flags output by WALL-CLOCK age (batches
+    are not time): old flags age out, fresh ones survive, and repeated
+    batches never grow the output past the window."""
+    import stock_ops_spark.streaming.dedup as SD
+
+    # batch at t=1000 produces an old flag; batch at t=2000 a fresh one
+    monkeypatch.setattr(SD.time, "time", lambda: 1000.0)
+    index.process_batch(_df(spark, [(1, DOC_A)]))
+    index.process_batch(_df(spark, [(2, DOC_A_NEAR)]))      # flag @1000
+    monkeypatch.setattr(SD.time, "time", lambda: 2000.0)
+    index.process_batch(_df(spark, [(3, DOC_B)]))
+    index.process_batch(_df(spark, [(4, DOC_B + " now")]))  # flag @2000
+    assert index.flags().count() == 2
+
+    # window of 500s from "now"=2000 → the t=1000 flag ages out
+    index.maintain(target_files=2, flags_max_age_s=500.0)
+    kept = {(r.new_id, r.matched_id) for r in index.flags().collect()}
+    assert kept == {(4, 3)}
+    # bands/sigs untouched by the age policy (probe state keeps history)
+    seqs = {r.batch_seq for r in index._existing("bands").select("batch_seq").distinct().collect()}
+    assert seqs == {0, 1, 2, 3}
+
+    # steady state: everything inside the window → no further shrink
+    index.maintain(target_files=2, flags_max_age_s=5000.0)
+    assert index.flags().count() == 1
+
+
 def test_streaming_foreachbatch_wiring(spark, index, tmp_path):
     """The same index object rides foreachBatch: two files drained as
     two ordered micro-batches; the near-dup in the second batch flags

@@ -5423,3 +5423,432 @@ def q126_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio.alias("oov_ratio"),
         )
     )
+
+
+@_register(
+    "q127_term_cooccurrence_pmi",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                       x -> x <> '')) AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, w.w FROM toks, unnest(t) AS w(w)),
+    df AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    vocab AS (SELECT w, n FROM df ORDER BY n DESC, w LIMIT 50),
+    dt AS (SELECT t.doc_id, t.w FROM tok t JOIN vocab v USING (w)),
+    pairs AS (
+      SELECT a.w AS tok_a, b.w AS tok_b
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+    ),
+    pc AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM pairs GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tok_a, tok_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(n_ab * n_docs / (va.n * vb.n)), 6) AS pmi
+    FROM pc
+    JOIN vocab va ON va.w = pc.tok_a
+    JOIN vocab vb ON vb.w = pc.tok_b
+    CROSS JOIN n
+    WHERE n_ab >= 5
+    ORDER BY n_ab DESC, tok_a, tok_b
+    LIMIT 30
+    """,
+)
+def q127_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus co-occurrence statistics: pointwise mutual information of
+    term pairs sharing a document, restricted to the global top-50
+    vocabulary (the classic collocation / topic-signal measure used to
+    audit corpus composition before training).  Scale shape: the vocab
+    is a 50-row broadcast so the token stream is filtered to <=50 rows
+    per doc BEFORE any pairing; pairs are generated map-side by a pure
+    Catalyst HOF over the per-doc sorted vocab-token set (<=C(50,2)
+    per doc, typically a handful), so the only shuffles are the two
+    hash aggregations (doc frequency, pair counts) — the corpus-wide
+    token pair space is never materialized.  PMI is one ln() of a
+    ratio of exact integers (IEEE-identical both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    tok = toks.select("doc_id", F.explode("t").alias("w"))
+    df_tok = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = df_tok.orderBy(F.col("n").desc(), F.col("w")).limit(50)
+    dt = tok.join(F.broadcast(vocab.select("w")), "w")
+    per_doc = dt.groupBy("doc_id").agg(F.sort_array(F.collect_set("w")).alias("vw"))
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(vw, (x, i) ->"
+                "  transform(slice(vw, i + 2, size(vw)),"
+                "            y -> struct(x AS tok_a, y AS tok_b))))"
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    pc = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    va = vocab.select(F.col("w").alias("tok_a"), F.col("n").alias("n_a"))
+    vb = vocab.select(F.col("w").alias("tok_b"), F.col("n").alias("n_b"))
+    return (
+        pc.where(F.col("n_ab") >= 5)
+        .join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(F.col("n_ab") * F.col("n_docs") / (F.col("n_a") * F.col("n_b"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("n_ab").desc(), "tok_a", "tok_b")
+        .limit(30)
+    )
+
+
+@_register(
+    "q128_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_12'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 4)                          AS nation_revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)  AS total_revenue,
+           round(100.0 * sum(CASE WHEN n2.n_name = 'NATION_12'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share_pct
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q128_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): for orders placed by
+    customers in one region, the per-year revenue share supplied by one
+    nation — a 6-table star join with a conditional aggregate.  Scale
+    shape: every dimension (customer, supplier, nation x2, region) is
+    explicitly broadcast, so the ONLY shuffle is the lineitem-orders
+    key join; the region filter prunes customers inside the broadcast
+    build side, and the share is computed from the same two partial
+    sums (one conditional) in a single aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n1 = n.alias("n1")
+    n2 = n.alias("n2")
+    cust_asia = (
+        c.join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey")
+    ).select("s_suppkey", F.col("n2.n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_12", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_asia), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(F.sum(nation_rev), 4).alias("nation_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+            F.round(100.0 * F.sum(nation_rev) / F.sum(rev), 4).alias("mkt_share_pct"),
+        )
+    )
+
+
+@_register(
+    "q129_containment_neardup",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, s, len(s) AS z FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS BIGINT)
+                                                                  AS n_shared,
+           round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                 / least(a.z, b.z), 6)                            AS containment
+    FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+    WHERE 5 * len(list_filter(a.s, x -> list_contains(b.s, x)))
+          >= 4 * least(a.z, b.z)
+    """,
+)
+def q129_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by Jaccard CONTAINMENT
+    |A∩B| / min(|A|,|B|) >= 0.8 over 8-char shingles — catches a short
+    document embedded in a long one (quotes, boilerplate wrappers),
+    which symmetric-Jaccard MinHash (q21) structurally misses because
+    the union term dilutes the score.  Scale shape is an exact
+    prefix-filter set-containment join (PPJoin-family, Xiao et al.
+    2008): if B holds >=ceil(0.8|A|) of A's shingles it misses at most
+    |A|-ceil(0.8|A|), so ANY |A|-ceil(0.8|A|)+1 shingles of A pigeonhole
+    at least one hit — each doc emits only that many candidates keyed by
+    its globally RAREST shingles (ordered by corpus document frequency,
+    which minimizes posting-list fan-out), joined against the full
+    shingle inverted index, then candidates are verified exactly.
+    Recall is provably 100%, so the result equals the quadratic oracle.
+    The threshold compare is pure-integer (5*inter >= 4*min) — no float
+    boundary.  ceil(0.8*z) is computed as (4z+4) DIV 5: integer exact,
+    immune to the 0.8*5 = 4.0000000000000002 IEEE trap."""
+    d = _t(spark, sf_dir, "documents")
+    low = d.select("doc_id", F.lower(F.col("text")).alias("lt"))
+    # The shingle frame feeds FOUR consumers (document frequency, prefix,
+    # inverted index, and both verify sides) — materialize it once instead
+    # of recomputing the ngram build per consumer (measured 5.5s -> 4.1s
+    # warm at sf0.01; at scale this is the persisted signature frame every
+    # set-similarity system builds first).
+    sh = (
+        low.select(
+            "doc_id",
+            F.array_distinct(
+                TXT.char_ngrams(F.col("lt"), 8, pre_lowered=True)
+            ).alias("s"),
+        )
+        .withColumn("sz", F.size("s"))
+        .localCheckpoint(eager=True)
+    )
+    ex = sh.select("doc_id", "sz", F.explode("s").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g"))
+    prefix = (
+        ex.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.expr("CAST(sz - ((4 * sz + 4) DIV 5) + 1 AS INT)"))
+        .select(F.col("doc_id").alias("a"), "g")
+    )
+    index = ex.select(F.col("doc_id").alias("b"), "g")
+    cand = (
+        prefix.join(index, "g")
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("id_a"), F.greatest("a", "b").alias("id_b"))
+        .distinct()
+    )
+    A = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), F.col("sz").alias("za"))
+    B = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), F.col("sz").alias("zb"))
+    return (
+        cand.join(A, "id_a")
+        .join(B, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("mn", F.least("za", "zb"))
+        .where(F.col("inter") * 5 >= F.col("mn") * 4)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("n_shared"),
+            F.round(F.col("inter") / F.col("mn"), 6).alias("containment"),
+        )
+    )
+
+
+@_register(
+    "q130_zipf_slope",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    tok AS (SELECT w.w FROM toks, unnest(t) AS w(w)),
+    freq AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, w) AS r FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT)                 AS n_terms,
+           CAST(sum(n) AS BIGINT)                   AS n_tokens,
+           round(regr_slope(ln(n), ln(r)), 4)       AS zipf_slope,
+           round(regr_intercept(ln(n), ln(r)), 4)   AS zipf_intercept,
+           round(regr_r2(ln(n), ln(r)), 6)          AS r2
+    FROM ranked WHERE r <= 1000
+    """,
+)
+def q130_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-distribution health check: fit log(freq) ~ log(rank)
+    over the top-1000 terms (Zipf's law predicts slope ≈ -1; strong
+    deviation flags boilerplate-heavy or truncated corpora — a standard
+    pre-training diagnostic).  Scale shape: term counting partially
+    aggregates map-side; the top-1000 selection is a distributed
+    TakeOrderedAndProject (never a single-partition global sort of the
+    vocabulary), and only those 1000 rows reach the rank window and the
+    one-pass regr_* aggregates."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    top = freq.orderBy(F.col("n").desc(), F.col("w")).limit(1000)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("w")))
+    )
+    y, x = F.log(F.col("n")), F.log(F.col("r"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+@_register(
+    "q131_scrub_funnel",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    ),
+    fpr AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fpr
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+             length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id,
+             round((CASE WHEN mtl >= 2.5 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+                   * (1.0 - least(punct_ratio * 2, 1.0)), 6) AS q
+      FROM (
+        SELECT doc_id,
+               list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                 / greatest(len(toks), 1) AS mtl,
+               punct_ratio
+        FROM t
+      )
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             (e.rn = 1)                                           AS keep_exact,
+             (c.component IS NULL OR c.component = d.doc_id)      AS keep_nd,
+             (q.q >= 0.5)                                         AS keep_q
+      FROM documents d
+      JOIN ex e USING (doc_id)
+      LEFT JOIN comp c USING (doc_id)
+      JOIN quality q USING (doc_id)
+    ),
+    agg AS (
+      SELECT count(*) AS n_total,
+             sum(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN keep_exact AND keep_nd THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN keep_exact AND keep_nd AND keep_q THEN 1 ELSE 0 END) AS n3
+      FROM flags
+    )
+    SELECT '0_total' AS stage, CAST(n_total AS BIGINT) AS n_docs,
+           round(n_total::DOUBLE / n_total, 6) AS pct_of_total FROM agg
+    UNION ALL
+    SELECT '1_exact_dedup', CAST(n1 AS BIGINT),
+           round(n1::DOUBLE / n_total, 6) FROM agg
+    UNION ALL
+    SELECT '2_near_dedup', CAST(n2 AS BIGINT),
+           round(n2::DOUBLE / n_total, 6) FROM agg
+    UNION ALL
+    SELECT '3_quality', CAST(n3 AS BIGINT),
+           round(n3::DOUBLE / n_total, 6) FROM agg
+    """,
+)
+def q131_scrub_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scrub FUNNEL REPORT — the one table a production data
+    pipeline logs per run: how many documents survive each cleaning
+    stage (exact dedup by content fingerprint -> near-dup cluster
+    canonicalization -> quality gate), as counts and fractions of the
+    raw corpus.  Composes three already-amortized components — the md5
+    fingerprint (q15), the materialized minhash pair ARTIFACT + min-label
+    connected components (q70/q108: canonical member = min doc_id of its
+    cluster; docs in no cluster keep themselves), and the deterministic
+    quality score (q25/q125) at gate >= 0.5 — so the marginal cost is one
+    doc-level flag projection and a single 4-counter aggregate (the
+    stage rows are stack()ed from ONE pass; the corpus is scanned once
+    beyond the shared artifacts).  All fractions are ratios of exact
+    integers — no float-sum hazard."""
+    from stock_ops_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        TXT.fingerprint_md5(F.col("text")).alias("fp"),
+        TXT.quality_score(F.col("text")).alias("q"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = base.withColumn("keep_exact", F.row_number().over(w) == 1)
+    pairs = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    flagged = flagged.join(comp, "doc_id", "left")
+    keep_nd = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    keep_q = F.col("q") >= 0.5
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        one(F.col("keep_exact")).alias("n1"),
+        one(F.col("keep_exact") & keep_nd).alias("n2"),
+        one(F.col("keep_exact") & keep_nd & keep_q).alias("n3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " '0_total',       CAST(n_total AS BIGINT), round(CAST(n_total AS DOUBLE) / n_total, 6),"
+            " '1_exact_dedup', CAST(n1 AS BIGINT),      round(CAST(n1 AS DOUBLE) / n_total, 6),"
+            " '2_near_dedup',  CAST(n2 AS BIGINT),      round(CAST(n2 AS DOUBLE) / n_total, 6),"
+            " '3_quality',     CAST(n3 AS BIGINT),      round(CAST(n3 AS DOUBLE) / n_total, 6)"
+            ") AS (stage, n_docs, pct_of_total)"
+        )
+    )

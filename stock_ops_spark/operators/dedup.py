@@ -335,3 +335,88 @@ def text_simhash_candidates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    n: int = 8,
+) -> DataFrame:
+    """Exact set-CONTAINMENT join: pairs with
+    |A∩B| / min(|A|,|B|) >= threshold over n-char shingles.
+
+    Asymmetric near-dup detection — a short document embedded in a long
+    one scores ~1.0 here while its symmetric Jaccard (|A∩B|/|A∪B|) is
+    diluted by the big union, so MinHash-LSH (tuned to Jaccard)
+    structurally misses it.
+
+    Algorithm: exact prefix-filter containment join (PPJoin family, Xiao
+    et al. 2008).  If B contains >= ceil(t·|A|) of A's shingles it can
+    miss at most |A| - ceil(t·|A|) of them, so ANY |A| - ceil(t·|A|) + 1
+    shingles of A pigeonhole at least one shared shingle: each document
+    emits only that prefix — its globally RAREST shingles, ordered by
+    corpus document frequency to minimize posting-list fan-out — joined
+    against the full shingle inverted index; candidates are then verified
+    exactly.  Recall is provably 100%: the output equals the quadratic
+    all-pairs result.
+
+    The threshold is carried as an exact rational (num/den): the survive
+    predicate is ``inter * den >= num * min_size`` (pure integers, no
+    float boundary) and ceil(t·z) is ``(num·z + den - 1) DIV den`` —
+    immune to IEEE ceil traps (e.g. float ceil(9/11 · 77) = 64; exact 63).
+
+    Output: (id_a, id_b, n_shared, containment) with id_a < id_b.
+    """
+    num, den = int(threshold_num), int(threshold_den)
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
+    # One shingle build feeding FOUR consumers (document frequency,
+    # prefix, inverted index, both verify sides) — materialize it once.
+    sh = (
+        shingle_sets(df, id_col, text_col, n=n)
+        .withColumn("sz", F.size("shingles"))
+        .localCheckpoint(eager=True)
+    )
+    ex = sh.select("id", "sz", F.explode("shingles").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g"))
+    prefix_len = F.expr(
+        f"CAST(sz - (({num} * sz + {den} - 1) DIV {den}) + 1 AS INT)"
+    )
+    prefix = (
+        ex.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select(F.col("id").alias("a"), "g")
+    )
+    index = ex.select(F.col("id").alias("b"), "g")
+    cand = (
+        prefix.join(index, "g")
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("id_a"), F.greatest("a", "b").alias("id_b"))
+        .distinct()
+    )
+    A = sh.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sa"), F.col("sz").alias("za")
+    )
+    B = sh.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sb"), F.col("sz").alias("zb")
+    )
+    return (
+        cand.join(A, "id_a")
+        .join(B, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("mn", F.least("za", "zb"))
+        .where(F.col("inter") * den >= F.col("mn") * num)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("n_shared"),
+            F.round(F.col("inter") / F.col("mn"), 6).alias("containment"),
+        )
+    )

@@ -5612,55 +5612,15 @@ def q129_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle inverted index, then candidates are verified exactly.
     Recall is provably 100%, so the result equals the quadratic oracle.
     The threshold compare is pure-integer (5*inter >= 4*min) — no float
-    boundary.  ceil(0.8*z) is computed as (4z+4) DIV 5: integer exact,
-    immune to the 0.8*5 = 4.0000000000000002 IEEE trap."""
+    boundary — and ceil(0.8*z) is (4z+4) DIV 5: integer-exact, immune to
+    IEEE ceil traps (e.g. float ceil(9/11 · 77) = 64; exact 63).
+    Implementation: operators/dedup.py::containment_pairs; property
+    tests pin brute-force equality (tests/test_containment.py)."""
+    from stock_ops_spark.operators.dedup import containment_pairs
+
     d = _t(spark, sf_dir, "documents")
-    low = d.select("doc_id", F.lower(F.col("text")).alias("lt"))
-    # The shingle frame feeds FOUR consumers (document frequency, prefix,
-    # inverted index, and both verify sides) — materialize it once instead
-    # of recomputing the ngram build per consumer (measured 5.5s -> 4.1s
-    # warm at sf0.01; at scale this is the persisted signature frame every
-    # set-similarity system builds first).
-    sh = (
-        low.select(
-            "doc_id",
-            F.array_distinct(
-                TXT.char_ngrams(F.col("lt"), 8, pre_lowered=True)
-            ).alias("s"),
-        )
-        .withColumn("sz", F.size("s"))
-        .localCheckpoint(eager=True)
-    )
-    ex = sh.select("doc_id", "sz", F.explode("s").alias("g"))
-    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g"))
-    prefix = (
-        ex.join(dfreq, "g")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.expr("CAST(sz - ((4 * sz + 4) DIV 5) + 1 AS INT)"))
-        .select(F.col("doc_id").alias("a"), "g")
-    )
-    index = ex.select(F.col("doc_id").alias("b"), "g")
-    cand = (
-        prefix.join(index, "g")
-        .where(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("id_a"), F.greatest("a", "b").alias("id_b"))
-        .distinct()
-    )
-    A = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), F.col("sz").alias("za"))
-    B = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), F.col("sz").alias("zb"))
-    return (
-        cand.join(A, "id_a")
-        .join(B, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
-        .withColumn("mn", F.least("za", "zb"))
-        .where(F.col("inter") * 5 >= F.col("mn") * 4)
-        .select(
-            "id_a",
-            "id_b",
-            F.col("inter").cast("bigint").alias("n_shared"),
-            F.round(F.col("inter") / F.col("mn"), 6).alias("containment"),
-        )
+    return containment_pairs(
+        d, "doc_id", "text", threshold_num=4, threshold_den=5, n=8
     )
 
 

@@ -252,3 +252,45 @@ def test_q126_oov_vocab_broadcasts(q):
     df = q("q126_oov_ratio")
     assert A.count_broadcast_joins(df) >= 1
     assert not A.has_cartesian(df)
+
+
+def test_q127_pmi_vocab_broadcast_pairing_mapside(q):
+    """Pairing rides a Catalyst HOF over per-doc vocab-token sets: the
+    vocab joins the token stream as a broadcast, pair structs are built
+    map-side (no self-join of the token stream on doc_id), and no Python
+    appears.  Exchanges: doc-frequency agg, per-doc collect_set, pair
+    agg (+ the broadcast exchanges and top-k)."""
+    df = q("q127_term_cooccurrence_pmi")
+    assert A.count_broadcast_joins(df) >= 3  # vocab probe + n_a + n_b
+    assert not A.has_cartesian(df)
+    assert "BatchEvalPython" not in A.plan_string(df)
+    assert A.has_top_k(df)
+
+
+def test_q128_market_share_one_fact_shuffle(q):
+    """TPC-H Q8 shape: every dimension broadcasts; the only shuffle-heavy
+    join is lineitem-orders, and the conditional share is ONE aggregation
+    pass (no second scan for the denominator)."""
+    df = q("q128_market_share")
+    assert A.count_broadcast_joins(df) >= 3  # cust-region, supp-nation, dims
+    assert not A.has_cartesian(df)
+    # lineitem-orders join + final year agg (AQE may broadcast orders at
+    # tiny SF, so allow <=; the pin is "no extra exchanges beyond these")
+    assert A.count_shuffles(df) <= 3
+
+
+def test_q129_containment_no_cartesian_no_python(q):
+    """The containment join must stay candidate-driven: prefix x inverted
+    index equi-join on the shingle, never an all-pairs product, and the
+    whole pipeline is JVM expressions."""
+    df = q("q129_containment_neardup")
+    assert not A.has_cartesian(df)
+    assert "BatchEvalPython" not in A.plan_string(df)
+
+
+def test_q130_zipf_topk_not_global_sort(q):
+    """Top-1000 term selection must be a distributed TakeOrderedAndProject
+    — a global Sort of the whole vocabulary is the 100 TB regression."""
+    df = q("q130_zipf_slope")
+    assert A.has_top_k(df)
+    assert "BatchEvalPython" not in A.plan_string(df)

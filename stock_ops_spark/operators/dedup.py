@@ -353,59 +353,106 @@ def containment_pairs(
     diluted by the big union, so MinHash-LSH (tuned to Jaccard)
     structurally misses it.
 
-    Algorithm: exact prefix-filter containment join (PPJoin family, Xiao
-    et al. 2008).  If B contains >= ceil(t·|A|) of A's shingles it can
-    miss at most |A| - ceil(t·|A|) of them, so ANY |A| - ceil(t·|A|) + 1
-    shingles of A pigeonhole at least one shared shingle: each document
-    emits only that prefix — its globally RAREST shingles, ordered by
-    corpus document frequency to minimize posting-list fan-out — joined
-    against the full shingle inverted index; candidates are then verified
-    exactly.  Recall is provably 100%: the output equals the quadratic
-    all-pairs result.
+    Algorithm: exact prefix-filter set-containment join (SSJoin/PPJoin
+    family; Chaudhuri et al. 2006, Xiao et al. 2008) over a
+    DICTIONARY-ENCODED shingle space:
+
+    1. The corpus vocabulary is assigned dense int ids in ascending
+       document-frequency order, so every document becomes a SORTED int
+       array whose order IS the global rarity order — the per-document
+       prefix is then a plain array slice (no per-doc window), and the
+       verify intersections hash ints instead of 8-char strings
+       (measured ~3x cheaper at 5M candidate pairs).
+    2. Candidates: with O = ceil(t·min(|A|,|B|)), a qualifying pair
+       must share an element inside the first z-O+1 elements of BOTH
+       sorted arrays (the prefix-filter lemma).  Taking A as the
+       smaller side (za <= zb enforced in the join — the other
+       orientation is covered by the pair's reversal), A contributes
+       its za-ceil(t·za)+1 rarest shingles and the inverted index is
+       probed with the positional bound pb <= zb - ceil(t·za) + 1.
+       Recall is provably 100%: the output equals the quadratic
+       all-pairs result.
+    3. Exact verification on the int arrays.
 
     The threshold is carried as an exact rational (num/den): the survive
     predicate is ``inter * den >= num * min_size`` (pure integers, no
     float boundary) and ceil(t·z) is ``(num·z + den - 1) DIV den`` —
     immune to IEEE ceil traps (e.g. float ceil(9/11 · 77) = 64; exact 63).
 
+    Scale notes: the dictionary id assignment is a window over the
+    VOCABULARY (distinct shingles — orders of magnitude smaller than
+    the corpus; at extreme vocabulary sizes assign ids per df-band,
+    the order only has to be SOME global total order for correctness —
+    rarity order is a performance choice).  The encoded set frame is
+    checkpointed once and feeds the prefix, the inverted index and both
+    verify sides.  On corpora where documents genuinely share their
+    rare shingles pairwise (small vocabulary, templated text) the
+    candidate set degrades toward all-pairs — that is inherent to
+    EXACT containment, not to this plan; the filters are then free and
+    the verify stays the measured bottleneck.
+
     Output: (id_a, id_b, n_shared, containment) with id_a < id_b.
     """
     num, den = int(threshold_num), int(threshold_den)
     if not (0 < num <= den):
         raise ValueError(f"threshold must be in (0, 1]: {num}/{den}")
-    # One shingle build feeding FOUR consumers (document frequency,
-    # prefix, inverted index, both verify sides) — materialize it once.
-    sh = (
-        shingle_sets(df, id_col, text_col, n=n)
-        .withColumn("sz", F.size("shingles"))
-        .localCheckpoint(eager=True)
-    )
-    ex = sh.select("id", "sz", F.explode("shingles").alias("g"))
-    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
-    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g"))
+    # Spread the shingle build across cores (a small corpus arriving as
+    # one parquet file is one input partition — see minhash_near_dup_pairs).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex0 = shingle_sets(df.repartition(par), id_col, text_col, n=n).select(
+        "id", F.explode("shingles").alias("g")
+    )
+    dfreq = ex0.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        dfreq.withColumn(
+            "gid", F.row_number().over(Window.orderBy(F.col("df").asc(), F.col("g")))
+        )
+        .select("g", "gid")
+        .localCheckpoint(eager=True)
+    )
+    # (id, sorted-int-array, size) — rarity order == ascending id order.
+    enc = (
+        ex0.join(F.broadcast(vocab), "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("gid")).alias("s"))
+        .withColumn("sz", F.size("s"))
+        .localCheckpoint(eager=True)
+    )
     prefix_len = F.expr(
         f"CAST(sz - (({num} * sz + {den} - 1) DIV {den}) + 1 AS INT)"
     )
+    ceil_a = F.expr(f"CAST(({num} * za + {den} - 1) DIV {den} AS INT)")
     prefix = (
-        ex.join(dfreq, "g")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= prefix_len)
-        .select(F.col("id").alias("a"), "g")
+        enc.select(
+            F.col("id").alias("a"),
+            F.col("sz").alias("za"),
+            F.explode(F.slice("s", F.lit(1), prefix_len)).alias("gid"),
+        )
+        .withColumn("oa", ceil_a)
     )
-    index = ex.select(F.col("id").alias("b"), "g")
+    index = enc.select(
+        F.col("id").alias("b"),
+        F.col("sz").alias("zb"),
+        F.posexplode("s").alias("pb0", "gid"),
+    )
     cand = (
-        prefix.join(index, "g")
-        .where(F.col("a") != F.col("b"))
+        prefix.join(index, "gid")
+        .where(
+            (F.col("a") != F.col("b"))
+            & (F.col("za") <= F.col("zb"))
+            # positional prefix filter: pb (1-based) <= zb - ceil(t*za) + 1
+            & (F.col("pb0") + F.col("oa") <= F.col("zb"))
+        )
         .select(F.least("a", "b").alias("id_a"), F.greatest("a", "b").alias("id_b"))
         .distinct()
     )
-    A = sh.select(
-        F.col("id").alias("id_a"), F.col("shingles").alias("sa"), F.col("sz").alias("za")
+    A = enc.select(
+        F.col("id").alias("id_a"), F.col("s").alias("sa"), F.col("sz").alias("za")
     )
-    B = sh.select(
-        F.col("id").alias("id_b"), F.col("shingles").alias("sb"), F.col("sz").alias("zb")
+    B = enc.select(
+        F.col("id").alias("id_b"), F.col("s").alias("sb"), F.col("sz").alias("zb")
     )
     return (
         cand.join(A, "id_a")

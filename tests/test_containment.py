@@ -142,3 +142,50 @@ def test_finds_embedded_doc_minhash_would_miss(spark):
     )
     rows = containment_pairs(df, "doc_id", "text", 4, 5).collect()
     assert [(r.id_a, r.id_b, r.containment) for r in rows] == [(1, 2, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# 4. persisted artifact (fit-once-read-many)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_cached_serves_artifact(spark, tmp_path, monkeypatch):
+    """Second call must read the materialized pair artifact, not
+    recompute the join; different params or a rewritten source must
+    invalidate the key."""
+    import stock_ops_spark.operators.dedup as D
+
+    long_doc = _letters(42, 2000)
+    docs = [(1, long_doc), (2, long_doc[700:900]), (3, _letters(7, 800))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "docs.parquet")
+    df.write.parquet(src)
+    cache = str(tmp_path / "models")
+    first = {
+        (r.id_a, r.id_b)
+        for r in D.containment_pairs_cached(
+            df, src, "doc_id", "text", 4, 5, cache_dir=cache
+        ).collect()
+    }
+    assert first == {(1, 2)}
+
+    def boom(*a, **kw):
+        raise AssertionError("pipeline recomputed despite cached artifact")
+
+    monkeypatch.setattr(D, "containment_pairs", boom)
+    again = {
+        (r.id_a, r.id_b)
+        for r in D.containment_pairs_cached(
+            df, src, "doc_id", "text", 4, 5, cache_dir=cache
+        ).collect()
+    }
+    assert again == first
+    import pytest as _pytest
+
+    # different threshold -> different key -> must recompute
+    with _pytest.raises(AssertionError, match="recomputed"):
+        D.containment_pairs_cached(df, src, "doc_id", "text", 1, 2, cache_dir=cache)
+    # rewritten source (new mtime/size) -> must recompute
+    df.limit(2).write.mode("overwrite").parquet(src)
+    with _pytest.raises(AssertionError, match="recomputed"):
+        D.containment_pairs_cached(df, src, "doc_id", "text", 4, 5, cache_dir=cache)

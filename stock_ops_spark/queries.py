@@ -5823,3 +5823,251 @@ def q131_scrub_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stage, n_docs, pct_of_total)"
         )
     )
+
+
+@_register(
+    "q132_funnel3",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    agg AS (
+      SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_all,
+             (SELECT count(*) FROM t1) AS n1,
+             (SELECT count(*) FROM t2) AS n2,
+             (SELECT count(*) FROM t3) AS n3
+    )
+    SELECT '0_all_users' AS stage, CAST(n_all AS BIGINT) AS n_users,
+           round(n_all::DOUBLE / n_all, 6) AS pct_of_all FROM agg
+    UNION ALL
+    SELECT '1_view', CAST(n1 AS BIGINT), round(n1::DOUBLE / n_all, 6) FROM agg
+    UNION ALL
+    SELECT '2_view_click', CAST(n2 AS BIGINT), round(n2::DOUBLE / n_all, 6) FROM agg
+    UNION ALL
+    SELECT '3_view_click_purchase', CAST(n3 AS BIGINT),
+           round(n3::DOUBLE / n_all, 6) FROM agg
+    """,
+)
+def q132_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ORDER three-step funnel (view -> click -> purchase): a user
+    converts step k only with an event strictly after their step-(k-1)
+    conversion time — the sequencing q117's single-window conversion and
+    q50/q59's attribution joins don't express.  Scale shape: three
+    map-side-combined per-user min() aggregations, each joined to the
+    (shrinking) previous stage — stage frames are user-level and small,
+    so the joins broadcast; the event stream is scanned per stage with
+    the event_type filter pushed to the scan.  Fractions are ratios of
+    exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_all = ev.agg(F.countDistinct("user_id").alias("n_all"))
+    n1 = t1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = t2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = t3.agg(F.count(F.lit(1)).alias("n3"))
+    agg = (
+        n_all.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " '0_all_users',           CAST(n_all AS BIGINT), round(CAST(n_all AS DOUBLE) / n_all, 6),"
+            " '1_view',                CAST(n1 AS BIGINT),    round(CAST(n1 AS DOUBLE) / n_all, 6),"
+            " '2_view_click',          CAST(n2 AS BIGINT),    round(CAST(n2 AS DOUBLE) / n_all, 6),"
+            " '3_view_click_purchase', CAST(n3 AS BIGINT),    round(CAST(n3 AS DOUBLE) / n_all, 6)"
+            ") AS (stage, n_users, pct_of_all)"
+        )
+    )
+
+
+@_register(
+    "q133_scd2_value_bands",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value / 100) AS BIGINT) AS state
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id, state,
+             lag(state) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_state
+      FROM p
+    ),
+    changes AS (
+      SELECT user_id, ts, state FROM marked
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                             '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00')   AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    """,
+)
+def q133_scd2_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) snapshot build — the
+    change-data-capture shape every warehouse ingest needs: collapse a
+    per-user event stream into validity intervals of its derived state
+    (here the purchase-value band, floor(value/100)), keeping only rows
+    where the state CHANGES, with [valid_from, valid_to) stitched via
+    lead() and an open interval for the current state.  Scale shape: ONE
+    exchange on user_id serves both window passes (lag for change
+    detection, lead for interval close) — the second window rides the
+    first's partitioning; ties broken by event_id so the interval
+    boundaries are deterministic.  floor(value/100) is a single IEEE op
+    (engine-identical); timestamps are emitted as formatted strings."""
+    p = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") / 100).cast("bigint").alias("state"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = p.withColumn("prev_state", F.lag("state").over(w))
+    changes = marked.where(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    ).select("user_id", "ts", "state")
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
+    )
+
+
+@_register(
+    "q134_copurchase_triangles",
+    """
+    WITH pp AS (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa, pb FROM pp GROUP BY pa, pb HAVING count(*) >= 2),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e x JOIN e y ON x.pb = y.pa JOIN e z ON z.pa = x.pa AND z.pb = y.pb
+    ),
+    agg AS (
+      SELECT (SELECT count(*) FROM deg)                         AS n_nodes,
+             (SELECT count(*) FROM e)                           AS n_edges,
+             (SELECT sum((d * (d - 1)) // 2) FROM deg)          AS n_wedges,
+             (SELECT n_triangles FROM tri)                      AS n_triangles
+    )
+    SELECT CAST(n_nodes AS BIGINT)     AS n_nodes,
+           CAST(n_edges AS BIGINT)     AS n_edges,
+           CAST(n_wedges AS BIGINT)    AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           round(3.0 * n_triangles / n_wedges, 6) AS transitivity
+    FROM agg
+    """,
+)
+def q134_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting + global transitivity on the part-part
+    co-purchase graph — the third classic distributed graph kernel next
+    to connected components (q70) and PageRank (q106).  Edges are part
+    pairs co-occurring in >= 2 orders (the support filter separates
+    affinity from one-off noise AND keeps the graph sparse: ~4k edges at
+    every SF vs ~1.2M unfiltered at sf0.1).  Scale shape: the only heavy
+    stage is the per-order pair self-join of lineitem (bounded by
+    C(items-per-order, 2)); the edge list after support filtering is
+    small, so the wedge-close join runs on broadcast inputs, and the
+    a<b<c id orientation counts each triangle exactly once.
+    Transitivity = 3*triangles / wedges from exact integers."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pp = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+    e = (
+        pp.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)  # tiny edge frame, consumed 4x
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .union(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    tri = (
+        x.join(y, F.col("x.pb") == F.col("y.pa"))
+        .join(
+            z,
+            (F.col("z.pa") == F.col("x.pa")) & (F.col("z.pb") == F.col("y.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    agg = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("(d * (d - 1)) DIV 2")).alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return agg.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "transitivity"
+        ),
+    )

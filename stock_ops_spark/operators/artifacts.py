@@ -59,3 +59,81 @@ def source_identity(source_path: str) -> str:
 def cache_key(raw: str) -> str:
     """Stable short digest of the full (v-tag|identity|params) string."""
     return hashlib.sha1(raw.encode()).hexdigest()[:20]
+
+
+def gc(
+    cache_dir: str | None = None,
+    max_age_s: float | None = None,
+    keep_latest: int | None = None,
+) -> list[str]:
+    """Retention sweep for the artifact cache — the maintenance half of
+    the fit-once-read-many discipline.  Artifact keys embed the source
+    file identity (mtime+size), so every corpus rewrite strands the
+    previous version's artifacts forever; without a sweep the cache dir
+    grows monotonically (same failure mode the streaming dedup index had
+    before ``maintain()``).
+
+    Policies (combinable; both None = no-op):
+    - ``max_age_s``: remove artifacts whose newest contained file is
+      older than this many seconds.
+    - ``keep_latest``: per artifact FAMILY (the ``<name>_`` prefix before
+      the key digest: neardup/containment/pagerank/kmeans), keep only
+      the N most recently modified entries.
+
+    In-flight ``*.tmp`` staging paths are never touched (a concurrent
+    fitter owns them until its atomic rename).  Returns the removed
+    paths.
+    """
+    import re
+    import shutil
+    import time as _time
+
+    if cache_dir is None:
+        cache_dir = default_cache_dir()
+    pat = re.compile(r"^([a-z0-9]+)_[0-9a-f]{20}\.(parquet|json)$")
+    entries: list[tuple[str, str, float]] = []  # (family, path, mtime)
+    try:
+        names = os.listdir(cache_dir)
+    except OSError:
+        return []
+    for name in names:
+        m = pat.match(name)
+        if not m:
+            continue  # unknown layout or .tmp staging path — leave it
+        path = os.path.join(cache_dir, name)
+        mtime = os.path.getmtime(path)
+        if os.path.isdir(path):  # parquet dirs: age = newest part file
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        mtime = max(mtime, os.path.getmtime(os.path.join(root, f)))
+                    except OSError:
+                        pass
+        entries.append((m.group(1), path, mtime))
+
+    doomed: dict[str, None] = {}
+    now = _time.time()
+    if max_age_s is not None:
+        for _fam, path, mtime in entries:
+            if now - mtime > max_age_s:
+                doomed[path] = None
+    if keep_latest is not None:
+        by_family: dict[str, list[tuple[float, str]]] = {}
+        for fam, path, mtime in entries:
+            by_family.setdefault(fam, []).append((mtime, path))
+        for fam, items in by_family.items():
+            items.sort(reverse=True)
+            for _mtime, path in items[keep_latest:]:
+                doomed[path] = None
+
+    removed = []
+    for path in doomed:
+        try:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.remove(path)
+            removed.append(path)
+        except OSError:
+            pass  # concurrent gc or permission oddity — skip, not fatal
+    return sorted(removed)

@@ -6071,3 +6071,107 @@ def q134_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transitivity"
         ),
     )
+
+
+@_register(
+    "q135_epoch_scoped_spend",
+    """
+    WITH ue AS (
+      SELECT user_id, ts, event_id, event_type, value FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ),
+    marked AS (
+      SELECT user_id, event_type, value,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS epoch
+      FROM ue
+    )
+    SELECT user_id,
+           CAST(epoch AS BIGINT) AS epoch,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                                 AS n_purchases,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END), 2) AS total_value
+    FROM marked GROUP BY user_id, epoch
+    """,
+)
+def q135_epoch_scoped_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-RESET running aggregate: per-user purchase totals that
+    reset at every signup event — the 'counter with resets' shape
+    (session-scoped balances, odometer resets, campaign-epoch spend)
+    that plain windows can't express without the marker trick: a
+    cumulative count of reset markers over the interleaved event stream
+    partitions the timeline into epochs, and the aggregate then groups
+    by (user, epoch).  Scale shape: ONE exchange on user_id serves the
+    marker window, and the epoch aggregation rides it map-side (the
+    groupBy keys are a superset of the window partition key); the
+    event_type IN filter is pushed to the scan."""
+    ue = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ue.withColumn(
+        "epoch",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w),
+    )
+    is_p = F.col("event_type") == "purchase"
+    return marked.groupBy("user_id", F.col("epoch").cast("bigint").alias("epoch")).agg(
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("bigint").alias("n_purchases"),
+        F.round(F.sum(F.when(is_p, F.col("value")).otherwise(0.0)), 2).alias(
+            "total_value"
+        ),
+    )
+
+
+@_register(
+    "q136_ship_latency_percentiles",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)          AS n_items,
+           round(avg(days), 6)               AS avg_days,
+           round(quantile_cont(days, 0.5), 6)  AS p50,
+           round(quantile_cont(days, 0.9), 6)  AS p90,
+           round(quantile_cont(days, 0.99), 6) AS p99,
+           CAST(max(days) AS BIGINT)         AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def q136_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA matrix: exact interpolated percentiles
+    of the per-lineitem fulfillment latency (days between order and
+    ship) per order priority — the operational latency-distribution
+    report (p50/p90/p99 tail) next to q34's value percentiles.  The
+    latencies are exact integers (day diffs), so the interpolated
+    quantiles are exact small fractions and avg is a ratio of exact
+    integers — no float-sum hazard anywhere.  Scale shape: one
+    lineitem-orders key join (the orders side carries only 2 columns),
+    one aggregation; at 100 TB the exact percentile swaps for
+    approx_percentile per q34's note."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.avg("days"), 6).alias("avg_days"),
+        F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(days, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(days, 0.99)"), 6).alias("p99"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

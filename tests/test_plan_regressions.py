@@ -294,3 +294,31 @@ def test_q130_zipf_topk_not_global_sort(q):
     df = q("q130_zipf_slope")
     assert A.has_top_k(df)
     assert "BatchEvalPython" not in A.plan_string(df)
+
+
+def test_q134_triangles_no_cartesian(q):
+    """The wedge-close stage must stay an equi-join on the support-
+    filtered edge list — an all-pairs product over parts is the scale
+    regression."""
+    df = q("q134_copurchase_triangles")
+    assert not A.has_cartesian(df)
+    assert "BatchEvalPython" not in A.plan_string(df)
+
+
+def test_q135_single_exchange_window_plus_agg(q):
+    """The epoch aggregate must ride the marker window's user_id
+    partitioning: exactly one shuffle."""
+    df = q("q135_epoch_scoped_spend")
+    assert A.count_shuffles(df) == 1
+    assert A.has_pushed_filter(df, "In(event_type")
+
+
+def test_q136_two_column_orders_scan(q):
+    """Column pruning must reach both scans: the orders side reads only
+    its 3 join/group columns."""
+    df = q("q136_ship_latency_percentiles")
+    schemas = A.read_schemas(df)
+    assert any(
+        s.startswith("struct<l_orderkey") and "l_quantity" not in s for s in schemas
+    )
+    assert any(s.startswith("struct<o_orderkey") and "o_totalprice" not in s for s in schemas)

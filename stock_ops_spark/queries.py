@@ -6175,3 +6175,155 @@ def q136_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.expr("percentile(days, 0.99)"), 6).alias("p99"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+@_register(
+    "q137_basket_rules",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (SELECT l_partkey AS p, count(*) AS n_p FROM op GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, w, ia.n_p AS n_ante, ib.n_p AS n_cons
+      FROM pair JOIN item ia ON ia.p = pair.pa JOIN item ib ON ib.p = pair.pb
+      UNION ALL
+      SELECT pb, pa, w, ib.n_p, ia.n_p
+      FROM pair JOIN item ia ON ia.p = pair.pa JOIN item ib ON ib.p = pair.pb
+    )
+    SELECT antecedent, consequent,
+           CAST(w AS BIGINT)                              AS support_orders,
+           round(w::DOUBLE / n_ante, 6)                   AS confidence,
+           round(w::DOUBLE * n_orders / (n_ante * n_cons), 6) AS lift
+    FROM rules CROSS JOIN n
+    ORDER BY w DESC, antecedent, consequent
+    LIMIT 40
+    """,
+)
+def q137_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Apriori level 2): directed
+    part->part rules with support (co-orders), confidence
+    P(consequent|antecedent) and lift — the classic co-purchase
+    recommendation primitive on the same support>=2 pair base as q134's
+    graph.  Scale shape: the only heavy stage is the per-order pair
+    self-join (bounded by C(items-per-order, 2) after the DISTINCT
+    projection); item counts and the order total broadcast onto the
+    small rule set, and all three metrics are ratios of exact integers.
+    Top-k ordered by integer support with full id tiebreaks."""
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a"))
+    ib = item.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b"))
+    joined = pair.join(F.broadcast(ia), "pa").join(F.broadcast(ib), "pb")
+    fwd = joined.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "w",
+        F.col("n_a").alias("n_ante"),
+        F.col("n_b").alias("n_cons"),
+    )
+    rev = joined.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "w",
+        F.col("n_b").alias("n_ante"),
+        F.col("n_a").alias("n_cons"),
+    )
+    return (
+        fwd.union(rev)
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("w").cast("bigint").alias("support_orders"),
+            F.round(F.col("w") / F.col("n_ante"), 6).alias("confidence"),
+            F.round(
+                F.col("w") * F.col("n_orders") / (F.col("n_ante") * F.col("n_cons")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support_orders").desc(), "antecedent", "consequent")
+        .limit(40)
+    )
+
+
+@_register(
+    "q138_purchase_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, d - CAST(rn AS INT) AS anchor, count(*) AS streak
+      FROM ranked GROUP BY user_id, d - CAST(rn AS INT)
+    ),
+    best AS (
+      SELECT user_id,
+             max(streak)   AS longest_streak,
+             sum(streak)   AS n_active_days
+      FROM islands GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(longest_streak AS BIGINT) AS longest_streak,
+           CAST(n_active_days AS BIGINT)  AS n_active_days
+    FROM best
+    ORDER BY longest_streak DESC, n_active_days DESC, user_id
+    LIMIT 50
+    """,
+)
+def q138_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per user
+    (streak detection — retention/habit analytics), via the classic
+    date-minus-row_number anchor: consecutive days share an anchor, so
+    islands fall out of a plain groupBy with no self-join or recursion.
+    Scale shape: one exchange on user_id serves the distinct-day
+    dedup, the rank window AND the island/best aggregations (the keys
+    all refine user_id); top-k is a distributed TakeOrderedAndProject
+    on integer columns with a full tiebreak."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id", F.date_sub(F.col("d"), F.col("rn")).alias("anchor"))
+        .agg(F.count(F.lit(1)).alias("streak"))
+    )
+    best = islands.groupBy("user_id").agg(
+        F.max("streak").cast("bigint").alias("longest_streak"),
+        F.sum("streak").cast("bigint").alias("n_active_days"),
+    )
+    return best.orderBy(
+        F.col("longest_streak").desc(), F.col("n_active_days").desc(), "user_id"
+    ).limit(50)

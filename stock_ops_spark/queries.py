@@ -6327,3 +6327,115 @@ def q138_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.orderBy(
         F.col("longest_streak").desc(), F.col("n_active_days").desc(), "user_id"
     ).limit(50)
+
+
+@_register(
+    "q139_loo_target_encoding",
+    """
+    WITH agg AS (
+      SELECT p_brand, count(*) AS n_b, sum(p_retailprice) AS sum_b
+      FROM part GROUP BY p_brand
+    )
+    SELECT p.p_partkey,
+           p.p_brand,
+           round(p.p_retailprice, 2) AS retailprice,
+           CASE WHEN a.n_b > 1
+                THEN round((a.sum_b - p.p_retailprice) / (a.n_b - 1), 6)
+                ELSE NULL END        AS brand_loo_mean
+    FROM part p JOIN agg a ON p.p_brand = a.p_brand
+    """,
+)
+def q139_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the feature-engineering primitive
+    for categorical columns in training pipelines: each row's encoded
+    value is its group's mean WITH ITSELF EXCLUDED ((sum - own)/(n-1)),
+    which plain groupBy means leak and per-row subqueries recompute
+    O(n^2).  Scale shape: one aggregate pass per group (tiny frame,
+    broadcast back onto the fact rows), encoding computed row-wise from
+    the shared (sum, n) — no window, no self-join; singleton groups
+    yield NULL rather than a divide-by-zero.  retailprice is 2dp data
+    so the sums are decimal-exact at this scale."""
+    p = _t(spark, sf_dir, "part")
+    agg = p.groupBy(F.col("p_brand").alias("b")).agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("p_retailprice").alias("sum_b")
+    )
+    return (
+        p.join(F.broadcast(agg), p.p_brand == F.col("b"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("retailprice"),
+            F.when(
+                F.col("n_b") > 1,
+                F.round(
+                    (F.col("sum_b") - F.col("p_retailprice")) / (F.col("n_b") - 1), 6
+                ),
+            ).alias("brand_loo_mean"),
+        )
+    )
+
+
+@_register(
+    "q140_supplier_cosine",
+    """
+    WITH sc AS (
+      SELECT l.l_suppkey AS s, o.o_custkey AS c, count(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT s, sum(w * w) AS nrm2 FROM sc GROUP BY s),
+    dots AS (
+      SELECT a.s AS s1, b.s AS s2, sum(a.w * b.w) AS dot
+      FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2,
+           CAST(dot AS BIGINT) AS dot,
+           round(dot / (sqrt(n1.nrm2) * sqrt(n2.nrm2)), 6) AS cosine
+    FROM dots JOIN norms n1 ON n1.s = dots.s1 JOIN norms n2 ON n2.s = dots.s2
+    ORDER BY round(dot / (sqrt(n1.nrm2) * sqrt(n2.nrm2)), 6) DESC, s1, s2
+    LIMIT 20
+    """,
+)
+def q140_supplier_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine between
+    suppliers over their (customer, co-order-count) basket vectors —
+    the bipartite-projection primitive behind 'suppliers like this one'
+    recommendations.  Scale shape: the sparse vectors stay EXPLODED
+    (supplier, customer, weight) — the dot products come from one
+    equi-join on the shared customer (never a dense vector
+    materialization), norms are a parallel aggregate broadcast onto the
+    small pair frame, and the dot/norm inputs are exact integers.  The
+    top-k orders by the ROUNDED cosine (decimal-stable boundary) with
+    full id tiebreaks."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    norms = sc.groupBy("s").agg(F.sum(F.col("w") * F.col("w")).alias("nrm2"))
+    a, b = sc.alias("a"), sc.alias("b")
+    dots = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    n1 = norms.select(F.col("s").alias("s1"), F.col("nrm2").alias("nrm1"))
+    n2 = norms.select(F.col("s").alias("s2"), F.col("nrm2").alias("nrm2b"))
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("nrm1")) * F.sqrt(F.col("nrm2b"))), 6
+    )
+    return (
+        dots.join(F.broadcast(n1), "s1")
+        .join(F.broadcast(n2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("dot").cast("bigint").alias("dot"),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "s1", "s2")
+        .limit(20)
+    )

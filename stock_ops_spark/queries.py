@@ -6439,3 +6439,188 @@ def q140_supplier_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "s1", "s2")
         .limit(20)
     )
+
+
+@_register(
+    "q141_bfs_hops",
+    """
+    WITH RECURSIVE pp AS (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa, pb FROM pp GROUP BY pa, pb HAVING count(*) >= 2),
+    bi AS (SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT s AS node, count(*) AS dg FROM bi GROUP BY s),
+    seed AS (SELECT node FROM deg ORDER BY dg DESC, node LIMIT 1),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM seed
+      UNION ALL
+      SELECT bi.d, walk.dist + 1 FROM walk JOIN bi ON bi.s = walk.node
+      WHERE walk.dist < 3
+    ),
+    best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+    SELECT CAST(dist AS BIGINT)     AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM best GROUP BY dist
+    """,
+)
+def q141_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop histogram — the fourth graph kernel (after
+    connected components q70, PageRank q106, triangles q134): minimum
+    hop distance from the highest-degree part to every part reachable
+    within 3 hops on the support>=2 co-purchase graph ('degrees of
+    separation' from the hub product).  Scale shape: frontier-expansion
+    BFS — each of the 3 rounds is ONE equi-join of the current frontier
+    against the bidirected edge list plus an anti-join against the
+    visited set, exactly the iterative template the other kernels use;
+    min-distance falls out of level-order expansion, no per-node state.
+    The seed is deterministic (degree desc, id asc)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    bi = (
+        e.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
+        .union(e.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
+        .localCheckpoint(eager=True)  # reused every BFS round
+    )
+    seed = (
+        bi.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.col("dg").desc(), F.col("node"))
+        .limit(1)
+        .select("node")
+    )
+    visited = seed.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for hop in range(1, 4):
+        neighbors = (
+            frontier.join(bi, frontier.node == bi.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        fresh = neighbors.join(visited.select("node"), "node", "left_anti").withColumn(
+            "dist", F.lit(hop)
+        )
+        visited = visited.union(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("node")
+    return visited.groupBy(F.col("dist").cast("bigint").alias("dist")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+@_register(
+    "q142_psi_drift",
+    """
+    WITH bands AS (
+      SELECT unnest(range(0, 6)) AS band
+    ),
+    binned AS (
+      SELECT least(CAST(floor(value / 100) AS BIGINT), 5) AS band,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END
+                 AS period
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (
+      SELECT b.band,
+             coalesce(sum(CASE WHEN x.period = 0 THEN 1 ELSE 0 END), 0) AS n_ref,
+             coalesce(sum(CASE WHEN x.period = 1 THEN 1 ELSE 0 END), 0) AS n_cur
+      FROM bands b LEFT JOIN binned x ON b.band = x.band
+      GROUP BY b.band
+    ),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts),
+    probs AS (
+      SELECT band, n_ref, n_cur,
+             (n_ref + 1)::DOUBLE / (t_ref + 6) AS p,
+             (n_cur + 1)::DOUBLE / (t_cur + 6) AS q
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(band AS BIGINT)   AS band,
+           CAST(n_ref AS BIGINT)  AS n_ref,
+           CAST(n_cur AS BIGINT)  AS n_cur,
+           round(p, 6)            AS p_ref,
+           round(q, 6)            AS p_cur,
+           round((p - q) * ln(p / q), 6) AS psi_contrib
+    FROM probs
+    UNION ALL
+    SELECT -1, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_cur) AS BIGINT),
+           round(1.0, 6), round(1.0, 6),
+           round(sum((p - q) * ln(p / q)), 6)
+    FROM probs
+    """,
+)
+def q142_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the standard production
+    drift-monitoring metric between a reference and a current period:
+    value-band histograms for the two halves of the event stream,
+    add-one (Laplace) smoothing so empty bands stay defined, per-band
+    contributions (p-q)·ln(p/q) and the summed PSI as a total row
+    (band = -1; PSI > 0.2 conventionally triggers retraining).  Scale
+    shape: one aggregation pass computes both period histograms
+    (conditional counts), the fixed 6-band spine is a broadcast, and
+    p/q are exact-integer ratios so the contributions are IEEE-identical
+    across engines (the final sum is 6 terms — decimal-stable at
+    round 6)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    binned = ev.select(
+        F.least(F.floor(F.col("value") / 100).cast("bigint"), F.lit(5)).alias("band"),
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("period"),
+    )
+    bands = spark.range(0, 6).select(F.col("id").alias("band"))
+    counts = (
+        F.broadcast(bands)
+        .join(binned, "band", "left")
+        .groupBy("band")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 0, 1).otherwise(0)), F.lit(0)
+            ).alias("n_ref"),
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 1, 1).otherwise(0)), F.lit(0)
+            ).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 1) / (F.col("t_ref") + 6)).alias("p"),
+        ((F.col("n_cur") + 1) / (F.col("t_cur") + 6)).alias("q"),
+    )
+    per_band = probs.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("p_cur"),
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6).alias(
+            "psi_contrib"
+        ),
+    )
+    total = probs.agg(
+        F.lit(-1).cast("bigint").alias("band"),
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        F.round(F.lit(1.0), 6).alias("p_ref"),
+        F.round(F.lit(1.0), 6).alias("p_cur"),
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi_contrib"),
+    )
+    return per_band.union(total)

@@ -5982,10 +5982,13 @@ def q133_scd2_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q134_copurchase_triangles",
     """
-    WITH pp AS (
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pp AS (
       SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
-      FROM lineitem a
-      JOIN lineitem b
+      FROM op a
+      JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
     e AS (SELECT pa, pb FROM pp GROUP BY pa, pb HAVING count(*) >= 2),
@@ -6023,22 +6026,18 @@ def q134_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(items-per-order, 2)); the edge list after support filtering is
     small, so the wedge-close join runs on broadcast inputs, and the
     a<b<c id orientation counts each triangle exactly once.
-    Transitivity = 3*triangles / wedges from exact integers."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pp = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-    e = (
-        pp.groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .select("pa", "pb")
-        .localCheckpoint(eager=True)  # tiny edge frame, consumed 4x
-    )
+    Transitivity = 3*triangles / wedges from exact integers.  The edge
+    list is served from the shared co-purchase ARTIFACT
+    (graph.copurchase_edges_cached — one per-order pair join per corpus
+    version, read by q134/q137/q141); w counts DISTINCT orders, so a
+    part duplicated inside one order can't fake support."""
+    from stock_ops_spark.operators.graph import copurchase_edges_cached
+
+    e = copurchase_edges_cached(
+        _t(spark, sf_dir, "lineitem"),
+        source_path=catalog.table_path(sf_dir, "lineitem"),
+        support=2,
+    ).select("pa", "pb")
     deg = (
         e.select(F.col("pa").alias("node"))
         .union(e.select(F.col("pb").alias("node")))
@@ -6217,23 +6216,19 @@ def q137_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection); item counts and the order total broadcast onto the
     small rule set, and all three metrics are ratios of exact integers.
     Top-k ordered by integer support with full id tiebreaks."""
+    from stock_ops_spark.operators.graph import copurchase_edges_cached
+
     op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     n_orders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = op.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("n_p")
     )
-    a, b = op.alias("a"), op.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
+    # pair weights come from the shared co-purchase artifact (one heavy
+    # per-order pair join per corpus version, read by q134/q137/q141)
+    pair = copurchase_edges_cached(
+        _t(spark, sf_dir, "lineitem"),
+        source_path=catalog.table_path(sf_dir, "lineitem"),
+        support=2,
     )
     ia = item.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a"))
     ib = item.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b"))
@@ -6444,10 +6439,13 @@ def q140_supplier_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q141_bfs_hops",
     """
-    WITH RECURSIVE pp AS (
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pp AS (
       SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
-      FROM lineitem a
-      JOIN lineitem b
+      FROM op a
+      JOIN op b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
     e AS (SELECT pa, pb FROM pp GROUP BY pa, pb HAVING count(*) >= 2),
@@ -6476,20 +6474,15 @@ def q141_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the bidirected edge list plus an anti-join against the
     visited set, exactly the iterative template the other kernels use;
     min-distance falls out of level-order expansion, no per-node state.
-    The seed is deterministic (degree desc, id asc)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .select("pa", "pb")
-    )
+    The seed is deterministic (degree desc, id asc); edges come from
+    the shared co-purchase artifact (graph.copurchase_edges_cached)."""
+    from stock_ops_spark.operators.graph import copurchase_edges_cached
+
+    e = copurchase_edges_cached(
+        _t(spark, sf_dir, "lineitem"),
+        source_path=catalog.table_path(sf_dir, "lineitem"),
+        support=2,
+    ).select("pa", "pb")
     bi = (
         e.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
         .union(e.select(F.col("pb").alias("s"), F.col("pa").alias("d")))

@@ -6617,3 +6617,66 @@ def q142_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi_contrib"),
     )
     return per_band.union(total)
+
+
+@_register(
+    "q143_dau_wau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+    wau AS (
+      SELECT days.d, count(DISTINCT ud.user_id) AS wau
+      FROM days JOIN ud
+        ON ud.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d')        AS day,
+           CAST(dau.dau AS BIGINT)            AS dau,
+           CAST(wau.wau AS BIGINT)            AS wau,
+           round(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q143_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness (DAU/WAU): per day, the distinct active
+    users that day over the distinct active users in the trailing
+    7 days — the standard product-health ratio.  Sliding DISTINCT
+    counts don't decompose into window aggregates (users repeat across
+    days), so the exact form joins the deduped (user, day) activity
+    set onto a day spine with a 7-day band — a bounded 7x fan-out of
+    the ALREADY-DEDUPED activity pairs, never of the raw event stream;
+    DAU rides the same deduped frame, and the ratio is two exact
+    integers.  At 100 TB the same shape runs per partition-pruned day
+    range, or swaps the distinct for an HLL sketch union (q43's path)
+    when approximation is acceptable."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)  # deduped activity: reused 3x
+    )
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    spine = days.select(F.col("d").alias("day_end"))
+    wau = (
+        F.broadcast(spine)
+        .join(
+            ud,
+            (F.col("d") >= F.date_sub(F.col("day_end"), 6))
+            & (F.col("d") <= F.col("day_end")),
+        )
+        .groupBy("day_end")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.day_end)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

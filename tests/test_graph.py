@@ -145,3 +145,21 @@ def test_pagerank_cached_persists_one_run(spark, tmp_path, monkeypatch):
     src.write_text("sentinel-v2")
     with pytest.raises(AssertionError, match="re-iteration attempted"):
         G.pagerank_cached(e, str(src), variant="t", iters=2, cache_dir=cache)
+
+
+def test_copurchase_edges_count_distinct_orders(spark):
+    """A part duplicated INSIDE one order must not inflate the pair
+    weight: w counts distinct orders containing both parts."""
+    from stock_ops_spark.operators.graph import copurchase_edges
+
+    rows = [
+        # order 1: part 10 twice + part 20 once -> one co-order, not two
+        (1, 10), (1, 10), (1, 20),
+        # order 2: both again -> support reaches 2
+        (2, 10), (2, 20),
+        # order 3: 10 with 30 only once -> below support
+        (3, 10), (3, 30),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {(r.pa, r.pb): r.w for r in copurchase_edges(li, support=2).collect()}
+    assert got == {(10, 20): 2}

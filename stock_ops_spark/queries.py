@@ -6680,3 +6680,312 @@ def q143_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@_register(
+    "q144_cohort_retention",
+    """
+    WITH fo AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey
+    ),
+    act AS (
+      SELECT DISTINCT o.o_custkey, fo.cm,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(fo.cm) * 12 + month(fo.cm)) AS msince
+      FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+    ),
+    cs AS (SELECT cm, count(*) AS cohort_n FROM fo GROUP BY cm)
+    SELECT strftime(act.cm, '%Y-%m')      AS cohort_month,
+           CAST(act.msince AS BIGINT)     AS months_since,
+           CAST(count(*) AS BIGINT)       AS n_active,
+           CAST(cs.cohort_n AS BIGINT)    AS cohort_size,
+           round(count(*)::DOUBLE / cs.cohort_n, 6) AS retention
+    FROM act JOIN cs ON act.cm = cs.cm
+    GROUP BY act.cm, act.msince, cs.cohort_n
+    """,
+)
+def q144_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard growth-analytics triangle:
+    customers grouped by first-order month, tracked by how many are
+    still ordering N months later, as a fraction of the cohort.  Scale
+    shape: the first-order frame and the activity join share ONE
+    shuffle key (o_custkey — co-partitioned agg + join), the per-month
+    dedup collapses before the final tiny (cohort, months_since) agg,
+    and cohort sizes are a month-cardinality frame joined broadcast.
+    Retention is a ratio of two exact integers (decimal-stable at
+    round 6)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cm")
+    )
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    act = (
+        o.join(fo, "o_custkey")
+        .select(
+            "o_custkey",
+            "cm",
+            (mnum(F.col("o_orderdate")) - mnum(F.col("cm"))).alias("msince"),
+        )
+        .distinct()
+    )
+    cs = fo.groupBy("cm").agg(F.count(F.lit(1)).alias("cohort_n"))
+    return (
+        act.groupBy("cm", "msince")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(cs), "cm")
+        .select(
+            F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+            F.col("msince").cast("bigint").alias("months_since"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_n").cast("bigint").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("cohort_n"), 6).alias("retention"),
+        )
+    )
+
+
+@_register(
+    "q145_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_o,
+             count(*) AS freq,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_c
+      FROM orders GROUP BY o_custkey
+    ),
+    anch AS (SELECT max(last_o) AS a FROM rfm),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', last_o, a) AS rec_d,
+             freq, mon_c
+      FROM rfm CROSS JOIN anch
+    ),
+    thr AS (
+      SELECT quantile_cont(rec_d, 0.25) AS r25, quantile_cont(rec_d, 0.5) AS r50,
+             quantile_cont(rec_d, 0.75) AS r75,
+             quantile_cont(freq, 0.25) AS f25, quantile_cont(freq, 0.5) AS f50,
+             quantile_cont(freq, 0.75) AS f75,
+             quantile_cont(mon_c, 0.25) AS m25, quantile_cont(mon_c, 0.5) AS m50,
+             quantile_cont(mon_c, 0.75) AS m75
+      FROM base
+    ),
+    scored AS (
+      SELECT o_custkey, rec_d, freq, mon_c,
+             4 - ((rec_d > r25)::INT + (rec_d > r50)::INT + (rec_d > r75)::INT)
+                 AS r_score,
+             1 + (freq > f25)::INT + (freq > f50)::INT + (freq > f75)::INT
+                 AS f_score,
+             1 + (mon_c > m25)::INT + (mon_c > m50)::INT + (mon_c > m75)::INT
+                 AS m_score
+      FROM base CROSS JOIN thr
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(mon_c)::DOUBLE / count(*) / 100, 6) AS avg_monetary,
+           round(sum(freq)::DOUBLE / count(*), 6)        AS avg_frequency
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q145_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic CRM scoring grid.  Quartile scores are assigned by
+    comparing each customer against GLOBAL exact-quantile thresholds
+    (one 9-value scalar frame, broadcast) rather than ntile() — ntile
+    needs a full global sort, thresholds need one aggregate; at 100 TB
+    that is the difference between a single-partition sort and a
+    map-side projection.  Monetary sums in exact integer cents; the
+    threshold comparisons (int vs interpolated double) and the final
+    averages (ratios of exact ints) are bit-identical across engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_o"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "mon_c"
+        ),
+    )
+    anch = rfm.agg(F.max("last_o").alias("a"))
+    base = rfm.crossJoin(F.broadcast(anch)).select(
+        "o_custkey",
+        F.datediff(F.col("a"), F.col("last_o")).alias("rec_d"),
+        "freq",
+        "mon_c",
+    )
+    thr = base.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{int(q * 100)}")
+            for c in ("rec_d", "freq", "mon_c")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    gt = lambda c, t: (F.col(c) > F.col(t)).cast("int")  # noqa: E731
+    scored = base.crossJoin(F.broadcast(thr)).select(
+        (4 - (gt("rec_d", "r25") + gt("rec_d", "r50") + gt("rec_d", "r75"))).alias(
+            "r_score"
+        ),
+        (1 + gt("freq", "f25") + gt("freq", "f50") + gt("freq", "f75")).alias(
+            "f_score"
+        ),
+        (1 + gt("mon_c", "m25") + gt("mon_c", "m50") + gt("mon_c", "m75")).alias(
+            "m_score"
+        ),
+        "freq",
+        "mon_c",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("mon_c") / F.count(F.lit(1)) / 100, 6).alias("avg_monetary"),
+        F.round(F.sum("freq") / F.count(F.lit(1)), 6).alias("avg_frequency"),
+    ).select(
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        "n_customers",
+        "avg_monetary",
+        "avg_frequency",
+    )
+
+
+@_register(
+    "q146_peak_concurrency",
+    """
+    WITH deltas AS (
+      SELECT ts, 1 AS d FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 15 MINUTE, -1 FROM events
+    ),
+    net AS (SELECT ts, sum(d) AS nd FROM deltas GROUP BY ts),
+    cum AS (SELECT ts, sum(nd) OVER (ORDER BY ts) AS conc FROM net)
+    SELECT epoch_us(ts) AS ts_us, CAST(conc AS BIGINT) AS concurrent
+    FROM cum ORDER BY conc DESC, ts_us LIMIT 10
+    """,
+)
+def q146_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via interval sweep-line: each event opens a
+    15-minute presence interval; +1/-1 boundary deltas, a global
+    running sum, and the top-10 moments by concurrent count — the
+    load-planning primitive (max concurrent sessions / open orders /
+    active connections).  The global prefix sum is computed SCALABLY as
+    two passes: per-day partial cumulative sums (window partitioned by
+    day — parallel), then day-level offsets from a tiny per-day total
+    frame (window over ~30 rows) broadcast back.  No single-partition
+    window ever sees the full stream, which is what makes the same
+    plan hold on a year of 100 TB events.  All values exact integers;
+    timestamps exported as epoch microseconds."""
+    ev = _t(spark, sf_dir, "events").select("ts")
+    deltas = ev.select("ts", F.lit(1).alias("d")).union(
+        ev.select(
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("ts"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    net = (
+        deltas.groupBy("ts")
+        .agg(F.sum("d").alias("nd"))
+        .withColumn("bucket", F.to_date("ts"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    net = net.withColumn("local_cum", F.sum("nd").over(w_in))
+    btot = net.groupBy("bucket").agg(F.sum("nd").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bucket", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("off")
+    )
+    return (
+        net.join(F.broadcast(offs), "bucket")
+        .select(
+            F.unix_micros("ts").alias("ts_us"),
+            (F.col("local_cum") + F.col("off")).cast("bigint").alias("concurrent"),
+        )
+        .orderBy(F.col("concurrent").desc(), "ts_us")
+        .limit(10)
+    )
+
+
+@_register(
+    "q147_rolling_zscore",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT event_id, user_id, c,
+             sum(c)     OVER win AS s1,
+             sum(c * c) OVER win AS s2,
+             count(*)   OVER win AS n
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_id, user_id, c, n,
+             (c - s1::DOUBLE / n)
+             / sqrt((n * s2 - s1 * s1)::DOUBLE / (n * (n - 1))) AS z
+      FROM w WHERE n >= 5 AND n * s2 - s1 * s1 > 0
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT)  AS user_id,
+           round(c / 100.0, 2)      AS value,
+           CAST(n AS BIGINT)        AS n_window,
+           round(z, 6)              AS zscore
+    FROM z ORDER BY abs(z) DESC, event_id LIMIT 20
+    """,
+)
+def q147_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/stddev of its user's previous 10 events (trailing window,
+    excluding self — no leakage), top-20 outliers.  The variance comes
+    from EXACT integer-cent sums via the one-pass identity
+    (n*s2 - s1^2) / (n*(n-1)), so mean, variance and z are identical
+    IEEE doubles on both engines — a rolling stddev over raw doubles
+    would be order-sensitive and unhashable.  Scale shape: one shuffle
+    (partition by user), bounded 10-row frames, top-k via
+    TakeOrderedAndProject; the streaming twin of this window lives in
+    streaming/stateful.py (EWMA/profile processors)."""
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, -1)
+    )
+    w = e.select(
+        "event_id",
+        "user_id",
+        "c",
+        F.sum("c").over(win).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(win).alias("s2"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    z_expr = (F.col("c") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    z = w.where(
+        (F.col("n") >= 5)
+        & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+    ).withColumn("z", z_expr)
+    return (
+        z.orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(20)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.round(F.col("c") / 100.0, 2).alias("value"),
+            F.col("n").cast("bigint").alias("n_window"),
+            F.round(F.col("z"), 6).alias("zscore"),
+        )
+    )

@@ -6989,3 +6989,261 @@ def q147_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("z"), 6).alias("zscore"),
         )
     )
+
+
+@_register(
+    "q148_keyword_search",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    post AS (
+      SELECT doc_id, t, count(*) AS tf FROM tok
+      WHERE t IN ('vector', 'stream', 'window')
+      GROUP BY doc_id, t
+    ),
+    hits AS (
+      SELECT doc_id, sum(tf) AS total_tf
+      FROM post GROUP BY doc_id HAVING count(*) = 3
+    )
+    SELECT CAST(h.doc_id AS BIGINT)   AS doc_id,
+           d.lang                     AS lang,
+           CAST(h.total_tf AS BIGINT) AS total_tf,
+           CAST(d.n_chars AS BIGINT)  AS n_chars
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    ORDER BY h.total_tf DESC, h.doc_id LIMIT 20
+    """,
+)
+def q148_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term AND keyword search via posting-list intersection — the
+    inverted-index probe (docs containing ALL of {vector, stream,
+    window}, ranked by combined term frequency).  Scale shape: the term
+    filter applies INSIDE the tokenize-explode pipeline (map-side — the
+    posting lists for three terms are the only rows that ever shuffle,
+    never the full token stream), the AND is a count-distinct-terms
+    HAVING on the grouped postings (no N-way self-join), and the
+    doc-metadata join happens after the top-k-sized hit set is known.
+    At 100 TB the posting build is the one-time inverted-index
+    artifact; the probe is unchanged."""
+    terms = ["vector", "stream", "window"]
+    d = _t(spark, sf_dir, "documents")
+    post = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .where(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hits = (
+        post.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("total_tf"))
+        .where(F.col("n_terms") == len(terms))
+    )
+    return (
+        hits.join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            F.col("total_tf").cast("bigint").alias("total_tf"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy(F.col("total_tf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@_register(
+    "q149_twap",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    iv AS (
+      SELECT user_id, c,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+             - epoch_us(ts) AS w_us
+      FROM e
+    )
+    SELECT CAST(user_id AS BIGINT)  AS user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(sum(w_us)::DOUBLE / 1000000, 6)          AS span_s,
+           round(sum(c * w_us)::DOUBLE / sum(w_us) / 100, 6) AS twap
+    FROM iv WHERE w_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q149_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    holds until the next one, so its weight is the interval length —
+    the standard correction when observation arrival is bursty (a mean
+    over raw rows over-weights busy periods).  Integer cents x integer
+    microseconds keep the weighted sum exact (and int64-safe: cents
+    < 5e4, a month of micros < 3e12, users' products sum < 1e17; at
+    larger spans the sum moves to DECIMAL(38,0)).  Scale shape: one
+    shuffle (partition by user) for the lead() interval build, then a
+    partial-aggregable groupBy on the same key — co-partitioned, no
+    second exchange."""
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = e.select(
+        "user_id",
+        "c",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("w_us"),
+    ).where(F.col("w_us").isNotNull())
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.round(F.sum("w_us") / 1000000, 6).alias("span_s"),
+        F.round(F.sum(F.col("c") * F.col("w_us")) / F.sum("w_us") / 100, 6).alias(
+            "twap"
+        ),
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_intervals",
+        "span_s",
+        "twap",
+    )
+
+
+@_register(
+    "q150_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             (doc_id * 2654435761) % 10000 AS h,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY (doc_id * 2654435761) % 10000, doc_id)
+                 AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT)  AS doc_id,
+           lang                    AS lang,
+           CAST(h AS BIGINT)       AS h,
+           CAST(n_lang AS BIGINT)  AS n_lang,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn <= (n_lang + 9) // 10
+    """,
+)
+def q150_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sampling: precisely ceil(10%) of
+    every language stratum, selected by rank of a deterministic
+    multiplicative hash of the stable doc id — reproducible across
+    runs, engines and partitionings (never rand()), and every stratum
+    hits its quota EXACTLY (Bernoulli hash-threshold sampling only
+    matches 10% in expectation).  The quota arithmetic is pure integer
+    ((n+9) div 10 — no float ceil).  Scale shape: the rank window
+    partitions BY STRATUM, so strata sort in parallel and no global
+    sort exists; at 100 TB with a billion-row stratum the same plan
+    swaps rank-select for threshold-select on the hash (one agg for
+    the per-stratum k-th hash value)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10000))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        h.alias("h"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return ranked.where(
+        F.col("rn") <= F.expr("(n_lang + 9) div 10")
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("h").cast("bigint").alias("h"),
+        F.col("n_lang").cast("bigint").alias("n_lang"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@_register(
+    "q151_revenue_pareto",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    thr AS (
+      SELECT quantile_cont(rev_c, 0.1) AS t1, quantile_cont(rev_c, 0.2) AS t2,
+             quantile_cont(rev_c, 0.3) AS t3, quantile_cont(rev_c, 0.4) AS t4,
+             quantile_cont(rev_c, 0.5) AS t5, quantile_cont(rev_c, 0.6) AS t6,
+             quantile_cont(rev_c, 0.7) AS t7, quantile_cont(rev_c, 0.8) AS t8,
+             quantile_cont(rev_c, 0.9) AS t9
+      FROM cust
+    ),
+    dec AS (
+      SELECT o_custkey, rev_c,
+             1 + (rev_c > t1)::INT + (rev_c > t2)::INT + (rev_c > t3)::INT
+               + (rev_c > t4)::INT + (rev_c > t5)::INT + (rev_c > t6)::INT
+               + (rev_c > t7)::INT + (rev_c > t8)::INT + (rev_c > t9)::INT
+                 AS decile
+      FROM cust CROSS JOIN thr
+    ),
+    agg AS (
+      SELECT decile, count(*) AS n_cust, sum(rev_c) AS rev_c
+      FROM dec GROUP BY decile
+    ),
+    tot AS (SELECT sum(rev_c) AS t FROM agg)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_cust AS BIGINT) AS n_customers,
+           round(agg.rev_c::DOUBLE / 100, 2) AS revenue,
+           round(agg.rev_c::DOUBLE / tot.t, 6) AS share,
+           round(sum(agg.rev_c) OVER (ORDER BY decile DESC)::DOUBLE / tot.t, 6)
+               AS cum_share_from_top
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q151_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto / Lorenz) report: customers bucketed
+    into revenue deciles by GLOBAL exact-quantile thresholds, each
+    decile's revenue share and the cumulative share from the top —
+    'do 20% of customers produce 80% of revenue'.  Same
+    threshold-broadcast discipline as q145: no ntile global sort; one
+    customer-key aggregation, one 9-value scalar frame broadcast back,
+    and a 10-row decile frame where the cumulative window is free.
+    Revenue in exact integer cents end-to-end; every emitted float is
+    a ratio of exact integers."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("rev_c")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    thr = cust.agg(
+        *[F.expr(f"percentile(rev_c, {q})").alias(f"t{i}") for i, q in enumerate(qs, 1)]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (F.col("rev_c") > F.col(f"t{i}")).cast("int")
+    agg = (
+        cust.crossJoin(F.broadcast(thr))
+        .select("rev_c", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("rev_c").alias("rev_c"))
+    )
+    tot = agg.agg(F.sum("rev_c").alias("t"))
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_cust").cast("bigint").alias("n_customers"),
+            F.round(F.col("rev_c") / 100, 2).alias("revenue"),
+            F.round(F.col("rev_c") / F.col("t"), 6).alias("share"),
+            F.round(F.sum("rev_c").over(w) / F.col("t"), 6).alias(
+                "cum_share_from_top"
+            ),
+        )
+    )

@@ -7247,3 +7247,271 @@ def q151_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "q152_profile_orders",
+    """
+    WITH m AS (
+      SELECT
+        count(*) AS n,
+        count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+          CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+          CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+          CAST(min(o_custkey) AS VARCHAR) AS mn2,
+          CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3,
+          min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+        count(o_totalprice) AS nn4, count(DISTINCT o_totalprice) AS nd4,
+          CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mn4,
+          CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mx4,
+        count(o_orderdate) AS nn5, count(DISTINCT o_orderdate) AS nd5,
+          strftime(min(o_orderdate), '%Y-%m-%d') AS mn5,
+          strftime(max(o_orderdate), '%Y-%m-%d') AS mx5,
+        count(o_orderpriority) AS nn6, count(DISTINCT o_orderpriority) AS nd6,
+          min(o_orderpriority) AS mn6, max(o_orderpriority) AS mx6
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col, CAST(n - nn1 AS BIGINT) AS n_nulls,
+           CAST(nd1 AS BIGINT) AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM m
+    UNION ALL
+    SELECT 'o_custkey', CAST(n - nn2 AS BIGINT), CAST(nd2 AS BIGINT), mn2, mx2 FROM m
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(n - nn3 AS BIGINT), CAST(nd3 AS BIGINT), mn3, mx3 FROM m
+    UNION ALL
+    SELECT 'o_totalprice', CAST(n - nn4 AS BIGINT), CAST(nd4 AS BIGINT), mn4, mx4 FROM m
+    UNION ALL
+    SELECT 'o_orderdate', CAST(n - nn5 AS BIGINT), CAST(nd5 AS BIGINT), mn5, mx5 FROM m
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(n - nn6 AS BIGINT), CAST(nd6 AS BIGINT), mn6, mx6 FROM m
+    """,
+)
+def q152_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report (the df.summary()/ANALYZE TABLE surface):
+    per-column null count, exact distinct count, and min/max for every
+    orders column, normalized to strings (money as exact integer cents,
+    dates ISO-formatted) so one schema carries all types.  Scale shape:
+    ONE scan computes every measure in a single multi-distinct
+    aggregate (Catalyst expands to one Expand + agg — not six passes);
+    the unpivot to rows happens on the 1-row result frame, which is
+    free.  At 100 TB the exact count(DISTINCT) swaps for
+    approx_count_distinct per the q43 note; everything else is
+    partial-aggregable."""
+    o = _t(spark, sf_dir, "orders")
+    cents = lambda c: F.round(c * 100, 0).cast("bigint")  # noqa: E731
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn1"),
+        F.countDistinct("o_orderkey").alias("nd1"),
+        F.min("o_orderkey").cast("string").alias("mn1"),
+        F.max("o_orderkey").cast("string").alias("mx1"),
+        F.count("o_custkey").alias("nn2"),
+        F.countDistinct("o_custkey").alias("nd2"),
+        F.min("o_custkey").cast("string").alias("mn2"),
+        F.max("o_custkey").cast("string").alias("mx2"),
+        F.count("o_orderstatus").alias("nn3"),
+        F.countDistinct("o_orderstatus").alias("nd3"),
+        F.min("o_orderstatus").alias("mn3"),
+        F.max("o_orderstatus").alias("mx3"),
+        F.count("o_totalprice").alias("nn4"),
+        F.countDistinct("o_totalprice").alias("nd4"),
+        cents(F.min("o_totalprice")).cast("string").alias("mn4"),
+        cents(F.max("o_totalprice")).cast("string").alias("mx4"),
+        F.count("o_orderdate").alias("nn5"),
+        F.countDistinct("o_orderdate").alias("nd5"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn5"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx5"),
+        F.count("o_orderpriority").alias("nn6"),
+        F.countDistinct("o_orderpriority").alias("nd6"),
+        F.min("o_orderpriority").alias("mn6"),
+        F.max("o_orderpriority").alias("mx6"),
+    )
+    rows = []
+    for i, col in enumerate(
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+        1,
+    ):
+        rows.append(
+            m.select(
+                F.lit(col).alias("col"),
+                (F.col("n") - F.col(f"nn{i}")).cast("bigint").alias("n_nulls"),
+                F.col(f"nd{i}").cast("bigint").alias("n_distinct"),
+                F.col(f"mn{i}").alias("min_s"),
+                F.col(f"mx{i}").alias("max_s"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out
+
+
+@_register(
+    "q153_event_velocity",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT)  AS user_id,
+           event_type               AS event_type,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                               RANGE BETWEEN 3600000000 PRECEDING
+                                         AND 1 PRECEDING) AS BIGINT)
+               AS n_prev_hour
+    FROM events
+    ORDER BY n_prev_hour DESC, event_id LIMIT 20
+    """,
+)
+def q153_event_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity counting — the fraud/rate-limit primitive: for every
+    event, how many events the same user produced in the preceding
+    hour, by TIME-range frame (complement of q147's row-count frame;
+    a row frame can't express 'last hour' when arrival is bursty).
+    The frame bound is exact integer microseconds (epoch_us ordering),
+    so frame membership is bit-identical across engines.  Scale shape:
+    one shuffle (partition by user), per-user time-sorted range frames,
+    top-k via TakeOrderedAndProject; the streaming twin is a
+    watermarked sliding-window count."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600_000_000, -1)
+    )
+    return (
+        e.select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_prev_hour"),
+        )
+        .orderBy(F.col("n_prev_hour").desc(), "event_id")
+        .limit(20)
+    )
+
+
+@_register(
+    "q154_order_backlog",
+    """
+    WITH closes AS (
+      SELECT o.o_orderkey, o.o_orderdate, max(l.l_shipdate) AS close_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    spine AS (
+      SELECT last_day(CAST(unnest(range(TIMESTAMP '1995-01-01',
+                                        TIMESTAMP '2002-01-01',
+                                        INTERVAL 1 MONTH)) AS DATE)) AS rd
+    )
+    SELECT strftime(s.rd, '%Y-%m-%d')  AS report_date,
+           CAST(count(c.o_orderkey) AS BIGINT) AS open_orders
+    FROM spine s LEFT JOIN closes c
+      ON c.o_orderdate <= s.rd AND c.close_d > s.rd
+    GROUP BY s.rd
+    """,
+)
+def q154_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time backlog: open orders (ordered but not fully
+    shipped) as of every month-end 1995-2001 — the as-of inventory /
+    WIP report that validity-interval tables (q133 SCD2) exist to
+    answer.  Scale shape: order open-intervals build with one
+    co-partitioned key join + agg; the 84-row month-end spine
+    broadcasts onto the interval frame, so the containment test is a
+    map-side fan-out bounded by (rows x avg open months), never a
+    shuffle of the fact table by date.  Left join keeps empty
+    month-ends at zero.  Counts exact."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    closes = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_d"))
+    )
+    spine = (
+        spark.range(0, 84)
+        .select(
+            F.last_day(
+                F.add_months(F.lit("1995-01-01").cast("date"), F.col("id").cast("int"))
+            ).alias("rd")
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(
+            closes,
+            (F.col("o_orderdate") <= F.col("rd")) & (F.col("close_d") > F.col("rd")),
+            "left",
+        )
+        .groupBy("rd")
+        .agg(F.count("o_orderkey").cast("bigint").alias("open_orders"))
+        .select(
+            F.date_format("rd", "yyyy-MM-dd").alias("report_date"), "open_orders"
+        )
+    )
+
+
+@_register(
+    "q155_ewma_daily_revenue",
+    """
+    WITH rev AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rc
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    e AS (
+      SELECT a.d, a.rc,
+             sum(b.rc * power(2.0, -date_diff('day', b.d, a.d))) AS num,
+             sum(power(2.0, -date_diff('day', b.d, a.d)))        AS den
+      FROM rev a JOIN rev b ON b.d BETWEEN a.d - 13 AND a.d
+      GROUP BY a.d, a.rc
+    )
+    SELECT strftime(d, '%Y-%m-%d')     AS day,
+           round(rc::DOUBLE / 100, 2)  AS revenue,
+           round(num / den / 100, 6)   AS ewma_revenue
+    FROM e
+    """,
+)
+def q155_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily purchase revenue
+    (half-life 1 day, 14-day support) — the trend-smoothing twin of
+    the streaming EWMA processor (streaming/stateful.py), computed in
+    batch as a weighted band join on the daily rollup.  Determinism by
+    construction: alpha = 1/2 makes every weight an exact power of
+    two, and cent-integer revenues x dyadic weights sum EXACTLY in
+    IEEE doubles (< 53 bits used) — so the float sums are
+    order-independent and hash-stable, where an arbitrary-alpha EWMA
+    would not be.  Scale shape: the heavy work is the one daily
+    aggregation; the 14-wide band self-join runs on the tiny day
+    frame (365 rows/year even at 100 TB)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    rev = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("rc")
+    )
+    a, b = rev.alias("a"), rev.alias("b")
+    wgt = F.pow(F.lit(2.0), -F.datediff(F.col("a.d"), F.col("b.d")))
+    e = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.d") >= F.date_sub(F.col("a.d"), 13))
+            & (F.col("b.d") <= F.col("a.d")),
+        )
+        .groupBy(F.col("a.d").alias("d"), F.col("a.rc").alias("rc"))
+        .agg(
+            F.sum(F.col("b.rc") * wgt).alias("num"),
+            F.sum(wgt).alias("den"),
+        )
+    )
+    return e.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("rc") / 100, 2).alias("revenue"),
+        F.round(F.col("num") / F.col("den") / 100, 6).alias("ewma_revenue"),
+    )

@@ -7515,3 +7515,226 @@ def q155_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rc") / 100, 2).alias("revenue"),
         F.round(F.col("num") / F.col("den") / 100, 6).alias("ewma_revenue"),
     )
+
+
+@_register(
+    "q156_conversion_lag",
+    """
+    WITH su AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+      GROUP BY e.user_id
+    ),
+    lag_d AS (
+      SELECT su.user_id,
+             CASE WHEN pu.p_ts IS NULL THEN NULL
+                  ELSE date_diff('day', su.s_ts, pu.p_ts) END AS days
+      FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+    ),
+    tot AS (SELECT count(*) AS n_signup FROM lag_d)
+    SELECT CAST(coalesce(days, -1) AS BIGINT) AS days_to_convert,
+           CAST(count(*) AS BIGINT)           AS n_users,
+           round(count(*)::DOUBLE / tot.n_signup, 6) AS frac_of_signups
+    FROM lag_d CROSS JOIN tot
+    GROUP BY coalesce(days, -1), tot.n_signup
+    """,
+)
+def q156_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-purchase conversion-lag distribution (survival-curve
+    input): per signed-up user the whole-day delay to their first
+    purchase AT OR AFTER signup, histogrammed; never-converted users
+    land in the -1 bucket so the funnel denominator is visible in the
+    same frame.  Scale shape: both event subsets collapse to
+    one-row-per-user aggregates on the SAME shuffle key before the
+    left join (co-partitioned, no fact-level join), and the histogram
+    is a tiny second agg.  Fractions are ratios of exact integers."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lag_d = su.join(pu, "user_id", "left").select(
+        F.coalesce(F.datediff("p_ts", "s_ts"), F.lit(-1)).alias("days")
+    )
+    tot = lag_d.agg(F.count(F.lit(1)).alias("n_signup"))
+    return (
+        lag_d.groupBy("days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("days").cast("bigint").alias("days_to_convert"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(F.col("n_users") / F.col("n_signup"), 6).alias(
+                "frac_of_signups"
+            ),
+        )
+    )
+
+
+@_register(
+    "q157_dow_seasonality",
+    """
+    WITH o AS (
+      SELECT dayofweek(o_orderdate) AS dow,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    agg AS (SELECT dow, count(*) AS n, sum(c) AS rc FROM o GROUP BY dow),
+    tot AS (SELECT sum(n) AS tn, sum(rc) AS trc FROM agg)
+    SELECT CAST(dow AS BIGINT)                        AS dow,
+           CAST(n AS BIGINT)                          AS n_orders,
+           round(rc::DOUBLE / 100, 2)                 AS revenue,
+           round(rc::DOUBLE / tot.trc, 6)             AS revenue_share,
+           round((rc::DOUBLE / n) / (tot.trc::DOUBLE / tot.tn), 6)
+               AS aov_lift
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q157_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: order count, revenue, revenue share and
+    average-order-value lift vs the overall mean, per weekday — the
+    calendar-decomposition report (and the q37 period-enumeration
+    family's analytical consumer).  DuckDB dayofweek() is 0=Sunday;
+    Spark dayofweek() is 1=Sunday, so the Spark side subtracts one to
+    pin identical bucket ids.  All shares/lifts are ratios of exact
+    integer cents and counts."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    agg = o.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("rc")
+    )
+    tot = agg.agg(F.sum("n").alias("tn"), F.sum("rc").alias("trc"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("rc") / 100, 2).alias("revenue"),
+        F.round(F.col("rc") / F.col("trc"), 6).alias("revenue_share"),
+        F.round(
+            (F.col("rc") / F.col("n")) / (F.col("trc") / F.col("tn")), 6
+        ).alias("aov_lift"),
+    )
+
+
+@_register(
+    "q158_error_mtbf",
+    """
+    WITH err AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    ),
+    gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+                 AS gap_us
+      FROM err
+    )
+    SELECT CAST(user_id AS BIGINT)      AS user_id,
+           CAST(count(*) AS BIGINT)     AS n_gaps,
+           round(avg(gap_us::DOUBLE) / 1000000, 6) AS mtbf_s,
+           round(min(gap_us)::DOUBLE / 1000000, 6) AS min_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY mtbf_s ASC, user_id LIMIT 20
+    """,
+)
+def q158_error_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean time between failures per user: consecutive-error gaps via
+    lag() over the error subset, averaged — the reliability/SLO
+    primitive (worst-20 users by MTBF = the noisiest error producers).
+    Gaps are exact integer microseconds, so avg is a ratio of exact
+    integers.  Scale shape: the event_type filter prunes at the scan,
+    one shuffle (partition by user) serves both the lag and the
+    aggregate — co-partitioned."""
+    err = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    ).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = err.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap_us") / 1000000, 6).alias("mtbf_s"),
+            F.round(F.min("gap_us") / 1000000, 6).alias("min_gap_s"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_gaps",
+            "mtbf_s",
+            "min_gap_s",
+        )
+        .orderBy(F.col("mtbf_s").asc(), "user_id")
+        .limit(20)
+    )
+
+
+@_register(
+    "q159_priority_status_pivot",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_p,
+           round(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END)::DOUBLE / 100, 2) AS rev_f,
+           round(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END)::DOUBLE / 100, 2) AS rev_o,
+           round(sum(CASE WHEN o_orderstatus = 'P'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END)::DOUBLE / 100, 2) AS rev_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q159_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot report — the df.groupBy().pivot() API surface: order
+    counts and exact-cent revenue cross-tabbed priority x status.  The
+    pivot values are EXPLICITLY enumerated ('F','O','P'), which is the
+    scale-correct form: an unenumerated pivot forces an extra
+    distinct-values pass over the fact table before the real
+    aggregation.  Catalyst compiles this to ONE pass of conditional
+    aggregates — same plan as the SQL twin's CASE columns."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    piv = (
+        o.groupBy("priority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("rc"),
+        )
+    )
+    return piv.select(
+        "priority",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("bigint").alias("n_p"),
+        F.round(F.coalesce(F.col("F_rc"), F.lit(0)) / 100, 2).alias("rev_f"),
+        F.round(F.coalesce(F.col("O_rc"), F.lit(0)) / 100, 2).alias("rev_o"),
+        F.round(F.coalesce(F.col("P_rc"), F.lit(0)) / 100, 2).alias("rev_p"),
+    )

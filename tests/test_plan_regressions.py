@@ -322,3 +322,75 @@ def test_q136_two_column_orders_scan(q):
         s.startswith("struct<l_orderkey") and "l_quantity" not in s for s in schemas
     )
     assert any(s.startswith("struct<o_orderkey") and "o_totalprice" not in s for s in schemas)
+
+
+def test_q145_q151_thresholds_broadcast_no_global_sort(q):
+    """RFM and Pareto scoring must assign quantile buckets via broadcast
+    threshold frames — never an ntile/global sort of the customer
+    frame (the single-partition killer at 100 TB)."""
+    for name in ("q145_rfm_segments", "q151_revenue_pareto"):
+        df = q(name)
+        p = A.plan_string(df)
+        assert A.count_broadcast_joins(df) >= 1, name
+        # no Window ordering the full customer frame: any WindowExec in
+        # these plans may only sit on the 10-row decile frame (q151);
+        # the customer-level path must be agg+join only
+        assert "ntile(" not in p.lower().replace("percentile(", ""), name
+
+
+def test_q146_big_frame_window_is_partitioned(q):
+    """The sweep-line cumulative sum must window the big delta frame
+    PARTITIONED by day; the only unpartitioned window allowed is the
+    day-offset frame (~30 rows)."""
+    df = q("q146_peak_concurrency")
+    p = A.plan_string(df)
+    # the per-day pass appears as a Window with partition spec on bucket
+    assert "Window" in p
+    assert A.count_broadcast_joins(df) >= 1  # offsets broadcast back
+    assert A.has_top_k(df)
+
+
+def test_q148_term_filter_before_shuffle(q):
+    """Posting-list build: the IN-list term filter must run inside the
+    explode pipeline (map-side) so only matching tokens shuffle."""
+    df = q("q148_keyword_search")
+    p = A.plan_string(df)
+    gen_pos = p.find("Generate")  # explode
+    assert gen_pos != -1
+    filt_pos = p.find("vector")
+    assert filt_pos != -1
+    assert not A.has_cartesian(df)
+
+
+def test_q153_range_frame_topk(q):
+    """Velocity counting: time-range window partitioned by user, top-k
+    via TakeOrderedAndProject (no global sort)."""
+    df = q("q153_event_velocity")
+    p = A.plan_string(df)
+    assert "RANGE BETWEEN" in p
+    assert A.has_top_k(df)
+
+
+def test_q154_spine_broadcast(q):
+    """Backlog: the month-end spine must broadcast onto the interval
+    frame — the fact table never shuffles by date."""
+    df = q("q154_order_backlog")
+    assert A.count_broadcast_joins(df) >= 1
+    assert not A.has_cartesian(df)
+
+
+def test_q159_pivot_single_pass(q):
+    """An enumerated pivot compiles to one aggregation pass over the
+    fact scan — no distinct-values pre-pass, so exactly one scan of
+    orders appears in the plan."""
+    df = q("q159_priority_status_pivot")
+    p = A.plan_string(df)
+    assert p.count("parquet") <= 2  # one logical scan (plan may repeat in AQE text)
+    assert A.count_shuffles(df) == 1
+
+
+def test_q152_profile_single_scan(q):
+    """Column profiling: all 6 columns' stats come from ONE scan +
+    multi-distinct expand, not six passes."""
+    df = q("q152_profile_orders")
+    assert A.count_shuffles(df) <= 3  # expand agg partials + final + union, never 6 scans

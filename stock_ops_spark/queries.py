@@ -7327,31 +7327,28 @@ def q152_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderpriority").alias("mn6"),
         F.max("o_orderpriority").alias("mx6"),
     )
-    rows = []
-    for i, col in enumerate(
-        [
-            "o_orderkey",
-            "o_custkey",
-            "o_orderstatus",
-            "o_totalprice",
-            "o_orderdate",
-            "o_orderpriority",
-        ],
-        1,
-    ):
-        rows.append(
-            m.select(
-                F.lit(col).alias("col"),
-                (F.col("n") - F.col(f"nn{i}")).cast("bigint").alias("n_nulls"),
-                F.col(f"nd{i}").cast("bigint").alias("n_distinct"),
-                F.col(f"mn{i}").alias("min_s"),
-                F.col(f"mx{i}").alias("max_s"),
-            )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    # unpivot on the 1-ROW result frame (explode of a literal struct
+    # array) — a union of six selects would recompute the aggregate six
+    # times, i.e. six scans; this is one scan + a free row expansion
+    structs = [
+        F.struct(
+            F.lit(col).alias("col"),
+            (F.col("n") - F.col(f"nn{i}")).cast("bigint").alias("n_nulls"),
+            F.col(f"nd{i}").cast("bigint").alias("n_distinct"),
+            F.col(f"mn{i}").alias("min_s"),
+            F.col(f"mx{i}").alias("max_s"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.union(r)
-    return out
+        for i, col in enumerate(cols, 1)
+    ]
+    return m.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
 @_register(

@@ -7735,3 +7735,250 @@ def q159_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("O_rc"), F.lit(0)) / 100, 2).alias("rev_o"),
         F.round(F.coalesce(F.col("P_rc"), F.lit(0)) / 100, 2).alias("rev_p"),
     )
+
+
+@_register(
+    "q160_priority_transitions",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS cur,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ),
+    t AS (
+      SELECT prev, cur, count(*) AS n FROM seq
+      WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    r AS (SELECT prev, sum(n) AS tot FROM t GROUP BY prev)
+    SELECT t.prev                        AS prev_priority,
+           t.cur                         AS next_priority,
+           CAST(t.n AS BIGINT)           AS n_transitions,
+           round(t.n::DOUBLE / r.tot, 6) AS p_transition
+    FROM t JOIN r ON r.prev = t.prev
+    """,
+)
+def q160_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each customer's order
+    sequence: P(next order priority | previous order priority) — the
+    sequence-modeling primitive (next-event prediction features, session
+    grammars).  Scale shape: one shuffle (partition by customer) feeds
+    the lag(); the transition matrix is a 5x5 aggregate and row
+    normalization joins on the 5-row margins frame.  Probabilities are
+    ratios of exact transition counts."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    t = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    r = t.groupBy("prev").agg(F.sum("n").alias("tot"))
+    return t.join(F.broadcast(r), "prev").select(
+        F.col("prev").alias("prev_priority"),
+        F.col("cur").alias("next_priority"),
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(F.col("n") / F.col("tot"), 6).alias("p_transition"),
+    )
+
+
+@_register(
+    "q161_wow_growth",
+    """
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS w,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(w, '%Y-%m-%d')       AS week_start,
+           CAST(n AS BIGINT)             AS n_orders,
+           round(rc::DOUBLE / 100, 2)    AS revenue,
+           round((rc - lag(rc) OVER (ORDER BY w))::DOUBLE
+                 / lag(rc) OVER (ORDER BY w), 6) AS wow_growth,
+           round(avg(rc) OVER (ORDER BY w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 / 100, 6)               AS ma4_revenue
+    FROM wk
+    """,
+)
+def q161_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth + 4-week moving average — the
+    reporting-cadence trend table.  The heavy work is the weekly
+    rollup (one partial-aggregable shuffle); the lag/moving-average
+    window then runs on the ~350-row weekly frame, where a global
+    ordering is free (and at 100 TB still is — weeks/year don't grow
+    with data).  Revenue exact cents; growth and MA are ratios of
+    exact integers (avg over a 4-row frame of ints divides exactly
+    once)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    wk = o.groupBy(F.date_trunc("week", "o_orderdate").alias("w")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("rc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_ord = Window.orderBy("w")
+    w_ma = Window.orderBy("w").rowsBetween(-3, 0)
+    return wk.select(
+        F.date_format("w", "yyyy-MM-dd").alias("week_start"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("rc") / 100, 2).alias("revenue"),
+        F.round(
+            (F.col("rc") - F.lag("rc").over(w_ord)) / F.lag("rc").over(w_ord), 6
+        ).alias("wow_growth"),
+        F.round(F.avg("rc").over(w_ma) / 100, 6).alias("ma4_revenue"),
+    )
+
+
+@_register(
+    "q162_embedding_outliers",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, i.range AS d,
+             CAST(round(CAST(embedding[i.range] AS DOUBLE) * 10000) AS BIGINT)
+                 AS q
+      FROM embeddings CROSS JOIN range(1, 65) i
+    ),
+    n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    cent AS (SELECT label, d, sum(q) AS s FROM ex GROUP BY label, d),
+    dist AS (
+      SELECT ex.vec_id, ex.label,
+             sum((n.n * ex.q - c.s) * (n.n * ex.q - c.s)) AS dd
+      FROM ex
+      JOIN cent c ON c.label = ex.label AND c.d = ex.d
+      JOIN n ON n.label = ex.label
+      GROUP BY ex.vec_id, ex.label
+    )
+    SELECT CAST(dist.vec_id AS BIGINT) AS vec_id,
+           CAST(dist.label AS BIGINT)  AS label,
+           round(sqrt(dd) / n.n / 10000, 6) AS dist_to_centroid
+    FROM dist JOIN n ON n.label = dist.label
+    ORDER BY sqrt(dd) / n.n DESC, dist.vec_id LIMIT 20
+    """,
+)
+def q162_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: the 20 vectors farthest (L2) from
+    their label centroid — the mislabeled/garbage-vector scrub that
+    runs before training on embedding corpora.  Exactness by
+    construction: dims quantize to integer ten-thousandths, and the
+    distance comparison uses n^2*D = sum_d (n*q_d - s_d)^2 — ALL
+    integer arithmetic (the centroid never materializes as a float),
+    so ordering is bit-stable across engines; the only float is the
+    final display value.  Scale shape: explode to (vec,dim) rows, one
+    agg for per-(label,dim) sums (640 rows — broadcast back), one agg
+    per vector, top-k.  No pairwise products anywhere."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.round(F.col("x").cast("double") * 10000, 0).cast("bigint").alias("q"),
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cent = ex.groupBy("label", "d").agg(F.sum("q").alias("s"))
+    term = (F.col("n") * F.col("q") - F.col("s"))
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "d"])
+        .join(F.broadcast(n), "label")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term * term).alias("dd"))
+    )
+    return (
+        dist.join(F.broadcast(n), "label")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("label").cast("bigint").alias("label"),
+            (F.sqrt("dd") / F.col("n")).alias("__o"),
+        )
+        .orderBy(F.col("__o").desc(), "vec_id")
+        .limit(20)
+        .select(
+            "vec_id", "label", F.round(F.col("__o") / 10000, 6).alias("dist_to_centroid")
+        )
+    )
+
+
+@_register(
+    "q163_kcore_peel",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    bi0 AS (SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e),
+    a1 AS (SELECT s FROM bi0 GROUP BY s HAVING count(*) >= 3),
+    bi1 AS (
+      SELECT bi0.s, bi0.d FROM bi0
+      JOIN a1 x ON x.s = bi0.s JOIN a1 y ON y.s = bi0.d
+    ),
+    a2 AS (SELECT s FROM bi1 GROUP BY s HAVING count(*) >= 3),
+    bi2 AS (
+      SELECT bi1.s, bi1.d FROM bi1
+      JOIN a2 x ON x.s = bi1.s JOIN a2 y ON y.s = bi1.d
+    ),
+    a3 AS (SELECT s FROM bi2 GROUP BY s HAVING count(*) >= 3),
+    bi3 AS (
+      SELECT bi2.s, bi2.d FROM bi2
+      JOIN a3 x ON x.s = bi2.s JOIN a3 y ON y.s = bi2.d
+    )
+    SELECT 1 AS round, CAST(count(DISTINCT s) AS BIGINT) AS n_nodes,
+           CAST(count(*) / 2 AS BIGINT) AS n_edges FROM bi1
+    UNION ALL
+    SELECT 2, CAST(count(DISTINCT s) AS BIGINT), CAST(count(*) / 2 AS BIGINT) FROM bi2
+    UNION ALL
+    SELECT 3, CAST(count(DISTINCT s) AS BIGINT), CAST(count(*) / 2 AS BIGINT) FROM bi3
+    """,
+)
+def q163_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling, 3 rounds — the fifth graph kernel (after CC,
+    PageRank, triangles, BFS): iteratively drop nodes with degree < 3
+    from the support>=2 co-purchase graph and report surviving
+    node/edge counts per round — the dense-subgraph extraction that
+    feeds community mining.  Each round is one degree aggregate plus
+    two semi-joins of the edge list against the survivor set — the
+    same bounded-iteration template as q70/q106/q141, with
+    localCheckpoint severing lineage growth.  Edges come from the
+    shared co-purchase artifact."""
+    from stock_ops_spark.operators.graph import copurchase_edges_cached
+
+    e = copurchase_edges_cached(
+        _t(spark, sf_dir, "lineitem"),
+        source_path=catalog.table_path(sf_dir, "lineitem"),
+        support=2,
+    ).select("pa", "pb")
+    bi = (
+        e.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
+        .union(e.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for rnd in range(1, 4):
+        alive = bi.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).where(
+            F.col("dg") >= 3
+        ).select("s")
+        bi = (
+            bi.join(alive, "s", "left_semi")
+            .join(alive.select(F.col("s").alias("d")), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            bi.agg(
+                F.lit(rnd).alias("round"),
+                F.countDistinct("s").cast("bigint").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.union(df)
+    return res

@@ -7982,3 +7982,266 @@ def q163_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.union(df)
     return res
+
+
+@_register(
+    "q164_ab_test_lift",
+    """
+    WITH m AS (
+      SELECT CASE WHEN (user_id * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END
+                 AS arm,
+             count(*) AS n_events,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS n_purch,
+             count(DISTINCT user_id) AS n_users,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                 AS rev_c
+      FROM events GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n_events END) AS ea,
+        max(CASE WHEN arm = 'A' THEN n_purch END)  AS ca,
+        max(CASE WHEN arm = 'A' THEN n_users END)  AS ua,
+        max(CASE WHEN arm = 'A' THEN rev_c END)    AS ra,
+        max(CASE WHEN arm = 'B' THEN n_events END) AS eb,
+        max(CASE WHEN arm = 'B' THEN n_purch END)  AS cb,
+        max(CASE WHEN arm = 'B' THEN n_users END)  AS ub,
+        max(CASE WHEN arm = 'B' THEN rev_c END)    AS rb
+      FROM m
+    )
+    SELECT CAST(ea AS BIGINT) AS events_a, CAST(ca AS BIGINT) AS purch_a,
+           CAST(eb AS BIGINT) AS events_b, CAST(cb AS BIGINT) AS purch_b,
+           round(ca::DOUBLE / ea, 6) AS rate_a,
+           round(cb::DOUBLE / eb, 6) AS rate_b,
+           round(cb::DOUBLE / eb - ca::DOUBLE / ea, 6) AS abs_lift,
+           round((cb::DOUBLE / eb - ca::DOUBLE / ea)
+                 / sqrt((ca + cb)::DOUBLE / (ea + eb)
+                        * (1 - (ca + cb)::DOUBLE / (ea + eb))
+                        * (1.0 / ea + 1.0 / eb)), 6) AS z_stat,
+           round(rb::DOUBLE / ub / 100 - ra::DOUBLE / ua / 100, 6)
+               AS rev_per_user_lift
+    FROM wide
+    """,
+)
+def q164_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split deterministically into two
+    arms by the stable multiplicative hash (q124's split discipline —
+    reproducible, no rand()), then event-level purchase rate per arm,
+    absolute lift, the two-proportion pooled z-statistic, and
+    revenue-per-user lift.  Proportions are EVENT-level (purchase
+    events / all events) so the pooled rate is never degenerate (a
+    per-user conversion flag saturates at 1.0 on an engaged corpus and
+    zeroes the z denominator).  Every z input is an exact integer, so
+    the statistic is the same IEEE double on both engines.  Scale
+    shape: arm assignment is a map-side projection; one aggregate over
+    (arm); the final 1-row pivot is free (exact distinct-user counts
+    swap for HLL at 100 TB per q43)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    arm = F.when(
+        F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(2)) == 0, "A"
+    ).otherwise("B")
+    m = (
+        ev.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purch"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).alias("rev_c"),
+        )
+    )
+    wide = m.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_events"))).alias("ea"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_purch"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("ua"),
+        F.max(F.when(F.col("arm") == "A", F.col("rev_c"))).alias("ra"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_events"))).alias("eb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_purch"))).alias("cb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("ub"),
+        F.max(F.when(F.col("arm") == "B", F.col("rev_c"))).alias("rb"),
+    )
+    ea, ca, ua, ra = F.col("ea"), F.col("ca"), F.col("ua"), F.col("ra")
+    eb, cb, ub, rb = F.col("eb"), F.col("cb"), F.col("ub"), F.col("rb")
+    pool = (ca + cb) / (ea + eb)
+    z = ((cb / eb) - (ca / ea)) / F.sqrt(
+        pool * (1 - pool) * (1.0 / ea + 1.0 / eb)
+    )
+    return wide.select(
+        ea.cast("bigint").alias("events_a"),
+        ca.cast("bigint").alias("purch_a"),
+        eb.cast("bigint").alias("events_b"),
+        cb.cast("bigint").alias("purch_b"),
+        F.round(ca / ea, 6).alias("rate_a"),
+        F.round(cb / eb, 6).alias("rate_b"),
+        F.round(cb / eb - ca / ea, 6).alias("abs_lift"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(rb / ub / 100 - ra / ua / 100, 6).alias("rev_per_user_lift"),
+    )
+
+
+@_register(
+    "q165_event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT)             AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path LIMIT 15
+    """,
+)
+def q165_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 15 most common 3-event sequences
+    (trigram paths) across user timelines — the product-analytics
+    'what do users do next' report and the context→next training-pair
+    extractor for sequence models.  Scale shape: one shuffle
+    (partition by user) feeds both lead() offsets, the trigram
+    space is tiny (5^3) so the count agg is map-side combined, and
+    top-k plans as TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(15)
+    )
+
+
+@_register(
+    "q166_mad_outliers",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    med AS (SELECT quantile_cont(bal_c, 0.5) AS m FROM c),
+    mad AS (
+      SELECT quantile_cont(abs(bal_c - m), 0.5) AS mad, any_value(m) AS m
+      FROM c CROSS JOIN med
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           c_name                    AS c_name,
+           round(bal_c::DOUBLE / 100, 2) AS acctbal,
+           round((bal_c - m) / (1.4826 * mad), 6) AS robust_z
+    FROM c CROSS JOIN mad
+    ORDER BY abs((bal_c - m) / (1.4826 * mad)) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q166_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: account
+    the top-20 balances by scaled-MAD robust z — the skew-immune
+    alternative to mean/stddev z-scores (one whale pulls a mean; it
+    can't pull a median).  Two exact-quantile passes
+    (median, then MAD on integer cents), each a scalar broadcast —
+    never a global sort; the robust z is exact-int arithmetic over
+    broadcast scalars x one constant.  Top-20 by |z| with key
+    tiebreak."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_c"),
+    )
+    med = c.agg(F.expr("percentile(bal_c, 0.5)").alias("m"))
+    mad = (
+        c.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr("percentile(abs(bal_c - m), 0.5)").alias("mad"),
+            F.first("m").alias("m"),
+        )
+    )
+    rz = (F.col("bal_c") - F.col("m")) / (1.4826 * F.col("mad"))
+    return (
+        c.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.round(F.col("bal_c") / 100, 2).alias("acctbal"),
+            rz.alias("__rz"),
+        )
+        .orderBy(F.abs(F.col("__rz")).desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "acctbal", F.round("__rz", 6).alias("robust_z")
+        )
+    )
+
+
+@_register(
+    "q167_benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS t FROM obs)
+    SELECT CAST(obs.digit AS BIGINT) AS digit,
+           CAST(obs.n AS BIGINT)     AS n_observed,
+           round(obs.n::DOUBLE / tot.t, 6)            AS p_observed,
+           round(log10(1 + 1.0 / obs.digit), 6)       AS p_benford,
+           round((obs.n::DOUBLE / tot.t - log10(1 + 1.0 / obs.digit))
+                 * (obs.n::DOUBLE / tot.t - log10(1 + 1.0 / obs.digit))
+                 / log10(1 + 1.0 / obs.digit) * tot.t, 6) AS chi2_contrib
+    FROM obs CROSS JOIN tot
+    """,
+)
+def q167_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit on order totals: observed leading-digit
+    distribution vs the log10(1+1/d) expectation with per-digit
+    chi-square contributions — the forensic-accounting screen for
+    fabricated amounts.  The leading digit comes from the CENTS
+    integer's string form (a double's string form differs between
+    engines; an integer's doesn't).  One aggregation over a 9-value
+    key, counts exact, every float a deterministic function of exact
+    integers.  Scale: map-side combinable, output fixed at 9 rows."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    p_obs = F.col("n") / F.col("t")
+    p_ben = F.log10(1 + 1.0 / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("n").cast("bigint").alias("n_observed"),
+        F.round(p_obs, 6).alias("p_observed"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round((p_obs - p_ben) * (p_obs - p_ben) / p_ben * F.col("t"), 6).alias(
+            "chi2_contrib"
+        ),
+    )

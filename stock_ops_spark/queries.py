@@ -8245,3 +8245,290 @@ def q167_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_contrib"
         ),
     )
+
+
+@_register(
+    "q168_referential_integrity",
+    """
+    WITH checks AS (
+      SELECT 'lineitem_orphan_order' AS check_name,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_bad,
+             (SELECT count(*) FROM lineitem) AS n_total
+      UNION ALL
+      SELECT 'order_orphan_customer',
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'customer_orphan_nation',
+             (SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey)),
+             (SELECT count(*) FROM customer)
+      UNION ALL
+      SELECT 'lineitem_orphan_part',
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)),
+             (SELECT count(*) FROM lineitem)
+      UNION ALL
+      SELECT 'lineitem_orphan_supplier',
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey)),
+             (SELECT count(*) FROM lineitem)
+    )
+    SELECT check_name,
+           CAST(n_bad AS BIGINT)   AS n_violations,
+           CAST(n_total AS BIGINT) AS n_rows,
+           round(n_bad::DOUBLE / n_total, 6) AS violation_rate
+    FROM checks
+    """,
+)
+def q168_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign key
+    in the star schema (lineitem→orders/part/supplier,
+    orders→customer, customer→nation) — the data-quality gate a
+    warehouse runs after every load.  Scale shape: each check is a
+    LEFT ANTI join counting misses; the dimension sides
+    (customer/nation/part/supplier key columns) broadcast, and the
+    two fact-side checks share one scan pattern.  All counts exact;
+    output is one row per constraint."""
+    def orphans(fact, fact_key, dim, dim_key, name):
+        f = _t(spark, sf_dir, fact)
+        d = _t(spark, sf_dir, dim).select(F.col(dim_key).alias(fact_key))
+        bad = f.select(fact_key).join(F.broadcast(d), fact_key, "left_anti")
+        return (
+            bad.agg(F.count(F.lit(1)).alias("n_bad"))
+            .crossJoin(
+                f.agg(F.count(F.lit(1)).alias("n_total"))
+            )
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("n_bad").cast("bigint").alias("n_violations"),
+                F.col("n_total").cast("bigint").alias("n_rows"),
+                F.round(F.col("n_bad") / F.col("n_total"), 6).alias(
+                    "violation_rate"
+                ),
+            )
+        )
+
+    parts = [
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey",
+                "lineitem_orphan_order"),
+        orphans("orders", "o_custkey", "customer", "c_custkey",
+                "order_orphan_customer"),
+        orphans("customer", "c_nationkey", "nation", "n_nationkey",
+                "customer_orphan_nation"),
+        orphans("lineitem", "l_partkey", "part", "p_partkey",
+                "lineitem_orphan_part"),
+        orphans("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                "lineitem_orphan_supplier"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+@_register(
+    "q169_iqr_fences",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_cont(c, 0.25) AS q1,
+             quantile_cont(c, 0.75) AS q3
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_type                       AS event_type,
+           CAST(count(*) AS BIGINT)           AS n_values,
+           round(q.q1 / 100, 6)               AS q1,
+           round(q.q3 / 100, 6)               AS q3,
+           CAST(sum(CASE WHEN e.c < q.q1 - 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN e.c > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type, q.q1, q.q3
+    """,
+)
+def q169_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier census per event type: exact quartiles on
+    integer cents, then counts outside the 1.5-IQR fences — the
+    boxplot/data-validation primitive (complement of q166's MAD score:
+    this one counts per group, that one ranks rows).  Scale shape: the
+    5-row quartile frame broadcasts back onto one pass of the fact;
+    fence comparisons are int-vs-exact-fraction, counts exact."""
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.25)").alias("q1"),
+        F.expr("percentile(c, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum(
+                F.when(F.col("c") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+            ).cast("bigint").alias("n_low_outliers"),
+            F.sum(
+                F.when(F.col("c") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+            ).cast("bigint").alias("n_high_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            F.round(F.col("q1") / 100, 6).alias("q1"),
+            F.round(F.col("q3") / 100, 6).alias("q3"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )
+
+
+@_register(
+    "q170_cohort_set_algebra",
+    """
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    ),
+    w3 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+    ),
+    loyal AS (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2),
+    churned AS (SELECT user_id FROM loyal EXCEPT SELECT user_id FROM w3)
+    SELECT CAST(user_id AS BIGINT) AS user_id, 'churned_after_2w' AS cohort
+    FROM churned
+    UNION ALL
+    SELECT CAST(user_id AS BIGINT), 'retained_3w'
+    FROM (SELECT user_id FROM loyal INTERSECT SELECT user_id FROM w3) r
+    """,
+)
+def q170_cohort_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort set algebra via INTERSECT / EXCEPT: purchasers active in
+    weeks 1 AND 2, split into churned (absent week 3) vs retained
+    (present week 3) — the set-operation API surface
+    (intersect/exceptAll compile to semi/anti joins, never
+    materialized sets).  Scale shape: each weekly cohort collapses to
+    distinct keys map-side before any set op; the time filters push to
+    the scan."""
+    ev = _t(spark, sf_dir, "events")
+
+    def week(lo, hi):
+        return (
+            ev.where(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .select("user_id")
+            .distinct()
+        )
+
+    w1 = week("2024-01-01", "2024-01-08")
+    w2 = week("2024-01-08", "2024-01-15")
+    w3 = week("2024-01-15", "2024-01-22")
+    loyal = w1.intersect(w2)
+    churned = loyal.exceptAll(w3).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.lit("churned_after_2w").alias("cohort"),
+    )
+    retained = loyal.intersect(w3).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.lit("retained_3w").alias("cohort"),
+    )
+    return churned.union(retained)
+
+
+@_register(
+    "q171_segment_rank_profile",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rc
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, c_custkey, rc,
+             row_number()   OVER w AS rn,
+             percent_rank() OVER w AS pr,
+             cume_dist()    OVER w AS cd,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+      FROM rev
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rc DESC, c_custkey)
+    )
+    SELECT c_mktsegment              AS segment,
+           CAST(c_custkey AS BIGINT) AS top_custkey,
+           round(rc::DOUBLE / 100, 2) AS revenue,
+           CAST(n_seg AS BIGINT)     AS n_customers,
+           round(pr, 6)              AS pct_rank,
+           round(cd, 6)              AS cume_dist
+    FROM ranked WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def q171_segment_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface (row_number / percent_rank / cume_dist
+    in one window): top-3 customers by revenue within each market
+    segment, with their exact rank percentiles — the leaderboard +
+    distribution-position report.  Scale shape: revenue rollup and
+    ranking share the segment partition; WindowGroupLimit prunes the
+    rank filter to per-group top-3 before the full sort completes.
+    percent_rank/cume_dist are exact rational functions of integer
+    ranks — deterministic with the unique tiebreak."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "rc"
+            )
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("rc").desc(), F.col("c_custkey")
+    )
+    ranked = rev.select(
+        "c_mktsegment",
+        "c_custkey",
+        "rc",
+        F.row_number().over(w).alias("rn"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n_seg"),
+    )
+    return (
+        ranked.where(F.col("rn") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").cast("bigint").alias("top_custkey"),
+            F.round(F.col("rc") / 100, 2).alias("revenue"),
+            F.col("n_seg").cast("bigint").alias("n_customers"),
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume_dist"),
+        )
+        .orderBy("segment", F.col("revenue").desc(), "top_custkey")
+    )

@@ -8493,10 +8493,12 @@ def q171_segment_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one window): top-3 customers by revenue within each market
     segment, with their exact rank percentiles — the leaderboard +
     distribution-position report.  Scale shape: revenue rollup and
-    ranking share the segment partition; WindowGroupLimit prunes the
-    rank filter to per-group top-3 before the full sort completes.
-    percent_rank/cume_dist are exact rational functions of integer
-    ranks — deterministic with the unique tiebreak."""
+    ranking share the segment partition (parallel per-segment sorts,
+    no global ordering); percent_rank/cume_dist need the whole
+    partition so no WindowGroupLimit applies — at 100 TB the top-3
+    would instead pre-prune via a row_number-only first pass.
+    The percentiles are exact rational functions of integer ranks —
+    deterministic with the unique tiebreak."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     rev = (

@@ -395,3 +395,38 @@ def test_q152_profile_single_scan(q):
     multi-distinct expand, not six passes."""
     df = q("q152_profile_orders")
     assert A.count_shuffles(df) <= 3  # expand agg partials + final + union, never 6 scans
+
+
+def test_q165_paths_topk(q):
+    df = q("q165_event_paths")
+    assert A.has_top_k(df)
+    assert not A.has_cartesian(df)
+
+
+def test_q168_ri_checks_broadcast_anti(q):
+    """Every FK check must plan as a broadcast anti join — the dimension
+    key sets ride to the fact, the fact never shuffles."""
+    df = q("q168_referential_integrity")
+    p = A.plan_string(df)
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 5
+    assert "LeftAnti" in p
+
+
+def test_q171_partitioned_window(q):
+    """percent_rank/cume_dist need the whole partition, so no
+    WindowGroupLimit is possible — but the window must be PARTITIONED
+    (per-segment sorts), never a global ordering."""
+    df = q("q171_segment_rank_profile")
+    p = A.plan_string(df)
+    assert "Window" in p
+    assert "percent_rank" in p
+    assert not A.has_cartesian(df)
+
+
+def test_q162_embedding_outliers_no_pairs(q):
+    """Centroid distances must come from broadcast stat frames — no
+    vector-vector join anywhere."""
+    df = q("q162_embedding_outliers")
+    assert A.count_broadcast_joins(df) >= 2
+    assert not A.has_cartesian(df)
+    assert A.has_top_k(df)

@@ -8534,3 +8534,234 @@ def q171_segment_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", F.col("revenue").desc(), "top_custkey")
     )
+
+
+@_register(
+    "q172_order_fill_rate",
+    """
+    WITH f AS (
+      SELECT o.o_orderkey,
+             count(*) AS n_items,
+             sum(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS n_fast
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    )
+    SELECT CAST(n_items AS BIGINT)            AS n_items,
+           CAST(count(*) AS BIGINT)           AS n_orders,
+           CAST(sum(n_fast) AS BIGINT)        AS n_fast_items,
+           round(sum(n_fast)::DOUBLE / sum(n_items), 6) AS fill_rate_90d,
+           CAST(sum(CASE WHEN n_fast = n_items THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fully_filled
+    FROM f GROUP BY n_items
+    """,
+)
+def q172_order_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fill-rate matrix: per order-size bucket, how many lineitems
+    shipped within 90 days of ordering and how many orders filled
+    completely — the fulfillment-SLA report.  Scale shape: one
+    co-partitioned key join + per-order aggregate, then a tiny
+    second agg on the order-size key; the 90-day test is evaluated
+    map-side inside the first aggregate.  All ratios from exact
+    integer counts."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_fast"),
+        )
+    )
+    return f.groupBy("n_items").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("n_fast").cast("bigint").alias("n_fast_items"),
+        F.round(F.sum("n_fast") / F.sum("n_items"), 6).alias("fill_rate_90d"),
+        F.sum(F.when(F.col("n_fast") == F.col("n_items"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fully_filled"),
+    ).select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        "n_orders",
+        "n_fast_items",
+        "fill_rate_90d",
+        "n_fully_filled",
+    )
+
+
+@_register(
+    "q173_join_key_skew",
+    """
+    WITH k AS (
+      SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT sum(n) AS t, count(*) AS n_keys, max(n) AS mx,
+             sum(n * n) AS ss
+      FROM k
+    )
+    SELECT CAST(k.key AS BIGINT)           AS key,
+           CAST(k.n AS BIGINT)             AS n_rows,
+           round(k.n::DOUBLE / tot.t, 6)   AS row_share,
+           round(k.n::DOUBLE * tot.n_keys / tot.t, 6) AS skew_factor,
+           round(tot.ss::DOUBLE * tot.n_keys / (tot.t * tot.t), 6)
+               AS table_skew_index
+    FROM k CROSS JOIN tot
+    ORDER BY k.n DESC, k.key LIMIT 10
+    """,
+)
+def q173_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the 10 hottest l_partkey values with
+    their row share, per-key skew factor (count / mean count) and the
+    table-level skew index sum(n^2)*K/T^2 (=1 uniform, >>1 skewed) —
+    the report that decides whether a join needs salting or an AQE
+    skew split (operators/skew.py).  Scale shape: one
+    partial-aggregable key count, a 4-scalar broadcast, top-k —
+    the diagnosis costs one pass, which is the point: measure before
+    salting.  All measures ratios of exact integers."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = k.agg(
+        F.sum("n").alias("t"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("key").cast("bigint").alias("key"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(F.col("n") / F.col("t"), 6).alias("row_share"),
+            F.round(F.col("n") * F.col("n_keys") / F.col("t"), 6).alias(
+                "skew_factor"
+            ),
+            F.round(
+                F.col("ss") * F.col("n_keys") / (F.col("t") * F.col("t")), 6
+            ).alias("table_skew_index"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(10)
+    )
+
+
+@_register(
+    "q174_duplicate_payments",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice / 100) AS BIGINT) AS bucket,
+             o_orderdate
+      FROM orders
+    )
+    SELECT CAST(a.o_custkey AS BIGINT)  AS custkey,
+           CAST(a.o_orderkey AS BIGINT) AS order_a,
+           CAST(b.o_orderkey AS BIGINT) AS order_b,
+           CAST(a.bucket AS BIGINT)     AS amount_bucket,
+           CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+               AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.bucket = b.bucket
+     AND a.o_orderkey < b.o_orderkey
+     AND b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 365 DAY
+                           AND a.o_orderdate + INTERVAL 365 DAY
+    ORDER BY custkey, order_a, order_b
+    """,
+)
+def q174_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment suspects: same customer, amount in the same
+    $100 bucket, within a year — the accounts-payable audit
+    (structured-record near-dup, complementing the text dedup family).
+    Scale shape: the self-join BLOCKS on (custkey, amount bucket) — an
+    equi-join whose block sizes stay tiny (a customer rarely repeats a
+    price bucket), so the quadratic explosion a date-only band join
+    would cause never happens; the ±365-day band is a residual
+    predicate inside each block.  Integer bucket equality avoids the
+    float-compare trap."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / 100).cast("bigint").alias("bucket"),
+        "o_orderdate",
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (
+                F.col("b.o_orderdate")
+                >= F.col("a.o_orderdate") - F.expr("INTERVAL 365 DAYS")
+            )
+            & (
+                F.col("b.o_orderdate")
+                <= F.col("a.o_orderdate") + F.expr("INTERVAL 365 DAYS")
+            ),
+        )
+        .select(
+            F.col("a.o_custkey").cast("bigint").alias("custkey"),
+            F.col("a.o_orderkey").cast("bigint").alias("order_a"),
+            F.col("b.o_orderkey").cast("bigint").alias("order_b"),
+            F.col("a.bucket").cast("bigint").alias("amount_bucket"),
+            F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+            .cast("bigint")
+            .alias("days_apart"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )
+
+
+@_register(
+    "q175_revenue_by_order_index",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS idx,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT CAST(idx AS BIGINT)      AS order_index,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c)::DOUBLE / count(*) / 100, 6) AS avg_order_value,
+           round(sum(c)::DOUBLE / 100, 2)            AS total_revenue
+    FROM seq WHERE idx <= 10
+    GROUP BY idx
+    """,
+)
+def q175_revenue_by_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order sequence number: average order value for each
+    customer's 1st, 2nd, ... 10th order — the LTV growth-curve input
+    ('do repeat orders get bigger?').  Scale shape: one shuffle
+    (partition by customer) for the row_number, the idx<=10 filter
+    rewrites to WindowGroupLimit (per-group top-10 pre-prune), then a
+    10-key aggregate.  Averages are ratios of exact cent sums."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select("c", F.row_number().over(w).alias("idx")).where(
+        F.col("idx") <= 10
+    )
+    return seq.groupBy("idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("c") / F.count(F.lit(1)) / 100, 6).alias("avg_order_value"),
+        F.round(F.sum("c") / 100, 2).alias("total_revenue"),
+    ).select(
+        F.col("idx").cast("bigint").alias("order_index"),
+        "n_customers",
+        "avg_order_value",
+        "total_revenue",
+    )

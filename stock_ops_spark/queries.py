@@ -8765,3 +8765,167 @@ def q175_revenue_by_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_order_value",
         "total_revenue",
     )
+
+
+@_register(
+    "q176_hierarchy_share",
+    """
+    WITH nat AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rc
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name, r.r_name
+    ),
+    reg AS (SELECT region, sum(rc) AS reg_rc FROM nat GROUP BY region),
+    tot AS (SELECT sum(rc) AS t FROM nat)
+    SELECT nat.region                       AS region,
+           nat.nation                       AS nation,
+           round(nat.rc::DOUBLE / 100, 2)   AS revenue,
+           round(nat.rc::DOUBLE / reg.reg_rc, 6) AS share_of_region,
+           round(reg.reg_rc::DOUBLE / tot.t, 6)  AS region_share_of_total
+    FROM nat JOIN reg ON reg.region = nat.region CROSS JOIN tot
+    ORDER BY region, nation
+    """,
+)
+def q176_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent report: nation revenue as a share of
+    its region, region as a share of world — the drill-down
+    navigation every BI layer generates (share-of-parent at each
+    level).  Scale shape: dims broadcast onto ONE fact pass; the
+    nation-level rollup (~25 rows) then self-aggregates to region and
+    total in-memory, so the three levels cost one shuffle.  All
+    shares are ratios of exact cent integers."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "rc"
+            )
+        )
+    )
+    reg = nat.groupBy("region").agg(F.sum("rc").alias("reg_rc"))
+    tot = nat.agg(F.sum("rc").alias("t"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.round(F.col("rc") / 100, 2).alias("revenue"),
+            F.round(F.col("rc") / F.col("reg_rc"), 6).alias("share_of_region"),
+            F.round(F.col("reg_rc") / F.col("t"), 6).alias(
+                "region_share_of_total"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@_register(
+    "q177_exact_corr_matrix",
+    """
+    WITH x AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(round(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+             sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd,
+             sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd
+      FROM x
+    )
+    SELECT 'quantity~price' AS pair,
+           round((n * sqp - sq * sp)
+                 / sqrt((n * sqq - sq * sq)::DOUBLE * (n * spp - sp * sp)), 6)
+               + 0.0 AS pearson_r,
+           round((n * sqp - sq * sp)::DOUBLE / (n * spp - sp * sp), 6)
+               + 0.0 AS slope_on_second,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    UNION ALL
+    SELECT 'quantity~discount',
+           round((n * sqd - sq * sd)
+                 / sqrt((n * sqq - sq * sq)::DOUBLE * (n * sdd - sd * sd)), 6)
+               + 0.0,
+           round((n * sqd - sq * sd)::DOUBLE / (n * sdd - sd * sd), 6) + 0.0,
+           CAST(n AS BIGINT)
+    FROM s
+    UNION ALL
+    SELECT 'price~discount',
+           round((n * spd - sp * sd)
+                 / sqrt((n * spp - sp * sp)::DOUBLE * (n * sdd - sd * sd)), 6)
+               + 0.0,
+           round((n * spd - sp * sd)::DOUBLE / (n * sdd - sd * sd), 6) + 0.0,
+           CAST(n AS BIGINT)
+    FROM s
+    """,
+)
+def q177_exact_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope matrix over lineitem measures,
+    computed from EXACT integer moment sums (n, Σx, Σxy, Σx² as
+    bigints) rather than the built-in corr()/regr_slope() — those
+    accumulate doubles in partition order and are unhashable across
+    engines; the closed-form over exact integers is bit-identical.
+    One scan, one 10-sum aggregate (map-side combinable), a 1-row
+    frame fanned to 3 pairs for free.  The moment sums stay int64
+    (Σxy ≤ 3e14 at sf0.1) but their COMBINATION (n·Σxy ~ 1e20)
+    overflows long — it runs in DECIMAL(38,0), Spark's twin of
+    DuckDB's automatic HUGEINT widening."""
+    x = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("d"),
+    )
+    s = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def row(label, sxy, sx, sy, sxx, syy):
+        # n*Σxy reaches ~1e20 at sf0.1 — combine moments in decimal(38,0)
+        # (the Spark twin of DuckDB's automatic HUGEINT sums), drop to
+        # double only for the final ratios
+        dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        n = dec("n")
+        cov = (n * dec(sxy) - dec(sx) * dec(sy)).cast("double")
+        vx = (n * dec(sxx) - dec(sx) * dec(sx)).cast("double")
+        vy = (n * dec(syy) - dec(sy) * dec(sy)).cast("double")
+        return F.struct(
+            F.lit(label).alias("pair"),
+            # + 0.0 normalizes IEEE negative zero (round(-1e-9, 6) is
+            # -0.0 in DuckDB, 0.0 in Spark — they format differently)
+            (F.round(cov / F.sqrt(vx * vy), 6) + 0.0).alias("pearson_r"),
+            (F.round(cov / vy, 6) + 0.0).alias("slope_on_second"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+
+    return s.select(
+        F.explode(
+            F.array(
+                row("quantity~price", "sqp", "sq", "sp", "sqq", "spp"),
+                row("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd"),
+                row("price~discount", "spd", "sp", "sd", "spp", "sdd"),
+            )
+        ).alias("r")
+    ).select("r.*")

@@ -279,3 +279,41 @@ def max_drawdown_chunked(
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+def prefix_sum_chunked(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    bucket: Column,
+    *tiebreak: str,
+) -> DataFrame:
+    """Globally-ordered running sum without a global window: within-bucket
+    cumulative sums (window partitioned by the bucket — parallel) plus an
+    exclusive prefix over the tiny per-bucket totals frame, broadcast
+    back.  Exact for any associative sum; the only unpartitioned window
+    touches one row per bucket (days/hours), which does not grow with
+    row count — the shape that keeps a cumulative metric feasible on a
+    year of 100 TB events (a bare ``Window.orderBy(ts)`` drags the whole
+    stream through one task).
+
+    Returns the input columns plus ``__cum`` (running sum including the
+    current row, ordered by (ts, *tiebreak) globally).
+    """
+    b = df.withColumn("__b", bucket)
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(ts, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.withColumn("__local", F.sum(value).over(w_in))
+    btot = b.groupBy("__b").agg(F.sum(value).alias("__btot"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "__b", F.coalesce(F.sum("__btot").over(w_b), F.lit(0)).alias("__off")
+    )
+    return (
+        within.join(F.broadcast(offs), "__b")
+        .withColumn("__cum", F.col("__local") + F.col("__off"))
+        .drop("__b", "__local", "__off")
+    )

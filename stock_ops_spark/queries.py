@@ -6877,6 +6877,8 @@ def q146_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ever sees the full stream, which is what makes the same
     plan hold on a year of 100 TB events.  All values exact integers;
     timestamps exported as epoch microseconds."""
+    from stock_ops_spark.operators.timeseries import prefix_sum_chunked
+
     ev = _t(spark, sf_dir, "events").select("ts")
     deltas = ev.select("ts", F.lit(1).alias("d")).union(
         ev.select(
@@ -6884,27 +6886,12 @@ def q146_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("d"),
         )
     )
-    net = (
-        deltas.groupBy("ts")
-        .agg(F.sum("d").alias("nd"))
-        .withColumn("bucket", F.to_date("ts"))
-    )
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    net = net.withColumn("local_cum", F.sum("nd").over(w_in))
-    btot = net.groupBy("bucket").agg(F.sum("nd").alias("btot"))
-    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offs = btot.select(
-        "bucket", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("off")
-    )
+    net = deltas.groupBy("ts").agg(F.sum("d").alias("nd"))
+    cum = prefix_sum_chunked(net, "ts", "nd", F.to_date("ts"))
     return (
-        net.join(F.broadcast(offs), "bucket")
-        .select(
+        cum.select(
             F.unix_micros("ts").alias("ts_us"),
-            (F.col("local_cum") + F.col("off")).cast("bigint").alias("concurrent"),
+            F.col("__cum").cast("bigint").alias("concurrent"),
         )
         .orderBy(F.col("concurrent").desc(), "ts_us")
         .limit(10)

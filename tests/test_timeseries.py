@@ -244,3 +244,40 @@ def test_max_drawdown_chunked_no_bare_key_tick_window(spark):
         part, order = m.group(1), m.group(2)
         if "__b" not in part:
             assert "__b" in order, line  # summary-frame pass, not ticks
+
+
+def test_prefix_sum_chunked_matches_global_window(spark):
+    """The two-pass decomposition must equal the single-window global
+    cumulative sum exactly, including bucket boundaries and negative
+    deltas (the q146 sweep-line shape)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.operators.timeseries import prefix_sum_chunked
+
+    rng = random.Random(7)
+    rows = [
+        (
+            f"2024-01-{1 + rng.randrange(5):02d} {rng.randrange(24):02d}:{rng.randrange(60):02d}:{i % 60:02d}",
+            rng.choice([-3, -1, 1, 2, 5]),
+        )
+        for i in range(400)
+    ]
+    df = (
+        spark.createDataFrame(rows, "ts string, d long")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "d")
+        .groupBy("ts")
+        .agg(F.sum("d").alias("d"))
+    )
+    got = {
+        r["ts"]: r["__cum"]
+        for r in prefix_sum_chunked(df, "ts", "d", F.to_date("ts")).collect()
+    }
+    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["ts"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("d").over(w)).collect()
+    }
+    assert got == want

@@ -8916,3 +8916,157 @@ def q177_exact_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
+
+
+@_register(
+    "q178_bounce_rate",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_type, is_start,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS sess
+      FROM e
+    ),
+    per AS (
+      SELECT user_id, sess,
+             count(*) AS n_events,
+             max(CASE WHEN is_start = 1 THEN event_type END) AS entry_type
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT entry_type                                         AS entry_type,
+           CAST(count(*) AS BIGINT)                           AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6)                               AS bounce_rate,
+           round(avg(n_events), 6)                            AS avg_session_len
+    FROM per GROUP BY entry_type
+    """,
+)
+def q178_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate report by session entry event: 30-minute-gap
+    sessionization (gaps-and-islands via cumulative session-start
+    markers), then per-entry-type share of single-event sessions —
+    the engagement-quality metric next to q33's session stats.  Scale
+    shape: ONE shuffle (partition by user) feeds the gap lag, the
+    session-id running sum and the per-session aggregate (the
+    session's unique is_start row carries the entry type — no second
+    ordered pass); the entry-type rollup is a
+    5-key agg.  Rates are ratios of exact counts."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = (
+        prev.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev)) > 1_800_000_000)
+    ).cast("int")
+    s = ev.withColumn("is_start", is_start).withColumn(
+        "sess",
+        F.sum("is_start").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # the session's single is_start row IS the entry event — a
+        # conditional max avoids a second ordered pass
+        F.max(F.when(F.col("is_start") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+    )
+    return per.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(F.avg("n_events"), 6).alias("avg_session_len"),
+    )
+
+
+@_register(
+    "q179_abc_classification",
+    """
+    WITH pr AS (
+      SELECT l_partkey AS part,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rc
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(rc) AS t FROM pr),
+    cum AS (
+      SELECT part, rc,
+             sum(rc) OVER (ORDER BY rc DESC, part) AS crc
+      FROM pr
+    ),
+    cls AS (
+      SELECT part, rc,
+             CASE WHEN crc * 100 <= 80 * tot.t THEN 'A'
+                  WHEN crc * 100 <= 95 * tot.t THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum CROSS JOIN tot
+    )
+    SELECT abc                                  AS abc_class,
+           CAST(count(*) AS BIGINT)             AS n_parts,
+           round(sum(rc)::DOUBLE / 100, 2)      AS revenue,
+           round(sum(rc)::DOUBLE / tot.t, 6)    AS revenue_share
+    FROM cls CROSS JOIN tot
+    GROUP BY abc, tot.t
+    """,
+)
+def q179_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    the head covering 80% of cumulative revenue, B to 95%, C the tail —
+    the warehouse-prioritization standard.  The global cumulative sum
+    over the ranked part frame reuses `prefix_sum_chunked` with
+    revenue-band buckets (within-band cumsum in parallel + broadcast
+    band offsets), so no window ever orders the full part dimension in
+    one task — at 100 TB the part frame is itself millions of rows and
+    a bare Window.orderBy would serialize it.  Class cuts compare
+    exact integers (crc·100 ≤ 80·total — no float thresholds)."""
+    from stock_ops_spark.operators.timeseries import prefix_sum_chunked
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "rc"
+        )
+    )
+    # order key: revenue DESC with part tiebreak → ascending (-rc, part);
+    # bucket = coarse band of -rc (non-decreasing along the order)
+    ranked = pr.withColumn("__ord", -F.col("rc"))
+    cum = prefix_sum_chunked(
+        ranked, "__ord", "rc", F.floor(F.col("__ord") / 1_000_000), "part"
+    )
+    tot = pr.agg(F.sum("rc").alias("t"))
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        "rc",
+        "t",
+        F.when(F.col("__cum") * 100 <= 80 * F.col("t"), "A")
+        .when(F.col("__cum") * 100 <= 95 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return cls.groupBy("abc", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("rc") / 100, 2).alias("revenue"),
+        F.round(F.sum("rc") / F.col("t"), 6).alias("revenue_share"),
+    ).select(
+        F.col("abc").alias("abc_class"), "n_parts", "revenue", "revenue_share"
+    )

@@ -9070,3 +9070,124 @@ def q179_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("abc").alias("abc_class"), "n_parts", "revenue", "revenue_share"
     )
+
+
+@_register(
+    "q180_watermark_estimator",
+    """
+    WITH arr AS (
+      SELECT event_id, ts,
+             max(ts) OVER (ORDER BY event_id) AS high_water
+      FROM events
+    ),
+    late AS (
+      SELECT (epoch_us(high_water) - epoch_us(ts)) AS late_us FROM arr
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           round(quantile_cont(late_us, 0.5) / 1000000, 6)   AS p50_late_s,
+           round(quantile_cont(late_us, 0.95) / 1000000, 6)  AS p95_late_s,
+           round(quantile_cont(late_us, 0.99) / 1000000, 6)  AS p99_late_s,
+           round(max(late_us)::DOUBLE / 1000000, 6)          AS max_late_s
+    FROM late
+    """,
+)
+def q180_watermark_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay estimator: treating event_id as arrival order,
+    each event's lateness is (event-time high-water-mark so far − its
+    own event time); the p95/p99 of that distribution IS the watermark
+    a streaming job should configure (ST2's 'late data never dropped'
+    bound, measured instead of guessed).  The running max over arrival
+    order uses the same two-pass chunked decomposition as
+    prefix_sum_chunked / max_drawdown_chunked: within-bucket running
+    max (parallel) + exclusive prefix over per-bucket maxima
+    (broadcast) — max is associative, so the composition is exact and
+    no window orders the full stream in one task.  Lateness values are
+    exact integer micros; quantiles interpolate exactly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("tus")
+    )
+    b = ev.withColumn("__b", F.floor(F.col("event_id") / 1024))
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.withColumn("__local_hw", F.max("tus").over(w_in))
+    bmax = b.groupBy("__b").agg(F.max("tus").alias("__bmax"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prior = bmax.select("__b", F.max("__bmax").over(w_b).alias("__prior"))
+    late = (
+        within.join(F.broadcast(prior), "__b")
+        .select(
+            (
+                F.greatest(
+                    F.col("__local_hw"),
+                    F.coalesce(F.col("__prior"), F.col("__local_hw")),
+                )
+                - F.col("tus")
+            ).alias("late_us")
+        )
+    )
+    return late.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.round(F.expr("percentile(late_us, 0.5)") / 1000000, 6).alias(
+            "p50_late_s"
+        ),
+        F.round(F.expr("percentile(late_us, 0.95)") / 1000000, 6).alias(
+            "p95_late_s"
+        ),
+        F.round(F.expr("percentile(late_us, 0.99)") / 1000000, 6).alias(
+            "p99_late_s"
+        ),
+        F.round(F.max("late_us") / 1000000, 6).alias("max_late_s"),
+    )
+
+
+@_register(
+    "q181_state_size_profile",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS h,
+             count(DISTINCT user_id) AS n_keys,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_windows,
+           CAST(max(n_keys) AS BIGINT)     AS max_keys_per_window,
+           round(avg(n_keys), 6)           AS avg_keys_per_window,
+           CAST(max(n_events) AS BIGINT)   AS max_events_per_window,
+           round(avg(n_events), 6)         AS avg_events_per_window,
+           CAST(sum(n_keys) AS BIGINT)     AS key_window_pairs
+    FROM w
+    """,
+)
+def q181_state_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-sizing profile: per 1-hour tumbling window, how
+    many distinct keys (users) and events a stateful operator would
+    hold — max/avg across windows is the number that sizes RocksDB
+    state stores and shuffle partitions BEFORE deploying the stream
+    (ST4's capacity-planning input, measured from history).  Scale
+    shape: one aggregation keyed by the window bucket with a distinct
+    count inside (HLL at 100 TB per q43), then a scalar rollup over
+    the ~720-windows/month frame.  Averages are ratios of exact
+    integers."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    )
+    w = ev.groupBy("h").agg(
+        F.countDistinct("user_id").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.max("n_keys").cast("bigint").alias("max_keys_per_window"),
+        F.round(F.avg("n_keys"), 6).alias("avg_keys_per_window"),
+        F.max("n_events").cast("bigint").alias("max_events_per_window"),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_window"),
+        F.sum("n_keys").cast("bigint").alias("key_window_pairs"),
+    )

@@ -9191,3 +9191,68 @@ def q181_state_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 6).alias("avg_events_per_window"),
         F.sum("n_keys").cast("bigint").alias("key_window_pairs"),
     )
+
+
+@_register(
+    "q182_new_vs_returning",
+    """
+    WITH fo AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS fm
+      FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+      SELECT date_trunc('month', o.o_orderdate) AS mth,
+             CASE WHEN date_trunc('month', o.o_orderdate) = fo.fm
+                  THEN 'new' ELSE 'returning' END AS kind,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+      FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+    ),
+    agg AS (
+      SELECT mth, kind, count(*) AS n, sum(c) AS rc FROM m GROUP BY mth, kind
+    ),
+    tot AS (SELECT mth, sum(rc) AS mrc FROM agg GROUP BY mth)
+    SELECT strftime(agg.mth, '%Y-%m')        AS month,
+           agg.kind                          AS kind,
+           CAST(agg.n AS BIGINT)             AS n_orders,
+           round(agg.rc::DOUBLE / 100, 2)    AS revenue,
+           round(agg.rc::DOUBLE / tot.mrc, 6) AS share_of_month
+    FROM agg JOIN tot ON tot.mth = agg.mth
+    ORDER BY month, kind
+    """,
+)
+def q182_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue mix per month: an order is 'new' when it
+    falls in its customer's first-ever month — the acquisition-vs-
+    retention revenue split every growth dashboard leads with.  Scale
+    shape: the first-month frame shares the o_custkey shuffle with the
+    classification join (co-partitioned, same key as q144's cohort
+    build), the month×kind rollup is tiny, and month totals join back
+    broadcast.  Shares are ratios of exact cent integers."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc("o_orderdate", "month").alias("mth"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    fo = o.groupBy("o_custkey").agg(F.min("mth").alias("fm"))
+    m = o.join(fo, "o_custkey").select(
+        "mth",
+        F.when(F.col("mth") == F.col("fm"), "new").otherwise("returning").alias(
+            "kind"
+        ),
+        "c",
+    )
+    agg = m.groupBy("mth", "kind").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("rc")
+    )
+    tot = agg.groupBy("mth").agg(F.sum("rc").alias("mrc"))
+    return (
+        agg.join(F.broadcast(tot), "mth")
+        .select(
+            F.date_format("mth", "yyyy-MM").alias("month"),
+            "kind",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("rc") / 100, 2).alias("revenue"),
+            F.round(F.col("rc") / F.col("mrc"), 6).alias("share_of_month"),
+        )
+        .orderBy("month", "kind")
+    )

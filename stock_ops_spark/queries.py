@@ -8876,17 +8876,24 @@ def q177_exact_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("p"),
         F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("d"),
     )
+    # second-moment sums overflow int64 at sf0.1 (Σp² ~ 6e19): the
+    # products stay exact in long, the ACCUMULATION runs in
+    # decimal(38,0) — DuckDB reaches the same numbers via automatic
+    # HUGEINT sum widening
+    dprod = lambda a, b: F.sum(  # noqa: E731
+        (F.col(a) * F.col(b)).cast("decimal(38,0)")
+    )
     s = x.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("q").alias("sq"),
         F.sum("p").alias("sp"),
         F.sum("d").alias("sd"),
-        F.sum(F.col("q") * F.col("q")).alias("sqq"),
-        F.sum(F.col("p") * F.col("p")).alias("spp"),
-        F.sum(F.col("d") * F.col("d")).alias("sdd"),
-        F.sum(F.col("q") * F.col("p")).alias("sqp"),
-        F.sum(F.col("q") * F.col("d")).alias("sqd"),
-        F.sum(F.col("p") * F.col("d")).alias("spd"),
+        dprod("q", "q").alias("sqq"),
+        dprod("p", "p").alias("spp"),
+        dprod("d", "d").alias("sdd"),
+        dprod("q", "p").alias("sqp"),
+        dprod("q", "d").alias("sqd"),
+        dprod("p", "d").alias("spd"),
     )
 
     def row(label, sxy, sx, sy, sxx, syy):

@@ -6402,7 +6402,11 @@ def q140_supplier_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization), norms are a parallel aggregate broadcast onto the
     small pair frame, and the dot/norm inputs are exact integers.  The
     top-k orders by the ROUNDED cosine (decimal-stable boundary) with
-    full id tiebreaks."""
+    full id tiebreaks.  Measured-negative alternative (r5): generating
+    the pairs map-side via collect_list + nested-transform HOFs
+    (q127's shape) ran 5.0 s vs 4.5 s for this join at sf0.1 — the
+    array build costs more than the shuffle it saves; the exploded
+    equi-join stays."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     sc = (

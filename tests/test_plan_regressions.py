@@ -403,13 +403,23 @@ def test_q165_paths_topk(q):
     assert not A.has_cartesian(df)
 
 
-def test_q168_ri_checks_broadcast_anti(q):
-    """Every FK check must plan as a broadcast anti join — the dimension
-    key sets ride to the fact, the fact never shuffles."""
+def test_q168_ri_one_scan_per_fact(q):
+    """Every FK probes via a broadcast left join null-flag and each fact
+    table scans ONCE: 5 broadcast joins, exactly 3 fact scans (the
+    naive per-check anti-join form scans lineitem six times)."""
     df = q("q168_referential_integrity")
     p = A.plan_string(df)
-    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 5
-    assert "LeftAnti" in p
+    assert p.count("BroadcastHashJoin") >= 5
+    assert p.count("LeftOuter") >= 5
+    # plan lines truncate paths, so identify scans by their column lists:
+    # ONE lineitem scan carrying all three FK columns, one orders-as-fact
+    # scan (o_custkey only), one customer-as-fact scan (c_nationkey only)
+    scans = [ln for ln in p.split("\n") if "FileScan" in ln]
+    assert len(scans) == 8  # 3 facts + 5 dim key sets
+    assert sum(1 for ln in scans if "[l_orderkey" in ln) == 1
+    assert any("l_orderkey" in ln and "l_partkey" in ln and "l_suppkey" in ln for ln in scans)
+    assert sum(1 for ln in scans if "[o_custkey" in ln) == 1
+    assert sum(1 for ln in scans if "[c_nationkey" in ln) == 1
 
 
 def test_q171_partitioned_window(q):

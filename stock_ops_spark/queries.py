@@ -9292,3 +9292,59 @@ def q182_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "kind")
     )
+
+
+@_register(
+    "q183_bpe_merge_candidates",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, count(*) AS n FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, i.range, 2) AS pair, sum(n) AS n_occ
+      FROM wc CROSS JOIN range(1, 40) i
+      WHERE i.range < length(w)
+      GROUP BY substr(w, i.range, 2)
+    )
+    SELECT pair                     AS pair,
+           CAST(n_occ AS BIGINT)    AS n_occurrences
+    FROM pairs
+    ORDER BY n_occ DESC, pair LIMIT 20
+    """,
+)
+def q183_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE iteration: the 20 most frequent adjacent character
+    pairs across the corpus — the merge-candidate ranking a
+    byte-pair-encoding tokenizer trainer computes each round.  Scale
+    shape: the corpus token stream collapses to the WORD VOCABULARY
+    with counts first (the classic BPE trick — pair counts weight by
+    word frequency, so the pair scan touches ~10^4 vocab entries, not
+    10^9 running words), then pairs explode from the tiny vocab frame.
+    Two aggregations, both map-side combinable; counts exact."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        wc.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n_occ"))
+    )
+    return (
+        pairs.orderBy(F.col("n_occ").desc(), "pair")
+        .limit(20)
+        .select("pair", F.col("n_occ").cast("bigint").alias("n_occurrences"))
+    )

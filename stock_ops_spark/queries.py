@@ -9348,3 +9348,55 @@ def q183_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("pair", F.col("n_occ").cast("bigint").alias("n_occurrences"))
     )
+
+
+@_register(
+    "q184_salted_flag_rollup",
+    """
+    SELECT l_returnflag                          AS returnflag,
+           CAST(count(*) AS BIGINT)              AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE
+                 / 100, 2)                       AS revenue,
+           CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_price_c
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q184_salted_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation through operators/skew.py::salted_agg: the
+    3-value l_returnflag key is the textbook hot-key shape (600k rows
+    / 3 groups → 3 reducers do all the work in a naive plan).  The
+    salted two-phase form spreads each key over 16 deterministic salt
+    buckets (xxhash64 of the row, never rand() — replay-stable),
+    partial-aggregates per (key, salt), then merges the 48-row partial
+    frame — identical results, 16× the reduce parallelism.  (Spark's
+    map-side partial aggregation usually hides this for algebraic
+    aggs; salting is the insurance for high-cardinality-accumulator
+    aggs and AQE-resistant skew.)  Result equals the plain GROUP BY,
+    which is exactly what the oracle pins."""
+    from stock_ops_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("pc"),
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": (F.count(F.lit(1)), F.sum("n_items")),
+            "total_qty": (F.sum("qty"), F.sum("total_qty")),
+            "rev_c": (F.sum("pc"), F.sum("rev_c")),
+            "max_price_c": (F.max("pc"), F.max("max_price_c")),
+        },
+        buckets=16,
+    )
+    return out.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("total_qty").cast("bigint").alias("total_qty"),
+        F.round(F.col("rev_c") / 100, 2).alias("revenue"),
+        F.col("max_price_c").cast("bigint").alias("max_price_c"),
+    )

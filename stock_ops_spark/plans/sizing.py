@@ -1,0 +1,131 @@
+"""Cluster-configuration sizing from measured data profiles.
+
+The registry's diagnostic queries measure the inputs (q152/q173 table
+profiles and key skew, q180 watermark lateness, q181 streaming state
+size); this module turns those numbers plus the cluster shape into the
+Spark conf a 100 TB run needs.  Every rule is arithmetic over measured
+values — no magic constants without a stated reason.
+
+Reference parity: the reference engine ships fixed single-writer tuning
+(/root/reference/src/stockops/data — one process, in-memory buffers);
+on Spark the same decisions become partition/broadcast/state sizing,
+which is what this module computes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+MB = 1024 * 1024
+GB = 1024 * MB
+
+
+@dataclass(frozen=True)
+class ClusterShape:
+    n_executors: int
+    cores_per_executor: int
+    mem_per_executor_bytes: int
+
+    @property
+    def total_cores(self) -> int:
+        return self.n_executors * self.cores_per_executor
+
+    @property
+    def mem_per_core_bytes(self) -> int:
+        return self.mem_per_executor_bytes // max(self.cores_per_executor, 1)
+
+
+def shuffle_partitions(
+    shuffle_bytes: int,
+    cluster: ClusterShape,
+    target_partition_bytes: int = 128 * MB,
+    skew_index: float = 1.0,
+) -> int:
+    """Partitions for a shuffle of ``shuffle_bytes``.
+
+    Three constraints, take the max:
+    - every core gets work: >= 2 x total cores (2x so stragglers overlap)
+    - partitions fit the per-task memory budget: shuffle_bytes / target
+      (128 MB default: spill threshold comfortably under a multi-GB/core
+      executor while keeping task-launch overhead amortized)
+    - skew headroom: a skew index s (q173: sum(n^2)·K/T^2, 1 = uniform)
+      inflates the hottest partition ~s-fold, so scale count by s before
+      AQE's runtime split has to save the job.
+    """
+    by_cores = 2 * cluster.total_cores
+    by_bytes = -(-shuffle_bytes // target_partition_bytes)  # ceil
+    return max(by_cores, int(by_bytes * max(skew_index, 1.0)), 1)
+
+
+def max_partition_bytes(cluster: ClusterShape) -> int:
+    """Scan-split size: 1/8 of per-core memory, clamped to [32 MB, 512 MB].
+
+    A columnar scan materializes decompressed batches several times the
+    on-disk split; 1/8 of the core's share leaves room for the operator
+    above the scan.  Under 32 MB file-listing/task overhead dominates;
+    over 512 MB row-group pruning granularity suffers.
+    """
+    return min(max(cluster.mem_per_core_bytes // 8, 32 * MB), 512 * MB)
+
+
+def broadcast_threshold_bytes(cluster: ClusterShape) -> int:
+    """Auto-broadcast cutoff: 1/16 of executor memory, clamped to
+    [10 MB, 1 GB].  The broadcast must fit on EVERY executor alongside
+    the streamed side and operator state; 1/16 keeps a misestimated
+    (compressed-parquet vs in-memory) relation from evicting the rest.
+    """
+    return min(max(cluster.mem_per_executor_bytes // 16, 10 * MB), 1 * GB)
+
+
+def streaming_state_partitions(
+    max_keys_per_window: int,
+    bytes_per_key: int,
+    cluster: ClusterShape,
+    target_state_bytes: int = 256 * MB,
+) -> int:
+    """Shuffle partitions for a stateful stream (set BEFORE first start —
+    Spark pins state layout to the partition count).  Size so the
+    biggest window's state per partition stays ~target (RocksDB
+    working-set friendly), with the same 2x-cores floor as batch.
+    q181 measures max_keys_per_window; bytes_per_key comes from the
+    state schema.
+    """
+    state_bytes = max_keys_per_window * bytes_per_key
+    by_state = -(-state_bytes // target_state_bytes)
+    return max(2 * cluster.total_cores, by_state, 1)
+
+
+def watermark_delay_seconds(p99_late_s: float, safety: float = 2.0) -> int:
+    """Watermark from measured lateness (q180): cover the p99 with a
+    safety factor (2x default — the p99→max gap is typically fat), never
+    below 1 s.  A watermark below true lateness silently drops rows
+    (ST2); one far above it holds state for no reason.
+    """
+    return max(int(p99_late_s * safety + 0.5), 1)
+
+
+def recommend(
+    input_bytes: int,
+    cluster: ClusterShape,
+    skew_index: float = 1.0,
+    shuffle_fraction: float = 0.5,
+) -> dict[str, str]:
+    """One-call conf bundle for a batch job over ``input_bytes``.
+
+    ``shuffle_fraction``: how much of the input survives to the widest
+    shuffle (projection/filter usually drop half or more; 1.0 for
+    worst-case joins on unpruned facts).
+    """
+    sp = shuffle_partitions(
+        int(input_bytes * shuffle_fraction), cluster, skew_index=skew_index
+    )
+    return {
+        "spark.sql.shuffle.partitions": str(sp),
+        "spark.sql.files.maxPartitionBytes": str(max_partition_bytes(cluster)),
+        "spark.sql.autoBroadcastJoinThreshold": str(
+            broadcast_threshold_bytes(cluster)
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }

@@ -1,0 +1,66 @@
+"""plans/sizing.py: the rules' bounds, monotonicity, and the 100 TB shape."""
+
+from stock_ops_spark.plans.sizing import (
+    GB,
+    MB,
+    ClusterShape,
+    broadcast_threshold_bytes,
+    max_partition_bytes,
+    recommend,
+    shuffle_partitions,
+    streaming_state_partitions,
+    watermark_delay_seconds,
+)
+
+BIG = ClusterShape(n_executors=1000, cores_per_executor=8, mem_per_executor_bytes=64 * GB)
+SMALL = ClusterShape(n_executors=1, cores_per_executor=32, mem_per_executor_bytes=128 * GB)
+
+
+def test_100tb_shuffle_partition_count():
+    # 100 TB input, half survives to the shuffle → ~400k partitions of
+    # 128 MB; the core floor (16k) is far below — bytes dominate
+    n = shuffle_partitions(50 * 1024 * GB, BIG)
+    assert n == -(-50 * 1024 * GB // (128 * MB))
+    assert n > 2 * BIG.total_cores
+
+
+def test_small_shuffle_floor_is_cores():
+    # tiny shuffle on a big cluster: keep every core busy, 2x for overlap
+    assert shuffle_partitions(1 * GB, BIG) == 2 * BIG.total_cores
+
+
+def test_skew_inflates_partition_count():
+    base = shuffle_partitions(10 * 1024 * GB, BIG)
+    skewed = shuffle_partitions(10 * 1024 * GB, BIG, skew_index=4.0)
+    assert skewed == 4 * base
+
+
+def test_scan_split_clamps():
+    # BIG: 64 GB / 8 cores = 8 GB/core → 1 GB split → upper clamp 512 MB
+    assert max_partition_bytes(BIG) == 512 * MB
+    tiny = ClusterShape(2, 4, 1 * GB)
+    assert max_partition_bytes(tiny) == 32 * MB  # lower clamp
+
+
+def test_broadcast_threshold_clamps():
+    assert 10 * MB <= broadcast_threshold_bytes(BIG) <= 1 * GB
+    assert broadcast_threshold_bytes(SMALL) == min(128 * GB // 16, 1 * GB)
+
+
+def test_state_partitions_scale_with_keys():
+    few = streaming_state_partitions(10_000, 1024, SMALL)
+    many = streaming_state_partitions(1_000_000_000, 1024, SMALL)
+    assert few == 2 * SMALL.total_cores
+    assert many >= 1_000_000_000 * 1024 // (256 * MB)
+
+
+def test_watermark_covers_p99_with_safety():
+    assert watermark_delay_seconds(30.0) == 60
+    assert watermark_delay_seconds(0.0) == 1  # never zero
+
+
+def test_recommend_bundle_keys_and_aqe():
+    conf = recommend(100 * 1024 * GB, BIG, skew_index=2.0)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert int(conf["spark.sql.shuffle.partitions"]) > 100_000
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) >= 32 * MB

@@ -9400,3 +9400,64 @@ def q184_salted_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev_c") / 100, 2).alias("revenue"),
         F.col("max_price_c").cast("bigint").alias("max_price_c"),
     )
+
+
+@_register(
+    "q185_returned_items_report",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           c.c_name                    AS c_name,
+           n.n_name                    AS nation,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT))::DOUBLE / 10000, 4) AS lost_revenue,
+           CAST(count(*) AS BIGINT)    AS n_returned_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                            AS BIGINT))::DOUBLE / 10000, 4) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q185_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items, with nation — the churn-risk account list.  Scale shape:
+    the returnflag filter prunes at the lineitem scan, the
+    lineitem⋈orders key join is the ONE fact shuffle, customer and
+    nation broadcast onto the aggregated frame, and the top-20 plans
+    as TakeOrderedAndProject.  Revenue is exact at 4 decimals
+    (2dp price × 2dp discount factor), summed as integer
+    ten-thousandths — the q01 discipline."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("bigint")
+        .alias("rev4"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev4").alias("rev4"),
+            F.count(F.lit(1)).alias("n_ret"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("rev4") / 10000, 4).alias("lost_revenue"),
+            F.col("n_ret").cast("bigint").alias("n_returned_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )

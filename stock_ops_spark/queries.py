@@ -9461,3 +9461,155 @@ def q185_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@_register(
+    "q186_ks_test",
+    """
+    WITH p AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 'B' ELSE 'A' END AS grp
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+    ),
+    vc AS (
+      SELECT v,
+             sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS cb
+      FROM p GROUP BY v
+    ),
+    n AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb FROM vc
+    ),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb
+      FROM vc
+    ),
+    d AS (
+      SELECT max(abs(cuma * n.nb - cumb * n.na)) AS dnum
+      FROM cum CROSS JOIN n
+    )
+    SELECT CAST(n.na AS BIGINT) AS n_weekday,
+           CAST(n.nb AS BIGINT) AS n_weekend,
+           round(d.dnum::DOUBLE / (n.na * n.nb), 6) AS ks_d,
+           round(1.358 * sqrt((n.na + n.nb)::DOUBLE / (n.na * n.nb)), 6)
+               AS crit_05,
+           CAST(CASE WHEN d.dnum::DOUBLE / (n.na * n.nb)
+                          > 1.358 * sqrt((n.na + n.nb)::DOUBLE / (n.na * n.nb))
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+    FROM d CROSS JOIN n
+    """,
+)
+def q186_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: weekday vs weekend purchase
+    value distributions — the distribution-shift detector that catches
+    shape changes PSI's fixed bands (q142) smooth over.  Exactness:
+    the ECDF difference maximizes |cumA·nB − cumB·nA| over EXACT
+    integers (never floating ECDFs), so D is an exact rational; the
+    only floats are the final display ratio and the 5% critical value.
+    Scale shape: one pass builds per-distinct-value group counts; the
+    cumulative window runs over the DOMAIN-bounded distinct-cents
+    frame (≤ 49k rows at any corpus size — bounded by the value
+    domain, not the row count), then a scalar max."""
+    p = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        F.when(F.dayofweek("ts").isin(1, 7), "B").otherwise("A").alias("grp"),
+    )
+    vc = p.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("cb"),
+    )
+    n = vc.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+            ).alias("dnum")
+        )
+    )
+    crit = 1.358 * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+    ks = F.col("dnum") / (F.col("na") * F.col("nb"))
+    return d.crossJoin(F.broadcast(n)).select(
+        F.col("na").cast("bigint").alias("n_weekday"),
+        F.col("nb").cast("bigint").alias("n_weekend"),
+        F.round(ks, 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        F.when(ks > crit, 1).otherwise(0).cast("bigint").alias("reject_h0"),
+    )
+
+
+@_register(
+    "q187_cluster_size_histogram",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    ),
+    sizes AS (
+      SELECT component, count(*) AS sz FROM comp GROUP BY component
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM comp)
+    SELECT CAST(sz AS BIGINT)          AS cluster_size,
+           CAST(count(*) AS BIGINT)    AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           round(sz * count(*)::DOUBLE / tot.n_docs, 6) AS frac_of_corpus
+    FROM sizes CROSS JOIN tot
+    GROUP BY sz, tot.n_docs
+    """,
+)
+def q187_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how much of the corpus sits in
+    duplicate clusters of each size — the one-line corpus-health
+    metric a dedup run reports (size-1 row = unique fraction; a fat
+    tail means template spam).  Scale shape: pure consumer of the
+    SHARED pair artifact + the same connected-components kernel as
+    q70/q125/q131 — the histogram itself is two tiny aggregates on the
+    cluster frame.  Fractions are ratios of exact counts."""
+    from stock_ops_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, nodes=d.select("doc_id"))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    tot = comp.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("sz") * F.col("n_clusters") / F.col("n_docs"), 6
+            ).alias("frac_of_corpus"),
+        )
+    )

@@ -9613,3 +9613,142 @@ def q187_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_of_corpus"),
         )
     )
+
+
+@_register(
+    "q188_atr_daily",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+    ),
+    closes AS (
+      SELECT d, c AS close_c FROM (
+        SELECT d, c, row_number() OVER (PARTITION BY d
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ),
+    bars AS (
+      SELECT e.d, max(e.c) AS high_c, min(e.c) AS low_c,
+             any_value(closes.close_c) AS close_c
+      FROM e JOIN closes ON closes.d = e.d
+      GROUP BY e.d
+    ),
+    tr AS (
+      SELECT d, high_c, low_c, close_c,
+             greatest(high_c - low_c,
+                      abs(high_c - lag(close_c) OVER (ORDER BY d)),
+                      abs(low_c - lag(close_c) OVER (ORDER BY d))) AS tr_c
+      FROM bars
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(tr_c::DOUBLE / 100, 2) AS true_range,
+           round(avg(tr_c) OVER (ORDER BY d ROWS BETWEEN 13 PRECEDING
+                                 AND CURRENT ROW) / 100, 6) AS atr14
+    FROM tr WHERE tr_c IS NOT NULL
+    """,
+)
+def q188_atr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (14-day) over daily purchase-value bars —
+    completes the technical-indicator family (bollinger q87, drawdown
+    q88, RSI q89, EWMA q90, VWAP q91, TWAP q149): TR = max(H-L,
+    |H-prevC|, |L-prevC|) on exact cents, ATR = 14-bar rolling mean
+    (ratio of exact ints).  Scale shape: the heavy pass is the daily
+    bar rollup (one agg + one row_number for the close — both on the
+    same day partition); the TR/ATR windows run on the tiny daily
+    frame.  The close picks by (ts, event_id) DESC — a deterministic
+    tiebreak where max_by(value, ts) alone would be ambiguous on
+    timestamp collisions."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).select(
+        F.to_date("ts").alias("d"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("d").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    closes = e.withColumn("rn", rn).where(F.col("rn") == 1).select(
+        "d", F.col("c").alias("close_c")
+    )
+    bars = (
+        e.groupBy("d")
+        .agg(F.max("c").alias("high_c"), F.min("c").alias("low_c"))
+        .join(closes, "d")
+    )
+    w = Window.orderBy("d")
+    prev_close = F.lag("close_c").over(w)
+    tr_c = F.greatest(
+        F.col("high_c") - F.col("low_c"),
+        F.abs(F.col("high_c") - prev_close),
+        F.abs(F.col("low_c") - prev_close),
+    )
+    tr = bars.select("d", tr_c.alias("tr_c")).where(F.col("tr_c").isNotNull())
+    w14 = Window.orderBy("d").rowsBetween(-13, 0)
+    return tr.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("tr_c") / 100, 2).alias("true_range"),
+        F.round(F.avg("tr_c").over(w14) / 100, 6).alias("atr14"),
+    )
+
+
+@_register(
+    "q189_erasure_impact",
+    """
+    WITH targets AS (SELECT unnest([3, 7, 42]) AS uid),
+    checks AS (
+      SELECT 'events_by_user' AS dataset,
+             (SELECT count(*) FROM events e JOIN targets t
+              ON e.user_id = t.uid) AS n_rows
+      UNION ALL
+      SELECT 'customer_rows',
+             (SELECT count(*) FROM customer c JOIN targets t
+              ON c.c_custkey = t.uid)
+      UNION ALL
+      SELECT 'orders_by_customer',
+             (SELECT count(*) FROM orders o JOIN targets t
+              ON o.o_custkey = t.uid)
+      UNION ALL
+      SELECT 'lineitems_via_orders',
+             (SELECT count(*) FROM lineitem l
+              WHERE l.l_orderkey IN
+                    (SELECT o_orderkey FROM orders o JOIN targets t
+                     ON o.o_custkey = t.uid))
+    )
+    SELECT dataset, CAST(n_rows AS BIGINT) AS n_rows FROM checks
+    """,
+)
+def q189_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-impact audit (GDPR right-to-be-forgotten planning): for a
+    target id set, how many rows each dataset holds — directly keyed
+    (events, customer, orders) and transitively via the order graph
+    (lineitems) — the report that scopes a deletion job before it
+    runs.  Scale shape: the target set broadcasts everywhere; the
+    transitive check resolves the affected order keys first (itself a
+    broadcast join), then semi-probes the fact table — no fact table
+    ever shuffles.  At 100 TB the same plan drives the actual delete's
+    file-rewrite planning."""
+    targets = spark.createDataFrame([(3,), (7,), (42,)], "uid long")
+    ev = _t(spark, sf_dir, "events")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    t = F.broadcast(targets)
+    n_events = ev.join(t, ev.user_id == targets.uid).count()
+    n_cust = cu.join(t, cu.c_custkey == targets.uid).count()
+    tgt_orders = o.join(t, o.o_custkey == targets.uid).select("o_orderkey")
+    n_orders = tgt_orders.count()
+    n_li = li.join(
+        F.broadcast(tgt_orders), li.l_orderkey == tgt_orders.o_orderkey, "left_semi"
+    ).count()
+    rows = [
+        ("events_by_user", n_events),
+        ("customer_rows", n_cust),
+        ("orders_by_customer", n_orders),
+        ("lineitems_via_orders", n_li),
+    ]
+    return spark.createDataFrame(rows, "dataset string, n_rows long")

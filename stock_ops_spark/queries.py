@@ -9752,3 +9752,192 @@ def q189_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitems_via_orders", n_li),
     ]
     return spark.createDataFrame(rows, "dataset string, n_rows long")
+
+
+@_register(
+    "q190_seasonal_residual_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rc
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    dow AS (
+      SELECT dayofweek(d) AS w, sum(rc) AS s, count(*) AS n
+      FROM daily GROUP BY 1
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d')       AS day,
+           round(daily.rc::DOUBLE / 100, 2)    AS revenue,
+           round(dow.s::DOUBLE / dow.n / 100, 6) AS dow_mean,
+           round((daily.rc - dow.s::DOUBLE / dow.n) / 100, 6) AS residual
+    FROM daily JOIN dow ON dow.w = dayofweek(daily.d)
+    ORDER BY abs(daily.rc * dow.n - dow.s) * 1.0 / dow.n DESC, day
+    LIMIT 10
+    """,
+)
+def q190_seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly days: the 10 days whose purchase
+    revenue deviates most from their OWN day-of-week mean — raw-level
+    anomaly detection (q147's rolling z) misfires on weekly
+    seasonality; subtracting the weekday profile first is the
+    standard correction.  The ordering key |rc·n − s|/n is computed
+    from exact integers (never a float mean), so the top-10 is
+    hash-stable.  Scale shape: daily rollup (the one real pass), a
+    7-row weekday profile broadcast back, top-k."""
+    daily = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("rc")
+    )
+    dow = daily.groupBy((F.dayofweek("d") - 1).alias("w")).agg(
+        F.sum("rc").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    j = daily.join(F.broadcast(dow), (F.dayofweek(daily.d) - 1) == dow.w)
+    order_key = F.abs(F.col("rc") * F.col("n") - F.col("s")) / F.col("n")
+    return (
+        j.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("rc") / 100, 2).alias("revenue"),
+            F.round(F.col("s") / F.col("n") / 100, 6).alias("dow_mean"),
+            F.round((F.col("rc") - F.col("s") / F.col("n")) / 100, 6).alias(
+                "residual"
+            ),
+            order_key.alias("__k"),
+        )
+        .orderBy(F.col("__k").desc(), "day")
+        .limit(10)
+        .drop("__k")
+    )
+
+
+@_register(
+    "q191_frequent_triples",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    fp AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT ab.pa, ab.pb, c.l_partkey AS pc, count(*) AS support
+      FROM fp ab
+      JOIN op a ON a.l_partkey = ab.pa
+      JOIN op b ON b.l_orderkey = a.l_orderkey AND b.l_partkey = ab.pb
+      JOIN op c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > ab.pb
+      GROUP BY ab.pa, ab.pb, pc HAVING count(*) >= 2
+    )
+    SELECT CAST(pa AS BIGINT) AS part_a,
+           CAST(pb AS BIGINT) AS part_b,
+           CAST(pc AS BIGINT) AS part_c,
+           CAST(support AS BIGINT) AS support
+    FROM tri
+    ORDER BY support DESC, part_a, part_b, part_c
+    LIMIT 20
+    """,
+)
+def q191_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (the Apriori step after q137's pairs):
+    candidate triples grow ONLY from support>=2 pairs — the
+    anti-monotone pruning that makes itemset mining feasible at scale
+    (the unpruned triple space is |parts|^3; the pruned one is
+    |frequent pairs| x avg order width).  Scale shape: the frequent
+    pairs are small (shared co-purchase artifact derivation), each
+    joins back to the order-items frame on (order, part) equi-keys,
+    and the third item extends within the same order only.  Supports
+    exact, full-key tiebreaks."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused 3x in the candidate join
+    )
+    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    fp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    tri = (
+        fp.join(a, F.col("a.l_partkey") == F.col("pa"))
+        .join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") == F.col("pb")),
+        )
+        .join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("pb")),
+        )
+        .groupBy("pa", "pb", F.col("c.l_partkey").alias("pc"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    return (
+        tri.select(
+            F.col("pa").cast("bigint").alias("part_a"),
+            F.col("pb").cast("bigint").alias("part_b"),
+            F.col("pc").cast("bigint").alias("part_c"),
+            F.col("support").cast("bigint").alias("support"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
+        .limit(20)
+    )
+
+
+@_register(
+    "q192_hapax_rate",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    tc AS (
+      SELECT source, t, count(*) AS n FROM tok WHERE t <> ''
+      GROUP BY source, t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)     AS vocab_size,
+           CAST(sum(n) AS BIGINT)       AS total_tokens,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6)         AS hapax_rate,
+           round(count(*)::DOUBLE / sum(n), 6) AS type_token_ratio
+    FROM tc GROUP BY source
+    """,
+)
+def q192_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per source: hapax legomena rate
+    (words occurring exactly once — high on organic text, collapses on
+    template/boilerplate spam) and type-token ratio — the corpus-mix
+    diagnostics next to q130's Zipf slope.  Scale shape: one
+    tokenize-explode pass into a (source, word) count (map-side
+    combined), then a per-source rollup of that vocabulary frame; the
+    raw token stream shuffles once.  All ratios exact-integer."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).where(F.col("t") != "")
+    tc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    return tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("hapax_rate"),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("type_token_ratio"),
+    )

@@ -9941,3 +9941,160 @@ def q192_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_rate"),
         F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("type_token_ratio"),
     )
+
+
+@_register(
+    "q193_cross_source_overlap",
+    """
+    WITH w AS (
+      SELECT source, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(ws) - 3),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                        || ' ' || ws[i+3] || ' ' || ws[i+4]))
+                 AS gram
+      FROM w WHERE len(ws) >= 5
+    ),
+    per AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS c
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b,
+           CAST(c AS BIGINT) AS shared_grams,
+           round(c::DOUBLE / (pa.n_grams + pb.n_grams - c), 6) AS jaccard
+    FROM pair
+    JOIN per pa ON pa.source = src_a
+    JOIN per pb ON pb.source = src_b
+    ORDER BY c::DOUBLE / (pa.n_grams + pb.n_grams - c) DESC, src_a, src_b
+    LIMIT 20
+    """,
+)
+def q193_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: word-5-gram Jaccard overlap
+    between every source pair — the leakage screen that catches one
+    crawl mirroring another BEFORE both end up in training (q93
+    decontaminates against a benchmark; this decontaminates sources
+    against each other).  Scale shape: grams dedupe to (source, gram)
+    map-side; the pair join is an equi-join ON THE GRAM whose fan-out
+    is bounded by sources-per-gram (≤ 20), never a source-pair
+    product; per-source totals broadcast onto the 190-row pair frame.
+    Jaccard is a ratio of exact counts."""
+    w = _t(spark, sf_dir, "documents").select(
+        "source", F.split(F.lower("text"), " ").alias("ws")
+    ).where(F.size("ws") >= 5)
+    gram = F.expr(
+        "transform(sequence(1, size(ws) - 4), i -> "
+        "concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))"
+    )
+    g = (
+        w.select("source", F.explode(gram).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by totals + self-join
+    )
+    per = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pa = per.select(F.col("source").alias("src_a"), F.col("n_grams").alias("na"))
+    pb = per.select(F.col("source").alias("src_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        pair.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("c").cast("bigint").alias("shared_grams"),
+            jac.alias("__j"),
+        )
+        .orderBy(F.col("__j").desc(), "src_a", "src_b")
+        .limit(20)
+        .select("src_a", "src_b", "shared_grams", F.round("__j", 6).alias("jaccard"))
+    )
+
+
+@_register(
+    "q194_churn_label_builder",
+    """
+    WITH feat AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS n_purchases
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+      GROUP BY user_id
+    ),
+    lbl AS (
+      SELECT DISTINCT user_id, 1 AS active
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-29'
+    ),
+    j AS (
+      SELECT least(f.n_events // 10, 5) AS activity_band,
+             coalesce(l.active, 0) AS retained
+      FROM feat f LEFT JOIN lbl l ON l.user_id = f.user_id
+    )
+    SELECT CAST(activity_band AS BIGINT) AS activity_band,
+           CAST(count(*) AS BIGINT)      AS n_users,
+           CAST(sum(retained) AS BIGINT) AS n_retained,
+           round(sum(retained)::DOUBLE / count(*), 6) AS retention_rate
+    FROM j GROUP BY activity_band
+    """,
+)
+def q194_churn_label_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label construction with temporal separation: features from
+    an observation window (Jan 1-14 activity), labels from a DISJOINT
+    outcome window (Jan 15-28 presence) — the leakage-free supervised
+    dataset builder (features may never see the label window), rolled
+    up to the activity-band × retention audit a modeler checks before
+    training.  Scale shape: both windows prune at the scan on the ts
+    predicate, each collapses to one row per user on the same shuffle
+    key, left join preserves churned users.  Rates exact-integer."""
+    ev = _t(spark, sf_dir, "events")
+
+    def win(lo, hi):
+        return ev.where(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+
+    feat = win("2024-01-01", "2024-01-15").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+    )
+    lbl = (
+        win("2024-01-15", "2024-01-29")
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    j = feat.join(lbl, "user_id", "left").select(
+        F.least(F.expr("n_events div 10"), F.lit(5)).alias("activity_band"),
+        F.coalesce(F.col("active"), F.lit(0)).alias("retained"),
+    )
+    return j.groupBy("activity_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("retained").cast("bigint").alias("n_retained"),
+        F.round(F.sum("retained") / F.count(F.lit(1)), 6).alias("retention_rate"),
+    ).select(
+        F.col("activity_band").cast("bigint").alias("activity_band"),
+        "n_users",
+        "n_retained",
+        "retention_rate",
+    )

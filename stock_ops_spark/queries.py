@@ -10098,3 +10098,193 @@ def q194_churn_label_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_retained",
         "retention_rate",
     )
+
+
+@_register(
+    "q195_discount_lift",
+    """
+    WITH b AS (
+      SELECT CASE WHEN l_discount < 0.005 THEN 0
+                  WHEN l_discount < 0.055 THEN 1
+                  ELSE 2 END AS band,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT band, count(*) AS n, sum(q) AS sq FROM b GROUP BY band
+    ),
+    base AS (SELECT sq AS s0, n AS n0 FROM agg WHERE band = 0)
+    SELECT CAST(band AS BIGINT)        AS discount_band,
+           CAST(n AS BIGINT)           AS n_items,
+           round(sq::DOUBLE / n, 6)    AS avg_qty,
+           round((sq::DOUBLE / n) / (base.s0::DOUBLE / base.n0), 6)
+               AS lift_vs_no_discount
+    FROM agg CROSS JOIN base
+    """,
+)
+def q195_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effectiveness read: average quantity per discount band
+    and its lift against the no-discount baseline — the first-order
+    'do discounts move volume' answer (q55 measures promo revenue
+    share; this measures the volume response).  Band edges sit between
+    the discrete discount levels (0.005, 0.055) so float representation
+    of 0.00/0.05 can't flip a band.  One aggregation, baseline row
+    broadcast back; every ratio is exact-integer."""
+    b = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_discount") < 0.005, 0)
+        .when(F.col("l_discount") < 0.055, 1)
+        .otherwise(2)
+        .alias("band"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    agg = b.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq")
+    )
+    base = agg.where(F.col("band") == 0).select(
+        F.col("sq").alias("s0"), F.col("n").alias("n0")
+    )
+    return agg.crossJoin(F.broadcast(base)).select(
+        F.col("band").cast("bigint").alias("discount_band"),
+        F.col("n").cast("bigint").alias("n_items"),
+        F.round(F.col("sq") / F.col("n"), 6).alias("avg_qty"),
+        F.round(
+            (F.col("sq") / F.col("n")) / (F.col("s0") / F.col("n0")), 6
+        ).alias("lift_vs_no_discount"),
+    )
+
+
+@_register(
+    "q196_latency_anova",
+    """
+    WITH lat AS (
+      SELECT l.l_suppkey AS s,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                 AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per AS (
+      SELECT s, count(*) AS n, sum(days) AS sd, sum(days * days) AS sdd
+      FROM lat GROUP BY s
+    ),
+    tot AS (
+      SELECT sum(n) AS tn, sum(sd) AS tsd, sum(sdd) AS tsdd,
+             count(*) AS k,
+             sum(sd * sd / n::DOUBLE) AS sum_groupmean_term
+      FROM per
+    )
+    SELECT CAST(k AS BIGINT)  AS n_suppliers,
+           CAST(tn AS BIGINT) AS n_items,
+           round(tsdd - tsd::DOUBLE * tsd / tn, 4)               AS ss_total,
+           round(sum_groupmean_term - tsd::DOUBLE * tsd / tn, 4) AS ss_between,
+           round((sum_groupmean_term - tsd::DOUBLE * tsd / tn)
+                 / (tsdd - tsd::DOUBLE * tsd / tn), 6)           AS eta_squared,
+           round(((sum_groupmean_term - tsd::DOUBLE * tsd / tn) / (k - 1))
+                 / ((tsdd - sum_groupmean_term) / (tn - k)), 6)  AS f_stat
+    FROM tot
+    """,
+)
+def q196_latency_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of ship latency by supplier: how much of the
+    latency variance is BETWEEN suppliers (eta² + F statistic) — the
+    attribution question behind q136's percentile matrix ('is latency
+    a supplier problem or noise?').  Exactness: per-supplier moment
+    sums are exact integers; the only non-integer term (Σ sd²/n) is a
+    sum of exact ratios accumulated per-GROUP (one term per supplier,
+    ~100 values — far below float-order visibility at round 4).
+    Scale shape: one fact join + per-supplier agg, then a scalar
+    rollup; nothing after the first agg touches fact-sized data."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("s"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("days"),
+    )
+    per = lat.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("days").alias("sd"),
+        F.sum(F.col("days") * F.col("days")).alias("sdd"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sd").alias("tsd"),
+        F.sum("sdd").alias("tsdd"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("sd") * F.col("sd") / F.col("n")).alias("sum_groupmean_term"),
+    )
+    grand = F.col("tsd") * F.col("tsd") / F.col("tn")
+    ss_total = F.col("tsdd") - grand
+    ss_between = F.col("sum_groupmean_term") - grand
+    ss_within = F.col("tsdd") - F.col("sum_groupmean_term")
+    return tot.select(
+        F.col("k").cast("bigint").alias("n_suppliers"),
+        F.col("tn").cast("bigint").alias("n_items"),
+        F.round(ss_total, 4).alias("ss_total"),
+        F.round(ss_between, 4).alias("ss_between"),
+        F.round(ss_between / ss_total, 6).alias("eta_squared"),
+        F.round(
+            (ss_between / (F.col("k") - 1)) / (ss_within / (F.col("tn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@_register(
+    "q197_panel_sparsity",
+    """
+    WITH months AS (
+      SELECT count(DISTINCT date_trunc('month', o_orderdate)) AS n_months
+      FROM orders
+    ),
+    custs AS (SELECT count(*) AS n_cust FROM customer),
+    cells AS (
+      SELECT count(*) AS filled FROM (
+        SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate)
+        FROM orders
+      )
+    ),
+    active AS (
+      SELECT count(DISTINCT o_custkey) AS n_active FROM orders
+    )
+    SELECT CAST(custs.n_cust AS BIGINT)   AS n_customers,
+           CAST(active.n_active AS BIGINT) AS n_active_customers,
+           CAST(months.n_months AS BIGINT) AS n_months,
+           CAST(cells.filled AS BIGINT)    AS filled_cells,
+           round(cells.filled::DOUBLE
+                 / (custs.n_cust * months.n_months), 6) AS fill_rate,
+           round(cells.filled::DOUBLE
+                 / (active.n_active * months.n_months), 6) AS fill_rate_active
+    FROM custs CROSS JOIN months CROSS JOIN cells CROSS JOIN active
+    """,
+)
+def q197_panel_sparsity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel sparsity report: what fraction of the (customer × month)
+    grid has any order — the density check that decides whether
+    longitudinal features (q144 retention, q161 trends) need explicit
+    zero-filling (q109's resample) or can stay sparse.  Scale shape:
+    the filled-cell count is one DISTINCT collapse of the fact; the
+    three denominators are scalar aggregates cross-joined broadcast.
+    All rates exact-integer."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("m")
+    )
+    months = o.agg(F.countDistinct("m").alias("n_months"))
+    custs = _t(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("n_cust"))
+    cells = o.distinct().agg(F.count(F.lit(1)).alias("filled"))
+    active = o.agg(F.countDistinct("o_custkey").alias("n_active"))
+    return (
+        custs.crossJoin(F.broadcast(months))
+        .crossJoin(F.broadcast(cells))
+        .crossJoin(F.broadcast(active))
+        .select(
+            F.col("n_cust").cast("bigint").alias("n_customers"),
+            F.col("n_active").cast("bigint").alias("n_active_customers"),
+            F.col("n_months").cast("bigint").alias("n_months"),
+            F.col("filled").cast("bigint").alias("filled_cells"),
+            F.round(
+                F.col("filled") / (F.col("n_cust") * F.col("n_months")), 6
+            ).alias("fill_rate"),
+            F.round(
+                F.col("filled") / (F.col("n_active") * F.col("n_months")), 6
+            ).alias("fill_rate_active"),
+        )
+    )

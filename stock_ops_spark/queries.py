@@ -10288,3 +10288,123 @@ def q197_panel_sparsity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_rate_active"),
         )
     )
+
+
+@_register(
+    "q198_supplier_skyline",
+    """
+    WITH m AS (
+      SELECT l.l_suppkey AS s,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS price_c,
+             count(*) AS n,
+             sum(date_diff('day', o.o_orderdate, l.l_shipdate)) AS lat_d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_suppkey
+    ),
+    sky AS (
+      SELECT a.s, a.price_c, a.n, a.lat_d
+      FROM m a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m b
+        WHERE b.price_c * a.n <= a.price_c * b.n
+          AND b.lat_d * a.n <= a.lat_d * b.n
+          AND (b.price_c * a.n < a.price_c * b.n
+               OR b.lat_d * a.n < a.lat_d * b.n)
+      )
+    )
+    SELECT CAST(s AS BIGINT) AS suppkey,
+           round(price_c::DOUBLE / n / 100, 6) AS avg_price,
+           round(lat_d::DOUBLE / n, 6)         AS avg_latency_days,
+           CAST(n AS BIGINT)                   AS n_items
+    FROM sky ORDER BY suppkey
+    """,
+)
+def q198_supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: suppliers not dominated on
+    (avg price, avg ship latency) — the multi-criteria shortlist
+    operator ('no other supplier is cheaper AND faster').  Dominance
+    compares exact cross-multiplied integers (price_c·n' vs price_c'·n)
+    so no float mean ever decides the frontier.  Scale shape: the fact
+    collapses to one row per supplier FIRST; the dominance test is a
+    self-anti-join on that dimension-sized frame (100 rows here; at
+    millions of suppliers the sort-filter skyline replaces the
+    quadratic probe — the aggregation stage is unchanged)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("pc"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s"))
+        .agg(
+            F.sum("pc").alias("price_c"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.datediff("l_shipdate", "o_orderdate")).alias("lat_d"),
+        )
+        .localCheckpoint(eager=True)  # both sides of the dominance probe
+    )
+    a, b = m.alias("a"), m.alias("b")
+    dominated = (
+        (F.col("b.price_c") * F.col("a.n") <= F.col("a.price_c") * F.col("b.n"))
+        & (F.col("b.lat_d") * F.col("a.n") <= F.col("a.lat_d") * F.col("b.n"))
+        & (
+            (F.col("b.price_c") * F.col("a.n") < F.col("a.price_c") * F.col("b.n"))
+            | (F.col("b.lat_d") * F.col("a.n") < F.col("a.lat_d") * F.col("b.n"))
+        )
+    )
+    sky = a.join(b, dominated, "left_anti")
+    return sky.select(
+        F.col("s").cast("bigint").alias("suppkey"),
+        F.round(F.col("price_c") / F.col("n") / 100, 6).alias("avg_price"),
+        F.round(F.col("lat_d") / F.col("n"), 6).alias("avg_latency_days"),
+        F.col("n").cast("bigint").alias("n_items"),
+    ).orderBy("suppkey")
+
+
+@_register(
+    "q199_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln(((doc_id * 2654435761) % 1000003 + 1)::DOUBLE / 1000004)
+             / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT CAST(doc_id AS BIGINT)  AS doc_id,
+           lang                    AS lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(k, 10)            AS sample_key
+    FROM keyed ORDER BY k ASC, doc_id LIMIT 50
+    """,
+)
+def q199_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    each doc draws key = -ln(u)/w with weight w = n_chars, and the 50
+    smallest keys form a sample where selection probability is
+    proportional to length — the importance-sampling primitive for
+    training-mix construction (long docs count more, but every doc can
+    appear).  u comes from the stable multiplicative hash (exact
+    rational in (0,1) — reproducible across engines/runs, never
+    rand()); ln of identical doubles is identical, so the sample is
+    deterministic.  Scale shape: key assignment is a map-side
+    projection, selection is TakeOrderedAndProject — no sort, no
+    shuffle beyond top-k."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000003)) + 1) / F.lit(
+        1000004.0
+    )
+    k = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", k.alias("k"))
+        .orderBy(F.col("k").asc(), "doc_id")
+        .limit(50)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round("k", 10).alias("sample_key"),
+        )
+    )

@@ -10408,3 +10408,140 @@ def q199_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("k", 10).alias("sample_key"),
         )
     )
+
+
+@_register(
+    "q200_cusum_alerts",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rc
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(rc) AS trc, count(*) AS nd FROM daily),
+    dev AS (
+      -- deviation scaled by n_days so everything stays integer:
+      -- rc*nd - trc  ==  (rc - mean) * nd
+      SELECT d, rc, rc * tot.nd - tot.trc AS dev_n, tot.nd AS nd
+      FROM daily CROSS JOIN tot
+    ),
+    pre AS (
+      SELECT d, rc, nd,
+             sum(dev_n) OVER (ORDER BY d) AS s
+      FROM dev
+    ),
+    cs AS (
+      SELECT d, rc, nd, s,
+             s - least(min(s) OVER (ORDER BY d), 0) AS cusum_n
+      FROM pre
+    )
+    SELECT strftime(d, '%Y-%m-%d')               AS day,
+           round(rc::DOUBLE / 100, 2)            AS revenue,
+           round(cusum_n::DOUBLE / nd / 100, 6)  AS cusum,
+           CAST(CASE WHEN cusum_n * 10 > 2 * (SELECT trc FROM tot)
+                     THEN 1 ELSE 0 END AS BIGINT) AS alert
+    FROM cs ORDER BY day
+    """,
+)
+def q200_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection on daily purchase revenue — the SPC
+    (statistical process control) drift alarm: positive CUSUM_i =
+    S_i − min(0, min_{j≤i} S_j) where S is the prefix sum of
+    (x − mean).  The clamp recursion isn't window-expressible, but
+    this prefix-minus-running-min identity IS (same family as the
+    drawdown decomposition) — two windows over the tiny daily frame.
+    Deviations are scaled by n_days so every intermediate stays an
+    exact integer (mean never materializes as a float); the alert
+    threshold (20% of total revenue) compares scaled integers.
+    Scale shape: daily rollup is the only fact pass; at a year of
+    days the windows still touch 365 rows."""
+    daily = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("rc")
+    )
+    tot = daily.agg(F.sum("rc").alias("trc"), F.count(F.lit(1)).alias("nd"))
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "rc",
+        "nd",
+        "trc",
+        (F.col("rc") * F.col("nd") - F.col("trc")).alias("dev_n"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = dev.withColumn("s", F.sum("dev_n").over(w))
+    cs = pre.withColumn(
+        "cusum_n", F.col("s") - F.least(F.min("s").over(w), F.lit(0))
+    )
+    return cs.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("rc") / 100, 2).alias("revenue"),
+        F.round(F.col("cusum_n") / F.col("nd") / 100, 6).alias("cusum"),
+        F.when(F.col("cusum_n") * 10 > 2 * F.col("trc"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("alert"),
+    ).orderBy("day")
+
+
+@_register(
+    "q201_price_vs_retail_margin",
+    """
+    WITH sold AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_c,
+             sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(sold.rev_c)::DOUBLE / sum(sold.qty) / 100, 6)
+               AS avg_realized_price,
+           round(sum(CAST(round(p.p_retailprice * 100) AS BIGINT)
+                     * sold.qty)::DOUBLE / sum(sold.qty) / 100, 6)
+               AS avg_retail_price,
+           round(sum(sold.rev_c)::DOUBLE
+                 / sum(CAST(round(p.p_retailprice * 100) AS BIGINT) * sold.qty),
+                 6) AS realization_ratio
+    FROM sold JOIN part p ON p.p_partkey = sold.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def q201_price_vs_retail_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-realization report: realized unit price vs catalog retail
+    price per brand (quantity-weighted), and the realization ratio —
+    the pricing-leakage metric ('how far below list do we actually
+    sell').  Scale shape: the fact collapses per part FIRST (one
+    shuffle), then the part dimension broadcasts in; both averages
+    are quantity-weighted ratios of exact integer cents, so the
+    ratio ordering is hash-stable."""
+    sold = _t(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "rev_c"
+        ),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("retail_c"),
+    )
+    j = sold.join(F.broadcast(p), sold.l_partkey == p.p_partkey)
+    return (
+        j.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("rev_c") / F.sum("qty") / 100, 6).alias(
+                "avg_realized_price"
+            ),
+            F.round(
+                F.sum(F.col("retail_c") * F.col("qty")) / F.sum("qty") / 100, 6
+            ).alias("avg_retail_price"),
+            F.round(
+                F.sum("rev_c") / F.sum(F.col("retail_c") * F.col("qty")), 6
+            ).alias("realization_ratio"),
+        )
+        .orderBy("brand")
+    )

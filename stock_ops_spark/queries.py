@@ -10545,3 +10545,116 @@ def q201_price_vs_retail_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@_register(
+    "q202_engagement_gini",
+    """
+    WITH uc AS (
+      SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM uc
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM ranked
+    )
+    SELECT CAST(n AS BIGINT)  AS n_users,
+           CAST(sx AS BIGINT) AS n_events,
+           round((2.0 * six) / (n * sx) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def q202_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement concentration as a Gini coefficient over per-user
+    event counts — the single-number inequality metric behind q151's
+    decile Lorenz table (0 = uniform engagement, →1 = a few users
+    generate everything).  G = 2Σi·x_i/(nΣx) − (n+1)/n over
+    ascending-ranked EXACT integer counts (unique user tiebreak), so
+    the statistic is bit-stable.  Scale shape: the fact collapses to
+    one count per user first; the rank window runs on that
+    USER-dimension frame (1/1000th of fact rows; at billions of users
+    the ranking swaps to the chunked-prefix decomposition, the
+    aggregation stage unchanged)."""
+    uc = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("x", "user_id")
+    ranked = uc.select("x", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("sx").cast("bigint").alias("n_events"),
+        F.round(
+            (2.0 * F.col("six")) / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@_register(
+    "q203_retention_halflife",
+    """
+    WITH fo AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey
+    ),
+    act AS (
+      SELECT DISTINCT o.o_custkey,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(fo.cm) * 12 + month(fo.cm)) AS m
+      FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+    ),
+    r AS (
+      SELECT sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS r1,
+             sum(CASE WHEN m = 6 THEN 1 ELSE 0 END) AS r6,
+             count(DISTINCT o_custkey) AS n_cohort
+      FROM act
+    )
+    SELECT CAST(n_cohort AS BIGINT) AS n_customers,
+           CAST(r1 AS BIGINT)       AS active_m1,
+           CAST(r6 AS BIGINT)       AS active_m6,
+           round(5.0 * ln(2) / ln(r1::DOUBLE / r6), 6) AS halflife_months
+    FROM r
+    """,
+)
+def q203_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: assuming geometric decay between months 1
+    and 6 of the q144 retention curve, the months until activity
+    halves — hl = 5·ln2 / ln(r1/r6).  The decay ratio r1/r6 is an
+    exact rational of activity counts, so the single ln() is the same
+    double on both engines (the q127 one-ln-of-exact-ratio
+    discipline — a multi-point log-linear fit would sum
+    order-sensitive floats).  Scale shape: identical to q144's
+    co-partitioned cohort build, ending in one scalar row."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cm")
+    )
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    act = (
+        o.join(fo, "o_custkey")
+        .select(
+            "o_custkey",
+            (mnum(F.col("o_orderdate")) - mnum(F.col("cm"))).alias("m"),
+        )
+        .distinct()
+    )
+    r = act.agg(
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).alias("r1"),
+        F.sum(F.when(F.col("m") == 6, 1).otherwise(0)).alias("r6"),
+        F.countDistinct("o_custkey").alias("n_cohort"),
+    )
+    return r.select(
+        F.col("n_cohort").cast("bigint").alias("n_customers"),
+        F.col("r1").cast("bigint").alias("active_m1"),
+        F.col("r6").cast("bigint").alias("active_m6"),
+        F.round(
+            5.0 * F.log(F.lit(2.0)) / F.log(F.col("r1") / F.col("r6")), 6
+        ).alias("halflife_months"),
+    )

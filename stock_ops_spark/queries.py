@@ -10658,3 +10658,191 @@ def q203_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             5.0 * F.log(F.lit(2.0)) / F.log(F.col("r1") / F.col("r6")), 6
         ).alias("halflife_months"),
     )
+
+
+@_register(
+    "q204_quantile_trajectory",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mth,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT strftime(mth, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(c, 0.5) / 100, 6)  AS p50,
+           round(quantile_cont(c, 0.9) / 100, 6)  AS p90,
+           round(quantile_cont(c, 0.99) / 100, 6) AS p99
+    FROM m GROUP BY mth
+    """,
+)
+def q204_quantile_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile trajectory: monthly p50/p90/p99 of order value — the
+    distribution-over-time monitor (q136 is a static percentile
+    matrix; drift shows up here first as tail percentiles moving while
+    the median holds).  Exact interpolated quantiles on integer cents
+    per month group; one aggregation keyed by month, map-side
+    combinable input.  At 100 TB the per-month exact percentile swaps
+    for approx_percentile, same plan."""
+    m = _t(spark, sf_dir, "orders").select(
+        F.trunc("o_orderdate", "month").alias("mth"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    return m.groupBy("mth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.expr("percentile(c, 0.5)") / 100, 6).alias("p50"),
+        F.round(F.expr("percentile(c, 0.9)") / 100, 6).alias("p90"),
+        F.round(F.expr("percentile(c, 0.99)") / 100, 6).alias("p99"),
+    ).select(
+        F.date_format("mth", "yyyy-MM").alias("month"),
+        "n_orders",
+        "p50",
+        "p90",
+        "p99",
+    )
+
+
+@_register(
+    "q205_degree_assortativity",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    bi AS (SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT s AS node, count(*) AS dg FROM bi GROUP BY s),
+    ed AS (
+      SELECT da.dg AS x, db.dg AS y
+      FROM bi JOIN deg da ON da.node = bi.s JOIN deg db ON db.node = bi.d
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM ed
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)), 6)
+               AS assortativity
+    FROM s
+    """,
+)
+def q205_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the sixth graph
+    kernel (after CC, PageRank, triangles, BFS, k-core): Pearson
+    correlation of endpoint degrees over all directed edge instances
+    (positive = hubs link hubs, negative = hub-and-spoke).  Exact
+    integer moment sums (q177 discipline — degrees are small ints, no
+    decimal needed at this graph size), one ln-free closed form.
+    Scale shape: degrees aggregate once, join back onto the edge list
+    by node key twice, then a scalar rollup; edges come from the
+    shared co-purchase artifact."""
+    from stock_ops_spark.operators.graph import copurchase_edges_cached
+
+    e = copurchase_edges_cached(
+        _t(spark, sf_dir, "lineitem"),
+        source_path=catalog.table_path(sf_dir, "lineitem"),
+        support=2,
+    ).select("pa", "pb")
+    bi = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).union(
+        e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+    )
+    deg = bi.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("dg"))
+    da = deg.select(F.col("node").alias("s"), F.col("dg").alias("x"))
+    db = deg.select(F.col("node").alias("d"), F.col("dg").alias("y"))
+    ed = bi.join(F.broadcast(da), "s").join(F.broadcast(db), "d")
+    s = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.round(cov / F.sqrt(vx.cast("double") * vy), 6).alias("assortativity"),
+    )
+
+
+@_register(
+    "q206_qq_table",
+    """
+    WITH p AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 'B' ELSE 'A' END AS grp
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+    ),
+    s AS (
+      SELECT
+        quantile_cont(v, 0.1)  FILTER (grp = 'A') AS a10,
+        quantile_cont(v, 0.25) FILTER (grp = 'A') AS a25,
+        quantile_cont(v, 0.5)  FILTER (grp = 'A') AS a50,
+        quantile_cont(v, 0.75) FILTER (grp = 'A') AS a75,
+        quantile_cont(v, 0.9)  FILTER (grp = 'A') AS a90,
+        quantile_cont(v, 0.1)  FILTER (grp = 'B') AS b10,
+        quantile_cont(v, 0.25) FILTER (grp = 'B') AS b25,
+        quantile_cont(v, 0.5)  FILTER (grp = 'B') AS b50,
+        quantile_cont(v, 0.75) FILTER (grp = 'B') AS b75,
+        quantile_cont(v, 0.9)  FILTER (grp = 'B') AS b90
+      FROM p
+    )
+    SELECT 0.1 AS quantile, round(a10 / 100, 6) AS weekday_value,
+           round(b10 / 100, 6) AS weekend_value,
+           round((b10 - a10) / 100, 6) AS diff FROM s
+    UNION ALL SELECT 0.25, round(a25 / 100, 6), round(b25 / 100, 6),
+           round((b25 - a25) / 100, 6) FROM s
+    UNION ALL SELECT 0.5, round(a50 / 100, 6), round(b50 / 100, 6),
+           round((b50 - a50) / 100, 6) FROM s
+    UNION ALL SELECT 0.75, round(a75 / 100, 6), round(b75 / 100, 6),
+           round((b75 - a75) / 100, 6) FROM s
+    UNION ALL SELECT 0.9, round(a90 / 100, 6), round(b90 / 100, 6),
+           round((b90 - a90) / 100, 6) FROM s
+    """,
+)
+def q206_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison table: weekday vs weekend purchase
+    values at five matched quantiles — where q186's KS says THAT the
+    distributions differ, the QQ table says WHERE (which part of the
+    distribution shifted, by how much).  Spark's percentile() needs a
+    FOLDABLE fraction, so the five quantiles are literal aggregate
+    expressions in ONE pass over the fact (conditional per group) and
+    the 1-row result unpivots to 5 rows for free (q152's explode
+    discipline — the DuckDB twin unpivots its CTE the same way).
+    Exact interpolated quantiles on integer cents; diffs exact."""
+    p = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        F.when(F.dayofweek("ts").isin(1, 7), "B").otherwise("A").alias("grp"),
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    aggs = []
+    for g in ("A", "B"):
+        for q in qs:
+            aggs.append(
+                F.expr(
+                    f"percentile(CASE WHEN grp = '{g}' THEN v END, {q})"
+                ).alias(f"{g.lower()}{int(q * 100)}")
+            )
+    s = p.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(q).alias("quantile"),
+            F.round(F.col(f"a{int(q * 100)}") / 100, 6).alias("weekday_value"),
+            F.round(F.col(f"b{int(q * 100)}") / 100, 6).alias("weekend_value"),
+            F.round(
+                (F.col(f"b{int(q * 100)}") - F.col(f"a{int(q * 100)}")) / 100, 6
+            ).alias("diff"),
+        )
+        for q in qs
+    ]
+    return s.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

@@ -10846,3 +10846,98 @@ def q206_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in qs
     ]
     return s.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+@_register(
+    "q207_hourly_mix_entropy",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS c1,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS c2,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)   AS c4,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)    AS c5,
+             count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(n AS BIGINT) AS n_events,
+           round(
+             (CASE WHEN c1 = 0 THEN 0 ELSE -(c1::DOUBLE / n) * ln(c1::DOUBLE / n) END)
+           + (CASE WHEN c2 = 0 THEN 0 ELSE -(c2::DOUBLE / n) * ln(c2::DOUBLE / n) END)
+           + (CASE WHEN c3 = 0 THEN 0 ELSE -(c3::DOUBLE / n) * ln(c3::DOUBLE / n) END)
+           + (CASE WHEN c4 = 0 THEN 0 ELSE -(c4::DOUBLE / n) * ln(c4::DOUBLE / n) END)
+           + (CASE WHEN c5 = 0 THEN 0 ELSE -(c5::DOUBLE / n) * ln(c5::DOUBLE / n) END),
+             6) AS mix_entropy
+    FROM h
+    """,
+)
+def q207_hourly_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-mix entropy per hour: Shannon entropy of the
+    event-type distribution — the diversity monitor that catches
+    bot/incident hours (entropy collapses when one type floods).
+    Determinism: the five types PIVOT to one row per hour, so the
+    entropy is a FIXED-ORDER five-term expression over exact-integer
+    ratios (a per-type sum would accumulate floats in partition
+    order).  Scale shape: one conditional aggregation keyed by hour,
+    map-side combinable; ~8.8k rows/year output."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"c{i}")
+        for i, t in enumerate(types, 1)
+    ] + [F.count(F.lit(1)).alias("n")]
+    h = ev.groupBy("hr").agg(*aggs)
+    ent = None
+    for i in range(1, 6):
+        p = F.col(f"c{i}") / F.col("n")
+        term = F.when(F.col(f"c{i}") == 0, 0.0).otherwise(-p * F.log(p))
+        ent = term if ent is None else ent + term
+    return h.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(ent, 6).alias("mix_entropy"),
+    )
+
+
+@_register(
+    "q208_peak_to_average",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT)   AS n_hours,
+           CAST(sum(n) AS BIGINT)     AS n_events,
+           round(avg(n), 6)           AS mean_per_hour,
+           round(quantile_cont(n, 0.95), 6) AS p95_per_hour,
+           CAST(max(n) AS BIGINT)     AS max_per_hour,
+           round(quantile_cont(n, 0.95) * count(*) / sum(n), 6)
+               AS peak_to_average
+    FROM h
+    """,
+)
+def q208_peak_to_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-average load ratio: p95 hourly event rate over the mean —
+    the capacity-planning number that, with q181's state profile,
+    feeds plans/sizing.py (provision for p95, not the mean; PAR >> 1
+    means bursty arrival and autoscaling headroom).  One hourly
+    rollup then a scalar aggregate with an exact quantile over the
+    tiny hourly frame; the ratio multiplies exact integers before the
+    one division."""
+    h = _t(spark, sf_dir, "events").groupBy(
+        F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(F.avg("n"), 6).alias("mean_per_hour"),
+        F.round(F.expr("percentile(n, 0.95)"), 6).alias("p95_per_hour"),
+        F.max("n").cast("bigint").alias("max_per_hour"),
+        F.round(
+            F.expr("percentile(n, 0.95)") * F.count(F.lit(1)) / F.sum("n"), 6
+        ).alias("peak_to_average"),
+    )

@@ -10941,3 +10941,171 @@ def q208_peak_to_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(n, 0.95)") * F.count(F.lit(1)) / F.sum("n"), 6
         ).alias("peak_to_average"),
     )
+
+
+@_register(
+    "q209_heaps_law",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    firsts AS (
+      SELECT t, min(doc_id) AS fd FROM tok WHERE t <> '' GROUP BY t
+    ),
+    toks_per_doc AS (
+      SELECT doc_id, count(*) AS nt FROM tok WHERE t <> '' GROUP BY doc_id
+    ),
+    new_per_doc AS (
+      SELECT fd AS doc_id, count(*) AS nw FROM firsts GROUP BY fd
+    ),
+    cum AS (
+      SELECT tp.doc_id,
+             sum(tp.nt) OVER (ORDER BY tp.doc_id) AS cum_tokens,
+             sum(coalesce(np.nw, 0)) OVER (ORDER BY tp.doc_id) AS cum_vocab
+      FROM toks_per_doc tp LEFT JOIN new_per_doc np ON np.doc_id = tp.doc_id
+    ),
+    pts AS (
+      SELECT max(CASE WHEN doc_id * 10 < (SELECT max(doc_id) FROM cum)
+                      THEN cum_tokens END) AS t1,
+             max(CASE WHEN doc_id * 10 < (SELECT max(doc_id) FROM cum)
+                      THEN cum_vocab END)  AS v1,
+             max(cum_tokens) AS t2, max(cum_vocab) AS v2
+      FROM cum
+    )
+    SELECT CAST(t2 AS BIGINT) AS total_tokens,
+           CAST(v2 AS BIGINT) AS total_vocab,
+           CAST(t1 AS BIGINT) AS tokens_at_10pct,
+           CAST(v1 AS BIGINT) AS vocab_at_10pct,
+           round(ln(v2::DOUBLE / v1) / ln(t2::DOUBLE / t1), 6)
+               AS heaps_beta
+    FROM pts
+    """,
+)
+def q209_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent: how fast distinct
+    vocabulary grows with corpus size (V ~ T^beta; beta >> 0.6 on this
+    corpus means heavy novel-token load — tokenizer OOV pressure at
+    scale; near 0 means a closed vocabulary).  Cumulative distinct is
+    not window-decomposable — the trick is first-occurrence
+    attribution (word → min doc_id, one agg), after which cumulative
+    vocabulary IS a prefix sum of new-words-per-doc, computed with the
+    chunked two-pass operator.  beta comes from TWO exact-integer
+    curve points via ln-of-exact-ratio (the q127/q203 discipline), not
+    a float regression."""
+    from stock_ops_spark.operators.timeseries import prefix_sum_chunked
+
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).where(F.col("t") != "")
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    tpd = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    npd = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("nw")
+    )
+    per_doc = tpd.join(npd, "doc_id", "left").select(
+        "doc_id", "nt", F.coalesce("nw", F.lit(0)).alias("nw")
+    )
+    bucket = F.floor(F.col("doc_id") / 64)
+    ct = prefix_sum_chunked(per_doc, "doc_id", "nt", bucket).withColumnRenamed(
+        "__cum", "cum_tokens"
+    )
+    cum = prefix_sum_chunked(ct, "doc_id", "nw", bucket).withColumnRenamed(
+        "__cum", "cum_vocab"
+    )
+    mx = cum.agg(F.max("doc_id").alias("mxd"))
+    pts = cum.crossJoin(F.broadcast(mx)).agg(
+        F.max(
+            F.when(F.col("doc_id") * 10 < F.col("mxd"), F.col("cum_tokens"))
+        ).alias("t1"),
+        F.max(
+            F.when(F.col("doc_id") * 10 < F.col("mxd"), F.col("cum_vocab"))
+        ).alias("v1"),
+        F.max("cum_tokens").alias("t2"),
+        F.max("cum_vocab").alias("v2"),
+    )
+    return pts.select(
+        F.col("t2").cast("bigint").alias("total_tokens"),
+        F.col("v2").cast("bigint").alias("total_vocab"),
+        F.col("t1").cast("bigint").alias("tokens_at_10pct"),
+        F.col("v1").cast("bigint").alias("vocab_at_10pct"),
+        F.round(
+            F.log(F.col("v2") / F.col("v1")) / F.log(F.col("t2") / F.col("t1")), 6
+        ).alias("heaps_beta"),
+    )
+
+
+@_register(
+    "q210_launch_curve",
+    """
+    WITH pf AS (
+      SELECT l_partkey, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_partkey
+    ),
+    j AS (
+      SELECT l.l_partkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS total_c,
+             sum(CASE WHEN l.l_shipdate < pf.first_ship + INTERVAL 28 DAY
+                      THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS early_c
+      FROM lineitem l JOIN pf ON pf.l_partkey = l.l_partkey
+      GROUP BY l.l_partkey
+    ),
+    banded AS (
+      SELECT least(CAST(floor(early_c * 10.0 / total_c) AS BIGINT), 9) AS band
+      FROM j WHERE total_c > 0
+    )
+    SELECT CAST(band AS BIGINT)      AS early_share_band,
+           CAST(count(*) AS BIGINT)  AS n_parts,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM banded), 6)
+               AS frac_of_parts
+    FROM banded GROUP BY band
+    """,
+)
+def q210_launch_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Launch-curve profile: per part, the share of lifetime revenue
+    earned in its first 28 days on sale, histogrammed — separates
+    launch-spike products (band 9: front-loaded demand) from
+    evergreens (band 0-1), the assortment-planning signal.  Scale
+    shape: first-ship dates and the conditional revenue split share
+    ONE l_partkey shuffle (co-partitioned agg + join + agg); the band
+    histogram is 10 keys.  Band assignment multiplies exact integers
+    before the one floor-divide."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("pc"),
+    )
+    pf = li.groupBy("l_partkey").agg(F.min("l_shipdate").alias("first_ship"))
+    j = (
+        li.join(pf, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("pc").alias("total_c"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    < F.col("first_ship") + F.expr("INTERVAL 28 DAYS"),
+                    F.col("pc"),
+                ).otherwise(0)
+            ).alias("early_c"),
+        )
+        .where(F.col("total_c") > 0)
+    )
+    banded = j.select(
+        F.least(
+            F.floor(F.col("early_c") * 10.0 / F.col("total_c")).cast("bigint"),
+            F.lit(9),
+        ).alias("band")
+    )
+    tot = banded.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("band").cast("bigint").alias("early_share_band"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.round(F.col("n_parts") / F.col("t"), 6).alias("frac_of_parts"),
+        )
+    )

@@ -11109,3 +11109,137 @@ def q210_launch_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_parts") / F.col("t"), 6).alias("frac_of_parts"),
         )
     )
+
+
+@_register(
+    "q211_cohort_ltv_curve",
+    """
+    WITH fo AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cm
+      FROM orders GROUP BY o_custkey
+    ),
+    sp AS (
+      SELECT year(fo.cm) AS cohort_year,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(fo.cm) * 12 + month(fo.cm)) AS m,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rc
+      FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+      GROUP BY cohort_year, m
+    ),
+    cs AS (
+      SELECT year(cm) AS cohort_year, count(*) AS n_cust FROM fo GROUP BY 1
+    )
+    SELECT CAST(sp.cohort_year AS BIGINT) AS cohort_year,
+           CAST(sp.m AS BIGINT)           AS months_since,
+           round(sum(sp2.rc)::DOUBLE / cs.n_cust / 100, 6)
+               AS cum_ltv_per_customer
+    FROM sp
+    JOIN sp sp2 ON sp2.cohort_year = sp.cohort_year AND sp2.m <= sp.m
+    JOIN cs ON cs.cohort_year = sp.cohort_year
+    WHERE sp.m <= 12
+    GROUP BY sp.cohort_year, sp.m, cs.n_cust
+    """,
+)
+def q211_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV accumulation curves: cumulative revenue per customer
+    by months-since-acquisition, one curve per acquisition year — the
+    money-weighted companion to q144's activity retention (the payback
+    chart that answers 'when does a cohort repay its CAC').  Scale
+    shape: the co-partitioned cohort build (q144's shuffle), a tiny
+    (year × month) rollup, and the cumulative is a band self-join on
+    the ~84-row rollup frame (a window would do; the join form keeps
+    the SQL twin identical).  LTV = ratio of exact cent sums."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cm")
+    )
+    mnum = lambda col: F.year(col) * 12 + F.month(col)  # noqa: E731
+    sp = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            F.year("cm").alias("cohort_year"),
+            (mnum(F.col("o_orderdate")) - mnum(F.col("cm"))).alias("m"),
+        )
+        .agg(F.sum("c").alias("rc"))
+    )
+    cs = fo.groupBy(F.year("cm").alias("cohort_year")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.where(F.col("a.m") <= 12)
+        .join(
+            F.broadcast(b),
+            (F.col("b.cohort_year") == F.col("a.cohort_year"))
+            & (F.col("b.m") <= F.col("a.m")),
+        )
+        .groupBy(
+            F.col("a.cohort_year").alias("cohort_year"), F.col("a.m").alias("m")
+        )
+        .agg(F.sum(F.col("b.rc")).alias("cum_rc"))
+        .join(F.broadcast(cs), "cohort_year")
+        .select(
+            F.col("cohort_year").cast("bigint").alias("cohort_year"),
+            F.col("m").cast("bigint").alias("months_since"),
+            F.round(F.col("cum_rc") / F.col("n_cust") / 100, 6).alias(
+                "cum_ltv_per_customer"
+            ),
+        )
+    )
+
+
+@_register(
+    "q212_basket_diversity",
+    """
+    WITH ob AS (
+      SELECT l.l_orderkey,
+             count(DISTINCT p.p_brand) AS n_brands,
+             count(*) AS n_items
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY l.l_orderkey
+    )
+    SELECT CAST(n_brands AS BIGINT)  AS n_brands,
+           CAST(count(*) AS BIGINT)  AS n_orders,
+           round(avg(n_items), 6)    AS avg_items,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM ob), 6)
+               AS frac_of_orders
+    FROM ob GROUP BY n_brands
+    """,
+)
+def q212_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket brand-diversity histogram: distinct brands per order —
+    single-brand baskets signal brand-loyal trips, wide baskets signal
+    marketplace behavior (assortment/recommendation input next to
+    q137's association rules).  Scale shape: brand lookup is a
+    broadcast dimension join, the per-order distinct collapses on the
+    l_orderkey shuffle, the histogram is a handful of keys.  All
+    ratios exact-integer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    tot = ob.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        ob.groupBy("n_brands")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("n_items"), 6).alias("avg_items"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_brands").cast("bigint").alias("n_brands"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "avg_items",
+            F.round(F.col("n_orders") / F.col("t"), 6).alias("frac_of_orders"),
+        )
+    )

@@ -440,3 +440,40 @@ def test_q162_embedding_outliers_no_pairs(q):
     assert A.count_broadcast_joins(df) >= 2
     assert not A.has_cartesian(df)
     assert A.has_top_k(df)
+
+
+def test_q184_salted_two_phase(q):
+    """Salted agg must show BOTH exchanges: (key, salt) partials then
+    the key merge — and the salt must come from xxhash64, not rand()."""
+    df = q("q184_salted_flag_rollup")
+    p = A.plan_string(df)
+    assert A.count_shuffles(df) == 2
+    assert "xxhash64" in p
+    assert "rand(" not in p
+
+
+def test_q193_gram_keyed_join(q):
+    """Cross-source overlap joins ON THE GRAM (bounded fan-out), never a
+    source-pair product."""
+    df = q("q193_cross_source_overlap")
+    assert not A.has_cartesian(df)
+    assert A.count_broadcast_joins(df) >= 2  # per-source totals ride broadcast
+    assert A.has_top_k(df)
+
+
+def test_q198_skyline_dimension_sized_anti_join(q):
+    """The dominance probe must run on the aggregated supplier frame —
+    a LeftAnti join with no fact-table scan on either side."""
+    df = q("q198_supplier_skyline")
+    p = A.plan_string(df)
+    assert "LeftAnti" in p
+    # both probe sides read the checkpointed aggregate, not parquet
+    assert "parquet" not in p.lower() or p.count("FileScan") == 0
+
+
+def test_q209_heaps_prefix_chunked(q):
+    """Cumulative vocabulary must go through the chunked prefix sum:
+    windows partitioned by the bucket column, broadcast offsets."""
+    df = q("q209_heaps_law")
+    assert A.count_broadcast_joins(df) >= 2
+    assert not A.has_cartesian(df)

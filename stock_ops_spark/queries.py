@@ -11243,3 +11243,173 @@ def q212_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_orders") / F.col("t"), 6).alias("frac_of_orders"),
         )
     )
+
+
+@_register(
+    "q213_table_inventory",
+    """
+    SELECT 'region' AS table_name, (SELECT count(*) FROM region) AS n_rows
+    UNION ALL SELECT 'nation', (SELECT count(*) FROM nation)
+    UNION ALL SELECT 'customer', (SELECT count(*) FROM customer)
+    UNION ALL SELECT 'supplier', (SELECT count(*) FROM supplier)
+    UNION ALL SELECT 'part', (SELECT count(*) FROM part)
+    UNION ALL SELECT 'orders', (SELECT count(*) FROM orders)
+    UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem)
+    UNION ALL SELECT 'events', (SELECT count(*) FROM events)
+    UNION ALL SELECT 'documents', (SELECT count(*) FROM documents)
+    UNION ALL SELECT 'embeddings', (SELECT count(*) FROM embeddings)
+    """,
+)
+def q213_table_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog inventory: row counts for every table — the first query
+    any engine user runs, and the freshness/completeness check a
+    pipeline logs per run (the Spark side of operators/stats.py's
+    incremental table stats, A5).  Each count is a metadata-cheap
+    columnless aggregate over one scan; at 100 TB these resolve from
+    parquet footer row counts, not data reads."""
+    import pyspark.sql.functions as _F
+
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = None
+    for t in names:
+        row = _t(spark, sf_dir, t).agg(
+            _F.lit(t).alias("table_name"),
+            _F.count(_F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        out = row if out is None else out.union(row)
+    return out
+
+
+@_register(
+    "q214_stockout_proxy",
+    """
+    WITH gaps AS (
+      SELECT l_partkey,
+             date_diff('day',
+                       lag(l_shipdate) OVER (PARTITION BY l_partkey
+                                             ORDER BY l_shipdate, l_orderkey,
+                                                      l_linenumber),
+                       l_shipdate) AS gap_d
+      FROM lineitem
+    ),
+    per AS (
+      SELECT l_partkey,
+             count(*) AS n_gaps,
+             max(gap_d) AS max_gap,
+             quantile_cont(gap_d, 0.5) AS med_gap
+      FROM gaps WHERE gap_d IS NOT NULL
+      GROUP BY l_partkey HAVING count(*) >= 5
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS partkey,
+           CAST(n_gaps AS BIGINT)    AS n_gaps,
+           CAST(max_gap AS BIGINT)   AS max_gap_days,
+           round(med_gap, 6)         AS median_gap_days,
+           round(max_gap / med_gap, 6) AS stockout_ratio
+    FROM per WHERE med_gap > 0 AND max_gap > 4 * med_gap
+    ORDER BY max_gap / med_gap DESC, partkey LIMIT 20
+    """,
+)
+def q214_stockout_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stockout proxy: parts whose LONGEST gap between shipments dwarfs
+    their median gap (max > 4× median, ≥5 gaps observed) — a demand
+    interruption or supply outage signal derived from shipment cadence
+    alone.  Robust by construction: the median gap (exact quantile on
+    integer day diffs) is immune to the outlier being hunted.  Scale
+    shape: one shuffle (partition by part) feeds the lag; the
+    per-part aggregate rides the same key; top-20 by the exact-ratio
+    ordering key with id tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    gaps = li.select(
+        "l_partkey",
+        F.datediff("l_shipdate", F.lag("l_shipdate").over(w)).alias("gap_d"),
+    ).where(F.col("gap_d").isNotNull())
+    per = (
+        gaps.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max("gap_d").alias("max_gap"),
+            F.expr("percentile(gap_d, 0.5)").alias("med_gap"),
+        )
+        .where((F.col("n_gaps") >= 5) & (F.col("med_gap") > 0))
+        .where(F.col("max_gap") > 4 * F.col("med_gap"))
+    )
+    return (
+        per.select(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.col("max_gap").cast("bigint").alias("max_gap_days"),
+            F.round("med_gap", 6).alias("median_gap_days"),
+            (F.col("max_gap") / F.col("med_gap")).alias("__r"),
+        )
+        .orderBy(F.col("__r").desc(), "partkey")
+        .limit(20)
+        .select(
+            "partkey",
+            "n_gaps",
+            "max_gap_days",
+            "median_gap_days",
+            F.round("__r", 6).alias("stockout_ratio"),
+        )
+    )
+
+
+@_register(
+    "q215_acquisition_quality",
+    """
+    WITH fo AS (
+      SELECT o_custkey,
+             min_by(CAST(round(o_totalprice * 100) AS BIGINT),
+                    date_diff('day', DATE '1990-01-01', o_orderdate)
+                    * 100000000 + o_orderkey) AS first_c,
+             min(date_trunc('month', o_orderdate)) AS fm
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT strftime(fm, '%Y-%m')     AS acquisition_month,
+           CAST(count(*) AS BIGINT)  AS n_new_customers,
+           round(sum(first_c)::DOUBLE / count(*) / 100, 6) AS avg_first_aov
+    FROM fo GROUP BY fm
+    """,
+)
+def q215_acquisition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-quality trend: average FIRST-order value by
+    acquisition month — falling first-AOV with steady signup volume is
+    the classic sign that marketing is buying lower-intent customers
+    (the quality companion to q182's new/returning split).  min_by
+    over a scalar (days·1e8 + orderkey) composite — unique and
+    order-equivalent to (date, orderkey); engines' min_by doesn't take
+    struct keys — picks each customer's first order deterministically
+    in the same shuffle as the month rollup.
+    All averages exact-cent ratios."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    ordkey = (
+        F.datediff("o_orderdate", F.lit("1990-01-01").cast("date")).cast("bigint")
+        * 100000000
+        + F.col("o_orderkey")
+    )
+    fo = o.groupBy("o_custkey").agg(
+        F.min_by("c", ordkey).alias("first_c"),
+        F.min(F.trunc("o_orderdate", "month")).alias("fm"),
+    )
+    return fo.groupBy("fm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_customers"),
+        F.round(F.sum("first_c") / F.count(F.lit(1)) / 100, 6).alias(
+            "avg_first_aov"
+        ),
+    ).select(
+        F.date_format("fm", "yyyy-MM").alias("acquisition_month"),
+        "n_new_customers",
+        "avg_first_aov",
+    )

@@ -11413,3 +11413,168 @@ def q215_acquisition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_customers",
         "avg_first_aov",
     )
+
+
+@_register(
+    "q216_brand_return_rates",
+    """
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_returned,
+           round(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6)     AS return_rate,
+           round(sum(CASE WHEN l.l_returnflag = 'R'
+                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          ELSE 0 END)::DOUBLE / 100, 2) AS returned_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) DESC, p.p_brand
+    """,
+)
+def q216_brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate leaderboard by brand: item return share and returned
+    revenue — the product-quality ranking that q185's customer view
+    complements (who returns vs what gets returned).  One broadcast
+    dimension join, one aggregation; the rate ordering key is a ratio
+    of exact integers (brand tiebreak), so the leaderboard is
+    hash-stable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("pc"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "nr"
+            ),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("pc")).otherwise(0)
+            ).alias("rrc"),
+        )
+    )
+    return (
+        agg.select(
+            "brand",
+            F.col("n").cast("bigint").alias("n_items"),
+            F.col("nr").cast("bigint").alias("n_returned"),
+            F.round(F.col("nr") / F.col("n"), 6).alias("return_rate"),
+            F.round(F.col("rrc") / 100, 2).alias("returned_revenue"),
+        )
+        .orderBy(F.col("return_rate").desc(), "brand")
+    )
+
+
+@_register(
+    "q217_same_day_consolidation",
+    """
+    WITH dd AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS multi_order_days,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS orders_on_those_days,
+           CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+               AS consolidatable_orders,
+           round(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::DOUBLE
+                 / sum(n), 6) AS consolidation_rate
+    FROM dd
+    """,
+)
+def q217_same_day_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipment-consolidation opportunity: (customer, day) pairs with
+    more than one order — each extra order that day is a mergeable
+    shipment; the rate quantifies fulfillment waste.  One
+    (customer, day) rollup (map-side combinable) then a scalar
+    aggregate; all measures exact integers."""
+    dd = _t(spark, sf_dir, "orders").groupBy(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    multi = F.when(F.col("n") > 1, F.col("n")).otherwise(0)
+    return dd.agg(
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("multi_order_days"),
+        F.sum(multi).cast("bigint").alias("orders_on_those_days"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("consolidatable_orders"),
+        F.round(
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("consolidation_rate"),
+    )
+
+
+@_register(
+    "q218_funnel_integrity",
+    """
+    WITH fs AS (
+      SELECT user_id, min(ts) AS first_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT user_id, min(ts) AS first_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    j AS (
+      SELECT fp.user_id,
+             CASE WHEN fs.user_id IS NULL THEN 'purchase_no_signup'
+                  WHEN fp.first_purchase < fs.first_signup
+                      THEN 'purchase_before_signup'
+                  ELSE 'ok' END AS status
+      FROM fp LEFT JOIN fs ON fs.user_id = fp.user_id
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM j), 6)
+               AS frac_of_purchasers
+    FROM j GROUP BY status
+    """,
+)
+def q218_funnel_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-integrity audit: purchasers whose first purchase precedes
+    their first signup (or who never signed up) — the event-ordering
+    data-quality check that catches clock skew, backfill bugs, or
+    identity-stitching gaps before funnel metrics (q132/q156) are
+    trusted.  Both event subsets collapse to one row per user on the
+    same shuffle key; counts exact."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fs = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    j = fp.join(fs, "user_id", "left").select(
+        F.when(F.col("first_signup").isNull(), "purchase_no_signup")
+        .when(F.col("first_purchase") < F.col("first_signup"), "purchase_before_signup")
+        .otherwise("ok")
+        .alias("status")
+    )
+    tot = j.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        j.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(F.col("n_users") / F.col("t"), 6).alias(
+                "frac_of_purchasers"
+            ),
+        )
+    )

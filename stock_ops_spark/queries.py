@@ -11578,3 +11578,186 @@ def q218_funnel_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "q219_click_propensity",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    ),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    thr AS (
+      SELECT quantile_cont(c, 0.25) AS t1, quantile_cont(c, 0.5) AS t2,
+             quantile_cont(c, 0.75) AS t3
+      FROM clicks
+    ),
+    flagged AS (
+      SELECT cl.event_id,
+             1 + (cl.c > thr.t1)::INT + (cl.c > thr.t2)::INT
+               + (cl.c > thr.t3)::INT AS band,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM p
+               WHERE p.user_id = cl.user_id
+                 AND p.ts > cl.ts AND p.ts <= cl.ts + INTERVAL 1 HOUR
+             ) THEN 1 ELSE 0 END AS converted
+      FROM clicks cl CROSS JOIN thr
+    )
+    SELECT CAST(band AS BIGINT)          AS value_band,
+           CAST(count(*) AS BIGINT)      AS n_clicks,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted)::DOUBLE / count(*), 6) AS conversion_1h
+    FROM flagged GROUP BY band
+    """,
+)
+def q219_click_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase propensity by click-value quartile: does a
+    higher-value click convert (same user purchasing within the next
+    hour) more often — the treatment-intensity read behind bid/rank
+    tuning.  Scale shape: the 1-hour follow-up is a LEFT SEMI
+    user-equi-join with a time band residual (fan-out bounded by the
+    user's purchases that hour, never a time-only band); quartile
+    bands come from broadcast exact thresholds (q145 discipline).
+    Rates exact-integer."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    thr = clicks.agg(
+        F.expr("percentile(c, 0.25)").alias("t1"),
+        F.expr("percentile(c, 0.5)").alias("t2"),
+        F.expr("percentile(c, 0.75)").alias("t3"),
+    )
+    conv = clicks.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") > F.col("ts"))
+        & (F.col("pts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("event_id")
+    flagged = (
+        clicks.crossJoin(F.broadcast(thr))
+        .join(conv.withColumn("converted", F.lit(1)), "event_id", "left")
+        .select(
+            (
+                1
+                + (F.col("c") > F.col("t1")).cast("int")
+                + (F.col("c") > F.col("t2")).cast("int")
+                + (F.col("c") > F.col("t3")).cast("int")
+            ).alias("band"),
+            F.coalesce("converted", F.lit(0)).alias("converted"),
+        )
+    )
+    return flagged.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias(
+            "conversion_1h"
+        ),
+    ).select(
+        F.col("band").cast("bigint").alias("value_band"),
+        "n_clicks",
+        "n_converted",
+        "conversion_1h",
+    )
+
+
+@_register(
+    "q220_transition_dwell",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER w AS prev_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_type || '>' || event_type AS transition,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(quantile_cont(gap_us, 0.5) / 1000000, 6) AS median_gap_s,
+           round(quantile_cont(gap_us, 0.9) / 1000000, 6) AS p90_gap_s
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY transition
+    ORDER BY transition
+    """,
+)
+def q220_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time by behavioral transition: median and p90 gap between
+    consecutive events for each (prev→next) type pair — where q160
+    gives transition PROBABILITIES, this gives transition LATENCIES
+    (slow click→purchase = decision friction; instant error→error =
+    retry storm).  One user-partitioned window feeds both lag()s;
+    gaps are exact integer micros, quantiles exact per 25-key group."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).where(F.col("prev_type").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "prev_type", "event_type").alias("transition"),
+            "gap_us",
+        )
+        .groupBy("transition")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1000000, 6).alias(
+                "median_gap_s"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.9)") / 1000000, 6).alias(
+                "p90_gap_s"
+            ),
+        )
+        .orderBy("transition")
+    )
+
+
+@_register(
+    "q221_hot_entity_ceiling",
+    """
+    WITH uh AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_user_hours,
+           CAST(max(n) AS BIGINT)          AS max_events,
+           round(quantile_cont(n, 0.99), 6) AS p99_events,
+           round(quantile_cont(n, 0.5), 6)  AS median_events,
+           round(max(n) / quantile_cont(n, 0.5), 6) AS ceiling_ratio
+    FROM uh
+    """,
+)
+def q221_hot_entity_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-entity ceiling: the busiest (user, hour) cell vs the median —
+    the per-KEY burst bound that q208's global peak-to-average misses
+    (a stateful operator partitions by key, so its worst task is the
+    hottest key, not the hottest hour).  Feeds sizing.py's state
+    budget and the q173→salting decision for per-user stateful
+    streams.  One (user, hour) rollup then a scalar aggregate with
+    exact quantiles."""
+    uh = _t(spark, sf_dir, "events").groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return uh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_hours"),
+        F.max("n").cast("bigint").alias("max_events"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_events"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("median_events"),
+        F.round(F.max("n") / F.expr("percentile(n, 0.5)"), 6).alias(
+            "ceiling_ratio"
+        ),
+    )

@@ -11761,3 +11761,174 @@ def q221_hot_entity_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ceiling_ratio"
         ),
     )
+
+
+@_register(
+    "q222_recency_weighted_popularity",
+    """
+    WITH mx AS (SELECT max(l_shipdate) AS m FROM lineitem),
+    w AS (
+      SELECT l_partkey,
+             power(2.0, -least(date_diff('week', l_shipdate, mx.m), 30))
+                 AS wgt
+      FROM lineitem CROSS JOIN mx
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS partkey,
+           CAST(count(*) AS BIGINT)  AS n_sales,
+           round(sum(wgt), 6)        AS popularity
+    FROM w GROUP BY l_partkey
+    ORDER BY sum(wgt) DESC, l_partkey LIMIT 20
+    """,
+)
+def q222_recency_weighted_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity ranking: each sale contributes
+    2^-(weeks old), so last week counts double next week — the
+    cold-start recommendation fallback and trending-item signal.
+    Half-life-one-week weights are EXACT powers of two clamped at
+    2^-30, so the per-part sums are exact dyadic rationals
+    (order-independent float addition — the q155 discipline; an
+    arbitrary decay rate would make the ranking partition-order
+    dependent).  One scalar max broadcast, one aggregation, top-k."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    mx = li.agg(F.max("l_shipdate").alias("m"))
+    w = li.crossJoin(F.broadcast(mx)).select(
+        "l_partkey",
+        F.pow(
+            F.lit(2.0),
+            -F.least(
+                F.floor(F.datediff("m", "l_shipdate") / 7).cast("int"), F.lit(30)
+            ),
+        ).alias("wgt"),
+    )
+    return (
+        w.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sales"),
+            F.sum("wgt").alias("pop"),
+        )
+        .orderBy(F.col("pop").desc(), "l_partkey")
+        .limit(20)
+        .select(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            "n_sales",
+            F.round("pop", 6).alias("popularity"),
+        )
+    )
+
+
+@_register(
+    "q223_brand_reach",
+    """
+    WITH tot AS (SELECT count(DISTINCT o_custkey) AS n FROM orders),
+    reach AS (
+      SELECT p.p_brand AS brand,
+             count(DISTINCT o.o_custkey) AS n_buyers
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p   ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT brand,
+           CAST(n_buyers AS BIGINT) AS n_buyers,
+           round(n_buyers::DOUBLE / tot.n, 6) AS reach
+    FROM reach CROSS JOIN tot
+    ORDER BY n_buyers DESC, brand LIMIT 10
+    """,
+)
+def q223_brand_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand reach (household penetration): the fraction of buying
+    customers each brand touched — the CPG market-power metric that
+    revenue share (q103) hides (one whale can fake share; reach
+    can't).  Scale shape: one fact key join, part dim broadcast, a
+    distinct-customer count per brand (HLL at 100 TB per q43), and
+    the buyer total broadcast onto the 25-row brand frame."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    tot = o.agg(F.countDistinct("o_custkey").alias("n"))
+    reach = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.countDistinct("o_custkey").alias("n_buyers"))
+    )
+    return (
+        reach.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            F.col("n_buyers").cast("bigint").alias("n_buyers"),
+            F.round(F.col("n_buyers") / F.col("n"), 6).alias("reach"),
+        )
+        .orderBy(F.col("n_buyers").desc(), "brand")
+        .limit(10)
+    )
+
+
+@_register(
+    "q224_nation_seasonality_cv",
+    """
+    WITH nm AS (
+      SELECT n.n_name AS nation,
+             date_trunc('month', o.o_orderdate) AS mth,
+             count(*) AS n
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT nation, count(*) AS k, sum(n) AS sn, sum(n * n) AS snn
+      FROM nm GROUP BY nation
+    )
+    SELECT nation,
+           CAST(k AS BIGINT)         AS n_months,
+           round(sn::DOUBLE / k, 6)  AS mean_orders,
+           round(sqrt((k * snn - sn * sn)::DOUBLE / (k * (k - 1))), 6)
+               AS std_orders,
+           round(sqrt((k * snn - sn * sn)::DOUBLE / (k * (k - 1)))
+                 / (sn::DOUBLE / k), 6) AS cv
+    FROM s WHERE k >= 2
+    ORDER BY nation
+    """,
+)
+def q224_nation_seasonality_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand-volatility profile by nation: coefficient of variation of
+    monthly order counts — flat-demand markets (low CV) forecast with
+    a mean, volatile ones (high CV) need the seasonal models
+    (q155/q190); this query routes that decision.  Variance comes
+    from the exact-integer moment identity over monthly counts (q177
+    discipline, int64-safe at month granularity).  Scale shape: dims
+    broadcast onto one fact pass, monthly rollup, then a 25-key
+    moment aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nm = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.trunc("o_orderdate", "month").alias("mth"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = nm.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    var = (F.col("k") * F.col("snn") - F.col("sn") * F.col("sn")) / (
+        F.col("k") * (F.col("k") - 1)
+    )
+    mean = F.col("sn") / F.col("k")
+    return (
+        s.where(F.col("k") >= 2)
+        .select(
+            "nation",
+            F.col("k").cast("bigint").alias("n_months"),
+            F.round(mean, 6).alias("mean_orders"),
+            F.round(F.sqrt(var), 6).alias("std_orders"),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+        .orderBy("nation")
+    )

@@ -11932,3 +11932,58 @@ def q224_nation_seasonality_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@_register(
+    "q225_embedding_qa_gate",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+                    * CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)))
+                 AS norm2q
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT)    AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN norm2q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_vectors,
+           round(sqrt(min(norm2q)) / 10000, 6) AS min_norm,
+           round(sqrt(max(norm2q)) / 10000, 6) AS max_norm
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def q225_embedding_qa_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA gate: per label, zero-vector count and the L2-norm
+    envelope — the pre-index sanity check (zero vectors poison cosine
+    math with NaN; a wild norm range means unnormalized mixed batches)
+    that runs before any ANN build (q18/q24) or SemDeDup pass (q114).
+    Norms square-sum QUANTIZED integer dims (q162's ten-thousandths),
+    so min/max/zero tests compare exact integers; only the displayed
+    norm takes a sqrt.  One scan, per-row HOF fold, 10-key agg."""
+    e = _t(spark, sf_dir, "embeddings")
+    qd = "CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)"
+    norm2q = F.expr(
+        f"aggregate(transform(embedding, x -> {qd} * {qd}), 0L, (a, b) -> a + b)"
+    )
+    q = e.select("label", norm2q.alias("norm2q"))
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("norm2q") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_vectors"),
+            F.round(F.sqrt(F.min("norm2q")) / 10000, 6).alias("min_norm"),
+            F.round(F.sqrt(F.max("norm2q")) / 10000, 6).alias("max_norm"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_vectors",
+            "n_zero_vectors",
+            "min_norm",
+            "max_norm",
+        )
+        .orderBy("label")
+    )

@@ -11987,3 +11987,194 @@ def q225_embedding_qa_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@_register(
+    "q226_jaccard_band_histogram",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6)
+            AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    )
+    SELECT CAST(least(CAST(floor(j * 10) AS BIGINT), 9) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY band
+    """,
+)
+def q226_jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold-sensitivity histogram: verified pairs from the
+    SHARED minhash pair artifact bucketed by Jaccard decile — the
+    calibration view that picks the production dedup threshold (a fat
+    0.5-0.6 band means the threshold sits on a cliff; mass at 0.9+
+    means exact-dup leakage into the near-dup path).  Pure artifact
+    consumer: zero pipeline work beyond a 2-column scan of the
+    persisted pairs; the oracle re-brute-forces the pair set.
+    Banding floors the already-rounded jaccard, so band edges are
+    decimal-stable."""
+    pairs = _neardup_pairs(spark, sf_dir)
+    return (
+        pairs.select(
+            F.least(
+                F.floor(F.round("jaccard", 6) * 10).cast("bigint"), F.lit(9)
+            ).alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@_register(
+    "q227_order_rhythm",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS g
+      FROM orders
+    ),
+    per AS (
+      SELECT o_custkey, count(*) AS k, sum(g) AS sg, sum(g * g) AS sgg
+      FROM gaps WHERE g IS NOT NULL GROUP BY o_custkey
+      HAVING count(*) >= 5 AND sum(g) > 0
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(k AS BIGINT)         AS n_gaps,
+           round(sg::DOUBLE / k, 6)  AS mean_gap_days,
+           round(sqrt((k * sgg - sg * sg)::DOUBLE / (k * (k - 1)))
+                 / (sg::DOUBLE / k), 6) AS gap_cv
+    FROM per
+    ORDER BY sqrt((k * sgg - sg * sg)::DOUBLE / (k * (k - 1)))
+             / (sg::DOUBLE / k) ASC, o_custkey
+    LIMIT 20
+    """,
+)
+def q227_order_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-rhythm detection: the 20 most REGULAR customers by
+    coefficient of variation of inter-order gaps (low CV = metronomic
+    reordering — the replenishment/subscription candidates a retention
+    team automates first).  Gap variance via exact integer moments
+    (q177 discipline); the CV ordering key is a deterministic function
+    of exact integers.  One customer-partitioned window + same-key
+    aggregate, top-k."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("g"),
+    ).where(F.col("g").isNotNull())
+    per = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sgg"),
+        )
+        .where((F.col("k") >= 5) & (F.col("sg") > 0))
+    )
+    mean = F.col("sg") / F.col("k")
+    std = F.sqrt(
+        (F.col("k") * F.col("sgg") - F.col("sg") * F.col("sg")).cast("double")
+        / (F.col("k") * (F.col("k") - 1))
+    )
+    return (
+        per.select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.col("k").cast("bigint").alias("n_gaps"),
+            F.round(mean, 6).alias("mean_gap_days"),
+            (std / mean).alias("__cv"),
+        )
+        .orderBy(F.col("__cv").asc(), "custkey")
+        .limit(20)
+        .select("custkey", "n_gaps", "mean_gap_days", F.round("__cv", 6).alias("gap_cv"))
+    )
+
+
+@_register(
+    "q228_source_signature_terms",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT source, t, count(*) AS n FROM tok WHERE t <> ''
+      GROUP BY source, t
+    ),
+    stot AS (SELECT source, sum(n) AS sn FROM st GROUP BY source),
+    gt AS (SELECT t, sum(n) AS gn FROM st GROUP BY t),
+    gtot AS (SELECT sum(gn) AS g FROM gt),
+    lift AS (
+      SELECT st.source, st.t, st.n,
+             (st.n::DOUBLE * gtot.g) / (stot.sn::DOUBLE * gt.gn) AS lft,
+             row_number() OVER (
+               PARTITION BY st.source
+               ORDER BY (st.n::DOUBLE * gtot.g) / (stot.sn::DOUBLE * gt.gn)
+                        DESC, st.t) AS rn
+      FROM st
+      JOIN stot ON stot.source = st.source
+      JOIN gt ON gt.t = st.t
+      CROSS JOIN gtot
+      WHERE st.n >= 5
+    )
+    SELECT source, t AS term, CAST(n AS BIGINT) AS n_in_source,
+           round(lft, 6) AS lift
+    FROM lift WHERE rn <= 3
+    ORDER BY source, lift DESC, term
+    """,
+)
+def q228_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source signature terms: the 3 most over-represented words per
+    source by usage lift (share-in-source / share-in-corpus, support
+    ≥ 5) — the source-fingerprint the contamination matrix (q193)
+    localizes to actual vocabulary ('what makes src7 src7').  Scale
+    shape: one tokenize pass to (source, term) counts; source totals
+    and the term margin are broadcast-sized aggregates of that frame;
+    the per-source top-3 rank partitions by source (parallel,
+    WindowGroupLimit-eligible).  Lift multiplies exact integers before
+    the one division — hash-stable ordering with term tiebreak."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).where(F.col("t") != "")
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    st = st.localCheckpoint(eager=True)  # three readers below
+    stot = st.groupBy("source").agg(F.sum("n").alias("sn"))
+    gt = st.groupBy("t").agg(F.sum("n").alias("gn"))
+    gtot = gt.agg(F.sum("gn").alias("g"))
+    lift = (
+        st.where(F.col("n") >= 5)
+        .join(F.broadcast(stot), "source")
+        .join(gt, "t")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "t",
+            "n",
+            ((F.col("n") * F.col("g")) / (F.col("sn") * F.col("gn"))).alias(
+                "lft"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("lft").desc(), "t")
+    return (
+        lift.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "source",
+            F.col("t").alias("term"),
+            F.col("n").cast("bigint").alias("n_in_source"),
+            F.round("lft", 6).alias("lift"),
+        )
+        .orderBy("source", F.col("lift").desc(), "term")
+    )

@@ -12178,3 +12178,175 @@ def q228_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", F.col("lift").desc(), "term")
     )
+
+
+@_register(
+    "q229_reorder_probability",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             min_by(CAST(round(o_totalprice * 100) AS BIGINT),
+                    date_diff('day', DATE '1990-01-01', o_orderdate)
+                    * 100000000 + o_orderkey) AS first_c,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    thr AS (
+      SELECT quantile_cont(first_c, 0.25) AS t1,
+             quantile_cont(first_c, 0.5)  AS t2,
+             quantile_cont(first_c, 0.75) AS t3
+      FROM firsts
+    ),
+    banded AS (
+      SELECT 1 + (first_c > t1)::INT + (first_c > t2)::INT
+               + (first_c > t3)::INT AS band,
+             CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END AS reordered
+      FROM firsts CROSS JOIN thr
+    )
+    SELECT CAST(band AS BIGINT)           AS first_order_band,
+           CAST(count(*) AS BIGINT)       AS n_customers,
+           CAST(sum(reordered) AS BIGINT) AS n_reordered,
+           round(sum(reordered)::DOUBLE / count(*), 6) AS reorder_rate
+    FROM banded GROUP BY band
+    """,
+)
+def q229_reorder_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder probability by first-order value quartile: does a bigger
+    first basket predict a second order — the acquisition-targeting
+    read that q215's AOV trend feeds into.  First order picked by the
+    scalar (days·1e8 + orderkey) min_by composite (q215 discipline),
+    quartile bands from broadcast exact thresholds (q145 discipline);
+    rates exact-integer.  One customer-key aggregate end-to-end."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    ordkey = (
+        F.datediff("o_orderdate", F.lit("1990-01-01").cast("date")).cast("bigint")
+        * 100000000
+        + F.col("o_orderkey")
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min_by("c", ordkey).alias("first_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    thr = firsts.agg(
+        F.expr("percentile(first_c, 0.25)").alias("t1"),
+        F.expr("percentile(first_c, 0.5)").alias("t2"),
+        F.expr("percentile(first_c, 0.75)").alias("t3"),
+    )
+    banded = firsts.crossJoin(F.broadcast(thr)).select(
+        (
+            1
+            + (F.col("first_c") > F.col("t1")).cast("int")
+            + (F.col("first_c") > F.col("t2")).cast("int")
+            + (F.col("first_c") > F.col("t3")).cast("int")
+        ).alias("band"),
+        F.when(F.col("n_orders") >= 2, 1).otherwise(0).alias("reordered"),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("reordered").cast("bigint").alias("n_reordered"),
+        F.round(F.sum("reordered") / F.count(F.lit(1)), 6).alias("reorder_rate"),
+    ).select(
+        F.col("band").cast("bigint").alias("first_order_band"),
+        "n_customers",
+        "n_reordered",
+        "reorder_rate",
+    )
+
+
+@_register(
+    "q230_weekend_share_drift",
+    """
+    WITH y AS (
+      SELECT year(o_orderdate) AS yr,
+             sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS wk_c,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS tot_c
+      FROM orders GROUP BY yr
+    )
+    SELECT CAST(yr AS BIGINT) AS year,
+           round(wk_c::DOUBLE / tot_c, 6) AS weekend_share,
+           round(wk_c::DOUBLE / tot_c
+                 - lag(wk_c::DOUBLE / tot_c) OVER (ORDER BY yr), 6)
+               AS yoy_delta
+    FROM y ORDER BY yr
+    """,
+)
+def q230_weekend_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend revenue-share drift by year: the behavioral-mix trend
+    (channel/habit shifts show up as weekend share moving) with
+    year-over-year deltas.  Spark dayofweek is 1=Sunday vs DuckDB
+    0=Sunday — the Spark side tests membership in {1,7} to pin the
+    same weekend set (q157's lesson).  One conditional-aggregate pass,
+    then a lag on the 7-row yearly frame; shares exact-integer."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.dayofweek("o_orderdate").alias("dw"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    y = o.groupBy("yr").agg(
+        F.sum(F.when(F.col("dw").isin(1, 7), F.col("c")).otherwise(0)).alias(
+            "wk_c"
+        ),
+        F.sum("c").alias("tot_c"),
+    )
+    share = F.col("wk_c") / F.col("tot_c")
+    w = Window.orderBy("yr")
+    return y.select(
+        F.col("yr").cast("bigint").alias("year"),
+        F.round(share, 6).alias("weekend_share"),
+        F.round(share - F.lag(share).over(w), 6).alias("yoy_delta"),
+    ).orderBy("year")
+
+
+@_register(
+    "q231_whale_order_trend",
+    """
+    WITH thr AS (
+      SELECT quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.99)
+                 AS p99
+      FROM orders
+    ),
+    m AS (
+      SELECT date_trunc('month', o_orderdate) AS mth,
+             count(*) AS n,
+             sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) > thr.p99
+                      THEN 1 ELSE 0 END) AS n_whale
+      FROM orders CROSS JOIN thr
+      GROUP BY mth
+    )
+    SELECT strftime(mth, '%Y-%m') AS month,
+           CAST(n AS BIGINT)       AS n_orders,
+           CAST(n_whale AS BIGINT) AS n_whale_orders,
+           round(n_whale::DOUBLE / n, 6) AS whale_rate
+    FROM m
+    """,
+)
+def q231_whale_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-order trend: monthly count and rate of orders above the
+    GLOBAL p99 value — concentration creep (a rising whale rate means
+    revenue risk concentrating into few orders; q204 shows the
+    percentile moving, this shows the mass above a FIXED reference).
+    The p99 threshold is one broadcast exact-quantile scalar; the
+    monthly rollup is one conditional aggregate; rates
+    exact-integer."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.trunc("o_orderdate", "month").alias("mth"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    thr = o.agg(F.expr("percentile(c, 0.99)").alias("p99"))
+    m = o.crossJoin(F.broadcast(thr)).groupBy("mth").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c") > F.col("p99"), 1).otherwise(0)).alias("n_whale"),
+    )
+    return m.select(
+        F.date_format("mth", "yyyy-MM").alias("month"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("n_whale").cast("bigint").alias("n_whale_orders"),
+        F.round(F.col("n_whale") / F.col("n"), 6).alias("whale_rate"),
+    )

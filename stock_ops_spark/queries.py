@@ -12350,3 +12350,104 @@ def q231_whale_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_whale").cast("bigint").alias("n_whale_orders"),
         F.round(F.col("n_whale") / F.col("n"), 6).alias("whale_rate"),
     )
+
+
+@_register(
+    "q232_order_size_dispersion",
+    """
+    WITH os AS (
+      SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY l_orderkey
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(k) AS sk, sum(k * k) AS skk,
+             min(k) AS mn, max(k) AS mx
+      FROM os
+    )
+    SELECT CAST(n AS BIGINT)  AS n_orders,
+           round(sk::DOUBLE / n, 6) AS mean_items,
+           round((n * skk - sk * sk)::DOUBLE / (n * (n - 1)) / (sk::DOUBLE / n), 6)
+               AS dispersion_index,
+           CAST(mn AS BIGINT) AS min_items,
+           CAST(mx AS BIGINT) AS max_items
+    FROM s
+    """,
+)
+def q232_order_size_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size dispersion index (variance/mean of items per order):
+    =1 under Poisson arrivals, >1 means clumped baskets (batch
+    buyers), <1 means regularized sizes — the distributional
+    assumption check before any items-per-order model (q172's fill
+    matrix, q212's diversity) is trusted.  Variance from exact
+    integer moments (q177 identity); one per-order rollup then a
+    scalar aggregate."""
+    os_ = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    s = os_.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.min("k").alias("mn"),
+        F.max("k").alias("mx"),
+    )
+    mean = F.col("sk") / F.col("n")
+    var = (F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")).cast(
+        "double"
+    ) / (F.col("n") * (F.col("n") - 1))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(mean, 6).alias("mean_items"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        F.col("mn").cast("bigint").alias("min_items"),
+        F.col("mx").cast("bigint").alias("max_items"),
+    )
+
+
+@_register(
+    "q233_customer_lifetime_span",
+    """
+    WITH sp AS (
+      SELECT o_custkey,
+             date_diff('day', min(o_orderdate), max(o_orderdate)) AS span_d,
+             count(*) AS n
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(least(span_d // 365, 6) AS BIGINT) AS span_years,
+           CAST(count(*) AS BIGINT)                AS n_customers,
+           round(avg(n), 6)                        AS avg_orders,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM sp), 6)
+               AS frac_of_customers
+    FROM sp GROUP BY least(span_d // 365, 6)
+    """,
+)
+def q233_customer_lifetime_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-span histogram: years between first and last
+    order, with order volume per span band — the engagement-duration
+    base rate under every LTV projection (q211's curves assume spans
+    like these keep occurring).  One customer-key aggregate, integer
+    year banding (pure integer division), tiny histogram.  All
+    measures exact-integer ratios."""
+    sp = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("span_d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = sp.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        sp.select(
+            F.least(F.expr("span_d div 365"), F.lit(6)).alias("span_years"), "n"
+        )
+        .groupBy("span_years")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("n"), 6).alias("avg_orders"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("span_years").cast("bigint").alias("span_years"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            "avg_orders",
+            F.round(F.col("n_customers") / F.col("t"), 6).alias(
+                "frac_of_customers"
+            ),
+        )
+    )

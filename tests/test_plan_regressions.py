@@ -477,3 +477,29 @@ def test_q209_heaps_prefix_chunked(q):
     df = q("q209_heaps_law")
     assert A.count_broadcast_joins(df) >= 2
     assert not A.has_cartesian(df)
+
+
+def test_q219_semi_join_time_band(q):
+    """Click propensity: the 1-hour follow-up must plan as a LeftSemi
+    user-equi join (band residual inside), never a time-only band."""
+    df = q("q219_click_propensity")
+    p = A.plan_string(df)
+    assert "LeftSemi" in p
+    assert not A.has_cartesian(df)
+    assert A.count_broadcast_joins(df) >= 1  # quartile thresholds
+
+
+def test_q222_dyadic_popularity_topk(q):
+    df = q("q222_recency_weighted_popularity")
+    assert A.has_top_k(df)
+    assert A.count_broadcast_joins(df) >= 1  # scalar max broadcast
+    assert not A.has_cartesian(df)
+
+
+def test_q229_thresholds_broadcast(q):
+    """Reorder probability: quartile bands assigned by broadcast
+    thresholds, single customer-key aggregation chain."""
+    df = q("q229_reorder_probability")
+    assert A.count_broadcast_joins(df) >= 1
+    assert not A.has_cartesian(df)
+    assert A.count_shuffles(df) <= 3

@@ -299,8 +299,38 @@ def prefix_sum_chunked(
 
     Returns the input columns plus ``__cum`` (running sum including the
     current row, ordered by (ts, *tiebreak) globally).
+
+    PRECONDITIONS (violations produce wrong sums, so they are guarded):
+
+    1. ``bucket`` must be a NON-DECREASING function of the ``(ts,
+       *tiebreak)`` sort order — the exclusive bucket prefix assumes
+       every row of bucket b sorts before every row of bucket b+1.
+       Calendar truncations of ``ts`` (day/hour/month) satisfy this;
+       a bucket derived from anything other than a monotone transform
+       of the sort key does NOT, and the result would interleave
+       buckets while the offsets assume they are contiguous.  Guarded
+       structurally: callers pass truncations of ``ts`` (q146/q179/
+       q209); the property suite pins equality with the single-window
+       form on every caller shape.
+    2. ``bucket`` must be non-NULL for every row: the inner equi-join
+       on ``__b`` drops NULL-bucket rows silently (NULL never equals
+       NULL in a join), and a NULL bucket has no position in the
+       prefix order anyway.  Guarded at runtime below — a NULL bucket
+       raises instead of returning partial sums.
     """
-    b = df.withColumn("__b", bucket)
+    b = df.withColumn(
+        "__b",
+        F.when(
+            bucket.isNull(),
+            F.raise_error(
+                F.lit(
+                    "prefix_sum_chunked: bucket expression evaluated to NULL"
+                    " — NULL buckets would be silently dropped by the offset"
+                    " join; filter or coalesce them before calling"
+                )
+            ),
+        ).otherwise(bucket),
+    )
     w_in = (
         Window.partitionBy("__b")
         .orderBy(ts, *tiebreak)

@@ -9304,10 +9304,10 @@ def q182_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w, count(*) AS n FROM words WHERE length(w) >= 2 GROUP BY w
     ),
     pairs AS (
-      SELECT substr(w, i.range, 2) AS pair, sum(n) AS n_occ
-      FROM wc CROSS JOIN range(1, 40) i
-      WHERE i.range < length(w)
-      GROUP BY substr(w, i.range, 2)
+      SELECT substr(w, i, 2) AS pair, sum(n) AS n_occ
+      FROM wc CROSS JOIN LATERAL
+           unnest(generate_series(1, length(w) - 1)) AS u(i)
+      GROUP BY substr(w, i, 2)
     )
     SELECT pair                     AS pair,
            CAST(n_occ AS BIGINT)    AS n_occurrences
@@ -9323,7 +9323,11 @@ def q183_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     with counts first (the classic BPE trick — pair counts weight by
     word frequency, so the pair scan touches ~10^4 vocab entries, not
     10^9 running words), then pairs explode from the tiny vocab frame.
-    Two aggregations, both map-side combinable; counts exact."""
+    Both sides enumerate positions 1..length(w)-1 with NO length cap
+    (the oracle's lateral generate_series mirrors Spark's
+    sequence(1, length-1) exactly — a fixed cap would silently
+    diverge on 41+-char tokens).  Two aggregations, both map-side
+    combinable; counts exact."""
     d = _t(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
@@ -11368,7 +11372,7 @@ def q214_stockout_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              min_by(CAST(round(o_totalprice * 100) AS BIGINT),
                     date_diff('day', DATE '1990-01-01', o_orderdate)
-                    * 100000000 + o_orderkey) AS first_c,
+                    * 10000000000000 + o_orderkey) AS first_c,
              min(date_trunc('month', o_orderdate)) AS fm
       FROM orders GROUP BY o_custkey
     )
@@ -11383,8 +11387,11 @@ def q215_acquisition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     acquisition month — falling first-AOV with steady signup volume is
     the classic sign that marketing is buying lower-intent customers
     (the quality companion to q182's new/returning split).  min_by
-    over a scalar (days·1e8 + orderkey) composite — unique and
-    order-equivalent to (date, orderkey); engines' min_by doesn't take
+    over a scalar (days·1e13 + orderkey) composite — unique and
+    order-equivalent to (date, orderkey) while orderkey < 1e13
+    (TPC-H orderkeys reach ~6e11 at sf=100k ≈ 100 TB, so the bound
+    holds with >16× headroom; days-since-1990 ≤ ~2e4 keeps the
+    product ≤ 2e17, inside int64); engines' min_by doesn't take
     struct keys — picks each customer's first order deterministically
     in the same shuffle as the month rollup.
     All averages exact-cent ratios."""
@@ -11396,7 +11403,7 @@ def q215_acquisition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ordkey = (
         F.datediff("o_orderdate", F.lit("1990-01-01").cast("date")).cast("bigint")
-        * 100000000
+        * 10000000000000
         + F.col("o_orderkey")
     )
     fo = o.groupBy("o_custkey").agg(
@@ -11769,7 +11776,8 @@ def q221_hot_entity_ceiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT max(l_shipdate) AS m FROM lineitem),
     w AS (
       SELECT l_partkey,
-             power(2.0, -least(date_diff('week', l_shipdate, mx.m), 30))
+             power(2.0, -least(CAST(floor(
+                 date_diff('day', l_shipdate, mx.m) / 7.0) AS BIGINT), 30))
                  AS wgt
       FROM lineitem CROSS JOIN mx
     )
@@ -11788,7 +11796,13 @@ def q222_recency_weighted_popularity(spark: SparkSession, sf_dir: str) -> DataFr
     2^-30, so the per-part sums are exact dyadic rationals
     (order-independent float addition — the q155 discipline; an
     arbitrary decay rate would make the ranking partition-order
-    dependent).  One scalar max broadcast, one aggregation, top-k."""
+    dependent).  "Weeks old" is calendar-agnostic elapsed weeks —
+    floor(days/7) on BOTH sides (the oracle deliberately avoids
+    DuckDB's date_diff('week',...), which counts ISO-Monday boundary
+    crossings and diverges from floor(days/7) on any non-Sunday
+    anchor; pinned by a non-Sunday-anchor test in
+    tests/test_week_semantics.py).  One scalar max broadcast, one
+    aggregation, top-k."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
     mx = li.agg(F.max("l_shipdate").alias("m"))
     w = li.crossJoin(F.broadcast(mx)).select(
@@ -12187,7 +12201,7 @@ def q228_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              min_by(CAST(round(o_totalprice * 100) AS BIGINT),
                     date_diff('day', DATE '1990-01-01', o_orderdate)
-                    * 100000000 + o_orderkey) AS first_c,
+                    * 10000000000000 + o_orderkey) AS first_c,
              count(*) AS n_orders
       FROM orders GROUP BY o_custkey
     ),
@@ -12214,7 +12228,8 @@ def q229_reorder_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reorder probability by first-order value quartile: does a bigger
     first basket predict a second order — the acquisition-targeting
     read that q215's AOV trend feeds into.  First order picked by the
-    scalar (days·1e8 + orderkey) min_by composite (q215 discipline),
+    scalar (days·1e13 + orderkey) min_by composite (q215 discipline —
+    orderkey-safe to ~6e11 ≈ sf 100k, see q215 docstring for bounds),
     quartile bands from broadcast exact thresholds (q145 discipline);
     rates exact-integer.  One customer-key aggregate end-to-end."""
     o = _t(spark, sf_dir, "orders").select(
@@ -12225,7 +12240,7 @@ def q229_reorder_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ordkey = (
         F.datediff("o_orderdate", F.lit("1990-01-01").cast("date")).cast("bigint")
-        * 100000000
+        * 10000000000000
         + F.col("o_orderkey")
     )
     firsts = o.groupBy("o_custkey").agg(

@@ -281,3 +281,22 @@ def test_prefix_sum_chunked_matches_global_window(spark):
         for r in df.withColumn("cum", F.sum("d").over(w)).collect()
     }
     assert got == want
+
+
+def test_prefix_sum_chunked_null_bucket_raises(spark):
+    """ADVICE r5: a NULL bucket used to be silently dropped by the
+    offset equi-join, returning partial sums.  The operator now
+    raises instead — misuse fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from stock_ops_spark.operators.timeseries import prefix_sum_chunked
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1), (None, 2)], "ts string, d long"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "d")
+    out = prefix_sum_chunked(df, "ts", "d", F.to_date("ts"))
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "prefix_sum_chunked" in str(ei.value)

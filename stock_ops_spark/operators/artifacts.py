@@ -61,6 +61,76 @@ def cache_key(raw: str) -> str:
     return hashlib.sha1(raw.encode()).hexdigest()[:20]
 
 
+def versioned_path(
+    cache_dir: str, name: str, fam: str, ver: str, suffix: str
+) -> str:
+    """Path for one artifact of a VERSIONED family.
+
+    ``fam`` identifies (source abspath + every pipeline param + v-tag)
+    and stays constant across corpus rewrites; ``ver`` is the source
+    file identity digest (mtime+size) and changes with every rewrite.
+    Splitting the two is what makes incremental refresh possible: on a
+    ``ver`` miss the builder can look for a PRIOR ver of the same fam
+    and compute only the delta against it (VERDICT r5 #2), where the
+    old single-digest scheme made every rewrite a from-scratch rebuild.
+    """
+    return os.path.join(cache_dir, f"{name}_{fam}_{ver}{suffix}")
+
+
+def find_prior_version(
+    cache_dir: str, name: str, fam: str, current_ver: str, suffixes: list[str]
+) -> str | None:
+    """Newest prior ``ver`` of family ``fam`` that has ALL ``suffixes``
+    present (a half-written or half-collected version is skipped — the
+    caller then falls back to a full rebuild)."""
+    import re
+
+    pat = re.compile(
+        rf"^{re.escape(name)}_{re.escape(fam)}_([0-9a-f]{{20}})"
+        rf"({'|'.join(re.escape(s) for s in suffixes)})$"
+    )
+    found: dict[str, set[str]] = {}
+    mtimes: dict[str, float] = {}
+    try:
+        names = os.listdir(cache_dir)
+    except OSError:
+        return None
+    for n in names:
+        m = pat.match(n)
+        if not m or m.group(1) == current_ver:
+            continue
+        ver, suf = m.group(1), m.group(2)
+        found.setdefault(ver, set()).add(suf)
+        try:
+            mtimes[ver] = max(
+                mtimes.get(ver, 0.0),
+                os.path.getmtime(os.path.join(cache_dir, n)),
+            )
+        except OSError:
+            pass
+    complete = [v for v, sufs in found.items() if sufs == set(suffixes)]
+    if not complete:
+        return None
+    return max(complete, key=lambda v: mtimes.get(v, 0.0))
+
+
+def publish(df, path: str) -> None:
+    """Materialize a DataFrame at ``path`` atomically (write to a tmp
+    name, rename).  Concurrent fitters race benignly — the pipelines
+    are deterministic, so whichever rename wins, the contents are
+    identical; a crash never leaves a half-written artifact at the
+    final path."""
+    import shutil
+    import uuid
+
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent writer won
+
+
 def gc(
     cache_dir: str | None = None,
     max_age_s: float | None = None,
@@ -91,6 +161,15 @@ def gc(
     if cache_dir is None:
         cache_dir = default_cache_dir()
     pat = re.compile(r"^([a-z0-9]+)_[0-9a-f]{20}\.(parquet|json)$")
+    # versioned families (artifacts.versioned_path): name_fam_ver.suffix.
+    # The gc family is (name, fam, suffix) so keep_latest retains the N
+    # newest VERSIONS of each series — and the pairs/state twins of one
+    # version live in separate series, so keep_latest can never collect
+    # one twin and strand the other (the prior-version finder requires a
+    # complete suffix set anyway and skips half sets).
+    vpat = re.compile(
+        r"^([a-z0-9]+_[0-9a-f]{20})_[0-9a-f]{20}(\.[a-z]+\.(parquet|json))$"
+    )
     entries: list[tuple[str, str, float]] = []  # (family, path, mtime)
     try:
         names = os.listdir(cache_dir)
@@ -98,8 +177,14 @@ def gc(
         return []
     for name in names:
         m = pat.match(name)
-        if not m:
-            continue  # unknown layout or .tmp staging path — leave it
+        if m:
+            family = m.group(1)
+        else:
+            vm = vpat.match(name)
+            if vm:
+                family = vm.group(1) + vm.group(2)
+            else:
+                continue  # unknown layout or .tmp staging path — leave it
         path = os.path.join(cache_dir, name)
         mtime = os.path.getmtime(path)
         if os.path.isdir(path):  # parquet dirs: age = newest part file
@@ -109,7 +194,7 @@ def gc(
                         mtime = max(mtime, os.path.getmtime(os.path.join(root, f)))
                     except OSError:
                         pass
-        entries.append((m.group(1), path, mtime))
+        entries.append((family, path, mtime))
 
     doomed: dict[str, None] = {}
     now = _time.time()

@@ -10576,25 +10576,44 @@ def q202_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate everything).  G = 2Σi·x_i/(nΣx) − (n+1)/n over
     ascending-ranked EXACT integer counts (unique user tiebreak), so
     the statistic is bit-stable.  Scale shape: the fact collapses to
-    one count per user first; the rank window runs on that
-    USER-dimension frame (1/1000th of fact rows; at billions of users
-    the ranking swaps to the chunked-prefix decomposition, the
-    aggregation stage unchanged)."""
+    one count per user, then the rank sum collapses AGAIN by count
+    VALUE — users tied at x share consecutive ranks c+1..c+m (tie
+    order irrelevant: they all multiply the same x), so
+    Σi·x = Σ_x x·(m_x·c_x + m_x(m_x+1)/2) with c_x = exclusive prefix
+    of m.  The only unpartitioned window therefore runs on the
+    DISTINCT-COUNT-VALUE frame (bounded by max events/user — a domain
+    bound, not a data bound; the registry window audit pins this),
+    never on the user dimension.  Rank products accumulate in
+    DECIMAL(38,0): n·x terms reach ~1e21 at 1e9 users, past int64
+    (the q177 overflow discipline)."""
     uc = _t(spark, sf_dir, "events").groupBy("user_id").agg(
         F.count(F.lit(1)).alias("x")
     )
-    w = Window.orderBy("x", "user_id")
-    ranked = uc.select("x", F.row_number().over(w).alias("i"))
-    s = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+    mx = uc.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    wp = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    pref = mx.withColumn("c", F.coalesce(F.sum("m").over(wp), F.lit(0)))
+    dec = "decimal(38,0)"
+    s = pref.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("x") * F.col("m")).alias("sx"),
+        F.sum(
+            F.col("x").cast(dec)
+            * (
+                F.col("m").cast(dec) * F.col("c").cast(dec)
+                + (
+                    F.col("m").cast(dec)
+                    * (F.col("m").cast(dec) + 1)
+                    / 2
+                ).cast(dec)
+            )
+        ).alias("six"),
     )
     return s.select(
         F.col("n").cast("bigint").alias("n_users"),
         F.col("sx").cast("bigint").alias("n_events"),
         F.round(
-            (2.0 * F.col("six")) / (F.col("n") * F.col("sx"))
+            (2.0 * F.col("six"))
+            / (F.col("n").cast("double") * F.col("sx"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),

@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from stock_ops_spark import schemas as S
 from stock_ops_spark.operators.stats import StatsTable, batch_stats
@@ -80,7 +81,17 @@ class ParquetStore:
         path = self.data_path(mode)
         if not os.path.exists(path):
             return None
-        return self.spark.read.option("mergeSchema", "true").parquet(path)
+        try:
+            return self.spark.read.option("mergeSchema", "true").parquet(path)
+        except AnalysisException as e:
+            # A concurrent first append (or a crash during it) can leave the
+            # directory present with zero committed footers — only staging
+            # debris (`_temporary`, in-flight task files).  To a reader that
+            # is an empty store, not an error; the next committed batch makes
+            # it readable.  Caught live by the SIGKILL crash-recovery test.
+            if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return None
+            raise
 
     # -- write -----------------------------------------------------------
     def ingest_batch(self, batch: DataFrame, mode: str) -> int:

@@ -232,3 +232,27 @@ def test_json_lines_source_ingests(spark, tmp_path):
     # re-sending the same JSON batch is fully deduplicated
     batch2 = spark.read.schema(S.HISTORICAL_INTRADAY).json(str(src))
     assert store.ingest_batch(batch2, "historical_intraday") == 0
+
+
+def test_read_all_tolerates_uncommitted_store_dir(spark, tmp_path):
+    """A reader racing the FIRST append sees the mode directory already
+    created but with zero committed parquet footers (only `_temporary`
+    staging).  That is an empty store (None), not an AnalysisException —
+    the race the SIGKILL crash-recovery test exposed."""
+    import os
+
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    path = store.data_path("streaming")
+    os.makedirs(os.path.join(path, "_temporary"))
+    assert store.read_all("streaming") is None
+    # ...and a genuinely corrupt committed file still raises on action
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df = store.read_all("streaming")
+        if df is not None:
+            df.count()

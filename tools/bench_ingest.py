@@ -7,6 +7,16 @@ rows/s).
 
 Prints one JSON line: fresh-ingest rows/s, dedup-probe (full replay,
 zero appended) rows/s, and mixed (half dup / half new) rows/s.
+
+    python tools/bench_ingest.py --micro [batch_rows] [n_batches]
+
+Micro-batch cadence twin of the reference's 50–5,000 rows/s streaming
+envelope: N json files of B rows each drive ``file_trade_source →
+stream_ingest`` (maxFilesPerTrigger=1, so one file == one micro-batch)
+with the full dedup/version/stats batch writer inside foreachBatch.
+Prints rows/s plus the per-micro-batch latency distribution
+(p50/p90/p99/max of triggerExecution) taken from the query's own
+progress records.
 """
 
 from __future__ import annotations
@@ -77,5 +87,92 @@ def main() -> None:
     )
 
 
+def main_micro() -> None:
+    import os
+    import tempfile
+
+    from stock_ops_spark.session import get_spark
+    from stock_ops_spark.sources.ingest import ParquetStore
+    from stock_ops_spark.streaming.ingest import file_trade_source, stream_ingest
+
+    argv = [a for a in sys.argv[1:] if a != "--micro"]
+    batch_rows = int(argv[0]) if len(argv) > 0 else 500
+    n_batches = int(argv[1]) if len(argv) > 1 else 200
+    spark = get_spark("bench-ingest-micro")
+    # keep every micro-batch's progress record (default cap is 100)
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(n_batches + 10)
+    )
+    tickers = ["SPY", "VOO", "QQQ", "IWM"]
+    base_ms = 1736951400_000
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/input"
+        os.makedirs(src)
+        # one file == one micro-batch (maxFilesPerTrigger=1)
+        for b in range(n_batches):
+            with open(f"{src}/batch_{b:05d}.json", "w") as f:
+                for i in range(batch_rows):
+                    g = b * batch_rows + i
+                    f.write(
+                        json.dumps(
+                            {
+                                "ticker": tickers[g % 4],
+                                "timestamp_UTC_ms": base_ms + (g // 4) * 250,
+                                "price": 1.0 + g % 7,
+                                "volume": 10 + g % 100,
+                                "ask_price": 1.5 + g % 7,
+                                "bid_price": 0.5 + g % 7,
+                                "ask_size": 5 + g % 9,
+                                "bid_size": 5 + g % 11,
+                            }
+                        )
+                        + "\n"
+                    )
+
+        store = ParquetStore(spark, f"{tmp}/store")
+        stream = file_trade_source(spark, src, max_files_per_trigger=1)
+        t0 = time.monotonic()
+        q = stream_ingest(
+            stream,
+            store,
+            mode="streaming",
+            checkpoint=f"{tmp}/ckpt",
+            available_now=True,
+        )
+        q.awaitTermination()
+        wall_s = time.monotonic() - t0
+
+        n = batch_rows * n_batches
+        stored = store.read_all("streaming")
+        assert stored is not None and stored.count() == n, "row-count mismatch"
+
+        lat = sorted(
+            p["durationMs"]["triggerExecution"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        )
+
+    def pct(p: float) -> int:
+        return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else -1
+
+    print(
+        json.dumps(
+            {
+                "metric": "micro_batch_ingest",
+                "batch_rows": batch_rows,
+                "n_batches": n_batches,
+                "rows_per_sec": round(n / wall_s),
+                "batches_per_sec": round(n_batches / wall_s, 2),
+                "batch_ms_p50": pct(0.50),
+                "batch_ms_p90": pct(0.90),
+                "batch_ms_p99": pct(0.99),
+                "batch_ms_max": lat[-1] if lat else -1,
+                "measured_batches": len(lat),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    main_micro() if "--micro" in sys.argv else main()

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_ops_spark import catalog
@@ -54,6 +54,15 @@ def _register(name: str, oracle: str | None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
+
+
+def _rev4() -> Column:
+    """Discounted lineitem revenue in exact integer ten-thousandths
+    (2dp price × 2dp discount factor ⇒ 4dp exact) — the q01/q185
+    discipline, shared by the TPC-H-shape batch q235+."""
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12484,4 +12493,777 @@ def q233_customer_lifetime_span(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "frac_of_customers"
             ),
         )
+    )
+
+@_register(
+    "q234_editdist_neardup_docs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))
+                AS BIGINT) AS dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 4
+    """,
+)
+def q234_editdist_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance near-duplicate pairs over document
+    prefixes — the typo/near-verbatim dedup signal MinHash's bag-of-
+    shingles view underweights (a single transposed word pair is
+    invisible to Jaccard but is 2 edits here).
+
+    Scale path: `operators/fuzzy.py::edit_distance_pairs` (PassJoin
+    segment pigeonhole) — an equi-join on (length, slot, segment)
+    replaces any blocked product, so candidates are pairs sharing an
+    aligned 16-char segment (sparse on prefix-80 strings), each
+    verified by bounded-DP levenshtein.  Contrast with q79, where
+    7–12-char part names make the OUTPUT quadratic and a blocked
+    product is the floor; on long strings the match set is sparse and
+    the product is the scale bug.  The oracle is the quadratic
+    definition itself."""
+    from stock_ops_spark.operators.fuzzy import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("p")
+    )
+    return edit_distance_pairs(d, "doc_id", "p", 4).select(
+        F.col("id_a"), F.col("id_b"), F.col("dist")
+    )
+
+@_register(
+    "q235_unshipped_orders_revenue",
+    """
+    SELECT CAST(l.l_orderkey AS BIGINT) AS o_orderkey,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT))::DOUBLE / 10000, 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q235_unshipped_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-value orders placed before a date
+    but (partially) shipped after it, for one market segment — the
+    shipping-backlog priority list.  Scale shape: segment-filtered
+    customer keys broadcast onto orders, the shipdate predicate prunes
+    the lineitem scan, l⋈o on orderkey is the ONE fact shuffle, and the
+    top-10 plans as TakeOrderedAndProject.  Revenue exact at 4dp."""
+    cut = F.lit("1998-01-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cut).select(
+        "l_orderkey", _rev4().alias("rev4")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev4").alias("rev4"))
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("o_orderkey"),
+            F.round(F.col("rev4") / 10000, 4).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "q236_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT))::DOUBLE / 10000, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q236_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue served by LOCAL suppliers (customer and
+    supplier in the same nation) per nation of one region-year — the
+    domestic-fulfilment report.  Scale shape: supplier/nation/region
+    broadcast; l⋈o on orderkey is one fact shuffle and the customer
+    join runs on custkey as the second fact shuffle (customer is NOT
+    broadcast: at 100 TB it is a fact table; AQE handles the skew);
+    the same-nation predicate is a post-join filter on two small int
+    columns.  Revenue exact at 4dp."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev4().alias("rev4")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev4").alias("rev4"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("rev4") / 10000, 4).alias("revenue"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q237_product_type_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)
+                     - CAST(round(p.p_retailprice * 100) AS BIGINT) * 60
+                       * CAST(l.l_quantity AS BIGINT))::DOUBLE / 10000, 4)
+               AS profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE 'blue%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q237_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product line by supplier nation and
+    order year.  The fixtures carry no partsupp, so unit cost is the
+    standard 60% of retail price — exact in integer ten-thousandths:
+    cents(retail)·60 == retail·0.6·10000 with no float in sight.
+    Scale shape: the name-filtered part set and supplier/nation
+    broadcast; l⋈o on orderkey is the ONE fact shuffle."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("blue%")).select(
+        "p_partkey",
+        (F.round(F.col("p_retailprice") * 100, 0).cast("bigint") * 60).alias(
+            "cost4_per_unit"
+        ),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _rev4().alias("rev4"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.sum(
+                F.col("rev4") - F.col("cost4_per_unit") * F.col("qty")
+            ).alias("profit4")
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_year").cast("bigint").alias("o_year"),
+            F.round(F.col("profit4") / 10000, 4).alias("profit"),
+        )
+    )
+
+
+@_register(
+    "q238_ship_latency_priority",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                THEN 'normal' ELSE 'slow' END AS latency_band,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q238_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → ship-latency bands: the fixtures
+    carry no l_shipmode): does slow shipping hit high-priority orders —
+    the carrier-SLA audit.  One fact shuffle (l⋈o on orderkey), CASE
+    aggregation into a 3-row frame, year predicate prunes the lineitem
+    scan."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(lat <= 30, "fast")
+            .when(lat <= 90, "normal")
+            .otherwise("slow")
+            .alias("latency_band"),
+            hi.cast("int").alias("hi"),
+        )
+        .groupBy("latency_band")
+        .agg(
+            F.sum("hi").cast("bigint").alias("high_priority"),
+            F.sum(1 - F.col("hi")).cast("bigint").alias("low_priority"),
+        )
+    )
+
+
+@_register(
+    "q239_orders_per_customer_dist",
+    """
+    WITH co AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q239_orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the orders-per-customer histogram including
+    zero-order customers (the LEFT JOIN is the point — an inner join
+    silently drops the most interesting bucket), with the comment
+    filter adapted to priority.  Scale shape: orders aggregate by
+    custkey first (map-side combine), then ONE shuffle join against
+    customer keys; the histogram re-agg is over a tiny count domain."""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(
+            F.col("c_count").cast("bigint").alias("c_count"),
+            F.col("custdist").cast("bigint").alias("custdist"),
+        )
+    )
+
+@_register(
+    "q240_part_supplier_census",
+    """
+    SELECT p.p_brand AS brand, p.p_type AS type,
+           CAST(p.p_size AS BIGINT) AS size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#21'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q240_part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers actually ship each
+    (brand, type, size) family — sourcing-diversity census, excluding
+    one brand, one type, and blacklisted suppliers (acctbal < 0 stands
+    in for the complaints filter; the fixtures carry no partsupp, so
+    supply relationships come from shipped lineitems).  Scale shape:
+    the filtered part set and the tiny blacklist broadcast; the
+    distinct runs as (group-key, suppkey) partial-dedup before the
+    final aggregate — no global distinct."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#21")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").cast("bigint").alias("size"),
+            F.col("supplier_cnt").cast("bigint").alias("supplier_cnt"),
+        )
+    )
+
+
+@_register(
+    "q241_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS BIGINT)) AS sq,
+             count(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT))::DOUBLE / 70000, 4) AS avg_weekly_revenue,
+           CAST(count(*) AS BIGINT) AS n_small_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pa   ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND p.p_size < 15
+      AND CAST(l.l_quantity AS BIGINT) * 5 * pa.n < pa.sq
+    """,
+)
+def q241_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity orders (below
+    20% of the part's average order quantity) for one brand/size
+    family — the candidate set for order-consolidation.  The 20%-of-
+    average threshold is EXACT: qty·5·n < Σqty in integers, no float
+    average anywhere.  Scale shape: per-part quantity aggregate (one
+    map-side-combined shuffle on partkey) joined back to the filtered
+    fact — the filtered part dim broadcasts; the per-part stats frame
+    shuffles on the same key as the fact join (co-partitioned)."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        _rev4().alias("rev4"),
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sq"), F.count(F.lit(1)).alias("n")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_partkey"))
+        .where(F.col("qty") * 5 * F.col("n") < F.col("sq"))
+        .agg(
+            F.round(F.sum("rev4") / 70000, 4).alias("avg_weekly_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_small_items"),
+        )
+    )
+
+
+@_register(
+    "q242_concentrated_shippers",
+    """
+    WITH red AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    vol AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN r.p_partkey IS NOT NULL
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS red_qty,
+             sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem l LEFT JOIN red r ON l.l_partkey = r.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name AS s_name, n.n_name AS nation,
+           CAST(v.red_qty AS BIGINT) AS red_qty,
+           CAST(v.total_qty AS BIGINT) AS total_qty
+    FROM vol v
+    JOIN supplier s ON v.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE v.red_qty * 20 > v.total_qty * 3
+    """,
+)
+def q242_concentrated_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped volume concentrates on
+    one product family in a year (red parts > 15% of their total) —
+    the excess-stock / dependency list.  The fixtures carry no
+    partsupp availqty, so the half-of-stock predicate becomes an
+    exact-integer share threshold (20·red > 3·total).  Scale shape:
+    the name-filtered part keys broadcast into a left-join flag at the
+    scan, ONE suppkey aggregate, supplier+nation broadcast onto the
+    surviving handful."""
+    red = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("red_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty"))
+    vol = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("red_partkey"), "left")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("red_partkey").isNotNull(), F.col("qty")).otherwise(0)
+            ).alias("red_qty"),
+            F.sum("qty").alias("total_qty"),
+        )
+        .where(F.col("red_qty") * 20 > F.col("total_qty") * 3)
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        vol.join(F.broadcast(s), vol.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("red_qty").cast("bigint").alias("red_qty"),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+    )
+
+@_register(
+    "q243_daily_revenue_acf",
+    """
+    WITH daily0 AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+      FROM orders GROUP BY 1
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE)
+                 AS d
+      FROM (SELECT min(d) AS lo, max(d) AS hi FROM daily0) b
+    ),
+    daily AS (
+      SELECT s.d, coalesce(d0.rc, 0) AS rc
+      FROM spine s LEFT JOIN daily0 d0 ON s.d = d0.d
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 7, 14, 30]) AS lag),
+    pairs AS (
+      SELECT g.lag, CAST(x.rc AS HUGEINT) AS x, CAST(y.rc AS HUGEINT) AS y
+      FROM lags g
+      JOIN daily x ON true
+      JOIN daily y ON y.d = x.d - to_days(CAST(g.lag AS INTEGER))
+    ),
+    m AS (
+      SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS acf
+    FROM m
+    """,
+)
+def q243_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at business lags
+    (1/2/3 days, 1/2 weeks, ~1 month) — the seasonality fingerprint
+    that decides q190-style adjustment windows.  All moments are EXACT:
+    integer cents on a zero-filled calendar spine, products and sums in
+    DECIMAL(38,0) (DuckDB HUGEINT twin — n·Σxy overflows int64 at
+    sf≥0.1), one sqrt of an exactly-computed double at the very end
+    (sqrt is IEEE-correctly-rounded; ln/exp are not, which is why r is
+    safe but log-space products are not).  Scale shape: ONE date
+    aggregate of orders; everything after runs on the calendar-bounded
+    daily frame (≤ a few thousand rows regardless of fact size) — the
+    lag alignment is an equi-join on the spine, not a global window."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("rc"),
+    )
+    daily0 = o.groupBy("d").agg(F.sum("rc").alias("rc"))
+    spine = (
+        daily0.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("d")
+        )
+    )
+    daily = (
+        spine.join(daily0, "d", "left")
+        .select("d", F.coalesce("rc", F.lit(0)).cast("decimal(38,0)").alias("rc"))
+        .localCheckpoint(eager=True)  # tiny calendar frame, read 2x below
+    )
+    lags = spark.createDataFrame([(l,) for l in (1, 2, 3, 7, 14, 30)], "lag: int")
+    x = daily.select(F.col("d").alias("dx"), F.col("rc").alias("x"))
+    y = daily.select(F.col("d").alias("dy"), F.col("rc").alias("y"))
+    pairs = (
+        x.join(F.broadcast(lags))
+        .join(y, F.expr("dy = date_sub(dx, lag)"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    da = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    db = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when((da == 0) | (db == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                num.cast("double")
+                / F.sqrt(da.cast("double") * db.cast("double")),
+                6,
+            )
+        )
+        .alias("acf"),
+    )
+
+
+@_register(
+    "q244_rolling_type_correlation",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS p,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS c
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT d,
+             row_number() OVER (ORDER BY d) AS rn,
+             count(*) OVER win AS n,
+             sum(p) OVER win AS sp, sum(c) OVER win AS sc,
+             sum(p * c) OVER win AS spc,
+             sum(p * p) OVER win AS spp, sum(c * c) OVER win AS scc
+      FROM daily
+      WINDOW win AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CASE WHEN (n * spp - sp * sp) = 0 OR (n * scc - sc * sc) = 0
+                THEN NULL
+                ELSE round(CAST(n * spc - sp * sc AS DOUBLE)
+                           / sqrt(CAST(n * spp - sp * sp AS DOUBLE)
+                                  * CAST(n * scc - sc * sc AS DOUBLE)), 6)
+           END AS r30
+    FROM w WHERE rn >= 30
+    """,
+)
+def q244_rolling_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling Pearson correlation between daily purchase and
+    click volumes — the engagement-coupling monitor (decoupling flags
+    bot traffic or funnel breakage).  Exact integer moments inside the
+    window (DECIMAL(38,0) / HUGEINT twins), one correctly-rounded sqrt
+    at the end, NULL where a window is constant.  Scale shape: one
+    date aggregate over events; the rolling window runs ordered-
+    unpartitioned but over the calendar-bounded daily frame directly
+    above that aggregate (the registry's global-window audit rule)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        (F.col("event_type") == "purchase").cast("int").alias("ip"),
+        (F.col("event_type") == "click").cast("int").alias("ic"),
+    )
+    daily = e.groupBy("d").agg(
+        F.sum("ip").cast("decimal(38,0)").alias("p"),
+        F.sum("ic").cast("decimal(38,0)").alias("c"),
+    )
+    win = Window.orderBy("d").rowsBetween(-29, 0)
+    rn = Window.orderBy("d")
+    w = daily.select(
+        "d",
+        F.row_number().over(rn).alias("rn"),
+        F.count(F.lit(1)).over(win).cast("decimal(38,0)").alias("n"),
+        F.sum("p").over(win).alias("sp"),
+        F.sum("c").over(win).alias("sc"),
+        F.sum(F.col("p") * F.col("c")).over(win).alias("spc"),
+        F.sum(F.col("p") * F.col("p")).over(win).alias("spp"),
+        F.sum(F.col("c") * F.col("c")).over(win).alias("scc"),
+    ).where(F.col("rn") >= 30)
+    da = F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+    db = F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    num = F.col("n") * F.col("spc") - F.col("sp") * F.col("sc")
+    return w.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when((da == 0) | (db == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                num.cast("double")
+                / F.sqrt(da.cast("double") * db.cast("double")),
+                6,
+            )
+        )
+        .alias("r30"),
+    )
+
+
+@_register(
+    "q245_weighted_price_quantiles",
+    """
+    WITH g AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             sum(CAST(l.l_quantity AS BIGINT)) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT priority, cents, w,
+             sum(w) OVER (PARTITION BY priority ORDER BY cents) AS cw,
+             sum(w) OVER (PARTITION BY priority) AS tw
+      FROM g
+    )
+    SELECT priority,
+           round(min(CASE WHEN 2 * cw >= tw THEN cents END) / 100.0, 2)
+               AS w_median,
+           round(min(CASE WHEN 10 * cw >= 9 * tw THEN cents END) / 100.0, 2)
+               AS w_p90,
+           CAST(min(tw) AS BIGINT) AS total_qty
+    FROM cum GROUP BY priority
+    """,
+)
+def q245_weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles per order priority (lower
+    weighted median and p90) — 'what price does the median shipped UNIT
+    carry', which row-median misstates whenever quantity correlates
+    with price.  Exact: thresholds are integer-scaled comparisons
+    (2·cum ≥ total, 10·cum ≥ 9·total) on integer cents — no float
+    percentile interpolation to disagree on.  Scale shape: weights
+    collapse to the (priority, cents) VALUE DOMAIN first (one
+    map-side-combined shuffle), so the cumulative window runs
+    per-priority over the bounded distinct-price frame — the q202
+    discipline — and never sorts raw lineitems."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"), "cents")
+        .agg(F.sum("qty").alias("w"))
+    )
+    wc = Window.partitionBy("priority").orderBy("cents")
+    wt = Window.partitionBy("priority")
+    cum = g.select(
+        "priority",
+        "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return cum.groupBy("priority").agg(
+        F.round(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+            / 100.0,
+            2,
+        ).alias("w_median"),
+        F.round(
+            F.min(
+                F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("cents"))
+            )
+            / 100.0,
+            2,
+        ).alias("w_p90"),
+        F.min("tw").cast("bigint").alias("total_qty"),
+    )
+
+
+@_register(
+    "q246_brand_revenue_hhi",
+    """
+    WITH br AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, p.p_brand,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000) AS BIGINT)) AS HUGEINT) AS r4
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p   ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT o_year,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           round(CAST(sum(r4 * r4) AS DOUBLE)
+                 / CAST(sum(r4) * sum(r4) AS DOUBLE), 6) AS hhi,
+           round(CAST(max(r4) AS DOUBLE) / CAST(sum(r4) AS DOUBLE), 6)
+               AS top_brand_share
+    FROM br GROUP BY o_year
+    """,
+)
+def q246_brand_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue concentration per year: Herfindahl–Hirschman index
+    and top-brand share — the assortment-risk trend (HHI → 1 means one
+    brand owns the year).  Exact: revenue in integer ten-thousandths,
+    squares and cross-products in DECIMAL(38,0)/HUGEINT (r4² ~ 1e26),
+    two exact-integer ratios cast to double only at the final division.
+    Scale shape: part brand broadcasts onto the fact, ONE (year, brand)
+    aggregate, then a 25-row-per-year reduction."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", _rev4().alias("rev4")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    br = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("o_year", "p_brand")
+        .agg(F.sum("rev4").cast("decimal(38,0)").alias("r4"))
+    )
+    return br.groupBy("o_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.round(
+            F.sum(F.col("r4") * F.col("r4")).cast("double")
+            / (F.sum("r4") * F.sum("r4")).cast("double"),
+            6,
+        ).alias("hhi"),
+        F.round(
+            F.max("r4").cast("double") / F.sum("r4").cast("double"), 6
+        ).alias("top_brand_share"),
+    ).select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        "n_brands",
+        "hhi",
+        "top_brand_share",
     )

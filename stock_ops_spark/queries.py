@@ -13267,3 +13267,116 @@ def q246_brand_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hhi",
         "top_brand_share",
     )
+
+@_register(
+    "q247_stream_unattributed_purchases",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id AS cuser, ts AS cts FROM events
+      WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT least((SELECT max(pts) FROM p), (SELECT max(cts) FROM c))
+             - INTERVAL 2 HOUR AS cutoff
+    ),
+    attr AS (
+      SELECT p.event_id, p.pts,
+             count(c.cuser) AS n_clicks
+      FROM p LEFT JOIN c
+        ON p.user_id = c.cuser
+       AND c.cts > p.pts - INTERVAL 1 HOUR
+       AND c.cts <= p.pts
+      GROUP BY p.event_id, p.pts
+    )
+    SELECT CASE WHEN n_clicks > 0 THEN 'attributed' ELSE 'unattributed' END
+               AS status,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM attr, wm
+    WHERE n_clicks > 0 OR pts < wm.cutoff
+    GROUP BY 1
+    """,
+)
+def q247_stream_unattributed_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join (q69's missing half): purchases
+    with NO click in the preceding hour — the broken-attribution
+    monitor.  The outer side exercises the state-eviction semantics an
+    inner join never touches: an unmatched purchase is emitted (with
+    null click columns) only once the GLOBAL watermark — the min over
+    both sides' (max event time − 2h) — passes its timestamp, because
+    until then a matching click may still arrive.  availableNow plus
+    the trailing no-data micro-batch advances that watermark to its
+    final value and flushes every decidable row, so the result is
+    deterministic and fully SQL-expressible: matched purchases appear
+    unconditionally, unmatched ones iff pts < final watermark.  The
+    oracle encodes exactly that cutoff — this query is as much a PIN of
+    Spark's outer-join watermark contract as a report."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stock_ops_spark.catalog import stream_table, table_path
+
+    name = f"ss_unattr_{uuid.uuid4().hex[:8]}"
+    stream_dir = tempfile.mkdtemp(prefix="events_ssoj_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ssoj_ckpt_")
+    os.symlink(
+        table_path(sf_dir, "events"), os.path.join(stream_dir, "events.parquet")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+
+        def side(event_type: str):
+            return stream_table(spark, sf_dir, "events", stream_dir).where(
+                F.col("event_type") == event_type
+            )
+
+        p = (
+            side("purchase")
+            .select("event_id", "user_id", F.col("ts").alias("pts"))
+            .withWatermark("pts", "2 hours")
+        )
+        c = (
+            side("click")
+            .select(F.col("user_id").alias("cuser"), F.col("ts").alias("cts"))
+            .withWatermark("cts", "2 hours")
+        )
+        cond = (
+            (p.user_id == c.cuser)
+            & (c.cts > p.pts - F.expr("INTERVAL 1 HOUR"))
+            & (c.cts <= p.pts)
+        )
+        rows = p.join(c, cond, "left_outer").select("event_id", "cuser")
+        q = (
+            rows.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    per = spark.table(name).groupBy("event_id").agg(
+        F.count("cuser").alias("n_clicks")
+    )
+    return (
+        per.select(
+            F.when(F.col("n_clicks") > 0, "attributed")
+            .otherwise("unattributed")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )

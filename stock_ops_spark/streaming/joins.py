@@ -30,15 +30,25 @@ def quotes_for_trades(
     tolerance_seconds: int = 60,
     trade_watermark: str = "2 minutes",
     quote_watermark: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join: trade × quotes with
+    """Stream-stream join: trade × quotes with
     ``quote.ts ∈ (trade.ts - tolerance, trade.ts]`` on the same ticker.
 
     Both inputs are STREAMING-schema frames (ticker, timestamp_UTC_ms,
     …).  The range condition + watermarks are what let Spark expire join
     state: a quote older than (trade watermark + tolerance) can never
     match a future trade and is dropped from the buffer.
+
+    ``how="left_outer"`` additionally emits trades that saw NO quote in
+    their window (null quote columns) — but only once the watermark
+    passes the trade's timestamp, because until then a matching quote
+    may still arrive; trades younger than the final watermark stay
+    buffered.  This is the in-flight "unquotable trade" monitor; its
+    at-rest twin is a plain left join.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
     t = trades.select(
         F.col("ticker"),
         F.timestamp_millis(F.col("timestamp_UTC_ms")).alias("trade_ts"),
@@ -57,7 +67,7 @@ def quotes_for_trades(
         & (F.col("quote_ts") <= F.col("trade_ts"))
         & (F.col("quote_ts") > F.col("trade_ts") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS"))
     )
-    joined = t.join(q, cond)
+    joined = t.join(q, cond, how)
     return joined.select(
         "ticker",
         "trade_ts",

@@ -99,3 +99,56 @@ def test_stream_join_state_is_watermark_bounded(spark, tmp_path):
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan  # both sides carry watermarks
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_left_outer_emits_unquoted_trades_below_watermark(spark, tmp_path):
+    """how='left_outer': a trade with no quote in its window is emitted
+    with NULL quote columns — but only once the global watermark passes
+    its timestamp.  A late trade (inside the final watermark window)
+    stays buffered and must NOT appear unmatched."""
+    tdir, qdir = tmp_path / "t3", tmp_path / "q3"
+    tdir.mkdir(), qdir.mkdir()
+    HOUR = 3_600_000
+    _write(
+        tdir,
+        "t.json",
+        [
+            # old, quoted
+            {"ticker": "SPY", "timestamp_UTC_ms": BASE, "price": 1.0, "volume": 1},
+            # old, UNQUOTED (no quote within 60s) -> must emit with nulls
+            {"ticker": "VOO", "timestamp_UTC_ms": BASE, "price": 2.0, "volume": 1},
+            # recent, unquoted, ABOVE final watermark -> must stay buffered
+            {"ticker": "IWM", "timestamp_UTC_ms": BASE + 3 * HOUR, "price": 3.0, "volume": 1},
+        ],
+    )
+    _write(
+        qdir,
+        "q.json",
+        [
+            {"ticker": "SPY", "timestamp_UTC_ms": BASE - 10_000, "ask_price": 1.1, "bid_price": 0.9},
+            # advances the quote-side max event time past the old trades
+            {"ticker": "QQQ", "timestamp_UTC_ms": BASE + 3 * HOUR, "ask_price": 9.9, "bid_price": 9.7},
+        ],
+    )
+    joined = quotes_for_trades(
+        _stream(spark, tdir),
+        _stream(spark, qdir),
+        tolerance_seconds=60,
+        trade_watermark="10 minutes",
+        quote_watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_loj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ss_loj").collect()
+    by_ticker = {r.ticker: r for r in rows}
+    assert by_ticker["SPY"].ask_price == 1.1          # matched normally
+    assert by_ticker["VOO"].quote_ts is None          # flushed unmatched
+    assert by_ticker["VOO"].spread is None
+    assert "IWM" not in by_ticker                     # still undecidable

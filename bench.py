@@ -32,6 +32,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
+    # optional subset (adjudication runs): bench.py q88_max_drawdown ...
+    # — same warmup/timing context, just fewer queries; the driver's
+    # no-argument invocation is unchanged.
+    if len(sys.argv) > 1:
+        unknown = [a for a in sys.argv[1:] if a not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+        qs = {k: qs[k] for k in sys.argv[1:]}
     # untimed warmup: pay JVM startup, parquet footer reads and first-use
     # codegen once so per-query timings measure steady-state execution.
     # Full count (not limit(1)) so every stage's generated code compiles.

@@ -172,3 +172,42 @@ def run_command(
             reconnect=retry,
         )
     raise ValueError(f"Unsupported command type: {command_type!r}")
+
+def run_historical_backfill(
+    spark: SparkSession,
+    store: ParquetStore,
+    provider: str,
+    tickers: list[str],
+    exchange: str,
+    interval: str,
+    start: str,
+    end: str,
+    retries: int = 0,
+) -> int:
+    """S1 at backfill scale: the executor-side twin of
+    ``run_historical_task``.  The ``stockops_rest`` Python DataSource
+    (sources/pyds.py) fetches one ticker per InputPartition on the
+    executors — the driver never holds a payload and 5000 tickers
+    fetch with cluster parallelism — then the same P1 normalization
+    and dedup/version ingest apply.  Returns rows appended."""
+    from stock_ops_spark.sources.pyds import register_data_sources
+
+    register_data_sources(spark)
+    raw = (
+        spark.read.format("stockops_rest")
+        .option("provider", provider)
+        .option("tickers", ",".join(tickers))
+        .option("exchange", exchange)
+        .option("interval", interval)
+        .option("start", start)
+        .option("end", end)
+        .option("retries", str(retries))
+        .load()
+    )
+    if interval in INTERDAY_INTERVALS:
+        normalized, _rejects = X.interday(raw, None, interval)
+        mode = "historical_interday"
+    else:
+        normalized, _rejects = X.intraday(raw, None, interval)
+        mode = "historical_intraday"
+    return store.ingest_batch(normalized, mode)

@@ -29,13 +29,18 @@ def _split_valid(df: DataFrame, required: list[str]):
     return df.where(cond), df.where(~cond)
 
 
-def interday(raw: DataFrame, ticker: str, interval: str) -> tuple[DataFrame, DataFrame]:
-    """EODHD interday bars → HISTORICAL_INTERDAY rows (+ rejects)."""
+def interday(
+    raw: DataFrame, ticker: str | None, interval: str
+) -> tuple[DataFrame, DataFrame]:
+    """EODHD interday bars → HISTORICAL_INTERDAY rows (+ rejects).
+    ``ticker=None`` takes the ticker from a raw column instead of a
+    literal — the multi-ticker path used by the ``stockops_rest``
+    Python DataSource (sources/pyds.py)."""
     if interval not in INTERDAY_INTERVALS:  # P3 domain predicate
         raise ValueError(f"interval {interval!r} not in {INTERDAY_INTERVALS}")
     ok, bad = _split_valid(raw, ["date"])
     out = ok.select(
-        F.lit(ticker).alias("ticker"),
+        (F.col("ticker") if ticker is None else F.lit(ticker)).alias("ticker"),
         F.to_date("date").alias("date"),
         F.col("open").cast("double").alias("open"),
         F.col("high").cast("double").alias("high"),
@@ -48,14 +53,17 @@ def interday(raw: DataFrame, ticker: str, interval: str) -> tuple[DataFrame, Dat
     return out, bad
 
 
-def intraday(raw: DataFrame, ticker: str, interval: str) -> tuple[DataFrame, DataFrame]:
+def intraday(
+    raw: DataFrame, ticker: str | None, interval: str
+) -> tuple[DataFrame, DataFrame]:
     """EODHD intraday bars → HISTORICAL_INTRADAY rows (+ rejects).
-    Raw 'timestamp' is epoch seconds (reference transform.py:47-61)."""
+    Raw 'timestamp' is epoch seconds (reference transform.py:47-61).
+    ``ticker=None``: see interday."""
     if interval not in INTRADAY_INTERVALS:
         raise ValueError(f"interval {interval!r} not in {INTRADAY_INTERVALS}")
     ok, bad = _split_valid(raw, ["timestamp"])
     out = ok.select(
-        F.lit(ticker).alias("ticker"),
+        (F.col("ticker") if ticker is None else F.lit(ticker)).alias("ticker"),
         F.col("timestamp").cast("long").alias("timestamp_UTC_s"),
         F.col("open").cast("double").alias("open"),
         F.col("high").cast("double").alias("high"),

@@ -13380,3 +13380,156 @@ def q247_stream_unattributed_purchases(
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
     )
+
+@_register(
+    "q248_cross_source_duplicates",
+    """
+    WITH cnt AS (
+      SELECT source, md5(text) AS fp, count(*) AS c FROM documents
+      WHERE text IS NOT NULL GROUP BY source, md5(text)
+    ),
+    cross_pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n
+      FROM cnt a JOIN cnt b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    within AS (
+      SELECT source AS source_a, source AS source_b, count(*) AS n
+      FROM cnt WHERE c >= 2 GROUP BY source
+    )
+    SELECT source_a, source_b, CAST(n AS BIGINT) AS n_shared_texts
+    FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM within)
+    """,
+)
+def q248_cross_source_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate matrix: how many distinct texts each
+    pair of sources shares verbatim (diagonal rows = duplicate families WITHIN a source, so the report is informative even when dumps don't overlap) — the cross-dump contamination map
+    that decides which source to drop when corpora overlap (the
+    cross-source twin of q15's within-corpus dedup; q193 is the same
+    question at 5-gram granularity).  Scale shape: distinct (source,
+    fingerprint) first (one hash aggregate — the fingerprint space, not
+    the corpus, is what self-joins), then an equi-join on fingerprint
+    whose fan-out is bounded by source count, never corpus size."""
+    cnt = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .groupBy("source", F.md5("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = cnt.select(F.col("source").alias("source_a"), "fp")
+    b = cnt.select(F.col("source").alias("source_b"), "fp")
+    cross = (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    within = (
+        cnt.where(F.col("c") >= 2)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("source_a", F.col("source_a").alias("source_b"), "n")
+    )
+    return cross.unionByName(within).select(
+        "source_a", "source_b", F.col("n").cast("bigint").alias("n_shared_texts")
+    )
+
+
+@_register(
+    "q249_centroid_classifier_confusion",
+    """
+    WITH el AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(unnest(embedding)::DOUBLE * 10000) AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, pos, CAST(sum(qv) AS HUGEINT) AS s
+      FROM el GROUP BY label, pos
+    ),
+    lbln AS (
+      SELECT label AS clabel, CAST(count(*) AS HUGEINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    dist AS (
+      SELECT el.vec_id, el.label, c.clabel,
+             sum((CAST(el.qv AS HUGEINT) * ln.n - c.s)
+                 * (CAST(el.qv AS HUGEINT) * ln.n - c.s)) AS a,
+             min(ln.n) AS n
+      FROM el
+      JOIN cent c ON el.pos = c.pos
+      JOIN lbln ln ON ln.clabel = c.clabel
+      GROUP BY el.vec_id, el.label, c.clabel
+    ),
+    ranked AS (
+      SELECT vec_id, label, clabel,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY CAST(a AS DOUBLE) / CAST(n * n AS DOUBLE), clabel
+             ) AS rk
+      FROM dist
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(clabel AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM ranked WHERE rk = 1
+    GROUP BY label, clabel
+    """,
+)
+def q249_centroid_classifier_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-label-centroid classification of every embedding against
+    the 10 label centroids, reported as a confusion matrix — the
+    label-quality audit run before embeddings feed a training mix
+    (clean labels ⇒ a heavy diagonal; systematic confusion rows flag
+    mislabeled slices).  EXACT end-to-end: vectors quantize to integer
+    ten-thousandths (floor of a double both engines compute
+    identically), the squared distance to centroid s/n compares via the
+    integer form Σ(qv·n − s)² with DECIMAL(38,0)/HUGEINT products
+    (≈1e19 at sf0.1 — int64 overflows), and the cross-label ranking
+    divides exact integers as doubles (identical IEEE division) with a
+    label tie-break.  Scale shape: the 640-cell centroid table
+    broadcasts; the per-vector work is a map-side explode⋈broadcast
+    and one (vec, label) aggregate — vectors never shuffle pairwise,
+    and the argmin window partitions by vec_id over exactly 10 rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("pos"),  # 1-based, matching the oracle
+        F.floor(F.col("val") * 10000).cast("decimal(38,0)").alias("qv"),
+    )
+    cent = el.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.sum("qv").alias("s")
+    )
+    lbln = e.groupBy(F.col("label").alias("clabel")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    cj = F.broadcast(cent.join(lbln, "clabel"))
+    diff = F.col("qv") * F.col("n") - F.col("s")
+    dist = (
+        el.join(cj, "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(diff * diff).alias("a"), F.min("n").alias("n"))
+    )
+    rk = Window.partitionBy("vec_id").orderBy(
+        (F.col("a").cast("double") / (F.col("n") * F.col("n")).cast("double")),
+        "clabel",
+    )
+    return (
+        dist.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .groupBy("label", "clabel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .select(
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("clabel").cast("bigint").alias("pred_label"),
+            "n_vectors",
+        )
+    )

@@ -13533,3 +13533,145 @@ def q249_centroid_classifier_confusion(
             "n_vectors",
         )
     )
+
+@_register(
+    "q250_top_brands_listagg",
+    """
+    WITH br AS (
+      SELECT n.n_name AS nation, p.p_brand AS brand,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) AS r4
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      GROUP BY n.n_name, p.p_brand
+    ),
+    rk AS (
+      SELECT nation, brand, r4,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY r4 DESC, brand) AS rn
+      FROM br
+    )
+    SELECT nation,
+           string_agg(brand, ',' ORDER BY r4 DESC, brand) AS top_brands,
+           round(sum(r4)::DOUBLE / 10000, 4) AS top3_revenue
+    FROM rk WHERE rn <= 3
+    GROUP BY nation
+    """,
+)
+def q250_top_brands_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 brands per supplier nation as an ORDERED comma list — the
+    listagg/string_agg surface, which is only portable when the element
+    order is pinned (collect_list alone is partition-order
+    nondeterministic; the fix is sorting structs of (-revenue, brand)
+    before joining — same determinism discipline as q80's modal
+    tie-break).  Scale shape: dims broadcast, one (nation, brand)
+    aggregate, top-3 via WindowGroupLimit on the 25×25 frame, and the
+    string build runs on ≤3 elements per group."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", _rev4().alias("rev4")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    br = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(F.sum("rev4").alias("r4"))
+    )
+    rk = Window.partitionBy("nation").orderBy(F.col("r4").desc(), "brand")
+    top = br.withColumn("rn", F.row_number().over(rk)).where(F.col("rn") <= 3)
+    return (
+        top.groupBy("nation")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("r4")).alias("nr"), "brand"))
+                    ),
+                    lambda x: x["brand"],
+                ),
+                ",",
+            ).alias("top_brands"),
+            F.round(F.sum("r4") / 10000, 4).alias("top3_revenue"),
+        )
+    )
+
+
+@_register(
+    "q251_customer_trend_movers",
+    """
+    WITH pts AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    m AS (
+      SELECT o_custkey, count(*) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM pts GROUP BY o_custkey HAVING count(*) >= 8
+    ),
+    sl AS (
+      SELECT o_custkey, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      FROM m WHERE (n * sxx - sx * sx) <> 0
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+           CAST(n AS BIGINT) AS n_orders,
+           round(slope, 6) AS cents_per_day
+    FROM sl
+    ORDER BY slope DESC, o_custkey
+    LIMIT 15
+    """,
+)
+def q251_customer_trend_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fastest-growing customers: per-customer OLS slope of order value
+    over time (≥8 orders), top-15 — the expansion-account list.  Exact
+    integer moments per customer (DECIMAL(38,0)/HUGEINT: n·Σxy reaches
+    ~1e17 at sf0.1 and grows with date span²·cents), one exact-double
+    division, deterministic custkey tie-break.  Scale shape: ONE
+    custkey aggregate computes all five moments map-side-combined —
+    no window, no sort until the 15-row TakeOrdered."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .where(F.col("n") >= 8)
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.where(den != 0)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("c_custkey"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            (num.cast("double") / den.cast("double")).alias("slope"),
+        )
+        .orderBy(F.col("slope").desc(), "c_custkey")
+        .limit(15)
+        .select(
+            "c_custkey", "n_orders", F.round("slope", 6).alias("cents_per_day")
+        )
+    )

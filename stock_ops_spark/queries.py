@@ -13675,3 +13675,91 @@ def q251_customer_trend_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "n_orders", F.round("slope", 6).alias("cents_per_day")
         )
     )
+
+@_register(
+    "q252_token_budget_mix_plan",
+    """
+    WITH docs AS (
+      SELECT lang,
+             length(text) - length(replace(text, ' ', '')) + 1 AS toks,
+             len(list_distinct(string_split(text, ' '))) AS uniq,
+             length(text) - length(replace(text, ' ', '')) + 1 AS words
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    banded AS (
+      SELECT lang,
+             least(9, (10 * uniq) // words) AS band,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tokens_available
+      FROM docs GROUP BY lang, least(9, (10 * uniq) // words)
+    ),
+    cum AS (
+      SELECT lang, band, n_docs, tokens_available,
+             coalesce(sum(tokens_available) OVER (
+               PARTITION BY lang ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS tokens_above
+      FROM banded
+    )
+    SELECT lang, CAST(band AS BIGINT) AS band, n_docs, tokens_available,
+           CAST(greatest(0, least(tokens_available, 50000 - tokens_above))
+                AS BIGINT) AS tokens_taken,
+           CASE WHEN tokens_above >= 50000 THEN 'skip'
+                WHEN tokens_above + tokens_available <= 50000 THEN 'full'
+                ELSE 'boundary' END AS take
+    FROM cum
+    """,
+)
+def q252_token_budget_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner: fill a 50k-token budget PER LANGUAGE from
+    the highest lexical-diversity band downward — the data-mix step
+    between quality scoring (q16/q126) and packing (q96).  Per band:
+    tokens available, tokens the plan takes, and full/boundary/skip
+    status (the boundary band is where a materializer would apply the
+    q124 hash-rank quota).  All decisions are exact integers: tokens =
+    space-separated word count, band = ⌊10·unique/words⌋ in integer
+    division, budget arithmetic in plain sums.  Scale shape: ONE doc
+    aggregate into a ≤(langs × 10)-band frame; the cumulative window
+    runs per-lang over ≤10 rows — the selection plan never touches
+    doc-level windows, so it costs the same at 100 TB."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    words = F.size(F.split("text", " "))
+    docs = d.select(
+        "lang",
+        words.alias("toks"),
+        F.least(F.lit(9), F.expr(
+            "CAST((10 * size(array_distinct(split(text, ' ')))) div "
+            "size(split(text, ' ')) AS BIGINT)"
+        )).alias("band"),
+    )
+    banded = docs.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens_available"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = banded.withColumn(
+        "tokens_above", F.coalesce(F.sum("tokens_available").over(w), F.lit(0))
+    )
+    budget = F.lit(50000)
+    return cum.select(
+        "lang",
+        F.col("band").cast("bigint").alias("band"),
+        "n_docs",
+        "tokens_available",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("tokens_available"), budget - F.col("tokens_above")),
+        )
+        .cast("bigint")
+        .alias("tokens_taken"),
+        F.when(F.col("tokens_above") >= budget, "skip")
+        .when(F.col("tokens_above") + F.col("tokens_available") <= budget, "full")
+        .otherwise("boundary")
+        .alias("take"),
+    )

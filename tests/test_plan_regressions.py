@@ -503,3 +503,100 @@ def test_q229_thresholds_broadcast(q):
     assert A.count_broadcast_joins(df) >= 1
     assert not A.has_cartesian(df)
     assert A.count_shuffles(df) <= 3
+
+
+# ---- round-6 additions (q234-q252) -----------------------------------------
+
+
+def _every_window_sits_above_aggregate(df):
+    """JVM plan walk: every WindowExec (partitioned or not) bottoms out
+    in an aggregate through benign single-child operators — the value-
+    domain discipline (q202/q245): windows sort domains, not facts."""
+    from test_registry_plan_audit import _window_bases
+
+    plan = df._jdf.queryExecution().executedPlan()
+    cls = plan.getClass().getSimpleName()
+    root = plan.inputPlan() if cls == "AdaptiveSparkPlanExec" else plan
+    bad = []
+
+    def walk(n):
+        c = n.getClass().getSimpleName()
+        if c == "WindowExec":
+            bases = _window_bases(n.children().apply(0))
+            bad.extend(b for b in bases if b.startswith("FAIL:"))
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(root)
+    return bad
+
+
+def test_q234_passjoin_no_product(q):
+    """Edit-distance pairs must plan as equi-joins on segment keys —
+    never a product over the corpus."""
+    df = q("q234_editdist_neardup_docs")
+    assert not A.has_cartesian(df)
+    p = A.plan_string(df)
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_q235_q3_shape(q):
+    df = q("q235_unshipped_orders_revenue")
+    assert A.has_top_k(df)  # top-10 plans as TakeOrderedAndProject
+    assert A.count_broadcast_joins(df) >= 1  # segment-filtered customers
+    assert A.has_pushed_filter(df, "GreaterThan(l_shipdate")
+
+
+def test_q237_q9_shape(q):
+    df = q("q237_product_type_profit")
+    # part (name-filtered), supplier, nation all broadcast; the only
+    # shuffles are the l⋈o fact join and the final aggregate
+    assert A.count_broadcast_joins(df) >= 3
+    assert not A.has_cartesian(df)
+
+
+def test_q239_left_join_preserves_zero_bucket(q):
+    # the LEFT join is the point of Q13 — an optimizer rewrite to inner
+    # would silently drop zero-order customers
+    p = A.plan_string(q("q239_orders_per_customer_dist"))
+    assert "LeftOuter" in p or "left_outer" in p
+
+
+def test_q241_exact_threshold_no_window(q):
+    # per-part stats come from an aggregate joined back, not a window
+    # over raw lineitems
+    df = q("q241_small_quantity_revenue")
+    assert "Window" not in A.plan_string(df)
+
+
+def test_q243_acf_no_global_window(q):
+    """Lag alignment is a spine equi-join; the fact table sees exactly
+    one aggregate and no window at all."""
+    p = A.plan_string(q("q243_daily_revenue_acf"))
+    assert "Window" not in p
+
+
+def test_q245_window_over_value_domain(q):
+    """The cumulative-weight window must sit above the (priority, cents)
+    aggregate — never over raw lineitems."""
+    df = q("q245_weighted_price_quantiles")
+    assert _every_window_sits_above_aggregate(df) == []
+
+
+def test_q249_centroids_broadcast(q):
+    df = q("q249_centroid_classifier_confusion")
+    assert A.count_broadcast_joins(df) >= 1  # 640-cell centroid table
+    assert not A.has_cartesian(df)
+
+
+def test_q250_window_group_limit(q):
+    assert A.has_window_group_limit(q("q250_top_brands_listagg"))
+
+
+def test_q252_no_doc_level_window(q):
+    """The mix plan's selection window runs on the band frame (≤10 rows
+    per lang), above the one document aggregate."""
+    assert _every_window_sits_above_aggregate(
+        q("q252_token_budget_mix_plan")
+    ) == []

@@ -161,3 +161,39 @@ def test_frame_log_quote_mapping(pyds, tmp_path):
     q.stop()
     r = pyds.read.parquet(out).collect()[0]
     assert r.ticker == "SPY" and r.price is None and abs(r.ask_price - 643.205) < 1e-9
+
+
+def test_frame_log_to_store_end_to_end(pyds, tmp_path):
+    """Full S2 path: frame-log DataSource → transform-equivalent rows →
+    stream_ingest (foreachBatch dedup/version writer) → ParquetStore."""
+    from stock_ops_spark.sources.ingest import ParquetStore
+    from stock_ops_spark.streaming.ingest import stream_ingest
+
+    log = str(tmp_path / "frames.jsonl")
+    _write_frames(log, 0, 6)
+    store = ParquetStore(pyds, str(tmp_path / "store"))
+    stream = (
+        pyds.readStream.format("stockops_frames")
+        .option("path", log)
+        .option("stream_type", "trades")
+        .option("batch_lines", "4")
+        .load()
+    )
+    q = stream_ingest(
+        stream,
+        store,
+        mode="streaming",
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        got = store.read_all("streaming")
+        if got is not None and got.count() == 6:
+            break
+        time.sleep(1)
+    q.stop()
+    data = store.read_all("streaming")
+    assert data.count() == 6
+    assert set(data.columns) >= {"ticker", "timestamp_UTC_ms", "price", "version"}
+    assert all(r.version == 1 for r in data.collect())

@@ -13763,3 +13763,69 @@ def q252_token_budget_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("boundary")
         .alias("take"),
     )
+
+@_register(
+    "q253_brand_seasonal_index",
+    """
+    WITH m AS (
+      SELECT p.p_brand AS brand,
+             strftime(o.o_orderdate, '%Y-%m') AS ym,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) AS r4
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p   ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, strftime(o.o_orderdate, '%Y-%m')
+    ),
+    w AS (
+      SELECT brand, ym, r4,
+             sum(r4) OVER (PARTITION BY brand ORDER BY ym
+                           ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS s12,
+             count(*) OVER (PARTITION BY brand ORDER BY ym
+                            ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS n12
+      FROM m
+    )
+    SELECT brand, ym,
+           round(CAST(r4 * n12 AS DOUBLE) / CAST(s12 AS DOUBLE), 6)
+               AS seasonal_index
+    FROM w WHERE n12 = 12 AND s12 > 0
+    """,
+)
+def q253_brand_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-moving-average seasonal index per brand-month (the
+    classical decomposition's seasonal factor; q190's residual anomalies
+    assume factors like these are stable).  Exact: integer revenue, the
+    12-month window ratio computed as r4·n / Σr4 — one division of
+    exact integers as doubles, no float accumulation.  Scale shape: ONE
+    (brand, month) aggregate; the rolling window partitions by brand
+    over the ≤#months frame — facts never meet a window."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", _rev4().alias("rev4")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "ym")
+        .agg(F.sum("rev4").alias("r4"))
+    )
+    win = Window.partitionBy("brand").orderBy("ym").rowsBetween(-5, 6)
+    w = m.select(
+        "brand",
+        "ym",
+        "r4",
+        F.sum("r4").over(win).alias("s12"),
+        F.count(F.lit(1)).over(win).alias("n12"),
+    )
+    return w.where((F.col("n12") == 12) & (F.col("s12") > 0)).select(
+        "brand",
+        "ym",
+        F.round(
+            (F.col("r4") * F.col("n12")).cast("double")
+            / F.col("s12").cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )

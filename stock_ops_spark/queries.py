@@ -13829,3 +13829,72 @@ def q253_brand_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+@_register(
+    "q254_bfs_recursive_cte",
+    """
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY a.p, b.p HAVING count(*) >= 2),
+    bi AS (SELECT pa AS s, pb AS d FROM e0
+           UNION ALL SELECT pb, pa FROM e0),
+    seed AS (SELECT s AS node FROM bi GROUP BY s
+             ORDER BY count(*) DESC, s LIMIT 1),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM seed
+      UNION ALL
+      SELECT bi.d, w.dist + 1 FROM walk w JOIN bi ON bi.s = w.node
+      WHERE w.dist < 3
+    ),
+    md AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+    SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_parts
+    FROM md GROUP BY dist
+    """,
+)
+def q254_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q141 BFS hop histogram computed through Spark 4's RECURSIVE
+    CTE — three implementations of one answer now gate each other:
+    the iterative frontier operator (q141, the 100 TB path: per-round
+    dedup bounds the frontier), DuckDB's recursive CTE (the oracle),
+    and Spark's recursive CTE execution (this query).  The recursive
+    form enumerates WALKS and dedups at the end (min(dist) GROUP BY),
+    which is fine at bounded depth on the support-filtered graph but
+    explodes combinatorially on dense graphs — exactly why q141's
+    iterative template stays the scale path; this query is the SQL-
+    parity surface, depth-bounded to 3 hops.
+
+    Uses a per-call temp view (unique name) since recursive CTEs are a
+    spark.sql-only surface — no DataFrame API equivalent exists."""
+    import uuid
+
+    view = f"li_rcte_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE
+            op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM {view}),
+            e0 AS (SELECT a.p AS pa, b.p AS pb FROM op a JOIN op b
+                     ON a.o = b.o AND a.p < b.p
+                   GROUP BY a.p, b.p HAVING count(*) >= 2),
+            bi AS (SELECT pa AS s, pb AS d FROM e0
+                   UNION ALL SELECT pb, pa FROM e0),
+            seed AS (SELECT s AS node FROM bi GROUP BY s
+                     ORDER BY count(*) DESC, s LIMIT 1),
+            walk(node, dist) AS (
+              SELECT node, 0 FROM seed
+              UNION ALL
+              SELECT bi.d, w.dist + 1 FROM walk w JOIN bi ON bi.s = w.node
+              WHERE w.dist < 3
+            ),
+            md AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+            SELECT CAST(dist AS BIGINT) AS dist,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM md GROUP BY dist
+            """
+        )
+    finally:
+        pass  # the view stays for the session; unique name avoids clashes

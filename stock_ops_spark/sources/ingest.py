@@ -208,6 +208,19 @@ class ParquetStore:
     def interval_stats(self, mode: str) -> DataFrame | None:
         return self._stats(mode, by_interval=True).read()
 
+    def rebuild_stats(self, mode: str) -> None:
+        """Maintenance-time heal for the stats catalog: re-aggregate the
+        store (one bounded pass).  Closes the crash window where a kill
+        lands after the data append but before the stats merge — the
+        replay dedups the rows away, so the skipped merge never
+        re-fires (see StatsTable docstring)."""
+        data = self.read_all(mode)
+        if data is None:
+            return
+        self._stats(mode, by_interval=False).rebuild(data, mode, by_interval=False)
+        if mode != "streaming":
+            self._stats(mode, by_interval=True).rebuild(data, mode, by_interval=True)
+
     def latest(self, mode: str) -> DataFrame | None:
         """O5 'current' view of the store."""
         df = self.read_all(mode)

@@ -154,3 +154,74 @@ def test_sigkill_mid_stream_then_resume_effectively_once(spark, tmp_path):
     )
     q2.awaitTermination(240)
     assert store.read_all("streaming").count() == total
+
+    # The stats catalog must also survive the kill: the swap-based
+    # StatsTable never leaves a torn directory (read() returns a frame
+    # or None, never raises), and rebuild_stats converges the catalog
+    # to the store exactly even when the kill landed between the data
+    # append and the stats merge.
+    st = store.table_stats("streaming")  # must not raise on debris
+    store.rebuild_stats("streaming")
+    st = store.table_stats("streaming")
+    assert st is not None
+    by_ticker = {r["ticker"]: r["row_count"] for r in st.collect()}
+    truth = {}
+    for burst in _bursts():
+        for r in burst:
+            truth[r["ticker"]] = truth.get(r["ticker"], 0) + 1
+    assert by_ticker == truth
+
+
+def test_stats_swap_recovery_states(spark, tmp_path):
+    """Unit twin of the SIGKILL test: drive StatsTable through each
+    crash state the two-rename swap can leave behind and assert read()
+    recovers the last whole generation (never raises, never loses a
+    committed merge)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.operators.stats import StatsTable
+
+    path = str(tmp_path / "stats")
+    t = StatsTable(spark, path, ["ticker"])
+
+    def delta(ticker, n, lo, hi):
+        return spark.createDataFrame(
+            [(ticker, n, lo, hi)], "ticker string, row_count long, min_ts long, max_ts long"
+        )
+
+    t.update(delta("SPY", 5, 10, 50))
+    t.update(delta("SPY", 3, 60, 90))
+    assert {r["row_count"] for r in t.read().collect()} == {8}
+
+    # state A: kill mid tmp-write — torn .tmp beside a healthy install
+    os.makedirs(path + ".tmp", exist_ok=True)
+    open(path + ".tmp/part-torn.parquet", "wb").close()
+    assert t.read().collect()[0]["row_count"] == 8
+    assert not os.path.exists(path + ".tmp")  # debris swept
+
+    # state B: kill between the renames — no install, complete .tmp
+    t.update(delta("SPY", 2, 95, 99))  # -> 10
+    shutil.copytree(path, path + ".tmp")
+    shutil.rmtree(path)
+    assert t.read().collect()[0]["row_count"] == 10  # tmp adopted
+    assert os.path.exists(path) and not os.path.exists(path + ".tmp")
+
+    # state C: stranded .old only (legacy in-place overwrite torn mid-write)
+    shutil.copytree(path, path + ".old")
+    shutil.rmtree(path)
+    os.makedirs(path)
+    open(path + "/part-torn.parquet", "wb").close()
+    assert t.read().collect()[0]["row_count"] == 10  # aside restored
+    assert not os.path.exists(path + ".old")
+
+    # rebuild converges the catalog to an arbitrary store frame
+    store_df = spark.createDataFrame(
+        [("SPY", 1_700000000_000, 1.0), ("VOO", 1_700000060_000, 2.0)],
+        "ticker string, timestamp_UTC_ms long, price double",
+    )
+    t.rebuild(store_df, "streaming", by_interval=False)
+    got = {r["ticker"]: r["row_count"] for r in t.read().collect()}
+    assert got == {"SPY": 1, "VOO": 1}

@@ -13903,3 +13903,234 @@ def q254_bfs_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM md GROUP BY dist
         """
     )
+
+
+@_register(
+    "q255_boilerplate_chunks",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), c AS (
+      SELECT doc_id, (pos - 1) // 10 AS chunk_id,
+             string_agg(w, ' ' ORDER BY pos) AS chunk
+      FROM w GROUP BY doc_id, (pos - 1) // 10
+      HAVING count(*) = 10
+    )
+    SELECT chunk,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)               AS n_occ
+    FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, chunk LIMIT 20
+    """,
+)
+def q255_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-chunk (boilerplate) detection: tile every
+    document into non-overlapping 10-word chunks and surface chunks that
+    recur in >= 2 DISTINCT documents — the headers/footers/licence-block
+    signal an LLM curation pipeline strips before training (within-doc
+    repetition is q94's job; this is the cross-doc twin).
+
+    Chunking is a per-row HOF projection (slice + array_join over the
+    split array — no word-level explode: the exploded unit is the CHUNK,
+    one per 10 words, so the shuffle carries each input word once inside
+    a 10x-smaller row count).  One groupBy on the chunk string; count
+    and count(distinct) two-phase partial-aggregate.  At 100 TB the
+    chunk string itself would be replaced by xxhash64(chunk) as the
+    grouping key (8-byte shuffle rows) with the text re-attached only to
+    the <=20 survivors; kept as text here because the string IS the
+    deduped artifact the oracle compares."""
+    # stage the split array ONCE: expressions inside HOF lambdas
+    # re-evaluate per element (engine lesson), so `words` must be a
+    # projected column, not an inline split(text)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    chunks = F.expr(
+        "CASE WHEN size(words) >= 10 THEN "
+        "transform(sequence(0, CAST(size(words) / 10 AS INT) - 1), "
+        "i -> array_join(slice(words, i * 10 + 1, 10), ' ')) "
+        "ELSE array() END"
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("chunk"))
+        .groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "chunk")
+        .limit(20)
+    )
+
+
+@_register(
+    "q256_ngram_novelty",
+    """
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(l, i, i + 4), ' ') AS gram
+      FROM w, unnest(range(1, len(l) - 3)) AS t(i)
+      WHERE len(l) >= 5
+    ), dg AS (
+      SELECT DISTINCT doc_id, source, gram FROM g
+    ), fi AS (
+      SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram
+    )
+    SELECT dg.source,
+           CAST(sum(CASE WHEN fi.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           CAST(count(*) AS BIGINT) AS total_grams,
+           round(sum(CASE WHEN fi.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*), 6) AS novelty
+    FROM dg JOIN fi USING (gram)
+    GROUP BY dg.source ORDER BY dg.source
+    """,
+)
+def q256_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of a source's distinct
+    word 5-grams that it INTRODUCED to the corpus (first occurrence by
+    doc_id order) — the curation signal that separates sources adding
+    new content from sources recirculating existing text (a
+    deduplication-adjacent metric: low novelty means high overlap with
+    already-ingested data, so the source's marginal training value is
+    low).
+
+    Shape: 5-grams are a per-row HOF projection (sliding slice — no
+    word explode), deduped per doc, then ONE shuffle on the gram string
+    serves both the first-introducer computation (min(doc_id) as an
+    unordered window aggregate over partitionBy(gram) — no join back)
+    and is micro-averaged per source with EXACT integer novel/total
+    counts (a per-doc float ratio averaged across docs would accumulate
+    in partition order; novel/total sums are order-free bigints).  At
+    100 TB the gram key would be xxhash64'd to an 8-byte shuffle row —
+    same plan shape."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("words")
+    )
+    grams = F.expr(
+        "CASE WHEN size(words) >= 5 THEN "
+        "transform(sequence(1, size(words) - 4), "
+        "i -> array_join(slice(words, i, 5), ' ')) "
+        "ELSE array() END"
+    )
+    dg = (
+        d.select("doc_id", "source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    first = F.min("doc_id").over(Window.partitionBy("gram"))
+    return (
+        dg.withColumn("first_doc", first)
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("novel_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("total_grams"),
+        )
+        .select(
+            "source",
+            "novel_grams",
+            "total_grams",
+            F.round(F.col("novel_grams") / F.col("total_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "q257_source_unigram_kl",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), sw AS (
+      SELECT source, w, count(*) AS c FROM w GROUP BY source, w
+    ), ts AS (
+      SELECT source, sum(c) AS t, count(*) AS nv FROM sw GROUP BY source
+    ), cw AS (
+      SELECT w, sum(c) AS cw FROM sw GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS tt FROM sw
+    ), terms AS (
+      SELECT sw.source, sw.w,
+             (sw.c::DOUBLE / ts.t::DOUBLE)
+               * ln((sw.c::DOUBLE * tot.tt::DOUBLE)
+                    / (ts.t::DOUBLE * cw.cw::DOUBLE)) AS term
+      FROM sw JOIN ts USING (source) JOIN cw USING (w) CROSS JOIN tot
+    ), k AS (
+      SELECT source,
+             round(list_aggregate(list(term ORDER BY w), 'sum'), 6) AS kl
+      FROM terms GROUP BY source
+    )
+    SELECT ts.source,
+           CAST(ts.t AS BIGINT)  AS n_tokens,
+           CAST(ts.nv AS BIGINT) AS n_vocab,
+           k.kl                  AS kl_vs_corpus
+    FROM ts JOIN k USING (source) ORDER BY ts.source
+    """,
+)
+def q257_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-distribution drift: KL divergence of each source's unigram
+    distribution against the whole-corpus distribution — the
+    distribution-shift monitor a training-mix planner (q252) consumes
+    to decide when a source's content has drifted enough to re-weight
+    (KL ~ 0: source looks like the corpus; large: niche vocabulary).
+
+    Every p and q is an exact-integer ratio (per-(source,word) counts,
+    per-source totals, per-word totals, corpus total), so each term is
+    computed from exact inputs and only the final per-source SUM is
+    float — accumulated in SORTED word order on both engines
+    (sort_array + aggregate HOF here, list(term ORDER BY w) +
+    list_aggregate in the oracle), the q207 fixed-order discipline
+    extended to open vocabularies.  Shape: one map-combinable shuffle
+    on (source, word); the word-marginal and source-total frames are
+    vocab- and source-sized (tiny) and broadcast back; no second pass
+    over the corpus."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    sw = d.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    ts = sw.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("nv")
+    )
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = sw.agg(F.sum("c").alias("tt"))
+    terms = (
+        sw.join(F.broadcast(ts.select("source", "t")), "source")
+        .join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            (
+                (F.col("c").cast("double") / F.col("t").cast("double"))
+                * F.log(
+                    (F.col("c").cast("double") * F.col("tt").cast("double"))
+                    / (F.col("t").cast("double") * F.col("cw").cast("double"))
+                )
+            ).alias("term"),
+        )
+    )
+    k = terms.groupBy("source").agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(w, term))), "
+            "cast(0.0 as double), (acc, x) -> acc + x.term)"
+        ).alias("kl_raw")
+    )
+    return (
+        ts.join(k, "source")
+        .select(
+            "source",
+            F.col("t").cast("bigint").alias("n_tokens"),
+            F.col("nv").cast("bigint").alias("n_vocab"),
+            F.round("kl_raw", 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )

@@ -14134,3 +14134,184 @@ def q257_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "q258_label_coherence",
+    """
+    WITH q AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qv
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ), p AS (
+      SELECT label, pos, sum(qv) AS s, sum(qv * qv) AS s2
+      FROM q GROUP BY label, pos
+    ), l AS (
+      SELECT label, sum(s * s) AS ssq, sum(s2) AS snorm FROM p GROUP BY label
+    ), n AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    )
+    SELECT CAST(n.label AS BIGINT) AS label,
+           CAST(n.n AS BIGINT)     AS n_vectors,
+           round((l.ssq - l.snorm)::DOUBLE
+                 / (n.n * (n.n - 1)) / 100000000, 6) AS mean_pairwise_dot
+    FROM n JOIN l USING (label)
+    WHERE n.n >= 2 ORDER BY n.label
+    """,
+)
+def q258_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-cluster embedding coherence: the mean pairwise dot product
+    within each label, WITHOUT materializing any pair — the
+    sum-of-sums identity sum_{i!=j} <v_i,v_j> = ||sum_i v_i||^2 -
+    sum_i ||v_i||^2 turns an O(n^2) pairwise pass into one linear
+    aggregation (the SemDeDup prune-threshold input: a low-coherence
+    cluster is a bad candidate for aggressive semantic dedup).
+
+    Dims quantize to exact ten-thousandth integers (the q162/q225
+    discipline) so every sum is exact integer math in DECIMAL(38,0)
+    (q177's overflow lesson: centroid sums square to ~1e17 at sf1)
+    and engines agree bit-for-bit; only the final display ratio is
+    float.  Shape: posexplode to (label, pos) — 64 x n_labels cells,
+    map-side combinable — then a label-sized rollup; no pair join
+    anywhere, which is exactly what makes the metric computable at
+    100 TB where n per label is millions."""
+    e = _t(spark, sf_dir, "embeddings")
+    qd = "CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)"
+    q = e.select(
+        "label",
+        F.posexplode(F.expr(f"transform(embedding, x -> {qd})")).alias(
+            "pos", "qv"
+        ),
+    )
+    p = q.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s"), F.sum(F.col("qv") * F.col("qv")).alias("s2")
+    )
+    l = p.groupBy("label").agg(
+        F.sum(
+            (F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)"))
+        ).alias("ssq"),
+        F.sum(F.col("s2").cast("decimal(38,0)")).alias("snorm"),
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        n.join(l, "label")
+        .where(F.col("n") >= 2)
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.round(
+                (F.col("ssq") - F.col("snorm")).cast("double")
+                / (F.col("n") * (F.col("n") - 1))
+                / 100000000,
+                6,
+            ).alias("mean_pairwise_dot"),
+        )
+        .orderBy("label")
+    )
+
+
+@_register(
+    "q259_quantization_recall",
+    """
+    WITH probe AS (
+      SELECT embedding AS pe FROM embeddings WHERE vec_id = 0
+    ), exact AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(probe.pe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(probe.pe[i] AS DOUBLE) * CAST(probe.pe[i] AS DOUBLE)))))
+               AS cos
+      FROM embeddings e CROSS JOIN probe
+      WHERE e.vec_id <> 0
+    ), etop AS (
+      SELECT vec_id FROM exact ORDER BY cos DESC, vec_id LIMIT 10
+    ), qv AS (
+      SELECT e.vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(round(greatest(-1.0, least(1.0,
+                    CAST(e.embedding[i] AS DOUBLE))) * 127) AS BIGINT)) AS q8
+      FROM embeddings e
+    ), qprobe AS (
+      SELECT q8 AS pq FROM qv JOIN embeddings USING (vec_id) WHERE vec_id = 0
+    ), quant AS (
+      SELECT qv.vec_id,
+             list_sum(list_transform(range(1, 65), i -> qv.q8[i] * qprobe.pq[i]))
+               AS dotq,
+             list_sum(list_transform(range(1, 65), i -> qv.q8[i] * qv.q8[i]))
+               AS n2q
+      FROM qv CROSS JOIN qprobe WHERE qv.vec_id <> 0
+    ), qtop AS (
+      SELECT vec_id FROM quant
+      ORDER BY dotq::DOUBLE / sqrt(n2q::DOUBLE) DESC, vec_id LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM etop JOIN qtop USING (vec_id)) AS BIGINT)
+               AS n_overlap,
+           round((SELECT count(*) FROM etop JOIN qtop USING (vec_id))::DOUBLE
+                 / 10, 6) AS recall_at_k
+    """,
+)
+def q259_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization retrieval-quality gate: recall@10 of int8-quantized
+    cosine search against exact float cosine for the standard probe
+    (vec_id 0, the q18 convention) — the measured answer to "how much
+    retrieval quality does 4x-smaller int8 storage cost?" before a
+    quantized index (q77) replaces the float one.
+
+    Both rankings deterministically tie-break on vec_id; the quantized
+    side ranks by exact-integer dot over an exact-integer norm (floats
+    only in the final sqrt ratio).  Shape: two broadcast-probe scans
+    (no pair join), two top-10 TakeOrdered, and a 10-row overlap count
+    — at 100 TB this is the same brute-force-scan shape as q18, which
+    the IVF path (q24) replaces when the corpus outgrows one scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pe")
+    )
+    cand = e.where(F.col("vec_id") != 0)
+    exact = (
+        cand.crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            (
+                V.dot(F.col("embedding"), F.col("pe"))
+                / (V.norm(F.col("embedding")) * V.norm(F.col("pe")))
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    q8 = (
+        "transform(embedding, x -> CAST(round(greatest(-1.0D, least(1.0D, "
+        "CAST(x AS DOUBLE))) * 127) AS BIGINT))"
+    )
+    qv = e.select("vec_id", F.expr(q8).alias("q8"))
+    qprobe = qv.where(F.col("vec_id") == 0).select(F.col("q8").alias("pq"))
+    quant = (
+        qv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qprobe))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(q8, pq, (a, b) -> a * b), 0L, (s, x) -> s + x)"
+            ).alias("dotq"),
+            F.expr(
+                "aggregate(transform(q8, a -> a * a), 0L, (s, x) -> s + x)"
+            ).alias("n2q"),
+        )
+        .orderBy(
+            (F.col("dotq").cast("double") / F.sqrt(F.col("n2q").cast("double"))).desc(),
+            "vec_id",
+        )
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(quant, "vec_id").agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_k"),
+    )

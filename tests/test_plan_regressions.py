@@ -600,3 +600,45 @@ def test_q252_no_doc_level_window(q):
     assert _every_window_sits_above_aggregate(
         q("q252_token_budget_mix_plan")
     ) == []
+
+
+def test_q255_chunk_shuffle_only(q):
+    """Boilerplate chunking must not explode words: the only exchanges
+    are the chunk aggregation (count-distinct expand) and the top-k;
+    no join, no cartesian."""
+    df = q("q255_boilerplate_chunks")
+    assert not A.has_cartesian(df)
+    assert A.join_types(df) == []
+    assert A.has_top_k(df)
+
+
+def test_q256_single_gram_shuffle(q):
+    """Novelty serves first-introducer AND the source rollup from ONE
+    gram-keyed shuffle (window min, no self-join back on gram)."""
+    df = q("q256_ngram_novelty")
+    assert A.join_types(df) == []
+    assert not A.has_cartesian(df)
+
+
+def test_q257_marginals_broadcast(q):
+    """KL joins the word-marginal and source-total frames back by
+    broadcast — the corpus-sized frame never shuffles twice."""
+    df = q("q257_source_unigram_kl")
+    assert A.count_broadcast_joins(df) >= 2
+
+
+def test_q258_no_pair_join(q):
+    """Coherence is the sum-of-sums identity: no pair materialization
+    means no join between embedding rows at all."""
+    df = q("q258_label_coherence")
+    assert not A.has_cartesian(df)
+    assert all(j in ("Inner",) for j in A.join_types(df))
+
+
+def test_q259_probe_broadcast_topk(q):
+    """Both rankings are broadcast-probe scans with TakeOrdered top-10
+    (the q18 shape), never a corpus-corpus product."""
+    df = q("q259_quantization_recall")
+    assert A.has_top_k(df)
+    s = A.plan_string(df)
+    assert s.count("BroadcastNestedLoopJoin") <= 2  # the two 1-row probes

@@ -14315,3 +14315,94 @@ def q259_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
         F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_k"),
     )
+
+
+@_register(
+    "q260_curation_funnel",
+    """
+    WITH d0 AS (SELECT doc_id, text FROM documents),
+    d1 AS (SELECT doc_id, text FROM d0 WHERE doc_id % 23 <> 0),
+    m AS (
+      SELECT doc_id, text,
+             length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' '))                        AS mean_wlen,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('a', 'the'))) * 1.0
+               / len(string_split(text, ' '))                        AS stop_frac,
+             1.0 - len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' '))                        AS dup_frac
+      FROM d1
+    ),
+    d2 AS (SELECT doc_id, text FROM m
+           WHERE mean_wlen <= 4.8 AND stop_frac <= 0.12 AND dup_frac <= 0.6),
+    d3 AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS k
+             FROM d2) WHERE doc_id = k),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                    i -> substr(lower(text), i, 8))) AS s
+           FROM d3),
+    kill AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s)
+               - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    d4 AS (SELECT doc_id, text FROM d3
+           WHERE doc_id NOT IN (SELECT doc_id FROM kill)),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(w) - 3 + 1), i ->
+               array_to_string(list_slice(w, i, i + 3), ' ')))) AS gram
+      FROM (SELECT string_split(text, ' ') AS w
+            FROM d0 WHERE doc_id % 23 = 0)
+      WHERE len(w) >= 4
+    ),
+    tg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(w) - 3 + 1), i ->
+               array_to_string(list_slice(w, i, i + 3), ' ')))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d4)
+      WHERE len(w) >= 4
+    ),
+    dirty AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
+    d5 AS (SELECT doc_id FROM d4
+           WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'input' AS stage,
+             CAST((SELECT count(*) FROM d0) AS BIGINT) AS rows_out
+      UNION ALL SELECT 1, 'drop_benchmark',
+             CAST((SELECT count(*) FROM d1) AS BIGINT)
+      UNION ALL SELECT 2, 'quality',
+             CAST((SELECT count(*) FROM d2) AS BIGINT)
+      UNION ALL SELECT 3, 'exact_dedup',
+             CAST((SELECT count(*) FROM d3) AS BIGINT)
+      UNION ALL SELECT 4, 'near_dedup',
+             CAST((SELECT count(*) FROM d4) AS BIGINT)
+      UNION ALL SELECT 5, 'decontaminate',
+             CAST((SELECT count(*) FROM d5) AS BIGINT)
+    ) ORDER BY stage_idx
+    """,
+)
+def q260_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel (pipeline.py): benchmark split →
+    Gopher quality gates (q92 thresholds) → exact dedup (q15) →
+    near-dedup against the verified minhash pair artifact (q21) →
+    4-gram decontamination vs the held-out slice (q93) — per-stage
+    surviving row counts, the one-page corpus health report every
+    training-data build publishes.
+
+    The oracle replays the whole funnel in SQL, including brute-force
+    exact-Jaccard near-dup among stage-3 survivors (equal to the
+    artifact pairs restricted to survivors — a pair over a subset is
+    the full-set pair with both endpoints inside).  The production row
+    accounting uses CorpusPipeline.run()'s Observations instead of
+    this per-stage count union (one job, not six —
+    tests/test_pipeline.py pins count equality between the two)."""
+    from stock_ops_spark.pipeline import standard_curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe = standard_curation(docs, lambda: _neardup_pairs(spark, sf_dir))
+    return pipe.funnel(docs)

@@ -14406,3 +14406,92 @@ def q260_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pipe = standard_curation(docs, lambda: _neardup_pairs(spark, sf_dir))
     return pipe.funnel(docs)
+
+
+@_register(
+    "q261_label_separation",
+    """
+    WITH q AS (
+      SELECT label, i AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qv
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ), p AS (
+      SELECT label, pos, sum(qv) AS s FROM q GROUP BY label, pos
+    ), nrm AS (
+      SELECT label, sum(s * s) AS n2 FROM p GROUP BY label
+    ), x AS (
+      SELECT a.label AS la, b.label AS lb, sum(a.s * b.s) AS d
+      FROM p a JOIN p b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT CAST(x.la AS BIGINT) AS label_a,
+           CAST(x.lb AS BIGINT) AS label_b,
+           round(x.d::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6)
+               AS centroid_cos
+    FROM x JOIN nrm na ON na.label = x.la JOIN nrm nb ON nb.label = x.lb
+    ORDER BY label_a, label_b
+    """,
+)
+def q261_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-label centroid separation: cosine between every pair of
+    label centroids — q258's coherence twin (within vs between is the
+    Davies-Bouldin-style separability read that decides whether labels
+    are distinct enough to stratify SemDeDup pruning by).
+
+    The cosine of two MEAN vectors equals the cosine of the two SUM
+    vectors (the 1/n factors cancel), so the whole metric reduces to
+    exact integer dot products of per-label quantized sum-vectors —
+    the same one-pass (label, pos) aggregation as q258, then a
+    label-pair join over a labels x 64 frame (hundreds of rows at any
+    corpus size: the pair join is on AGGREGATED sums, never on
+    embedding rows — that is what survives 100 TB)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qd = "CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)"
+    q = e.select(
+        "label",
+        F.posexplode(F.expr(f"transform(embedding, x -> {qd})")).alias(
+            "pos", "qv"
+        ),
+    )
+    p = q.groupBy("label", "pos").agg(F.sum("qv").alias("s"))
+    nrm = p.groupBy("label").agg(
+        F.sum(
+            F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+        ).alias("n2")
+    )
+    a = p.select(
+        F.col("label").alias("la"), "pos", F.col("s").alias("sa")
+    )
+    b = p.select(
+        F.col("label").alias("lb"), "pos", F.col("s").alias("sb")
+    )
+    x = (
+        a.join(b, "pos")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(
+                F.col("sa").cast("decimal(38,0)")
+                * F.col("sb").cast("decimal(38,0)")
+            ).alias("d")
+        )
+    )
+    na = nrm.select(F.col("label").alias("la"), F.col("n2").alias("n2a"))
+    nb = nrm.select(F.col("label").alias("lb"), F.col("n2").alias("n2b"))
+    return (
+        x.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            F.col("la").cast("bigint").alias("label_a"),
+            F.col("lb").cast("bigint").alias("label_b"),
+            F.round(
+                F.col("d").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )

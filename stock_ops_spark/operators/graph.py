@@ -213,6 +213,23 @@ def pagerank_cached(
     return spark.read.parquet(path)
 
 
+def copurchase_counts(op: DataFrame) -> DataFrame:
+    """Unfiltered (pa, pb, w) pair counts over a DISTINCT (l_orderkey,
+    l_partkey) frame: w = number of distinct orders containing both
+    parts.  The per-order pair self-join is the heavy stage every
+    cached/incremental path exists to avoid repeating."""
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
 def copurchase_edges(lineitem: DataFrame, support: int = 2) -> DataFrame:
     """(pa, pb, w) part-part co-purchase edges with pa < pb: w = number
     of DISTINCT ORDERS containing both parts, filtered to w >= support.
@@ -224,16 +241,52 @@ def copurchase_edges(lineitem: DataFrame, support: int = 2) -> DataFrame:
     separates affinity from one-off noise AND keeps the graph sparse
     (~4k edges at every SF vs ~1.2M unfiltered at sf0.1)."""
     op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
+    return copurchase_counts(op).where(F.col("w") >= support)
+
+
+def copurchase_counts_delta(
+    cur_op: DataFrame,
+    old_op: DataFrame,
+    old_counts: DataFrame,
+    stats: dict | None = None,
+) -> DataFrame:
+    """EXACT incremental pair-count refresh: each order contributes 0/1
+    to a pair independently, so the count table is a sum of per-order
+    contributions — for orders whose (order, part) set changed in ANY
+    way (rows appended, an existing order growing parts, rows removed
+    by retention), add the touched orders' pair sets at +1 under the
+    new state and -1 under the old state and fold into the carried
+    counts.  The expensive per-order pair join runs ONLY on touched
+    orders; the untouched corpus contributes one linear anti-join scan
+    (no self-join) for change detection.  This is the minhash-delta
+    discipline (VERDICT r5 #2) applied to the graph family."""
+    keys = ["l_orderkey", "l_partkey"]
+    added = cur_op.join(old_op, keys, "left_anti")
+    removed = old_op.join(cur_op, keys, "left_anti")
+    touched = (
+        added.select("l_orderkey")
+        .unionByName(removed.select("l_orderkey"))
+        .distinct()
+        # sever lineage: `touched` feeds two pair joins below, and both
+        # sides' plans would otherwise re-run the anti-joins
+        .localCheckpoint(eager=True)
+    )
+    cur_t = cur_op.join(touched, "l_orderkey", "leftsemi")
+    old_t = old_op.join(touched, "l_orderkey", "leftsemi")
+    if stats is not None:
+        stats["touched_orders"] = touched.count()
+        stats["delta_pair_rows_new"] = cur_t.count()
+        stats["delta_pair_rows_old"] = old_t.count()
+    plus = copurchase_counts(cur_t)
+    minus = copurchase_counts(old_t).select(
+        "pa", "pb", (-F.col("w")).alias("w")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= support)
+        old_counts.unionByName(plus)
+        .unionByName(minus)
+        .groupBy("pa", "pb")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .where(F.col("w") > 0)
     )
 
 
@@ -242,30 +295,57 @@ def copurchase_edges_cached(
     source_path: str,
     support: int = 2,
     cache_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Persisted twin of ``copurchase_edges`` — the support-filtered edge
-    list is the shared base of THREE graph consumers (triangle counting
-    q134, association rules q137, BFS q141), and its only heavy stage is
-    the per-order pair self-join of the full lineitem table; the
-    fit-once-read-many artifact discipline (see operators/artifacts.py)
-    turns that into one pass + N parquet reads."""
+    list is the shared base of FOUR graph consumers (triangle counting
+    q134, association rules q137, BFS q141, recursive CTE q254), and its
+    only heavy stage is the per-order pair self-join of the full
+    lineitem table; the fit-once-read-many artifact discipline (see
+    operators/artifacts.py) turns that into one pass + N parquet reads.
+
+    Incremental refresh (the minhash/containment discipline): each
+    version persists THREE artifacts — the served edges, the UNFILTERED
+    pair counts, and the distinct (order, part) state.  On a version
+    miss with a prior complete version of the same family,
+    ``copurchase_counts_delta`` recomputes pairs only for orders whose
+    part set changed (±1 contribution fold — exact under appends,
+    in-place growth, AND retention deletes); the per-order self-join
+    never re-touches unchanged orders.  ``stats`` receives the delta
+    counters the incremental test asserts on.  Both counts and state
+    are linear in the input's distinct projection — the storage price
+    of never re-running the quadratic stage on the full corpus."""
     from stock_ops_spark.operators import artifacts
 
     spark = lineitem.sparkSession
     if cache_dir is None:
         cache_dir = artifacts.default_cache_dir()
-    ident = artifacts.source_identity(source_path)
-    raw = f"v1|copurchase|{ident}|support={support}"
-    key = artifacts.cache_key(raw)
-    path = os.path.join(cache_dir, f"copurchase_{key}.parquet")
-    if os.path.isdir(path):
-        return spark.read.parquet(path)
-    edges = copurchase_edges(lineitem, support)
+    famraw = f"v2|copurchase|{os.path.abspath(source_path)}|support={support}"
+    fam = artifacts.cache_key(famraw)
+    ver = artifacts.cache_key(artifacts.source_identity(source_path))
+    suffixes = [".edges.parquet", ".counts.parquet", ".state.parquet"]
+    epath = artifacts.versioned_path(cache_dir, "copurchase", fam, ver, suffixes[0])
+    cpath = artifacts.versioned_path(cache_dir, "copurchase", fam, ver, suffixes[1])
+    spath = artifacts.versioned_path(cache_dir, "copurchase", fam, ver, suffixes[2])
+    if os.path.isdir(epath):
+        return spark.read.parquet(epath)
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-    edges.write.mode("overwrite").parquet(tmp)
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent writer won
-    return spark.read.parquet(path)
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    prior = artifacts.find_prior_version(
+        cache_dir, "copurchase", fam, ver, suffixes
+    )
+    if prior is not None:
+        old_counts = spark.read.parquet(
+            artifacts.versioned_path(cache_dir, "copurchase", fam, prior, suffixes[1])
+        )
+        old_op = spark.read.parquet(
+            artifacts.versioned_path(cache_dir, "copurchase", fam, prior, suffixes[2])
+        )
+        counts = copurchase_counts_delta(op, old_op, old_counts, stats=stats)
+    else:
+        counts = copurchase_counts(op)
+    artifacts.publish(op, spath)
+    artifacts.publish(counts, cpath)
+    edges = spark.read.parquet(cpath).where(F.col("w") >= support)
+    artifacts.publish(edges, epath)
+    return spark.read.parquet(epath)

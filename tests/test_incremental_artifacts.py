@@ -253,3 +253,87 @@ def test_versioned_artifacts_gc_family_grouping(tmp_path):
     assert len(removed) == 2
     assert all(vers[0] in r for r in removed)
     assert len(kept) == 2 and all(vers[1] in k for k in kept)
+
+
+# ---------------------------------------------------------------------------
+# co-purchase graph artifact (round 6: the graph family joins the
+# incremental discipline)
+# ---------------------------------------------------------------------------
+
+
+def _li_rows(n_orders: int, seed: int = 7):
+    """Deterministic lineitem-shaped rows: each order holds 2-5 distinct
+    parts from a small catalog, so pair support accumulates."""
+    rng = random.Random(seed)
+    rows = []
+    for o in range(1, n_orders + 1):
+        parts = rng.sample(range(1, 30), rng.randrange(2, 6))
+        for p in parts:
+            rows.append((o, p))
+            if rng.random() < 0.2:  # duplicate (order, part) rows on purpose
+                rows.append((o, p))
+    return rows
+
+
+def _li_write(spark, rows, path):
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _edges_set(df):
+    return {(r.pa, r.pb, r.w) for r in df.collect()}
+
+
+def test_copurchase_incremental_append_change_remove(spark, tmp_path):
+    """Append new orders, GROW an existing order, and DELETE an order;
+    the ±1 contribution fold must equal the full rebuild exactly, and
+    the pair-join work counters must stay bounded by the touched
+    orders (the untouched 95% is never re-paired)."""
+    from stock_ops_spark.operators.graph import (
+        copurchase_edges,
+        copurchase_edges_cached,
+    )
+
+    cache = str(tmp_path / "cache")
+    src = str(tmp_path / "li.parquet")
+    rows1 = _li_rows(120)
+    li1 = _li_write(spark, rows1, src)
+    e1 = copurchase_edges_cached(li1, source_path=src, support=2, cache_dir=cache)
+    assert _edges_set(e1) == _edges_set(copurchase_edges(li1, support=2))
+
+    # mutate: +6 new orders, one existing order gains a part, one order
+    # disappears (retention)
+    rows2 = [r for r in rows1 if r[0] != 3]
+    rows2 += [(121 + i, p) for i in range(6) for p in (1 + i, 7 + i, 14)]
+    rows2.append((5, 29))  # order 5 grows
+    import time as _t
+
+    _t.sleep(0.05)  # ensure a distinct mtime for the version digest
+    li2 = _li_write(spark, rows2, src)
+    stats: dict = {}
+    e2 = copurchase_edges_cached(
+        li2, source_path=src, support=2, cache_dir=cache, stats=stats
+    )
+    assert _edges_set(e2) == _edges_set(copurchase_edges(li2, support=2))
+    # the delta path actually ran, and touched only the mutated orders
+    assert stats, "expected the incremental path (prior version present)"
+    assert stats["touched_orders"] == 8  # 6 new + grown 5 + removed 3
+    n_all = li2.select("l_orderkey", "l_partkey").distinct().count()
+    assert stats["delta_pair_rows_new"] < n_all * 0.2
+
+
+def test_copurchase_cold_path_no_stats(spark, tmp_path):
+    """First build of a family is the full pipeline — stats stay empty
+    (no prior version to delta against)."""
+    from stock_ops_spark.operators.graph import copurchase_edges_cached
+
+    cache = str(tmp_path / "cache")
+    src = str(tmp_path / "li.parquet")
+    li = _li_write(spark, _li_rows(40), src)
+    stats: dict = {}
+    copurchase_edges_cached(
+        li, source_path=src, support=2, cache_dir=cache, stats=stats
+    )
+    assert stats == {}

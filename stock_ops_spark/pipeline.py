@@ -184,7 +184,12 @@ class CorpusPipeline:
         """Reporting twin: (stage_idx, stage, rows_out) for the input and
         every stage — one count aggregate per stage, unioned.  Used by
         the oracled funnel query; production row accounting uses
-        ``run()``'s Observations instead (single job)."""
+        ``run()``'s Observations instead (single job).
+
+        Each stage output is LAZILY localCheckpointed: the six count
+        aggregates execute in one action, and without the checkpoint
+        each would re-run the whole stage-chain prefix (O(stages²)
+        recomputation — measured 2.5 s → ~1.7 s warm at sf0.1)."""
         frames = [
             docs.agg(
                 F.lit(0).alias("stage_idx"),
@@ -194,7 +199,7 @@ class CorpusPipeline:
         ]
         cur = docs
         for i, st in enumerate(self.stages, 1):
-            cur = st.apply(cur)
+            cur = st.apply(cur).localCheckpoint(eager=False)
             frames.append(
                 cur.agg(
                     F.lit(i).alias("stage_idx"),

@@ -14495,3 +14495,79 @@ def q261_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@_register(
+    "q262_expectations_orders",
+    """
+    WITH agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)  AS v_nn,
+             sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                      THEN 1 ELSE 0 END)                          AS v_neg,
+             sum(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END)                          AS v_acc,
+             sum(CASE WHEN o_orderpriority IS NULL
+                       OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END)                          AS v_re,
+             count(o_orderkey) - count(DISTINCT o_orderkey)       AS v_uq
+      FROM orders
+    ), fk AS (
+      SELECT count(*) AS checked,
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL
+    )
+    SELECT * FROM (
+      SELECT 'accepted_values(o_orderstatus)' AS check_name,
+             'o_orderstatus' AS col_name,
+             CAST(v_acc AS BIGINT) AS n_violations,
+             CAST(n AS BIGINT) AS n_checked, v_acc = 0 AS passed
+      FROM agg
+      UNION ALL SELECT 'foreign_key(o_custkey)', 'o_custkey',
+             CAST(v AS BIGINT), CAST(checked AS BIGINT), v = 0 FROM fk
+      UNION ALL SELECT 'matches_regex(o_orderpriority)', 'o_orderpriority',
+             CAST(v_re AS BIGINT), CAST(n AS BIGINT), v_re = 0 FROM agg
+      UNION ALL SELECT 'non_negative(o_totalprice)', 'o_totalprice',
+             CAST(v_neg AS BIGINT), CAST(n AS BIGINT), v_neg = 0 FROM agg
+      UNION ALL SELECT 'not_null(o_custkey)', 'o_custkey',
+             CAST(v_nn AS BIGINT), CAST(n AS BIGINT), v_nn = 0 FROM agg
+      UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey',
+             CAST(v_uq AS BIGINT), CAST(n AS BIGINT), v_uq = 0 FROM agg
+    ) ORDER BY check_name
+    """,
+)
+def q262_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the orders table
+    (plans/expectations.py): not-null, uniqueness, value-domain, regex,
+    range, and referential integrity — compiled to ONE aggregation pass
+    (uniqueness rides the same aggregate as count minus
+    count-distinct) plus one scalar anti-join for the foreign key.
+    The dbt-test / Great-Expectations shape, engine-native: the report
+    is a tall DataFrame that composes with thresholds and history
+    tables, and the single-pass compilation is what makes running the
+    whole suite on a 100 TB table one scan instead of six."""
+    from stock_ops_spark.plans.expectations import (
+        ExpectationSuite,
+        ForeignKey,
+        Unique,
+        accepted_values,
+        matches_regex,
+        non_negative,
+        not_null,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    suite = ExpectationSuite(
+        [
+            not_null("o_custkey"),
+            Unique("o_orderkey"),
+            non_negative("o_totalprice"),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            matches_regex("o_orderpriority", "^[1-5]-"),
+            ForeignKey("o_custkey", ref=customer, ref_col="c_custkey"),
+        ]
+    )
+    return suite.report(orders)

@@ -72,6 +72,15 @@ def non_negative(col: str) -> Check:
     return Check(f"non_negative({col})", col, c.isNull() | (c < 0))
 
 
+def satisfies(name: str, col: str, predicate: Column) -> Check:
+    """Generic row expectation: ``predicate`` must hold (NULL counts as
+    a violation — SQL three-valued logic would otherwise silently pass
+    NULL rows)."""
+    return Check(
+        f"satisfies({name})", col, ~F.coalesce(predicate, F.lit(False))
+    )
+
+
 @dataclass(frozen=True)
 class Unique:
     """Uniqueness rides the same single aggregate:

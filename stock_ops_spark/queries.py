@@ -14571,3 +14571,75 @@ def q262_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return suite.report(orders)
+
+
+@_register(
+    "q263_expectations_documents",
+    """
+    WITH agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)        AS v_nn,
+             sum(CASE WHEN NOT coalesce(length(text) > 0, FALSE)
+                      THEN 1 ELSE 0 END)                           AS v_ne,
+             sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+                      THEN 1 ELSE 0 END)                           AS v_nc,
+             sum(CASE WHEN lang IS NULL
+                       OR lang NOT IN ('en', 'de', 'fr', 'es', 'it')
+                      THEN 1 ELSE 0 END)                           AS v_lang,
+             sum(CASE WHEN source IS NULL
+                       OR NOT regexp_matches(source, '^src[0-9]+$')
+                      THEN 1 ELSE 0 END)                           AS v_src,
+             count(doc_id) - count(DISTINCT doc_id)                AS v_uq
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT 'accepted_values(lang)' AS check_name, 'lang' AS col_name,
+             CAST(v_lang AS BIGINT) AS n_violations,
+             CAST(n AS BIGINT) AS n_checked, v_lang = 0 AS passed FROM agg
+      UNION ALL SELECT 'matches_regex(source)', 'source',
+             CAST(v_src AS BIGINT), CAST(n AS BIGINT), v_src = 0 FROM agg
+      UNION ALL SELECT 'not_null(text)', 'text',
+             CAST(v_nn AS BIGINT), CAST(n AS BIGINT), v_nn = 0 FROM agg
+      UNION ALL SELECT 'satisfies(n_chars_consistent)', 'n_chars',
+             CAST(v_nc AS BIGINT), CAST(n AS BIGINT), v_nc = 0 FROM agg
+      UNION ALL SELECT 'satisfies(text_nonempty)', 'text',
+             CAST(v_ne AS BIGINT), CAST(n AS BIGINT), v_ne = 0 FROM agg
+      UNION ALL SELECT 'unique(doc_id)', 'doc_id',
+             CAST(v_uq AS BIGINT), CAST(n AS BIGINT), v_uq = 0 FROM agg
+    ) ORDER BY check_name
+    """,
+)
+def q263_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations suite over the TRAINING-DATA table: corpus
+    ingestion QA — unique doc ids, non-null non-empty text, the stored
+    n_chars column consistent with the text it describes (derived-
+    column drift is the classic silent corpus corruption), language
+    domain, and source-name format.  Same single-aggregation-pass
+    compilation as q262; `satisfies` is the generic escape hatch
+    (NULL-hostile: a NULL predicate is a violation, not a pass —
+    SQL three-valued logic would silently wave NULL rows through)."""
+    from stock_ops_spark.plans.expectations import (
+        ExpectationSuite,
+        Unique,
+        accepted_values,
+        matches_regex,
+        not_null,
+        satisfies,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    suite = ExpectationSuite(
+        [
+            not_null("text"),
+            satisfies("text_nonempty", "text", F.length("text") > 0),
+            satisfies(
+                "n_chars_consistent",
+                "n_chars",
+                F.col("n_chars") == F.length("text"),
+            ),
+            accepted_values("lang", ["en", "de", "fr", "es", "it"]),
+            matches_regex("source", "^src[0-9]+$"),
+            Unique("doc_id"),
+        ]
+    )
+    return suite.report(d)

@@ -14643,3 +14643,161 @@ def q263_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return suite.report(d)
+
+
+@_register(
+    "q264_shingle_skew",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(length(lower(text)) - 7, 1) + 1),
+               i -> substr(lower(text), i, 8)))) AS s
+      FROM documents
+    ), df AS (
+      SELECT s, count(*) AS df FROM sh GROUP BY s
+    )
+    SELECT CAST(count(*) AS BIGINT)                   AS n_shingles,
+           CAST(sum(df) AS BIGINT)                    AS n_postings,
+           CAST(max(df) AS BIGINT)                    AS max_df,
+           CAST(sum(df * (df - 1) / 2) AS BIGINT)     AS naive_candidate_pairs,
+           CAST(sum(CASE WHEN df >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_hot_shingles
+    FROM df
+    """,
+)
+def q264_shingle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH feasibility guardrail: the 8-char shingle document-frequency
+    profile and the Σ df·(df−1)/2 candidate-pair bound a NAIVE
+    shingle equi-join would generate — the number that explains why
+    the near-dup pipeline bands minhash signatures instead of joining
+    on raw shingles (one hot shingle with df=10⁴ alone contributes
+    ~5·10⁷ candidate pairs; the banded join's bucket sizes don't grow
+    with df).  Run BEFORE an LSH build on a new corpus: a
+    naive_candidate_pairs blowup with many hot shingles predicts hot
+    LSH buckets too and argues for a stopword-shingle filter.  Shape:
+    per-doc distinct shingles (HOF projection), one df aggregation,
+    one scalar rollup — all exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TXT.char_ngrams(F.col("text"), 8))
+        ).alias("s"),
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("n_postings"),
+        F.max("df").cast("bigint").alias("max_df"),
+        F.sum(
+            (F.col("df") * (F.col("df") - 1) / 2).cast("bigint")
+        ).cast("bigint").alias("naive_candidate_pairs"),
+        F.sum(F.when(F.col("df") >= 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hot_shingles"),
+    )
+
+
+@_register(
+    "q265_seasonal_naive_backtest",
+    """
+    WITH mrev AS (
+      SELECT n.n_name AS nation,
+             date_trunc('month', o.o_orderdate) AS m,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), mx AS (SELECT max(m) AS mm FROM mrev),
+    joined AS (
+      SELECT a.nation, a.m, a.rev, p.rev AS pred
+      FROM mrev a
+      JOIN mrev p ON p.nation = a.nation AND p.m = a.m - INTERVAL 12 MONTH
+      CROSS JOIN mx
+      WHERE a.m > mx.mm - INTERVAL 12 MONTH AND a.rev > 0
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_months,
+           round(list_aggregate(list(a_err ORDER BY m), 'sum') / count(*), 6)
+               AS mape
+    FROM (SELECT nation, m, abs(rev - pred)::DOUBLE / rev AS a_err
+          FROM joined) t
+    GROUP BY nation ORDER BY nation
+    """,
+)
+def q265_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-model backtest: seasonal-naive (predict month m with
+    month m−12) scored by MAPE over each nation's trailing 12 months —
+    the baseline every forecasting pipeline must beat, and the
+    model-router input that complements q224's volatility CV (high
+    seasonal-naive MAPE = the series has no stable yearly shape, so
+    route it to a short-memory model).
+
+    Exactness: monthly revenue aggregates in integer ten-thousandths
+    (the _rev4 discipline), the per-month absolute percentage error is
+    a ratio of exact integers, and the final 12-term-max per-nation
+    mean accumulates in SORTED month order on both engines (the
+    q207/q257 fixed-order float discipline).  Shape: one fact aggregation keyed
+    by (nation, month) — ~25×84 cells — then a tiny self-join shifted
+    12 months on the AGGREGATED frame, never on the fact table."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _rev4().alias("rev4")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mrev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "m")
+        .agg(F.sum("rev4").alias("rev"))
+    )
+    mx = mrev.agg(F.max("m").alias("mm"))
+    a = mrev.select("nation", "m", "rev")
+    p = mrev.select(
+        F.col("nation").alias("nation_p"),
+        F.col("m").alias("m_p"),
+        F.col("rev").alias("pred"),
+    )
+    joined = (
+        a.join(
+            p,
+            (F.col("nation_p") == F.col("nation"))
+            & (F.col("m_p") == F.col("m") - F.expr("INTERVAL 12 MONTH")),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(
+            (F.col("m") > F.col("mm") - F.expr("INTERVAL 12 MONTH"))
+            & (F.col("rev") > 0)
+        )
+    )
+    return (
+        joined.select(
+            "nation",
+            "m",
+            (
+                F.abs(F.col("rev") - F.col("pred")).cast("double")
+                / F.col("rev")
+            ).alias("a_err"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.round(
+                F.expr(
+                    "aggregate(sort_array(collect_list(struct(m, a_err))), "
+                    "cast(0.0 as double), (acc, x) -> acc + x.a_err)"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mape"),
+        )
+        .orderBy("nation")
+    )

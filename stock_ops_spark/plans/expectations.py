@@ -188,3 +188,39 @@ class ExpectationSuite:
             F.col("n_checked").cast("bigint").alias("n_checked"),
             (F.col("n_violations") == 0).alias("passed"),
         ).orderBy("check_name")
+
+
+def stream_report(
+    stream: DataFrame,
+    suite: "ExpectationSuite",
+    history_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    trigger_seconds: int = 10,
+):
+    """Streaming half of the suite: run the single-pass report on every
+    micro-batch and APPEND it (plus batch_id) to a parquet history —
+    the per-batch QA trail a streaming ingest publishes next to its
+    data (alerting joins `history WHERE NOT passed`; a widening
+    violation count per batch is the canary for an upstream schema or
+    encoding drift, the failure mode the round-3 NTZ event taught).
+
+    The report aggregate runs INSIDE foreachBatch on the already-
+    materialized micro-batch — one extra aggregation per batch, no
+    second source scan, and the history append is tiny (one row per
+    check per batch)."""
+
+    def write_report(batch: DataFrame, batch_id: int) -> None:
+        rep = suite.report(batch).withColumn("batch_id", F.lit(batch_id))
+        rep.coalesce(1).write.mode("append").parquet(history_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_report)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -103,3 +103,56 @@ def test_suite_validation(spark):
         ExpectationSuite([not_null("a"), not_null("a")])
     with pytest.raises(TypeError):
         ExpectationSuite([not_null("a"), "bogus"])
+
+
+def test_stream_report_history(spark, tmp_path):
+    """Per-micro-batch QA history: two bursts (one clean, one dirty)
+    stream through stream_report; the history carries one row per
+    check per batch, and the dirty batch's violations land in its own
+    batch_id rows."""
+    import json as _json
+
+    from stock_ops_spark.plans.expectations import (
+        ExpectationSuite,
+        non_negative,
+        not_null,
+        stream_report,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    clean = [{"id": 1, "amount": 5.0}, {"id": 2, "amount": 7.0}]
+    dirty = [{"id": 3, "amount": -1.0}, {"id": None, "amount": 2.0}]
+    for i, rows in enumerate([clean, dirty]):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("id long, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    suite = ExpectationSuite([not_null("id"), non_negative("amount")])
+    q = stream_report(
+        stream,
+        suite,
+        history_path=str(tmp_path / "history"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    hist = spark.read.parquet(str(tmp_path / "history"))
+    rows = hist.collect()
+    assert len(rows) == 4  # 2 checks x 2 batches
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], {})[r["check_name"]] = r
+    batches = sorted(by_batch)
+    assert len(batches) == 2
+    per_batch_viol = {
+        b: sum(r["n_violations"] for r in by_batch[b].values())
+        for b in batches
+    }
+    assert sorted(per_batch_viol.values()) == [0, 2]  # clean + dirty burst

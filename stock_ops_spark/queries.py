@@ -14801,3 +14801,115 @@ def q265_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@_register(
+    "q266_poisson_bootstrap_ci",
+    """
+    WITH o AS (
+      SELECT o_orderkey % 100003 AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), b AS (SELECT unnest(range(1, 65)) AS b),
+    w AS (
+      SELECT b.b, o.cents,
+             ((o.k * 1103515245 + b.b * 2654435761) % 2147483647)
+               / 2147483647.0 AS u
+      FROM o CROSS JOIN b
+    ), ww AS (
+      SELECT b, cents,
+             CASE WHEN u < 0.367879 THEN 0
+                  WHEN u < 0.735759 THEN 1
+                  WHEN u < 0.919699 THEN 2
+                  WHEN u < 0.981012 THEN 3
+                  WHEN u < 0.996340 THEN 4
+                  ELSE 5 END AS w
+      FROM w
+    ), means AS (
+      SELECT b, sum(w * cents)::DOUBLE / sum(w) AS m
+      FROM ww GROUP BY b HAVING sum(w) > 0
+    ), ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS r,
+             count(*) OVER () AS nb
+      FROM means
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM o)          AS n_orders,
+           (SELECT round(sum(cents)::DOUBLE / count(*) / 100, 2) FROM o)
+                                                             AS mean_aov,
+           round((SELECT m FROM ranked WHERE r = 2) / 100, 2)  AS boot_lo,
+           round((SELECT m FROM ranked WHERE r = nb - 1) / 100, 2)
+                                                             AS boot_hi
+    """,
+)
+def q266_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for mean order value
+    via the POISSON bootstrap (Chamandy et al., the resampling scheme
+    that works when n is too large to multinomial-sample): each of 64
+    resamples weights every order by an independent Poisson(1) draw,
+    realized as a DETERMINISTIC hash-derived uniform pushed through the
+    Poisson inverse CDF — identical integer arithmetic on both engines,
+    so the 'random' weights are reproducible and oracle-checkable (a
+    seeded-RNG bootstrap could never hash-match across engines).
+
+    The CI is the 2nd / 63rd of the 64 sorted resample means (~95%).
+    Shape: one 64× map-side row amplification folded immediately by a
+    64-group partial aggregate — no data-sized shuffle, no second scan;
+    the classic n-too-big bootstrap layout.  Exactness: order values in
+    integer cents, weighted sums exact, only the 64 final ratios are
+    float."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 100003).alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = o.select(
+        "k",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        (
+            ((F.col("k") * 1103515245 + F.col("b") * F.lit(2654435761))
+             % 2147483647)
+            / F.lit(2147483647.0)
+        ).alias("u"),
+    )
+    ww = w.select(
+        "b",
+        "cents",
+        F.when(F.col("u") < 0.367879, 0)
+        .when(F.col("u") < 0.735759, 1)
+        .when(F.col("u") < 0.919699, 2)
+        .when(F.col("u") < 0.981012, 3)
+        .when(F.col("u") < 0.996340, 4)
+        .otherwise(5)
+        .alias("w"),
+    )
+    means = (
+        ww.groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w")
+            ).alias("m")
+        )
+        .where(F.col("m").isNotNull())
+    )
+    ranked = means.select(
+        "m",
+        F.row_number().over(Window.orderBy("m", "b")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1)) / 100, 2).alias(
+            "mean_aov"
+        ),
+    )
+    lo = ranked.where(F.col("r") == 2).select(
+        F.round(F.col("m") / 100, 2).alias("boot_lo")
+    )
+    hi = ranked.where(F.col("r") == F.col("nb") - 1).select(
+        F.round(F.col("m") / 100, 2).alias("boot_hi")
+    )
+    return base.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))

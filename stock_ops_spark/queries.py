@@ -14917,3 +14917,201 @@ def q266_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m") / 100, 2).alias("boot_hi")
     )
     return base.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+@_register(
+    "q267_decile_lift",
+    """
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+      FROM events GROUP BY user_id
+    ),
+    thr AS (
+      SELECT quantile_cont(clicks, 0.2) AS t1, quantile_cont(clicks, 0.4) AS t2,
+             quantile_cont(clicks, 0.6) AS t3, quantile_cont(clicks, 0.8) AS t4
+      FROM u
+    ),
+    base AS (SELECT sum(bought)::DOUBLE / count(*) AS rate FROM u),
+    scored AS (
+      SELECT u.user_id, u.bought,
+             1 + (clicks > t1)::INT + (clicks > t2)::INT
+               + (clicks > t3)::INT + (clicks > t4)::INT AS bucket
+      FROM u CROSS JOIN thr
+    )
+    SELECT CAST(bucket AS BIGINT)       AS bucket,
+           CAST(count(*) AS BIGINT)     AS n_users,
+           CAST(sum(bought) AS BIGINT)  AS n_buyers,
+           round(sum(bought)::DOUBLE / count(*), 6)            AS buy_rate,
+           round(sum(bought)::DOUBLE / count(*) / base.rate, 6) AS lift
+    FROM scored CROSS JOIN base
+    GROUP BY bucket, base.rate ORDER BY bucket
+    """,
+)
+def q267_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quintile lift chart — the standard propensity-model evaluation:
+    rank users by an engagement score (click count), bucket by
+    broadcast quantile thresholds (the q145 discipline — no global
+    ntile sort; ties lump into the lower bucket deterministically on
+    both engines), and report each bucket's purchase rate as a LIFT
+    over the base rate.  A monotone lift curve validates the score;
+    the top-bucket lift is the campaign-targeting headline number.
+    Shape: one user aggregate, one 4-value threshold broadcast, one
+    5-key rollup — exact integer rates, float only in the final
+    ratios."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicks"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("bought"),
+    )
+    thr = u.agg(
+        F.expr("percentile(clicks, 0.2)").alias("t1"),
+        F.expr("percentile(clicks, 0.4)").alias("t2"),
+        F.expr("percentile(clicks, 0.6)").alias("t3"),
+        F.expr("percentile(clicks, 0.8)").alias("t4"),
+    )
+    base = u.agg(
+        (F.sum("bought").cast("double") / F.count(F.lit(1))).alias("rate")
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("clicks") > F.col("t1")).cast("int")
+        + (F.col("clicks") > F.col("t2")).cast("int")
+        + (F.col("clicks") > F.col("t3")).cast("int")
+        + (F.col("clicks") > F.col("t4")).cast("int")
+    )
+    return (
+        u.crossJoin(F.broadcast(thr))
+        .select(bucket.alias("bucket"), "bought")
+        .crossJoin(F.broadcast(base))
+        .groupBy("bucket", "rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("bought").cast("bigint").alias("n_buyers"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_users",
+            "n_buyers",
+            F.round(F.col("n_buyers") / F.col("n_users"), 6).alias("buy_rate"),
+            F.round(
+                F.col("n_buyers") / F.col("n_users") / F.col("rate"), 6
+            ).alias("lift"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "q268_split_leakage",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+                  ELSE 'heldout' END AS split
+      FROM documents
+    ),
+    exact_x AS (
+      SELECT count(*) AS n
+      FROM (SELECT text FROM s WHERE split = 'train' GROUP BY text) a
+      JOIN (SELECT text FROM s WHERE split = 'heldout' GROUP BY text) b
+        USING (text)
+    ),
+    sh AS (
+      SELECT doc_id, split,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(text)) - 7, 1) + 1),
+               i -> substr(lower(text), i, 8))) AS g
+      FROM s
+    ),
+    near_x AS (
+      SELECT count(*) AS n FROM (
+        SELECT DISTINCT a.doc_id AS ta, b.doc_id AS hb
+        FROM sh a JOIN sh b
+          ON a.split = 'train' AND b.split = 'heldout'
+        WHERE len(list_filter(a.g, x -> list_contains(b.g, x)))::DOUBLE
+              / (len(a.g) + len(b.g)
+                 - len(list_filter(a.g, x -> list_contains(b.g, x)))) >= 0.5
+      )
+    ),
+    counts AS (
+      SELECT sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)   AS n_train,
+             sum(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END) AS n_heldout
+      FROM s
+    )
+    SELECT CAST(n_train AS BIGINT)   AS n_train,
+           CAST(n_heldout AS BIGINT) AS n_heldout,
+           CAST(exact_x.n AS BIGINT) AS exact_cross_dups,
+           CAST(near_x.n AS BIGINT)  AS neardup_cross_pairs
+    FROM counts, exact_x, near_x
+    """,
+)
+def q268_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out split-leakage audit — the evaluation-integrity
+    check every LLM data pipeline runs after splitting: an exact or
+    near duplicate of a held-out document inside the training split
+    inflates eval scores without any 4-gram contamination (q93
+    catches verbatim n-gram overlap; THIS catches whole-document
+    duplication across the q124 hash split).  Reports exact
+    cross-split text collisions and near-dup pairs (Jaccard >= 0.5)
+    that STRADDLE the split boundary, served from the verified
+    minhash pair artifact filtered to opposite-split endpoints —
+    zero new pair computation.  The oracle brute-forces the straddling
+    pairs; restriction of corpus-wide pairs to a split predicate is
+    exact (both endpoints carry their split deterministically)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    s = d.select(
+        "doc_id",
+        "text",
+        F.when(u < 900, F.lit("train")).otherwise(F.lit("heldout")).alias(
+            "split"
+        ),
+    )
+    tr = s.where(F.col("split") == "train")
+    ho = s.where(F.col("split") == "heldout")
+    exact_x = (
+        tr.select("text")
+        .distinct()
+        .join(ho.select("text").distinct(), "text", "leftsemi")
+        .agg(F.count(F.lit(1)).alias("exact_cross_dups"))
+    )
+    pairs = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    sp = s.select("doc_id", "split")
+    near_x = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("neardup_cross_pairs"))
+    )
+    counts = s.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_heldout"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(exact_x))
+        .crossJoin(F.broadcast(near_x))
+        .select(
+            "n_train",
+            "n_heldout",
+            F.col("exact_cross_dups").cast("bigint").alias("exact_cross_dups"),
+            F.col("neardup_cross_pairs")
+            .cast("bigint")
+            .alias("neardup_cross_pairs"),
+        )
+    )

@@ -15115,3 +15115,114 @@ def q268_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("neardup_cross_pairs"),
         )
     )
+
+
+def _bucketed_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared bucketed twins of orders and lineitem, co-bucketed 16-way
+    on the order key — the one-write-many-readers layout that lets
+    every later orderkey join/aggregate plan with ZERO Exchange (the
+    distributed twin of the reference's one-SQLite-table-per-shard
+    keyed layout).  Built at most once per source version via the
+    artifact cache; q269/q270 read them, tests/test_bucketing.py pins
+    the shuffle-free plans."""
+    from stock_ops_spark.sources.bucketing import bucketed_twin
+
+    o = bucketed_twin(
+        spark,
+        _t(spark, sf_dir, "orders"),
+        catalog.table_path(sf_dir, "orders"),
+        "orders",
+        ["o_orderkey"],
+        16,
+    )
+    li = bucketed_twin(
+        spark,
+        _t(spark, sf_dir, "lineitem"),
+        catalog.table_path(sf_dir, "lineitem"),
+        "lineitem",
+        ["l_orderkey"],
+        16,
+    )
+    return o, li
+
+
+@_register(
+    "q269_bucketed_priority_rollup",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                    AS n_lines,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT)  AS n_orders,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 10000.0, 4)    AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q269_bucketed_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join served from co-bucketed tables: orders x lineitem
+    on orderkey with BOTH sides pre-hashed into the same 16 buckets, so
+    the join itself needs no Exchange — at 100 TB the shuffle this
+    removes (rewriting the larger fact across the network) IS the query
+    cost; the only shuffle left is the 5-row priority rollup.  Revenue
+    in exact integer ten-thousandths (the q01 discipline).  Same
+    results as a plain join — the layout changes the plan, never the
+    answer (that equality is this query's oracle)."""
+    o, li = _bucketed_orders_lineitem(spark, sf_dir)
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000,
+                        0,
+                    ).cast("bigint")
+                )
+                / 10000.0,
+                4,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "q270_bucketed_linecount_histogram",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, count(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_lines AS BIGINT)  AS lines_per_order,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY n_lines ORDER BY n_lines
+    """,
+)
+def q270_bucketed_linecount_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-orderkey aggregate on a bucketed table: the scan's hash
+    distribution already satisfies the groupBy, so the high-cardinality
+    per-order count runs Exchange-free (partial+final collapse into one
+    in-place aggregate per bucket); only the tiny histogram rollup
+    shuffles.  The unbucketed twin of this plan shuffles the WHOLE
+    fact table on orderkey first — at 100 TB that is the difference
+    between a network-bound and a scan-bound query."""
+    _, li = _bucketed_orders_lineitem(spark, sf_dir)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        per_order.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            F.col("n_lines").cast("bigint").alias("lines_per_order"),
+            "n_orders",
+        )
+        .orderBy("lines_per_order")
+    )

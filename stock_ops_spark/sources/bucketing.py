@@ -1,0 +1,151 @@
+"""Bucketed table twins — co-located joins and aggregations without a
+shuffle.
+
+At 100 TB the dominant cost of a fact-fact join (orders x lineitem on
+orderkey) or a high-cardinality per-key aggregate is the shuffle: every
+executor rewrites the whole table across the network before the join
+can start.  Hive-style bucketing removes it: both tables are written
+ONCE pre-hashed into the same number of buckets on the join key, and
+every later join or aggregate on that key reads the matching buckets
+co-located — Catalyst sees the scan's `HashClusteredDistribution` and
+plans a SortMergeJoin with ZERO Exchange operators (pinned in
+`tests/test_bucketing.py`).  Point lookups on the bucket key also prune
+to a single bucket (`SelectedBucketsCount: 1 out of N`).
+
+Spark's in-memory catalog forgets table metadata between sessions, but
+the bucketed FILES carry their bucket ids in the filenames, so a twin
+is re-attached to any later session with a `CREATE TABLE ... CLUSTERED
+BY ... INTO n BUCKETS LOCATION path` DDL over the existing directory —
+write once, reuse forever.  Cache identity, versioning, and the
+tmp+rename atomic publish follow `operators/artifacts.py` (same
+uid-scoped 0o700 cache dir, same benign-race semantics).
+
+Reference parity note: the reference engine (jfaa-josh/stock-ops)
+shards storage into one SQLite table per (ticker, interval) and keys
+rows inside it (src/stockops/data/database/sql_db.py:240) so every
+later read is single-shard local; bucketing is this engine's
+distributed equivalent of that keyed physical layout.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stock_ops_spark.operators.artifacts import (
+    cache_key,
+    default_cache_dir,
+    source_identity,
+    versioned_path,
+)
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    """Column list for CREATE TABLE, from the DataFrame's schema.
+
+    ``simpleString`` covers every type this repo writes (atomics,
+    decimal, array/map/struct); names are backtick-quoted so reserved
+    words and odd characters survive the round-trip.
+    """
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def _register_ddl(
+    spark: SparkSession,
+    table: str,
+    schema_ddl: str,
+    keys: list[str],
+    n_buckets: int,
+    sort: bool,
+    path: str,
+) -> None:
+    cols = ", ".join(f"`{k}`" for k in keys)
+    sorted_by = f" SORTED BY ({cols})" if sort else ""
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({cols}){sorted_by} INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
+def bucketed_twin(
+    spark: SparkSession,
+    df: DataFrame,
+    source_path: str,
+    name_hint: str,
+    keys: list[str],
+    n_buckets: int,
+    *,
+    sort: bool = True,
+    cache_dir: str | None = None,
+    v: str = "v1",
+) -> DataFrame:
+    """Return ``df`` as a bucketed catalog table, building it at most
+    once per (source version, keys, n_buckets).
+
+    Resolution order:
+
+    1. table already in this session's catalog  → ``spark.table``
+    2. bucketed files already published (prior session / process) →
+       re-attach with the CLUSTERED BY DDL
+    3. neither → write bucketed+sorted files to a tmp dir via
+       ``saveAsTable`` (the only API that emits bucket-id filenames),
+       atomically rename into place, then attach.
+
+    The twin is a COPY, not a view: callers pass the normalized ``df``
+    they want served (e.g. ``catalog.load`` output) so later reads see
+    exactly the query-facing schema.  ``n_buckets`` sizes the parallel
+    floor of every downstream join — at 100 TB pick buckets so one
+    bucket of the LARGER table fits an executor core's working set
+    (see SCALING.md); both sides of a co-located join must use the
+    same ``n_buckets`` and key order.
+    """
+    cdir = cache_dir or default_cache_dir()
+    fam = cache_key(
+        "|".join(
+            [
+                "bucket",
+                v,
+                os.path.abspath(source_path),
+                name_hint,
+                ",".join(keys),
+                str(n_buckets),
+                str(sort),
+            ]
+        )
+    )
+    ver = cache_key(source_identity(source_path))
+    path = versioned_path(cdir, f"bucket_{name_hint}", fam, ver, "")
+    table = f"bkt_{name_hint}_{fam}_{ver}"
+
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+
+    schema_ddl = _schema_ddl(df)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        tmp_table = f"{table}_tmp_{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+        if sort:
+            writer = writer.sortBy(*keys)
+        writer.option("path", tmp).saveAsTable(tmp_table)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # external: files stay
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # Another builder won the race; both wrote identical
+            # deterministic content — adopt theirs, discard ours.
+            shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _register_ddl(spark, table, schema_ddl, keys, n_buckets, sort, path)
+    except Exception:
+        # Benign same-session race: another thread attached the table
+        # between our tableExists check and the CREATE.
+        if not spark.catalog.tableExists(table):
+            raise
+    return spark.table(table)

@@ -15226,3 +15226,51 @@ def q270_bucketed_linecount_histogram(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("lines_per_order")
     )
+
+
+@_register(
+    "q271_heavy_hitter_tokens",
+    """
+    WITH toks AS (
+      SELECT t.w
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS t(w)
+    ),
+    counted AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+    ranked AS (
+      SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+      FROM counted
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, w AS token, CAST(cnt AS BIGINT) AS cnt
+    FROM ranked WHERE rnk <= 15
+    """,
+)
+def q271_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 corpus tokens via Misra-Gries candidate pruning with a
+    PROVABLY EXACT two-pass certificate (operators/heavyhitters.py):
+    pass 1 keeps <= 4096 counters per task regardless of vocabulary
+    size, pass 2 recounts only the surviving candidates and verifies
+    the 15th count clears the global undercount bound N/(cap+1) —
+    if it did not, the operator raises rather than returning a
+    partition-dependent answer.  At 100 TB this caps per-task hash
+    state where a plain groupBy's map-side combine grows with the
+    distinct tokens per task; the oracle is the plain exact top-k,
+    which is the point: same answer, bounded memory."""
+    from stock_ops_spark.operators.heavyhitters import exact_topk_via_mg
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("w")
+    )
+    top = exact_topk_via_mg(words, "w", k=15, capacity=4096)
+    win = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    return top.select(
+        F.row_number().over(win).cast("bigint").alias("rnk"),
+        F.col("w").alias("token"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )

@@ -15274,3 +15274,152 @@ def q271_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("token"),
         F.col("cnt").cast("bigint").alias("cnt"),
     )
+
+
+@_register(
+    "q272_quantization_ndcg_mrr",
+    """
+    WITH probe AS (
+      SELECT embedding AS pe FROM embeddings WHERE vec_id = 0
+    ), exact AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(probe.pe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(probe.pe[i] AS DOUBLE) * CAST(probe.pe[i] AS DOUBLE)))))
+               AS cos
+      FROM embeddings e CROSS JOIN probe
+      WHERE e.vec_id <> 0
+    ), etop AS (
+      SELECT vec_id, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS pos
+      FROM exact ORDER BY cos DESC, vec_id LIMIT 10
+    ), qv AS (
+      SELECT e.vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(round(greatest(-1.0, least(1.0,
+                    CAST(e.embedding[i] AS DOUBLE))) * 127) AS BIGINT)) AS q8
+      FROM embeddings e
+    ), qprobe AS (
+      SELECT q8 AS pq FROM qv WHERE vec_id = 0
+    ), quant AS (
+      SELECT qv.vec_id,
+             list_sum(list_transform(range(1, 65), i -> qv.q8[i] * qprobe.pq[i]))
+               AS dotq,
+             list_sum(list_transform(range(1, 65), i -> qv.q8[i] * qv.q8[i]))
+               AS n2q
+      FROM qv CROSS JOIN qprobe WHERE qv.vec_id <> 0
+    ), qtop AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY dotq::DOUBLE / sqrt(n2q::DOUBLE) DESC,
+                                vec_id) AS pos
+      FROM quant
+      ORDER BY dotq::DOUBLE / sqrt(n2q::DOUBLE) DESC, vec_id LIMIT 10
+    ), dcgq AS (
+      SELECT sum(greatest(exact.cos, 0) / log2(qtop.pos + 1)) AS dcg
+      FROM qtop JOIN exact USING (vec_id)
+    ), idcg AS (
+      SELECT sum(greatest(cos, 0) / log2(pos + 1)) AS dcg FROM etop
+    ), mrr AS (
+      SELECT coalesce(max(1.0 / qtop.pos), 0.0) AS rr
+      FROM qtop WHERE qtop.vec_id = (SELECT vec_id FROM etop WHERE pos = 1)
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           round(dcgq.dcg / idcg.dcg, 6) AS ndcg_at_k,
+           round(mrr.rr, 6)              AS mrr
+    FROM dcgq, idcg, mrr
+    """,
+)
+def q272_quantization_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware retrieval-quality gate: NDCG@10 and MRR of the
+    int8-quantized cosine ranking against exact float cosine — the
+    companions to q259's recall@10 (recall says WHETHER the right
+    neighbors surface; NDCG says whether they surface in the right
+    ORDER, MRR whether the single best one stays on top).  Gains are
+    the EXACT cosine of each retrieved item clamped at 0, so the metric
+    charges the quantized index for every mis-ordered position.  Same
+    conventions as q259: probe vec_id 0, vec_id tie-breaks, exact-
+    integer quantized dot/norm; both top-10s are TakeOrdered frames, so
+    the position windows run over 10 rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pe")
+    )
+    cand = e.where(F.col("vec_id") != 0)
+    exact = cand.crossJoin(F.broadcast(probe)).select(
+        "vec_id",
+        (
+            V.dot(F.col("embedding"), F.col("pe"))
+            / (V.norm(F.col("embedding")) * V.norm(F.col("pe")))
+        ).alias("cos"),
+    )
+    pos_w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    etop = (
+        exact.orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .select("vec_id", "cos", F.row_number().over(pos_w).alias("pos"))
+    )
+    q8 = (
+        "transform(embedding, x -> CAST(round(greatest(-1.0D, least(1.0D, "
+        "CAST(x AS DOUBLE))) * 127) AS BIGINT))"
+    )
+    qv = e.select("vec_id", F.expr(q8).alias("q8"))
+    qprobe = qv.where(F.col("vec_id") == 0).select(F.col("q8").alias("pq"))
+    quant = (
+        qv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qprobe))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(q8, pq, (a, b) -> a * b), 0L, (s, x) -> s + x)"
+            ).alias("dotq"),
+            F.expr(
+                "aggregate(zip_with(q8, q8, (a, b) -> a * b), 0L, (s, x) -> s + x)"
+            ).alias("n2q"),
+        )
+        .select(
+            "vec_id",
+            (
+                F.col("dotq").cast("double")
+                / F.sqrt(F.col("n2q").cast("double"))
+            ).alias("cosq"),
+        )
+    )
+    qpos_w = Window.orderBy(F.desc("cosq"), F.asc("vec_id"))
+    qtop = (
+        quant.orderBy(F.desc("cosq"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.row_number().over(qpos_w).alias("pos"))
+    )
+    dcgq = (
+        qtop.join(exact, "vec_id")
+        .agg(
+            F.sum(
+                F.greatest(F.col("cos"), F.lit(0.0))
+                / F.log2(F.col("pos") + 1)
+            ).alias("dcg")
+        )
+    )
+    idcg = etop.agg(
+        F.sum(
+            F.greatest(F.col("cos"), F.lit(0.0)) / F.log2(F.col("pos") + 1)
+        ).alias("idcg")
+    )
+    best = etop.where(F.col("pos") == 1).select(
+        F.col("vec_id").alias("best_id")
+    )
+    mrr = (
+        qtop.join(F.broadcast(best), qtop["vec_id"] == F.col("best_id"))
+        .agg(F.coalesce(F.max(1.0 / F.col("pos")), F.lit(0.0)).alias("rr"))
+    )
+    return (
+        dcgq.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(mrr))
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+            F.round(F.col("rr"), 6).alias("mrr"),
+        )
+    )

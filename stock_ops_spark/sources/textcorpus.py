@@ -65,32 +65,20 @@ class CorpusRead:
     quarantine: DataFrame  # (raw, reason)
 
 
-def read_jsonl(
-    spark: SparkSession,
-    path: str,
-    schema: T.StructType,
-    required: list[str] | None = None,
+def _parse_and_split(
+    lines: DataFrame, schema: T.StructType, required: list[str] | None
 ) -> CorpusRead:
-    """Schema-enforced JSONL read with quarantine instead of silent drop.
-
-    ``schema`` is REQUIRED (no inference pass).  ``required`` lists
-    fields that must be non-NULL for a row to count as good; everything
-    else may be NULL (absent keys parse to NULL in PERMISSIVE mode and
-    are a schema-evolution fact of raw dumps, not an error).
-    """
+    """Shared batch/stream splitter over a one-column line frame."""
     parse_schema = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    parsed = (
-        spark.read.text(path)
-        .select(
-            F.col("value").alias("raw"),
-            F.from_json(
-                "value",
-                parse_schema,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-            ).alias("rec"),
-        )
+    parsed = lines.select(
+        F.col("value").alias("raw"),
+        F.from_json(
+            "value",
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("rec"),
     )
     is_corrupt = F.col(f"rec.{CORRUPT_COL}").isNotNull()
     miss_terms = [
@@ -113,6 +101,42 @@ def read_jsonl(
         .select("raw", "reason")
     )
     return CorpusRead(good=good, quarantine=quarantine)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    required: list[str] | None = None,
+) -> CorpusRead:
+    """Schema-enforced JSONL read with quarantine instead of silent drop.
+
+    ``schema`` is REQUIRED (no inference pass).  ``required`` lists
+    fields that must be non-NULL for a row to count as good; everything
+    else may be NULL (absent keys parse to NULL in PERMISSIVE mode and
+    are a schema-evolution fact of raw dumps, not an error).
+    """
+    return _parse_and_split(spark.read.text(path), schema, required)
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    required: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> CorpusRead:
+    """Streaming twin of :func:`read_jsonl`: watch a directory of JSONL
+    dumps and emit the same good/quarantine split per micro-batch —
+    both sides are STREAMING DataFrames sharing one file source, so a
+    caller typically writes them from a single ``foreachBatch`` (batch
+    ingest + quarantine append in the same effectively-once commit,
+    the `streaming/ingest.py` discipline).  ``max_files_per_trigger``
+    is the backpressure knob for bursty drop-directories."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _parse_and_split(reader.text(path), schema, required)
 
 
 def ingest_documents(

@@ -77,3 +77,49 @@ def test_ingested_rows_flow_into_documents_operators(spark, tmp_path):
     assert deduped.count() == 2
     stats = deduped.agg(F.sum("n_chars").alias("c")).collect()[0]["c"]
     assert stats == 11 + 7
+
+
+def test_stream_jsonl_availablenow_accounting(spark, tmp_path):
+    """Streaming twin: the same split over a watched directory, driven
+    to completion with availableNow; per-batch accounting sums to the
+    file totals (nothing vanishes across micro-batches)."""
+    from stock_ops_spark.sources.textcorpus import stream_jsonl
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(LINES[:3]) + "\n")
+    (d / "b.jsonl").write_text("\n".join(LINES[3:]) + "\n")
+
+    r = stream_jsonl(
+        spark, str(d), DOCUMENTS_SCHEMA, required=["text"],
+        max_files_per_trigger=1,
+    )
+    seen = {"good": 0, "quar": 0, "batches": 0}
+
+    def sink(batch, _bid):
+        # one foreachBatch writes both sides: re-split the batch lines
+        seen["batches"] += 1
+        seen["good"] += batch.count()
+
+    qg = (
+        r.good.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_g"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qg.awaitTermination(120)
+
+    def qsink(batch, _bid):
+        seen["quar"] += batch.count()
+
+    qq = (
+        r.quarantine.writeStream.foreachBatch(qsink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qq.awaitTermination(120)
+
+    assert seen["good"] == 3
+    assert seen["quar"] == 3
+    assert seen["batches"] >= 2  # maxFilesPerTrigger=1 → one batch per file

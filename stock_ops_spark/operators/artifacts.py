@@ -170,6 +170,10 @@ def gc(
     vpat = re.compile(
         r"^([a-z0-9]+_[0-9a-f]{20})_[0-9a-f]{20}(\.[a-z]+\.(parquet|json))$"
     )
+    # suffix-less versioned directories (bucketed twins,
+    # sources/bucketing.py): name_fam_ver with the whole artifact being
+    # the directory itself.
+    dpat = re.compile(r"^([a-z0-9_]+_[0-9a-f]{20})_[0-9a-f]{20}$")
     entries: list[tuple[str, str, float]] = []  # (family, path, mtime)
     try:
         names = os.listdir(cache_dir)
@@ -181,8 +185,11 @@ def gc(
             family = m.group(1)
         else:
             vm = vpat.match(name)
+            dm = dpat.match(name) if not vm else None
             if vm:
                 family = vm.group(1) + vm.group(2)
+            elif dm and os.path.isdir(os.path.join(cache_dir, name)):
+                family = dm.group(1)
             else:
                 continue  # unknown layout or .tmp staging path — leave it
         path = os.path.join(cache_dir, name)

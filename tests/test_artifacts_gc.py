@@ -89,3 +89,32 @@ def test_gc_parquet_dir_age_is_newest_file(tmp_path):
     os.utime(f, (now, now))  # fresh file inside old-mtime dir
     assert artifacts.gc(root, max_age_s=3_600) == []
     assert os.path.isdir(p)
+
+
+def test_gc_collects_suffixless_bucket_dirs(tmp_path):
+    """Bucketed twins are versioned DIRECTORIES with no suffix — the
+    keep-latest policy must see them as one family per (name, fam) and
+    collect stranded versions, while never touching .tmp staging."""
+    import os
+    import time
+
+    from stock_ops_spark.operators import artifacts
+
+    cache = str(tmp_path)
+    fam = "a" * 20
+    old_v, new_v = "b" * 20, "c" * 20
+    for ver, age in ((old_v, 100), (new_v, 0)):
+        d = os.path.join(cache, f"bucket_orders_{fam}_{ver}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0"), "w") as f:
+            f.write("x")
+        t = time.time() - age
+        os.utime(os.path.join(d, "part-0"), (t, t))
+        os.utime(d, (t, t))
+    staging = os.path.join(cache, f"bucket_orders_{fam}_{old_v}.deadbeef.tmp")
+    os.makedirs(staging)
+
+    removed = artifacts.gc(cache, keep_latest=1)
+    assert removed == [os.path.join(cache, f"bucket_orders_{fam}_{old_v}")]
+    assert os.path.isdir(os.path.join(cache, f"bucket_orders_{fam}_{new_v}"))
+    assert os.path.isdir(staging)  # in-flight staging never touched

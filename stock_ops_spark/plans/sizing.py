@@ -57,6 +57,41 @@ def shuffle_partitions(
     return max(by_cores, int(by_bytes * max(skew_index, 1.0)), 1)
 
 
+def bucket_count(
+    larger_table_bytes: int,
+    cluster: ClusterShape,
+    target_bucket_bytes: int = 512 * MB,
+) -> int:
+    """Bucket count for a bucketed-twin pair (sources/bucketing.py).
+
+    Buckets are the PERMANENT parallel floor of every co-located join
+    on the key, so size them from the LARGER fact at its projected
+    full scale, not today's sample:
+
+    - one bucket of the larger table should stay scannable by one core
+      (512 MB default — bigger than a shuffle partition because a
+      bucketed scan streams from disk instead of materializing a
+      shuffle block in memory);
+    - at least 2x total cores so a full-table join saturates the
+      cluster with straggler overlap;
+    - both join sides MUST use the same count, so compute it once from
+      the larger side and reuse.
+
+    Unlike shuffle partitions, this cannot be AQE-coalesced later —
+    re-bucketing is a full rewrite — so round UP to the next power of
+    two, which also lets a future 2x growth split buckets without
+    rehashing everything (bucket b of 2N = buckets {b, b+N} of N under
+    hash-mod).
+    """
+    by_cores = 2 * cluster.total_cores
+    by_bytes = -(-larger_table_bytes // target_bucket_bytes)  # ceil
+    n = max(by_cores, by_bytes, 1)
+    p2 = 1
+    while p2 < n:
+        p2 *= 2
+    return p2
+
+
 def max_partition_bytes(cluster: ClusterShape) -> int:
     """Scan-split size: 1/8 of per-core memory, clamped to [32 MB, 512 MB].
 

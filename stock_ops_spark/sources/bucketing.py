@@ -100,10 +100,11 @@ def bucketed_twin(
     The twin is a COPY, not a view: callers pass the normalized ``df``
     they want served (e.g. ``catalog.load`` output) so later reads see
     exactly the query-facing schema.  ``n_buckets`` sizes the parallel
-    floor of every downstream join — at 100 TB pick buckets so one
-    bucket of the LARGER table fits an executor core's working set
-    (see SCALING.md); both sides of a co-located join must use the
-    same ``n_buckets`` and key order.
+    floor of every downstream join — at 100 TB size it from the LARGER
+    table's projected bytes with ``plans/sizing.py::bucket_count``
+    (512 MB/bucket, rounded up to a power of two so 2x growth can
+    split buckets without a full rehash); both sides of a co-located
+    join must use the same ``n_buckets`` and key order.
     """
     cdir = cache_dir or default_cache_dir()
     fam = cache_key(

@@ -5,6 +5,7 @@ from stock_ops_spark.plans.sizing import (
     MB,
     ClusterShape,
     broadcast_threshold_bytes,
+    bucket_count,
     max_partition_bytes,
     recommend,
     shuffle_partitions,
@@ -64,3 +65,21 @@ def test_recommend_bundle_keys_and_aqe():
     assert conf["spark.sql.adaptive.enabled"] == "true"
     assert int(conf["spark.sql.shuffle.partitions"]) > 100_000
     assert int(conf["spark.sql.files.maxPartitionBytes"]) >= 32 * MB
+
+
+def test_bucket_count_100tb_is_bytes_bound_power_of_two():
+    # 60 TB larger fact at 512 MB/bucket → ~122880 → next pow2 131072
+    n = bucket_count(60 * 1024 * GB, BIG)
+    assert n == 131072
+    assert n & (n - 1) == 0
+
+
+def test_bucket_count_small_floor_is_cores_pow2():
+    # tiny table on the 32-core box: floor = 2*32 = 64 (already pow2)
+    assert bucket_count(1 * GB, SMALL) == 64
+
+
+def test_bucket_count_monotone_in_bytes():
+    a = bucket_count(1 * 1024 * GB, BIG)
+    b = bucket_count(2 * 1024 * GB, BIG)
+    assert b >= a

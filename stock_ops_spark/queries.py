@@ -15423,3 +15423,120 @@ def q272_quantization_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rr"), 6).alias("mrr"),
         )
     )
+
+
+@_register(
+    "q273_cluster_aware_split",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                                          i -> substr(lower(text), i, 8))) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    ),
+    split AS (
+      SELECT doc_id, component,
+             CASE WHEN (component * 2654435761) % 1000 < 900 THEN 'train'
+                  ELSE 'heldout' END AS sp
+      FROM comp
+    ),
+    cross_x AS (
+      SELECT count(*) AS n
+      FROM pairs
+      JOIN split a ON pairs.id_a = a.doc_id
+      JOIN split b ON pairs.id_b = b.doc_id
+      WHERE a.sp <> b.sp
+    )
+    SELECT CAST(sum(CASE WHEN sp = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train_docs,
+           CAST(sum(CASE WHEN sp = 'heldout' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_heldout_docs,
+           CAST(count(DISTINCT CASE WHEN sp = 'train' THEN component END)
+                AS BIGINT) AS n_train_clusters,
+           CAST(count(DISTINCT CASE WHEN sp = 'heldout' THEN component END)
+                AS BIGINT) AS n_heldout_clusters,
+           CAST((SELECT n FROM cross_x) AS BIGINT) AS cross_split_neardup_pairs
+    FROM split
+    """,
+)
+def q273_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/heldout split (GroupShuffleSplit semantics):
+    q124's plain hash split leaves near-duplicate documents straddling
+    the boundary (q268 measures exactly that), so THIS split hashes the
+    near-dup CLUSTER id — every document of a cluster lands in the same
+    split by construction, and cross_split_neardup_pairs is structurally
+    ZERO (verified exactly in the output, not assumed).  Pipeline:
+    verified pair artifact → connected components (min-label
+    propagation, linear rounds) → deterministic multiplicative hash on
+    the canonical label → one rollup.  Singleton docs are their own
+    cluster, so the 90/10 target holds in expectation over CLUSTERS —
+    the honest unit; splitting 90/10 over docs while keeping clusters
+    atomic is impossible when a cluster crosses the quota line."""
+    from stock_ops_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, nodes=d.select("doc_id")).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    u = F.pmod(F.col("component") * F.lit(2654435761), F.lit(1000))
+    split = comp.select(
+        "doc_id",
+        "component",
+        F.when(u < 900, F.lit("train")).otherwise(F.lit("heldout")).alias("sp"),
+    )
+    sp_a = split.select(F.col("doc_id").alias("id_a"), F.col("sp").alias("sa"))
+    sp_b = split.select(F.col("doc_id").alias("id_b"), F.col("sp").alias("sb"))
+    cross = (
+        pairs.join(sp_a, "id_a")
+        .join(sp_b, "id_b")
+        .where(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        split.agg(
+            F.sum(F.when(F.col("sp") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train_docs"),
+            F.sum(F.when(F.col("sp") == "heldout", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_heldout_docs"),
+            F.countDistinct(
+                F.when(F.col("sp") == "train", F.col("component"))
+            )
+            .cast("bigint")
+            .alias("n_train_clusters"),
+            F.countDistinct(
+                F.when(F.col("sp") == "heldout", F.col("component"))
+            )
+            .cast("bigint")
+            .alias("n_heldout_clusters"),
+        )
+        .crossJoin(F.broadcast(cross))
+        .select(
+            "n_train_docs",
+            "n_heldout_docs",
+            "n_train_clusters",
+            "n_heldout_clusters",
+            F.col("n").alias("cross_split_neardup_pairs"),
+        )
+    )

@@ -91,17 +91,20 @@ def mg_summaries(
         counters: dict = {}
         n_seen = 0
         for pdf in batches:
-            keys = pdf[key_col]
-            weights = (
-                pdf[weight_col].astype("int64")
-                if weight_col
-                else pd.Series(1, index=pdf.index, dtype="int64")
-            )
-            for k, w in zip(keys, weights):
-                if k is None or pd.isna(k) or w <= 0:
-                    continue
-                n_seen += int(w)
-                _mg_update(counters, k, int(w), capacity)
+            # Vectorize the Arrow batch into (unique key, total weight)
+            # first: a weighted MG arrival is exactly a run of unit
+            # arrivals (tests pin the identity), so pre-grouping per
+            # batch preserves the guarantee while cutting the Python
+            # loop from per-ROW to per-DISTINCT-KEY.
+            if weight_col:
+                w = pdf[weight_col].astype("int64")
+                keep = pdf[key_col].notna() & (w > 0)
+                grouped = w[keep].groupby(pdf[key_col][keep]).sum()
+            else:
+                grouped = pdf[key_col].value_counts(dropna=True)
+            for k, wt in grouped.items():
+                n_seen += int(wt)
+                _mg_update(counters, k, int(wt), capacity)
         if n_seen == 0:
             return
         yield pd.DataFrame(

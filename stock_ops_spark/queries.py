@@ -44,10 +44,22 @@ ORACLES: dict[str, str] = {}
 
 def _register(name: str, oracle: str | None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        from stock_ops_spark.shipping import ensure_package_on_executors
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Python workers import this package by reference when a
+            # query uses mapInPandas/UDFs; the grading driver's cwd is
+            # not ours, so ship the package first (idempotent, ~ms).
+            ensure_package_on_executors(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

@@ -104,4 +104,10 @@ def get_spark(
         # runtime SQL conf, read when each streaming query starts — works on
         # a pre-existing session too (getOrCreate ignores builder confs then)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    # Python workers must be able to import this package even when the
+    # driver found it via a sys.path insert (foreign cwd — the grading
+    # driver contract); idempotent, ~ms. See stock_ops_spark/shipping.py.
+    from stock_ops_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     return spark

@@ -45,6 +45,75 @@ from stock_ops_spark.sources.layout import (
 _MAX_PRUNE_PARTITIONS = 256
 
 
+def compute_versioned_delta(
+    batch: DataFrame, existing: DataFrame | None, mode: str, tz: str
+) -> DataFrame:
+    """Steps 1-5 of the ingest contract (P5/A2/A3/A4), shared by
+    ``ParquetStore`` and the manifest-committed store
+    (``sources/commitlog.py``): route partitions, align evolved schemas
+    both ways, prune the existing-store probe to the touched partitions,
+    dedup against it, and assign versions.  Returns the lazy delta —
+    the caller decides how to materialize and commit it."""
+    keys = S.INDEX_COLS[mode]
+    declared = set(S.SCHEMAS[mode].fieldNames())
+    extra = [c for c in batch.columns if c not in declared]
+    payload = S.payload_cols(mode) + extra
+    parts = PARTITION_COLS[mode]
+
+    routed = with_partition_cols(batch, mode, tz)
+
+    if existing is not None:
+        # align schemas both ways: a batch may carry a brand-new column
+        # (absent from every stored file) and the store may carry
+        # columns this batch omits — NULL-fill so the null-safe payload
+        # comparison and version probe see one union schema
+        batch_cols = set(routed.columns)
+        store_cols = set(existing.columns)
+        # Store-only columns are NULL-filled for the append but stay OUT
+        # of the dedup payload: the reference compares only the incoming
+        # payload's own keys (sql_db.py:487-497), so a re-sent row that
+        # matches a stored row on every column the producer knows about
+        # is an exact duplicate even if the store has since evolved a
+        # column the producer doesn't send (ADVICE r1).
+        for c in sorted(store_cols - batch_cols - set(parts)):
+            routed = routed.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
+        for c in sorted(set(payload) - store_cols):
+            existing = existing.withColumn(c, F.lit(None).cast(routed.schema[c].dataType))
+    if existing is not None and parts:
+        # prune the store probe to just the partitions this batch hits:
+        # an OR-of-conjunctions over literal partition values reaches the
+        # file listing as partition pruning (a batch touches few).
+        # Guard: the collect is bounded by construction for a
+        # micro-batch, but a historical backfill fed through this path
+        # could touch thousands of partitions — cap the literal list;
+        # past the cap, skip pruning (full probe beats an unbounded
+        # driver collect + a many-thousand-term predicate).
+        touched = [
+            tuple(r)
+            for r in routed.select(*parts)
+            .distinct()
+            .limit(_MAX_PRUNE_PARTITIONS + 1)
+            .collect()
+        ]
+        if len(touched) > _MAX_PRUNE_PARTITIONS:
+            touched = []
+        pred = partition_values_predicate(parts, touched)
+        if pred is not None:
+            existing = existing.where(pred)
+
+    return assign_versions(routed, existing, keys, payload)
+
+
+def cluster_for_write(versioned: DataFrame, mode: str) -> DataFrame:
+    """Cluster rows within each partition file by (ticker, ts): parquet
+    row-group min/max stats then prune per-ticker range reads without
+    ticker being a partition column (the Z-ORDER stand-in from SURVEY
+    §7.3.7).  Paired everywhere with zstd compression (~2x smaller than
+    snappy on tick data for ~equal scan speed — at 100 TB the scan is
+    IO-bound and this is pure win)."""
+    return versioned.sortWithinPartitions("ticker", S.TS_COL[mode])
+
+
 class ParquetStore:
     """Partitioned-parquet store for one (provider, exchange)."""
 
@@ -102,55 +171,9 @@ class ParquetStore:
         versioning purposes (the reference compares the incoming payload's
         own keys, sql_db.py:487-497 — extra columns are payload).
         """
-        keys = S.INDEX_COLS[mode]
-        declared = set(S.SCHEMAS[mode].fieldNames())
-        extra = [c for c in batch.columns if c not in declared]
-        payload = S.payload_cols(mode) + extra
-        parts = PARTITION_COLS[mode]
-
-        routed = with_partition_cols(batch, mode, self.tz)
-
         existing = self.read_all(mode)
-        if existing is not None:
-            # align schemas both ways: a batch may carry a brand-new column
-            # (absent from every stored file) and the store may carry
-            # columns this batch omits — NULL-fill so the null-safe payload
-            # comparison and version probe see one union schema
-            batch_cols = set(routed.columns)
-            store_cols = set(existing.columns)
-            # Store-only columns are NULL-filled for the append but stay OUT
-            # of the dedup payload: the reference compares only the incoming
-            # payload's own keys (sql_db.py:487-497), so a re-sent row that
-            # matches a stored row on every column the producer knows about
-            # is an exact duplicate even if the store has since evolved a
-            # column the producer doesn't send (ADVICE r1).
-            for c in sorted(store_cols - batch_cols - set(parts)):
-                routed = routed.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
-            for c in sorted(set(payload) - store_cols):
-                existing = existing.withColumn(c, F.lit(None).cast(routed.schema[c].dataType))
-        if existing is not None and parts:
-            # prune the store probe to just the partitions this batch hits:
-            # an OR-of-conjunctions over literal partition values reaches the
-            # file listing as partition pruning (a batch touches few).
-            # Guard: the collect is bounded by construction for a
-            # micro-batch, but a historical backfill fed through this path
-            # could touch thousands of partitions — cap the literal list;
-            # past the cap, skip pruning (full probe beats an unbounded
-            # driver collect + a many-thousand-term predicate).
-            touched = [
-                tuple(r)
-                for r in routed.select(*parts)
-                .distinct()
-                .limit(_MAX_PRUNE_PARTITIONS + 1)
-                .collect()
-            ]
-            if len(touched) > _MAX_PRUNE_PARTITIONS:
-                touched = []
-            pred = partition_values_predicate(parts, touched)
-            if pred is not None:
-                existing = existing.where(pred)
-
-        versioned = assign_versions(routed, existing, keys, payload)
+        versioned = compute_versioned_delta(batch, existing, mode, self.tz)
+        parts = PARTITION_COLS[mode]
         # Sever lineage BEFORE appending: versioned's plan scans the store
         # path, and writing to that path invalidates any cache over it
         # (refreshByPath) — a plain .cache() would silently recompute the
@@ -159,15 +182,9 @@ class ParquetStore:
         versioned = versioned.localCheckpoint(eager=True)
         n = versioned.count()
         if n:
-            # Cluster rows within each partition file by (ticker, ts):
-            # parquet row-group min/max stats then prune per-ticker range
-            # reads without ticker being a partition column (the Z-ORDER
-            # stand-in from SURVEY §7.3.7).
-            ts_col = S.TS_COL[mode]
-            clustered = versioned.sortWithinPartitions("ticker", ts_col)
-            # zstd: ~2x smaller than snappy on tick data for ~equal scan
-            # speed — at 100 TB the scan is IO-bound and this is pure win
-            writer = clustered.write.mode("append").option("compression", "zstd")
+            writer = cluster_for_write(versioned, mode).write.mode(
+                "append"
+            ).option("compression", "zstd")
             if parts:
                 writer = writer.partitionBy(*parts)
             writer.parquet(self.data_path(mode))

@@ -1,0 +1,258 @@
+"""ManifestStore: the commit-log upgrade of ParquetStore.
+
+Contract under test: same ingest semantics (dedup/version/stats, via
+the shared helpers), PLUS the properties only a transaction log can
+give — data+stats atomicity under SIGKILL, optimistic concurrency,
+snapshot time travel, atomic compaction, orphan GC.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from stock_ops_spark import schemas as S
+from stock_ops_spark.sources.commitlog import (
+    CommitConflict,
+    ManifestLog,
+    ManifestStore,
+)
+from stock_ops_spark.sources.ingest import ParquetStore
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ROWS_B1 = [
+    ("SPY", 1751463000, 617.24, 618.72, 616.61, 618.60, 11824245, "1h"),
+    ("SPY", 1751466600, 618.60, 619.00, 617.50, 618.10, 900000, "1h"),
+    ("VOO", 1751463000, 567.00, 568.00, 566.00, 567.50, 100, "1h"),
+]
+ROWS_B2 = [
+    ("SPY", 1751549400, 620.00, 621.00, 619.00, 620.50, 800000, "1h"),
+    ("SPY", 1751466600, 618.60, 619.00, 617.50, 618.10, 900000, "1h"),  # dup of b1
+    ("VOO", 1751549400, 569.00, 570.00, 568.00, 569.50, 200, "1h"),
+]
+MODE = "historical_intraday"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY)
+
+
+@pytest.fixture()
+def mstore(spark, tmp_path):
+    return ManifestStore(spark, str(tmp_path / "mstore"))
+
+
+# -- log primitives ------------------------------------------------------
+
+
+def test_try_commit_is_put_if_absent(tmp_path):
+    log = ManifestLog(str(tmp_path / "log"))
+    log.try_commit(1, {"adds": ["batch-a"], "removes": []})
+    with pytest.raises(CommitConflict):
+        log.try_commit(1, {"adds": ["batch-b"], "removes": []})
+    assert log.version() == 1
+    assert log.state()["dirs"] == ["batch-a"]
+
+
+def test_state_folds_adds_and_removes(tmp_path):
+    log = ManifestLog(str(tmp_path / "log"))
+    log.try_commit(1, {"adds": ["a"], "removes": [], "stats": {"table": "s1"}})
+    log.try_commit(2, {"adds": ["b"], "removes": [], "stats": {"table": "s2"}})
+    log.try_commit(3, {"adds": ["c"], "removes": ["a", "b"], "stats": {"table": "s3"}})
+    assert log.state()["dirs"] == ["c"]
+    assert log.state()["stats"] == {"table": "s3"}
+    assert log.state(at_version=2)["dirs"] == ["a", "b"]
+    assert log.state(at_version=2)["stats"] == {"table": "s2"}
+
+
+# -- store semantics parity ----------------------------------------------
+
+
+def test_ingest_matches_parquet_store(spark, tmp_path, mstore):
+    pstore = ParquetStore(spark, str(tmp_path / "pstore"))
+    for rows in (ROWS_B1, ROWS_B2, ROWS_B2):  # third is a full replay
+        nm = mstore.ingest_batch(_df(spark, rows), MODE)
+        np_ = pstore.ingest_batch(_df(spark, rows), MODE)
+        assert nm == np_
+    m = mstore.read_all(MODE)
+    p = pstore.read_all(MODE)
+    cols = sorted(p.columns)
+    key = lambda r: tuple(str(r[c]) for c in cols)  # noqa: E731
+    assert sorted(map(key, m.select(*cols).collect())) == sorted(
+        map(key, p.select(*cols).collect())
+    )
+    # stats parity too — and the manifest store needed no rebuild
+    ms = {r["ticker"]: r for r in mstore.table_stats(MODE).collect()}
+    ps = {r["ticker"]: r for r in pstore.table_stats(MODE).collect()}
+    assert set(ms) == set(ps)
+    for t in ms:
+        assert ms[t]["row_count"] == ps[t]["row_count"]
+        assert ms[t]["min_ts"] == ps[t]["min_ts"]
+        assert ms[t]["max_ts"] == ps[t]["max_ts"]
+
+
+def test_time_travel_snapshots(spark, mstore):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    mstore.ingest_batch(_df(spark, ROWS_B2), MODE)
+    assert mstore.version(MODE) == 2
+    v1 = mstore.read_all(MODE, at_version=1)
+    v2 = mstore.read_all(MODE, at_version=2)
+    assert v1.count() == len(ROWS_B1)
+    assert v2.count() == len(ROWS_B1) + len(ROWS_B2) - 1  # one dup absorbed
+    # replayed duplicate batch commits nothing — version unchanged
+    assert mstore.ingest_batch(_df(spark, ROWS_B1), MODE) == 0
+    assert mstore.version(MODE) == 2
+
+
+def test_commit_race_loser_recomputes(spark, tmp_path, mstore):
+    """First commit attempt collides (a second writer publishes the same
+    version in between); the loser must recompute against the fresh
+    state — absorbing the winner's rows as duplicates — and commit the
+    TRUE delta."""
+    rival = ManifestStore(spark, str(tmp_path / "mstore"))
+    log = mstore.log(MODE)
+    orig = log.try_commit
+    fired = {"n": 0}
+
+    def racing_commit(version, payload):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            rival.ingest_batch(_df(spark, ROWS_B1), MODE)  # wins this version
+        return orig(version, payload)
+
+    log.try_commit = racing_commit
+    import unittest.mock as mock
+
+    with mock.patch.object(ManifestStore, "log", return_value=log):
+        n = mstore.ingest_batch(_df(spark, ROWS_B1 + ROWS_B2), MODE)
+    # winner took ROWS_B1; loser's recompute must land only the rest
+    assert n == len(ROWS_B2) - 1  # minus the cross-batch duplicate
+    total = mstore.read_all(MODE).count()
+    assert total == len(ROWS_B1) + len(ROWS_B2) - 1
+    rows = mstore.read_all(MODE).collect()
+    assert all(r["version"] == 1 for r in rows)  # replays absorbed, not versioned
+
+
+def test_compaction_atomic_swap_and_gc(spark, mstore):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    mstore.ingest_batch(_df(spark, ROWS_B2), MODE)
+    before = mstore.read_all(MODE).collect()
+    pre_version = mstore.version(MODE)
+    out = mstore.compact(MODE)
+    assert out["rewritten"] == 2
+    assert len(mstore.log(MODE).state()["dirs"]) == 1
+    after = mstore.read_all(MODE).collect()
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    assert sorted(map(key, before)) == sorted(map(key, after))
+    # pre-compaction snapshot still readable (old dirs not yet GC'd)
+    old = mstore.read_all(MODE, at_version=pre_version)
+    assert old.count() == len(before)
+    # GC with zero grace removes the two replaced batch dirs
+    removed = mstore.gc_orphans(MODE, grace_s=0.0)
+    assert len(removed) == 2
+    assert mstore.read_all(MODE).count() == len(before)
+
+
+def test_gc_leaves_live_and_graced_dirs(spark, mstore, tmp_path):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    data_root = mstore.data_path(MODE)
+    os.makedirs(os.path.join(data_root, "batch-orphan-fresh"))
+    assert mstore.gc_orphans(MODE, grace_s=3600) == []  # fresh: graced
+    removed = mstore.gc_orphans(MODE, grace_s=0.0)
+    assert removed == [os.path.join(data_root, "batch-orphan-fresh")]
+
+
+# -- the headline: SIGKILL atomicity ---------------------------------------
+
+_CHILD = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from stock_ops_spark.session import get_spark
+from stock_ops_spark import schemas as S
+from stock_ops_spark.sources.commitlog import ManifestStore
+
+spark = get_spark("mlog-child", master="local[2]", shuffle_partitions=2)
+store = ManifestStore(spark, {root!r})
+rows = [
+    ("SPY", 1751463000 + i * 600, 600.0 + i, 601.0 + i, 599.0 + i,
+     600.5 + i, 1000 + i, "1h")
+    for i in range(40)
+]
+for start in range(0, 40, 5):
+    df = spark.createDataFrame(rows[start:start + 5], schema=S.HISTORICAL_INTRADAY)
+    store.ingest_batch(df, "historical_intraday")
+    print("COMMITTED", store.version("historical_intraday"), flush=True)
+"""
+
+
+def test_sigkill_mid_ingest_keeps_data_and_stats_atomic(spark, tmp_path):
+    """Kill -9 a child between commits and mid-commit: every surviving
+    version must have data and stats CONSISTENT with each other (the
+    window ParquetStore documents as unclosable without a log), and a
+    replay converges with no rebuild_stats call."""
+    root = str(tmp_path / "mstore")
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD.format(repo=REPO, root=root))
+    proc = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    # kill as soon as at least two commits landed (mid-run, JVM hot)
+    deadline = time.time() + 240
+    commits_seen = 0
+    while time.time() < deadline and proc.poll() is None:
+        line = proc.stdout.readline()
+        if line.startswith("COMMITTED"):
+            commits_seen = int(line.split()[1])
+            if commits_seen >= 2:
+                break
+    if proc.poll() is None:
+        os.kill(proc.pid, signal.SIGKILL)
+    proc.wait(timeout=30)
+    assert commits_seen >= 2, "child never reached two commits"
+
+    store = ManifestStore(spark, root)
+    v = store.version(MODE)
+    assert v >= 2
+    # EVERY committed version is internally consistent: stats == data agg
+    for k in range(1, v + 1):
+        data = store.read_all(MODE, at_version=k)
+        stats = {
+            r["ticker"]: r
+            for r in store._read_stats(MODE, "table", at_version=k).collect()
+        }
+        agg = {
+            r["ticker"]: r
+            for r in data.groupBy("ticker")
+            .agg(
+                {"*": "count", "timestamp_UTC_s": "max"},
+            )
+            .collect()
+        }
+        for t, row in agg.items():
+            assert stats[t]["row_count"] == row["count(1)"]
+    # crash debris (uncommitted batch/stats dirs) is sweepable, replay heals
+    store.gc_orphans(MODE, grace_s=0.0)
+    child_rows = [
+        ("SPY", 1751463000 + i * 600, 600.0 + i, 601.0 + i, 599.0 + i,
+         600.5 + i, 1000 + i, "1h")
+        for i in range(40)
+    ]
+    for start in range(0, 40, 5):
+        store.ingest_batch(_df(spark, child_rows[start:start + 5]), MODE)
+    final = store.read_all(MODE)
+    assert final.count() == 40
+    assert final.select("ticker", "timestamp_UTC_s").distinct().count() == 40
+    assert all(r["version"] == 1 for r in final.collect())
+    # and stats are CURRENT with zero maintenance calls
+    st = {r["ticker"]: r for r in store.table_stats(MODE).collect()}
+    assert st["SPY"]["row_count"] == 40

@@ -256,3 +256,54 @@ def test_sigkill_mid_ingest_keeps_data_and_stats_atomic(spark, tmp_path):
     # and stats are CURRENT with zero maintenance calls
     st = {r["ticker"]: r for r in store.table_stats(MODE).collect()}
     assert st["SPY"]["row_count"] == 40
+
+
+def test_stream_ingest_into_manifest_store(spark, tmp_path):
+    """ManifestStore drops into the streaming path (duck-typed
+    `ingest_batch`): each micro-batch is one atomic commit, and a
+    checkpoint replay commits nothing new."""
+    import json as _json
+
+    from stock_ops_spark.streaming.ingest import file_trade_source, stream_ingest
+
+    src = tmp_path / "socket"
+    src.mkdir()
+    base = 1755526571000
+    for b in range(3):
+        with open(src / f"burst{b}.json", "w") as f:
+            for i in range(4):
+                f.write(
+                    _json.dumps(
+                        {
+                            "ticker": "SPY",
+                            "timestamp_UTC_ms": base + b * 60000 + i * 1000,
+                            "price": 600.0 + i,
+                            "volume": 10 + i,
+                        }
+                    )
+                    + "\n"
+                )
+    store = ManifestStore(spark, str(tmp_path / "mstore"))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest(
+        file_trade_source(spark, str(src), max_files_per_trigger=1),
+        store,
+        checkpoint=ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert store.read_all("streaming").count() == 12
+    v = store.version("streaming")
+    assert v == 3  # one atomic commit per non-empty micro-batch
+    # replay from the same checkpoint: no new commits, no new rows
+    q2 = stream_ingest(
+        file_trade_source(spark, str(src), max_files_per_trigger=1),
+        store,
+        checkpoint=ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(180)
+    assert store.read_all("streaming").count() == 12
+    assert store.version("streaming") == v
+    st = {r["ticker"]: r for r in store.table_stats("streaming").collect()}
+    assert st["SPY"]["row_count"] == 12

@@ -15552,3 +15552,110 @@ def q273_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("cross_split_neardup_pairs"),
         )
     )
+
+
+@_register(
+    "q274_kaplan_meier_churn",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    cust AS (
+      SELECT o_custkey, min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    obs AS (
+      SELECT CASE WHEN date_diff('day', last_d, mx.m) > 90 THEN 1 ELSE 0 END
+               AS churned,
+             CAST(CASE WHEN date_diff('day', last_d, mx.m) > 90
+                  THEN date_diff('day', first_d, last_d)
+                  ELSE date_diff('day', first_d, mx.m) END // 90 AS BIGINT)
+               AS bin
+      FROM cust CROSS JOIN mx
+    ),
+    per_bin AS (
+      SELECT bin,
+             sum(churned)                       AS d,
+             sum(1 - churned)                   AS c
+      FROM obs GROUP BY bin
+    ),
+    risk AS (
+      SELECT bin, d, c,
+             (SELECT count(*) FROM obs)
+               - coalesce(sum(d + c) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_bin
+    )
+    SELECT CAST(bin * 90 AS BIGINT)  AS t_days,
+           CAST(n_risk AS BIGINT)    AS n_risk,
+           CAST(d AS BIGINT)         AS n_churned,
+           CAST(c AS BIGINT)         AS n_censored,
+           round(exp(sum(CASE WHEN d = n_risk THEN -745.0
+                              ELSE ln(1.0 - d::DOUBLE / n_risk) END)
+                     OVER (ORDER BY bin)), 6) AS survival
+    FROM risk ORDER BY bin
+    """,
+)
+def q274_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for customer churn: per customer,
+    time from first order to churn (no order in the trailing 90 days —
+    the event) or to the observation edge (censored); durations binned
+    to 90-day intervals; S(t) = prod over event bins of (1 - d/n) with
+    the at-risk set shrinking by both events AND censors — the textbook
+    right-censored estimator, which naive "what % ever churned" curves
+    get wrong by counting censored customers as immortal.  Exact
+    integer d/n per bin; the cumulative product runs as exp(sum(ln))
+    over the ~27-row binned frame (both engines sum the same logs in
+    bin order; d = n collapses survival to 0 via a -745 log floor, the
+    double-precision underflow bound, on BOTH sides).  Windows sit
+    above the bin aggregate — bounded by the calendar, not the data."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("m"))
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    obs = cust.crossJoin(F.broadcast(mx)).select(
+        F.when(F.datediff("m", "last_d") > 90, 1).otherwise(0).alias("churned"),
+        (
+            F.when(
+                F.datediff("m", "last_d") > 90, F.datediff("last_d", "first_d")
+            )
+            .otherwise(F.datediff("m", "first_d"))
+            .cast("long")
+            / 90
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    per_bin = obs.groupBy("bin").agg(
+        F.sum("churned").alias("d"),
+        F.sum(1 - F.col("churned")).alias("c"),
+    )
+    w_prior = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = per_bin.crossJoin(F.broadcast(total)).select(
+        "bin",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    surv = F.exp(
+        F.sum(
+            F.when(F.col("d") == F.col("n_risk"), F.lit(-745.0)).otherwise(
+                F.log(1.0 - F.col("d") / F.col("n_risk"))
+            )
+        ).over(w_cum)
+    )
+    return risk.select(
+        (F.col("bin") * 90).cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    ).orderBy("t_days")

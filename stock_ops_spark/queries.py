@@ -15659,3 +15659,64 @@ def q274_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("n_censored"),
         F.round(surv, 6).alias("survival"),
     ).orderBy("t_days")
+
+
+@_register(
+    "q275_revenue_click_xcorr",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS rev,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    lags AS (SELECT unnest(range(-7, 8)) AS lag),
+    pairs AS (
+      SELECT lags.lag, a.rev, b.clicks
+      FROM lags
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + to_days(CAST(lags.lag AS INTEGER))
+    )
+    SELECT CAST(lag AS BIGINT)      AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(rev, clicks), 6) AS xcorr
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def q275_revenue_click_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag discovery via lagged cross-correlation: Pearson corr of
+    daily purchase revenue against daily click volume shifted by -7..+7
+    days — positive peak at lag k > 0 means clicks LEAD revenue by k
+    days (the attribution-window calibration number q50/q117 take as
+    given).  One daily rollup, a 15-row lag dimension, and a self-join
+    on shifted dates — the pair table is |days| x 15, built by an
+    equi-join on the shifted key, never a range scan.  corr() is the
+    single-pass moment aggregate on both engines (the q66 parity)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0
+            )
+        ).alias("rev"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicks"
+        ),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("d", "rev")
+    b = daily.select(F.col("d").alias("bd"), "clicks")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_add(d, lag)") == F.col("bd"))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.corr("rev", "clicks"), 6).alias("xcorr"),
+        )
+        .select(F.col("lag").cast("bigint").alias("lag_days"), "n_days", "xcorr")
+        .orderBy("lag_days")
+    )

@@ -454,3 +454,91 @@ def batch_user_profile(events: DataFrame) -> DataFrame:
         F.max("value").alias("max_value"),
         F.countDistinct("event_type").alias("n_event_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: sharded Misra-Gries state across micro-batches
+# ---------------------------------------------------------------------------
+
+HH_OUTPUT = StructType(
+    [
+        StructField("shard", LongType(), False),
+        StructField("key", StringType(), True),
+        StructField("est", LongType(), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+HH_STATE = StructType(
+    [
+        StructField("keys", ArrayType(StringType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def make_hh_fn(capacity: int):
+    """Per-shard Misra-Gries state folded across micro-batches.
+
+    The streaming twin of ``operators/heavyhitters.py``: a key hashes
+    to exactly ONE shard, so a key absent from its shard's summary has
+    true count <= n_seen_shard/(capacity+1) — the same certificate as
+    the batch operator, now maintained continuously.  State per shard
+    is capped at ``capacity`` counters FOREVER, whatever the stream's
+    vocabulary does; each micro-batch re-emits the shard's summary
+    (update mode), so a downstream foreachBatch always has the current
+    candidates + the error bound in one snapshot."""
+    from stock_ops_spark.operators.heavyhitters import _mg_update
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        shard = key[0]
+        if state.exists:
+            keys, counts, n_seen = state.get
+            counters = dict(zip(list(keys), [int(c) for c in counts]))
+            n_seen = int(n_seen)
+        else:
+            counters, n_seen = {}, 0
+        for pdf in pdfs:
+            grouped = pdf["key"].value_counts(dropna=True)
+            for k, w in grouped.items():
+                n_seen += int(w)
+                _mg_update(counters, k, int(w), capacity)
+        state.update((list(counters.keys()), [int(v) for v in counters.values()], n_seen))
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                "key": list(counters.keys()),
+                "est": [int(v) for v in counters.values()],
+                "n_seen": n_seen,
+            }
+        )
+
+    return fn
+
+
+def running_heavy_hitters(
+    keyed: DataFrame, capacity: int = 1024, n_shards: int = 8
+) -> DataFrame:
+    """Continuous candidate tracking for top-k over an open vocabulary.
+
+    ``keyed`` needs one string column ``key`` (tokens, URLs, user
+    agents).  Keys are hash-sharded so state parallelizes across
+    ``n_shards`` tasks while each key's count stays whole within one
+    shard; per-shard state is a bounded Misra-Gries summary carried in
+    the state store across micro-batches and restarts.  Memory bound:
+    n_shards x capacity counters TOTAL, independent of stream length —
+    the property that makes a trillion-token stream trackable where a
+    streaming groupBy-count's state grows with the vocabulary."""
+    sharded = keyed.select(
+        F.pmod(F.xxhash64("key"), F.lit(n_shards)).alias("shard"), "key"
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        make_hh_fn(capacity),
+        outputStructType=HH_OUTPUT,
+        stateStructType=HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

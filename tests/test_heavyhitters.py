@@ -130,3 +130,80 @@ def test_null_keys_ignored(spark):
     )
     got = exact_topk_via_mg(df, "key", k=2, capacity=16).collect()
     assert [(r["key"], r["cnt"]) for r in got] == [("a", 2), ("b", 1)]
+
+
+def test_running_heavy_hitters_stream(spark, tmp_path):
+    """Streaming twin: sharded MG state folded across micro-batches.
+    After draining the stream, every key whose true count exceeds its
+    shard's bound must be tracked, estimates never overcount, and
+    per-shard state stays within capacity."""
+    import json
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from stock_ops_spark.streaming.stateful import running_heavy_hitters
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    # three bursts of zipf-ish words; burst = micro-batch
+    words = []
+    for i in range(120):
+        words.extend([f"w{i:03d}"] * (120 // (i + 1)))
+    third = len(words) // 3
+    for b in range(3):
+        with open(src / f"burst{b}.json", "w") as f:
+            for w in words[b * third : (b + 1) * third if b < 2 else len(words)]:
+                f.write(json.dumps({"key": w}) + "\n")
+
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    cap, n_shards = 16, 4
+    out = running_heavy_hitters(stream, capacity=cap, n_shards=n_shards)
+    last = {}
+
+    def sink(batch, _bid):
+        for r in batch.collect():
+            last.setdefault(r["shard"], {})
+            # update-mode snapshot: latest batch per shard wins
+        for shard in {r["shard"] for r in batch.collect()}:
+            last[shard] = [
+                r for r in batch.collect() if r["shard"] == shard
+            ]
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    true = {}
+    for w in words:
+        true[w] = true.get(w, 0) + 1
+    shard_of = {
+        r["key"]: r["shard"]
+        for r in spark.createDataFrame([(w,) for w in set(words)], "key string")
+        .select(F.pmod(F.xxhash64("key"), F.lit(n_shards)).alias("shard"), "key")
+        .collect()
+    }
+    shard_totals = {}
+    for w, c in true.items():
+        shard_totals[shard_of[w]] = shard_totals.get(shard_of[w], 0) + c
+
+    tracked = {}
+    for shard, rows in last.items():
+        assert len(rows) <= cap  # bounded state per shard
+        n_seen = {r["n_seen"] for r in rows}
+        assert n_seen == {shard_totals[shard]}  # exact arrival accounting
+        for r in rows:
+            tracked[r["key"]] = r["est"]
+            assert r["est"] <= true[r["key"]]  # never overcounts
+            assert true[r["key"]] - r["est"] <= shard_totals[shard] // (cap + 1)
+    for w, c in true.items():
+        bound = shard_totals[shard_of[w]] // (cap + 1)
+        if c > bound:
+            assert w in tracked, (w, c, bound)

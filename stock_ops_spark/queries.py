@@ -15720,3 +15720,97 @@ def q275_revenue_click_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lag").cast("bigint").alias("lag_days"), "n_days", "xcorr")
         .orderBy("lag_days")
     )
+
+
+@_register(
+    "q276_unigram_lm_doc_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    dw AS (
+      SELECT doc_id, source, w, count(*) AS c
+      FROM toks GROUP BY doc_id, source, w
+    ),
+    cw AS (SELECT w, sum(c) AS cw FROM dw GROUP BY w),
+    tot AS (SELECT sum(cw) AS n, count(*) AS v FROM cw),
+    terms AS (
+      SELECT dw.doc_id, dw.source, dw.w,
+             dw.c AS c,
+             -ln((cw.cw + 1)::DOUBLE / (tot.n + tot.v)::DOUBLE) AS nll
+      FROM dw JOIN cw USING (w) CROSS JOIN tot
+    ),
+    docs AS (
+      SELECT doc_id, source,
+             list_aggregate(list(c * nll ORDER BY w), 'sum')
+               / sum(c) AS score
+      FROM terms GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           round(quantile_cont(score, 0.1), 6)      AS p10,
+           round(quantile_cont(score, 0.5), 6)      AS median,
+           round(quantile_cont(score, 0.9), 6)      AS p90
+    FROM docs GROUP BY source ORDER BY source
+    """,
+)
+def q276_unigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level language-model quality scoring (the CCNet recipe,
+    unigram edition): every document gets a per-token cross-entropy
+    under the CORPUS unigram model with add-1 smoothing — high score =
+    rare-vocabulary document (gibberish, boilerplate codes, wrong
+    language), and the per-source p10/median/p90 spread is what
+    calibrates the keep/drop threshold before q260's pipeline applies
+    it.  Smoothed probabilities are exact integer ratios; each doc's
+    float fold runs in SORTED word order on both engines (the q257
+    discipline), normalized by the doc's exact token count.  Shape: one
+    (doc, word) rollup, the vocab marginal broadcast back, one per-doc
+    fold, one per-source quantile pass."""
+    d = _t(spark, sf_dir, "documents")
+    dw = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cw = dw.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = cw.agg(F.sum("cw").alias("n"), F.count(F.lit(1)).alias("v"))
+    terms = (
+        dw.join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            "c",
+            (
+                -F.log(
+                    (F.col("cw") + 1).cast("double")
+                    / (F.col("n") + F.col("v")).cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    docs = terms.groupBy("doc_id", "source").agg(
+        (
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(w, c, nll))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.c * x.nll)"
+            )
+            / F.sum("c")
+        ).alias("score")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.expr("percentile(score, 0.1)"), 6).alias("p10"),
+            F.round(F.expr("percentile(score, 0.5)"), 6).alias("median"),
+            F.round(F.expr("percentile(score, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("source")
+    )

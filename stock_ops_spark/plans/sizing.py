@@ -92,6 +92,28 @@ def bucket_count(
     return p2
 
 
+def ivf_cells(n_vectors: int) -> int:
+    """IVF cell count for an ANN index over ``n_vectors`` embeddings.
+
+    The measured curve (SCALE_CURVES.json `ivf_ann`) shows why this
+    cannot be a constant: with fixed k, probe cost is |Q| x N/k and the
+    top scale interval ran at exponent ~1.3.  Balancing coarse-quantizer
+    cost (~k per query) against cell-scan cost (~N/k per probed cell)
+    gives the standard k = sqrt(N) rule — both terms then grow as
+    sqrt(N).  Clamped to [16, 1<<18] and rounded to a power of two so
+    cell ids pack and the centroid broadcast stays bounded (1e11
+    vectors → 256k centroids ≈ 64 MB at d=64 float32 — still a
+    broadcast, as SCALING.md requires)."""
+    import math
+
+    k = int(math.sqrt(max(n_vectors, 1)))
+    k = max(16, min(k, 1 << 18))
+    p2 = 1
+    while p2 < k:
+        p2 *= 2
+    return p2
+
+
 def max_partition_bytes(cluster: ClusterShape) -> int:
     """Scan-split size: 1/8 of per-core memory, clamped to [32 MB, 512 MB].
 

@@ -6,6 +6,7 @@ from stock_ops_spark.plans.sizing import (
     ClusterShape,
     broadcast_threshold_bytes,
     bucket_count,
+    ivf_cells,
     max_partition_bytes,
     recommend,
     shuffle_partitions,
@@ -83,3 +84,10 @@ def test_bucket_count_monotone_in_bytes():
     a = bucket_count(1 * 1024 * GB, BIG)
     b = bucket_count(2 * 1024 * GB, BIG)
     assert b >= a
+
+
+def test_ivf_cells_sqrt_rule():
+    assert ivf_cells(10_000) == 128          # sqrt=100 → pow2 128
+    assert ivf_cells(1_000_000) == 1024
+    assert ivf_cells(100) == 16              # floor
+    assert ivf_cells(10**22) == 1 << 18      # ceiling

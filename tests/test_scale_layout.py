@@ -257,3 +257,35 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """A filter that lives on the DIMENSION side must still prune the
+    partitioned FACT's file listing at runtime — Spark's dynamic
+    partition pruning (the 100 TB star-join pattern: the fact never
+    carries the filter column, yet only the matching partitions are
+    scanned).  Pinned via the `dynamicpruning` subquery in the scan's
+    PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact")
+    (
+        spark.range(0, 10_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 50).alias("day_bucket"),
+            (F.col("id") * 3 % 997).alias("v"),
+        )
+        .write.partitionBy("day_bucket")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("day_bucket"),
+        F.when(F.col("id") < 3, "hot").otherwise("cold").alias("tier"),
+    )
+    j = fact.join(F.broadcast(dim), "day_bucket").where(F.col("tier") == "hot")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is the 3 hot buckets' rows exactly
+    assert j.count() == fact.where(F.col("day_bucket") < 3).count()

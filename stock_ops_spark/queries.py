@@ -15814,3 +15814,85 @@ def q276_unigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "q277_order_calendar_gaps",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    isl AS (
+      SELECT d,
+             d - to_days(CAST(row_number() OVER (ORDER BY d) AS INTEGER))
+               AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT min(d) AS run_start, max(d) AS run_end, count(*) AS run_days
+      FROM isl GROUP BY grp
+    ),
+    gaps AS (
+      SELECT run_end,
+             lead(run_start) OVER (ORDER BY run_start) AS next_start
+      FROM runs
+    )
+    SELECT CAST(count(*) AS BIGINT)                              AS n_runs,
+           CAST(sum(run_days) AS BIGINT)                         AS covered_days,
+           CAST(date_diff('day', min(run_start), max(run_end)) + 1
+                AS BIGINT)                                       AS span_days,
+           CAST(max(run_days) AS BIGINT)                         AS longest_run,
+           CAST(coalesce((SELECT max(date_diff('day', run_end, next_start) - 1)
+                          FROM gaps WHERE next_start IS NOT NULL), 0)
+                AS BIGINT)                                       AS longest_gap
+    FROM runs
+    """,
+)
+def q277_order_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness calendar: collapse the distinct order dates
+    into consecutive-day islands (the date-minus-row_number trick: a
+    run of consecutive days shares one group constant) and report
+    coverage, the longest unbroken run, and the longest OUTAGE between
+    runs — the first query an on-call engineer runs when a feed is
+    suspected of dropping days (per-customer purchase streaks are q138;
+    THIS is the global feed-health twin).  The row_number window runs
+    over the DISTINCT-date frame — bounded by the calendar span, never
+    the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.select(F.to_date("o_orderdate").alias("d")).distinct()
+    w = Window.orderBy("d")
+    isl = days.select(
+        "d", F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("grp").agg(
+        F.min("d").alias("run_start"),
+        F.max("d").alias("run_end"),
+        F.count(F.lit(1)).alias("run_days"),
+    )
+    wg = Window.orderBy("run_start")
+    gaps = runs.select(
+        "run_end", F.lead("run_start").over(wg).alias("next_start")
+    ).where(F.col("next_start").isNotNull())
+    gap_max = gaps.agg(
+        F.coalesce(
+            F.max(F.datediff("next_start", "run_end") - 1), F.lit(0)
+        ).alias("longest_gap")
+    )
+    return (
+        runs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum("run_days").cast("bigint").alias("covered_days"),
+            (F.datediff(F.max("run_end"), F.min("run_start")) + 1)
+            .cast("bigint")
+            .alias("span_days"),
+            F.max("run_days").cast("bigint").alias("longest_run"),
+        )
+        .crossJoin(F.broadcast(gap_max))
+        .select(
+            "n_runs",
+            "covered_days",
+            "span_days",
+            "longest_run",
+            F.col("longest_gap").cast("bigint").alias("longest_gap"),
+        )
+    )

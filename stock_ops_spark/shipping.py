@@ -55,11 +55,14 @@ def _tree_key(pkg_dir: str) -> str:
 def package_zip() -> str:
     """Build (or reuse) the package zip for this source-tree state and
     return its path.  Atomic publish: tmp name + rename."""
+    import hashlib
+
     pkg_dir = _package_dir()
     uid = os.getuid() if hasattr(os, "getuid") else "na"
+    loc = hashlib.sha1(pkg_dir.encode()).hexdigest()[:8]
     zpath = os.path.join(
         tempfile.gettempdir(),
-        f"stock_ops_spark_pkg_{uid}_{_tree_key(pkg_dir)}.zip",
+        f"stock_ops_spark_pkg_{uid}_{loc}_{_tree_key(pkg_dir)}.zip",
     )
     if os.path.exists(zpath):
         return zpath

@@ -15896,3 +15896,1375 @@ def q277_order_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("longest_gap").cast("bigint").alias("longest_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continued: retrieval, shard packing, cross-dim stats, gap-fill
+# ---------------------------------------------------------------------------
+
+
+_BM25_TERMS = ("spark", "join", "vector", "merge")
+
+
+@_register(
+    "q278_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    s AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM toks)      AS t),
+    q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('vector'), ('merge'))
+          AS v(term)),
+    df AS (SELECT tf.term, count(*) AS df
+           FROM tf JOIN q USING (term) GROUP BY tf.term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(
+               (CAST(2 * s.n - 2 * df.df + 1 AS HUGEINT)
+                  * CAST(22 * tf.tf AS HUGEINT)
+                  * CAST(s.t AS HUGEINT) * 1000000)
+               // (CAST(2 * df.df + 1 AS HUGEINT)
+                     * (CAST(10 * s.t AS HUGEINT) * tf.tf
+                        + CAST(3 * s.t AS HUGEINT)
+                        + CAST(9 * dl.dl AS HUGEINT) * s.n))
+               AS BIGINT) AS term_score
+      FROM tf JOIN q USING (term) JOIN df ON df.term = tf.term
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s
+    ),
+    docs AS (
+      SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score,
+             CAST(count(*) AS BIGINT) AS n_hit_terms
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score, n_hit_terms,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM docs
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(doc_id AS BIGINT) AS doc_id,
+           score, n_hit_terms
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q278_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval, top-10 docs for a fixed multi-term query
+    — the lexical-search complement to the embedding retrieval family
+    (q18 exact cosine / q24 IVF / q259 quantized recall).  BM25
+    (k1=1.2, b=0.75) is evaluated as an EXACT INTEGER RATIONAL so the
+    ranking is bit-identical across engines (a float ln idf can flip
+    rank-boundary ties): with N docs, T total tokens, per-doc length
+    dl and term stats (tf, df),
+
+        idf        = (N - df + .5) / (df + .5)  = (2N-2df+1) / (2df+1)
+        tf-norm    = 2.2·tf / (tf + 1.2·(.25 + .75·dl·N/T))
+                   = 22·tf·T / (10·T·tf + 3·T + 9·dl·N)      (×10T)
+        term score = floor(idf · tf-norm · 1e6)   — exact integer DIV
+
+    (the standard log idf is replaced by its rational core; same
+    monotonicity in df, exact in 128-bit integer space: HUGEINT on
+    DuckDB, DECIMAL(38,0) on Spark — products stay < 1e38 up to
+    N≈1e9 docs / T≈1e12 tokens, documented bound).  Scale shape: tf
+    one (doc,term) shuffle, dl one doc shuffle, the 4-term query frame
+    and its df frame BROADCAST — the per-doc score agg touches only
+    docs containing a query term; top-10 is a WindowGroupLimit.  Twin
+    of a search service's retrieval stage; reference has no retrieval
+    operator (SURVEY §2 extension surface)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = d.count()  # bounded driver scalars (q74 precedent)
+    t_total = toks.count()
+    qterms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    tfq = tf.join(F.broadcast(qterms), "term")
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    num = (
+        f"CAST(2 * {n_docs} - 2 * df + 1 AS DECIMAL(38,0))"
+        f" * CAST(22 * tf AS DECIMAL(38,0))"
+        f" * CAST({t_total} AS DECIMAL(38,0)) * 1000000"
+    )
+    den = (
+        f"CAST(2 * df + 1 AS DECIMAL(38,0))"
+        f" * (CAST(10 * {t_total} AS DECIMAL(38,0)) * tf"
+        f"    + CAST(3 * {t_total} AS DECIMAL(38,0))"
+        f"    + CAST(9 * dl AS DECIMAL(38,0)) * {n_docs})"
+    )
+    scored = (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(f"CAST(({num}) DIV ({den}) AS BIGINT)").alias("term_score"),
+        )
+    )
+    docs = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("bigint").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "score",
+            "n_hit_terms",
+        )
+    )
+
+
+_SHARD_TOKEN_BUDGET = 2500
+
+
+@_register(
+    "q279_token_shard_packing",
+    """
+    WITH dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, tok,
+             sum(tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM dl
+    ),
+    assigned AS (
+      SELECT doc_id, tok, (cum - tok) // 2500 AS shard FROM cum
+    )
+    SELECT CAST(shard AS BIGINT)      AS shard,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(tok) AS BIGINT)   AS tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+)
+def q279_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment for training-data export: docs are
+    packed IN STABLE doc_id ORDER into shards of ~2500 tokens by an
+    exclusive running token count (shard = floor(exclusive_cum/budget))
+    — every shard holds ≤ budget + one straddling doc, assignment is
+    deterministic and insensitive to partitioning, and a downstream
+    `write.partitionBy(shard)` emits balanced training files (the
+    shard-writer companion to q96's within-capacity sequence packing
+    and q252's band-level budget planner).  The running sum uses
+    prefix_sum_chunked (doc_id-block buckets), NOT a global
+    Window.orderBy — the unpartitioned window touches one row per
+    64-doc block, so the shape survives a 1e9-doc corpus."""
+    d = _t(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("tok"),
+    )
+    from stock_ops_spark.operators.timeseries import prefix_sum_chunked
+
+    cum = prefix_sum_chunked(
+        dl, ts="doc_id", value="tok", bucket=F.expr("doc_id DIV 64")
+    )
+    assigned = cum.select(
+        "doc_id",
+        "tok",
+        F.expr(f"(__cum - tok) DIV {_SHARD_TOKEN_BUDGET}").alias("shard"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "tokens",
+            "min_doc",
+            "max_doc",
+        )
+        .orderBy("shard")
+    )
+
+
+@_register(
+    "q280_embedding_dim_correlation",
+    """
+    WITH ex AS (
+      SELECT vec_id, i.range AS d,
+             CAST(round(CAST(embedding[i.range] AS DOUBLE) * 10000) AS BIGINT)
+                 AS q
+      FROM embeddings CROSS JOIN range(1, 65) i
+    ),
+    dims AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS s2
+      FROM ex GROUP BY d
+    ),
+    pairs AS (
+      SELECT a.d AS i, b.d AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.d < b.d
+      GROUP BY a.d, b.d
+    ),
+    covd AS (
+      SELECT p.i, p.j,
+             CAST(di.n * p.sxy - di.s * dj.s AS HUGEINT)          AS cov,
+             CAST(di.n * di.s2 - di.s * di.s AS HUGEINT)          AS vi,
+             CAST(dj.n * dj.s2 - dj.s * dj.s AS HUGEINT)          AS vj
+      FROM pairs p JOIN dims di ON di.d = p.i JOIN dims dj ON dj.d = p.j
+    ),
+    scored AS (
+      SELECT i, j,
+             CAST((cov * cov * 10000) // (vi * vj) AS BIGINT) AS corr2_q,
+             CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END AS sgn
+      FROM covd WHERE vi > 0 AND vj > 0
+    ),
+    ranked AS (
+      SELECT i, j, corr2_q, sgn,
+             row_number() OVER (ORDER BY corr2_q DESC, i, j) AS rnk
+      FROM scored
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(i AS BIGINT) AS dim_i,
+           CAST(j AS BIGINT) AS dim_j, corr2_q, CAST(sgn AS BIGINT) AS sgn
+    FROM ranked WHERE rnk <= 15
+    """,
+)
+def q280_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dimension correlation audit of the embedding space: the 15
+    most correlated dimension pairs by exact squared Pearson
+    correlation — redundant (highly correlated) dims mean wasted index
+    bytes and are the first thing a dim-reduction pass would fold
+    (complements q225's norm QA and q162's outlier scrub with a
+    COLUMN-space health check).  Exactness: dims quantize to
+    ten-thousandth integers (q162 discipline); corr² is ranked as the
+    integer rational (n·Σxy − ΣxΣy)²·1e4 DIV (n·Σx²−(Σx)²)(n·Σy²−(Σy)²)
+    in 128-bit space (DECIMAL(38,0) / HUGEINT — fits to ~1e4 docs ×
+    64 dims at 1e4 quantization; beyond that drop the 1e4 scale).
+    Scale shape: pair products are generated PER ROW by a HOF over the
+    quantized array (no self-join on vec_id), so the only shuffle is
+    the 2016-key (i,j) aggregate with map-side partial combine; dim
+    stats are a 64-key aggregate broadcast back onto the pair frame."""
+    e = _t(spark, sf_dir, "embeddings")
+    qarr = F.expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000)"
+        " AS BIGINT))"
+    )
+    base = e.select("vec_id", qarr.alias("q"))
+    ex = base.select(
+        "vec_id", F.posexplode("q").alias("d0", "x")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x")
+    dims = ex.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    pair_products = F.expr(
+        "flatten(transform(sequence(1, size(q) - 1), i ->"
+        " transform(sequence(i + 1, size(q)), j ->"
+        " struct(i AS i, j AS j, element_at(q, i) * element_at(q, j) AS xy))))"
+    )
+    pairs = (
+        base.select(F.explode(pair_products).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").cast("bigint").alias("sxy"))
+    )
+    di = dims.select(
+        F.col("d").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("s").alias("si"),
+        F.col("s2").alias("s2i"),
+    )
+    dj = dims.select(
+        F.col("d").alias("j"),
+        F.col("s").alias("sj"),
+        F.col("s2").alias("s2j"),
+    )
+    covd = (
+        pairs.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("ni") * F.col("sxy") - F.col("si") * F.col("sj")).alias("cov"),
+            (F.col("ni") * F.col("s2i") - F.col("si") * F.col("si")).alias("vi"),
+            (F.col("ni") * F.col("s2j") - F.col("sj") * F.col("sj")).alias("vj"),
+        )
+    )
+    scored = covd.where((F.col("vi") > 0) & (F.col("vj") > 0)).select(
+        "i",
+        "j",
+        F.expr(
+            "CAST((CAST(cov AS DECIMAL(38,0)) * cov * 10000)"
+            " DIV (CAST(vi AS DECIMAL(38,0)) * vj) AS BIGINT)"
+        ).alias("corr2_q"),
+        F.when(F.col("cov") > 0, 1)
+        .when(F.col("cov") < 0, -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("sgn"),
+    )
+    w = Window.orderBy(F.col("corr2_q").desc(), F.col("i"), F.col("j"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 15)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("i").cast("bigint").alias("dim_i"),
+            F.col("j").cast("bigint").alias("dim_j"),
+            "corr2_q",
+            "sgn",
+        )
+    )
+
+
+@_register(
+    "q281_price_gap_interpolation",
+    """
+    WITH obs AS (
+      SELECT l_partkey AS pk,
+             (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS m,
+             (CAST(sum(round(l_extendedprice * 100)) AS BIGINT) * 1000)
+               // count(*) AS avg_q
+      FROM lineitem GROUP BY l_partkey, m
+    ),
+    bounds AS (SELECT min(m) AS mn, max(m) AS mx FROM obs),
+    spine AS (
+      SELECT pk, s.m
+      FROM (SELECT DISTINCT pk FROM obs)
+           CROSS JOIN bounds
+           CROSS JOIN LATERAL unnest(range(bounds.mn, bounds.mx + 1)) AS s(m)
+    ),
+    grid AS (
+      SELECT spine.pk, spine.m, obs.avg_q FROM spine
+      LEFT JOIN obs ON obs.pk = spine.pk AND obs.m = spine.m
+    ),
+    ctx AS (
+      SELECT pk, m, avg_q,
+             last_value(avg_q IGNORE NULLS) OVER
+               (PARTITION BY pk ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN avg_q IS NOT NULL THEN m END IGNORE NULLS)
+               OVER (PARTITION BY pk ORDER BY m
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+             first_value(avg_q IGNORE NULLS) OVER
+               (PARTITION BY pk ORDER BY m
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN avg_q IS NOT NULL THEN m END IGNORE NULLS)
+               OVER (PARTITION BY pk ORDER BY m
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+      FROM grid
+    ),
+    filled AS (
+      SELECT pk, m,
+             CASE WHEN avg_q IS NOT NULL THEN 'observed'
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+                  ELSE 'unfilled' END AS kind,
+             CASE WHEN avg_q IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+                  THEN ((nm - m) * pv + (m - pm) * nv) // (nm - pm)
+             END AS interp_q
+      FROM ctx
+    )
+    SELECT p.p_brand AS brand,
+           CAST(count(DISTINCT f.pk) AS BIGINT)                     AS n_parts,
+           CAST(sum(CASE WHEN kind = 'observed' THEN 1 ELSE 0 END)
+                AS BIGINT)                                          AS observed,
+           CAST(sum(CASE WHEN kind = 'interpolated' THEN 1 ELSE 0 END)
+                AS BIGINT)                                          AS interpolated,
+           CAST(sum(CASE WHEN kind = 'unfilled' THEN 1 ELSE 0 END)
+                AS BIGINT)                                          AS unfilled,
+           CAST(coalesce(sum(interp_q), 0) AS BIGINT)               AS interp_sum_q
+    FROM filled f JOIN part p ON p.p_partkey = f.pk
+    GROUP BY p.p_brand ORDER BY brand
+    """,
+)
+def q281_price_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store gap-fill: each part's monthly average sale price is
+    resampled onto the full month spine and interior gaps are LINEARLY
+    INTERPOLATED between the neighboring observed months — the
+    time-series feature-completion step between q109's forward-fill
+    (carry) and a model-ready matrix.  Exactness: monthly averages are
+    integer thousandths-of-a-cent ((cents·1000) DIV n); interpolation
+    uses the all-positive weighted form ((nm−m)·prev + (m−pm)·next)
+    DIV (nm−pm), identical truncation on both engines (the naive
+    prev + Δ·frac form goes NEGATIVE when prices fall, where Spark DIV
+    truncates toward zero but DuckDB // floors — measured divergence).
+    Leading/trailing months stay unfilled (no extrapolation).  Scale
+    shape: per-part windows partition on partkey (parallel); the month
+    spine is partkeys × a BROADCAST 1-row bounds frame (≤ a few
+    hundred months — spine rows ≈ 84·|parts|, linear in parts); brand
+    rollup is one exchange.  Report is per-brand with an exact integer
+    checksum over every interpolated value, so the gate pins each
+    interpolation without emitting the full grid."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    m_expr = (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+    obs = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            m_expr.alias("m"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("pk", "m")
+        .agg(
+            F.expr("(CAST(sum(cents) AS BIGINT) * 1000) DIV count(*)").alias(
+                "avg_q"
+            )
+        )
+    )
+    bounds = obs.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+    spine = (
+        obs.select("pk")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("pk", F.explode(F.sequence("mn", "mx")).alias("m"))
+    )
+    grid = spine.join(obs, ["pk", "m"], "left")
+    w_back = (
+        Window.partitionBy("pk").orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("pk").orderBy("m").rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_m = F.when(F.col("avg_q").isNotNull(), F.col("m"))
+    ctx = grid.select(
+        "pk",
+        "m",
+        "avg_q",
+        F.last("avg_q", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(known_m, ignorenulls=True).over(w_back).alias("pm"),
+        F.first("avg_q", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(known_m, ignorenulls=True).over(w_fwd).alias("nm"),
+    )
+    filled = ctx.select(
+        "pk",
+        "m",
+        F.when(F.col("avg_q").isNotNull(), F.lit("observed"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.lit("interpolated")
+        )
+        .otherwise(F.lit("unfilled"))
+        .alias("kind"),
+        F.when(
+            F.col("avg_q").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull(),
+            F.expr("((nm - m) * pv + (m - pm) * nv) DIV (nm - pm)"),
+        ).alias("interp_q"),
+    )
+    return (
+        filled.join(
+            pt.select(F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")),
+            "pk",
+        )
+        .groupBy("brand")
+        .agg(
+            F.countDistinct("pk").cast("bigint").alias("n_parts"),
+            F.sum(F.when(F.col("kind") == "observed", 1).otherwise(0))
+            .cast("bigint")
+            .alias("observed"),
+            F.sum(F.when(F.col("kind") == "interpolated", 1).otherwise(0))
+            .cast("bigint")
+            .alias("interpolated"),
+            F.sum(F.when(F.col("kind") == "unfilled", 1).otherwise(0))
+            .cast("bigint")
+            .alias("unfilled"),
+            F.coalesce(F.sum("interp_q"), F.lit(0)).cast("bigint").alias(
+                "interp_sum_q"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+@_register(
+    "q282_rag_chunking",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    shaped AS (
+      SELECT doc_id, source, words, len(words) AS n,
+             1 + CAST(ceil(greatest(len(words) - 50, 0) / 40.0) AS BIGINT)
+               AS n_chunks
+      FROM w WHERE len(words) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             least(50, n - 40 * k.range) AS chunk_len,
+             md5(array_to_string(
+               list_slice(words, 40 * k.range + 1,
+                          40 * k.range + least(50, n - 40 * k.range)), ' '))
+               AS fp
+      FROM shaped CROSS JOIN range(0, 1000) k
+      WHERE k.range < n_chunks
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)               AS n_chunks,
+           CAST(count(DISTINCT fp) AS BIGINT)     AS uniq_chunks,
+           CAST(sum(chunk_len) AS BIGINT)         AS sum_tokens,
+           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6)
+               AS dup_chunk_ratio
+    FROM chunks GROUP BY source ORDER BY source
+    """,
+)
+def q282_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion chunking: every document splits into overlapping
+    50-word windows with stride 40 (10-word overlap, the standard
+    retrieval-chunk shape), each chunk fingerprinted (md5 of its
+    space-joined words) — reported per source as chunk counts, token
+    volume, and the CROSS-CORPUS duplicate-chunk ratio (duplicate
+    chunks bloat a vector index and skew retrieval; this is the
+    pre-embedding audit, upstream of q18/q24/q259's search stack and
+    distinct from q255's exact-tile boilerplate DETECTOR: here the
+    windows overlap and the unit is the retrieval chunk itself).
+    Chunk enumeration is a per-row HOF (sequence bounded by the doc's
+    own chunk count — no unbounded range join); the only shuffles are
+    the per-source distinct aggregates.  The 1000-chunk/doc cap in the
+    oracle's range() is a DuckDB enumeration artifact; Spark's
+    sequence() is exact per doc — docs here are ≤ a few hundred words
+    (40k-word docs would need the cap raised in the oracle only)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        ).alias("words"),
+    )
+    shaped = w.where(F.size("words") > 0).select(
+        "doc_id",
+        "source",
+        "words",
+        F.size("words").alias("n"),
+        (
+            1
+            + F.ceil(F.greatest(F.size("words") - 50, F.lit(0)) / 40.0).cast(
+                "bigint"
+            )
+        ).alias("n_chunks"),
+    )
+    chunks = shaped.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("k"),
+        "words",
+        "n",
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("least(50, n - 40 * k)").alias("chunk_len"),
+        F.md5(
+            F.expr("array_join(slice(words, 40 * k + 1, least(50, n - 40 * k)), ' ')")
+        ).alias("fp"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("fp").cast("bigint").alias("uniq_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("sum_tokens"),
+            F.round(
+                1.0 - F.countDistinct("fp") / F.count(F.lit(1)), 6
+            ).alias("dup_chunk_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape completion: the remaining classic query forms, adapted to
+# this testdata's slimmed schema (no partsupp/container/commitdate — the
+# lineitem fact stands in as the part×supplier relation; "late" means
+# shipped long after the order date).  With q01/q06/q235-q242 these
+# close out all 22 classic shapes.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q283_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             (CAST(sum(round(l_extendedprice * 100)) AS BIGINT) * 1000)
+               // CAST(sum(round(l_quantity)) AS BIGINT) AS cost_q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT c.pk, c.sk, c.cost_q, e.s_name, e.bal, e.n_name,
+             row_number() OVER (PARTITION BY c.pk
+                                ORDER BY c.cost_q, c.sk) AS rnk
+      FROM cost c JOIN eu e ON e.s_suppkey = c.sk
+    ),
+    best AS (SELECT * FROM cand WHERE rnk = 1),
+    top AS (
+      SELECT *, row_number() OVER (ORDER BY bal DESC, pk) AS rk FROM best
+    )
+    SELECT bal AS s_acctbal, s_name, n_name AS nation,
+           CAST(pk AS BIGINT) AS p_partkey, p.p_name,
+           CAST(cost_q AS BIGINT) AS unit_cost_q
+    FROM top JOIN part p ON p.p_partkey = top.pk
+    WHERE rk <= 20
+    """,
+)
+def q283_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part, the CHEAPEST European supplier —
+    observed unit price (exact integer thousandths-of-a-cent: cents·1000
+    DIV units) over the lineitem history stands in for partsupp's
+    supplycost.  The classic correlated MIN subquery becomes a per-part
+    ranking window (min cost, suppkey tiebreak), then the classic
+    output order (acctbal DESC) with a partkey tiebreak caps at 20.
+    Scale shape: the (part,supp) cost agg is one fact shuffle;
+    supplier⋈nation⋈region broadcast; the per-part window partitions on
+    partkey (parallel, WindowGroupLimit top-1); part joins the 20-row
+    result (broadcast the RESULT side, not part)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.expr(
+            "(CAST(sum(round(l_extendedprice * 100)) AS BIGINT) * 1000)"
+            " DIV CAST(sum(round(l_quantity)) AS BIGINT)"
+        ).alias("cost_q")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("bal"),
+            "n_name",
+        )
+    )
+    w_part = Window.partitionBy("pk").orderBy("cost_q", "sk")
+    best = (
+        cost.join(F.broadcast(eu), cost.sk == F.col("s_suppkey"))
+        .withColumn("rnk", F.row_number().over(w_part))
+        .where(F.col("rnk") == 1)
+    )
+    w_top = Window.orderBy(F.col("bal").desc(), F.col("pk"))
+    top = best.withColumn("rk", F.row_number().over(w_top)).where(F.col("rk") <= 20)
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return top.join(pt, top.pk == F.col("p_partkey")).select(
+        F.col("bal").alias("s_acctbal"),
+        "s_name",
+        F.col("n_name").alias("nation"),
+        F.col("pk").cast("bigint").alias("p_partkey"),
+        "p_name",
+        F.col("cost_q").cast("bigint").alias("unit_cost_q"),
+    )
+
+
+@_register(
+    "q284_late_ship_priority",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q284_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority census of one quarter's orders
+    that had AT LEAST ONE badly late line (shipped >90 days after the
+    order — the commitdate<receiptdate predicate of the classic,
+    re-expressed on this schema).  The EXISTS becomes a LEFT SEMI join
+    with the date comparison as a join condition (the correlated
+    predicate references both sides, so it rides the join, not a
+    filter).  Scale shape: the quarter filter prunes orders at the
+    scan; one orderkey shuffle for the semi join; lineitem needs only
+    (orderkey, shipdate) — column-pruned scan."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+@_register(
+    "q285_nation_pair_volume",
+    """
+    SELECT CASE WHEN sn.n_nationkey % 2 = 0 THEN 'EVEN_BLOC' ELSE 'ODD_BLOC'
+           END AS supp_bloc,
+           CASE WHEN cn.n_nationkey % 2 = 0 THEN 'EVEN_BLOC' ELSE 'ODD_BLOC'
+           END AS cust_bloc,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT))::DOUBLE / 10000, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_nationkey % 2 <> cn.n_nationkey % 2
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY supp_bloc, cust_bloc, year(l.l_shipdate)
+    """,
+)
+def q285_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border shipping volume between two trading
+    blocs (even- vs odd-numbered nations — blocs rather than a literal
+    nation pair so every scale factor has members on both sides), in
+    both directions, by ship year.  Scale shape: supplier⋈nation and
+    customer⋈nation reduce to a bloc tag BEFORE the fact joins
+    (broadcast dims); the cross-bloc predicate rides the joined frame;
+    one orderkey shuffle + one custkey shuffle; final agg has
+    ≤ 2·2·years keys.  Revenue exact at 4dp."""
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 2 == 0, "EVEN_BLOC")
+        .otherwise("ODD_BLOC")
+        .alias("bloc"),
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("bloc").alias("supp_bloc"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("bloc").alias("cust_bloc"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", F.year("l_shipdate").alias("l_year"),
+             _rev4().alias("rev4"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_bloc") != F.col("cust_bloc"))
+        .groupBy("supp_bloc", "cust_bloc", "l_year")
+        .agg(F.sum("rev4").alias("rev4"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "supp_bloc",
+            "cust_bloc",
+            F.col("l_year").cast("bigint").alias("l_year"),
+            F.round(F.col("rev4") / 10000, 4).alias("revenue"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q286_market_share",
+    """
+    WITH base AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS rev4,
+             sn.n_regionkey AS supp_region
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           round(sum(CASE WHEN supp_region = 2 THEN rev4
+                          ELSE 0 END)::DOUBLE / sum(rev4), 6) AS mkt_share,
+           round(sum(CASE WHEN supp_region = 2 THEN rev4
+                          ELSE 0 END)::DOUBLE / 10000, 4)     AS nation_rev,
+           round(sum(rev4)::DOUBLE / 10000, 4)                AS total_rev
+    FROM base GROUP BY o_year
+    """,
+)
+def q286_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the market share ASIA-BASED suppliers hold of
+    ECONOMY-type part revenue sold to ASIA customers, by order year
+    (region-level seller rather than the classic single nation, so
+    every scale factor has sellers on both sides of the share).  The share divides
+    two EXACT integer revenue sums (the conditional numerator is the
+    classic CASE-inside-sum), so the 6dp ratio is the same double on
+    both engines.  Scale shape: part (type-filtered) and the
+    supplier/nation/region dims broadcast and prune the fact scan;
+    orders⋈customer carries the region filter into the custkey
+    shuffle; final agg is per-year."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cnk"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cnk")
+    ).select("c_custkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_regionkey").alias("supp_region")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("snk")
+    ).select("s_suppkey", "supp_region")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _rev4().alias("rev4")
+    )
+    base = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    nation_rev = F.sum(
+        F.when(F.col("supp_region") == 2, F.col("rev4")).otherwise(0)
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            nation_rev.alias("nrev"),
+            F.sum("rev4").alias("trev"),
+        )
+        .select(
+            F.col("o_year").cast("bigint").alias("o_year"),
+            F.round(F.col("nrev") / F.col("trev"), 6).alias("mkt_share"),
+            F.round(F.col("nrev") / 10000, 4).alias("nation_rev"),
+            F.round(F.col("trev") / 10000, 4).alias("total_rev"),
+        )
+    )
+
+
+@_register(
+    "q287_returned_item_customers",
+    """
+    WITH rev AS (
+      SELECT o.o_custkey AS ck,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) AS rev4
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY o.o_custkey
+    ),
+    ranked AS (
+      SELECT ck, rev4, row_number() OVER (ORDER BY rev4 DESC, ck) AS rnk
+      FROM rev
+    )
+    SELECT CAST(r.ck AS BIGINT) AS c_custkey, c.c_name,
+           round(r.rev4::DOUBLE / 10000, 4) AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal, n.n_name AS nation
+    FROM ranked r
+    JOIN customer c ON c.c_custkey = r.ck
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE r.rnk <= 20
+    """,
+)
+def q287_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in one quarter — the churn-risk escalation list.  Scale shape: the
+    returnflag + quarter filters prune the fact scan; one orderkey
+    shuffle, one custkey agg; the TOP-20 ranking runs over the
+    aggregated per-customer frame (WindowGroupLimit) and only those 20
+    rows join back to customer/nation for display attributes — at
+    100 TB the display join touches 20 rows, not the customer table."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _rev4().alias("rev4")
+    )
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum("rev4").alias("rev4"))
+    )
+    w = Window.orderBy(F.col("rev4").desc(), F.col("ck"))
+    top = rev.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 20)
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(top), F.col("c_custkey") == F.col("ck"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("ck").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.round(F.col("rev4") / 10000, 4).alias("revenue"),
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+@_register(
+    "q288_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey AS pk,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS val4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(val4) AS total,
+                   quantile_cont(val4, 0.9) AS thr FROM val)
+    SELECT CAST(v.pk AS BIGINT) AS p_partkey, p.p_name, p.p_brand,
+           round(v.val4::DOUBLE / 10000, 4) AS part_value,
+           round(v.val4::DOUBLE / t.total, 6) AS value_share
+    FROM val v CROSS JOIN tot t JOIN part p ON p.p_partkey = v.pk
+    WHERE v.val4 > t.thr
+    """,
+)
+def q288_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: "important stock" — parts whose traded value
+    puts them ABOVE THE 90th PERCENTILE of traded value (the classic's
+    0.0001/SF value fraction must be retuned per scale factor, and a
+    mean-multiple threshold empties as CLT narrows the distribution —
+    a percentile cut selects ~10% at every SF).  The threshold is the
+    exact interpolated p90 over exact integer values (q136/q166
+    discipline), broadcast back as a 1-row frame — selection is a
+    filter, NOT a global rank window (a rank·10 ≤ n cut cannot fold to
+    WindowGroupLimit and would drag every part through one task at
+    scale; q145/q151 use the same broadcast-threshold move).
+    Scale shape: one partkey agg over the fact; 1-row total+threshold
+    broadcast; part joins for display on the surviving rows only."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_rev4()).alias("val4")
+    )
+    tot = val.agg(
+        F.sum("val4").alias("total"),
+        F.expr("percentile(val4, 0.9)").alias("thr"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("val4") > F.col("thr"))
+        .join(p, F.col("pk") == F.col("p_partkey"))
+        .select(
+            F.col("pk").cast("bigint").alias("p_partkey"),
+            "p_name",
+            "p_brand",
+            F.round(F.col("val4") / 10000, 4).alias("part_value"),
+            F.round(F.col("val4") / F.col("total"), 6).alias("value_share"),
+        )
+    )
+
+
+@_register(
+    "q289_promo_revenue_share",
+    """
+    SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                          * 10000) AS BIGINT)
+                          ELSE 0 END)::DOUBLE
+                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)), 6) AS promo_share,
+           round(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                          * 10000) AS BIGINT)
+                          ELSE 0 END)::DOUBLE / 10000, 4)  AS promo_rev,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT))::DOUBLE / 10000, 4)  AS total_rev,
+           CAST(count(*) AS BIGINT)                        AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+)
+def q289_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO-type parts' share of one month's revenue —
+    the marketing-effect monitor.  Both the conditional numerator and
+    the total are exact integer ten-thousandths, divided once at the
+    end (6dp).  Scale shape: the month filter prunes the fact scan to
+    ~1/84 of the data BEFORE the part join; part broadcast; single
+    global agg (map-side combined)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).select("l_partkey", _rev4().alias("rev4"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev4")).otherwise(0)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            promo.alias("prev4"),
+            F.sum("rev4").alias("trev4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.round(F.col("prev4") / F.col("trev4"), 6).alias("promo_share"),
+            F.round(F.col("prev4") / 10000, 4).alias("promo_rev"),
+            F.round(F.col("trev4") / 10000, 4).alias("total_rev"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q290_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS sk,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rev4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT max(rev4) AS m FROM rev)
+    SELECT CAST(r.sk AS BIGINT) AS s_suppkey, s.s_name,
+           round(r.rev4::DOUBLE / 10000, 4) AS total_revenue
+    FROM rev r CROSS JOIN mx JOIN supplier s ON s.s_suppkey = r.sk
+    WHERE r.rev4 = mx.m
+    """,
+)
+def q290_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's top revenue supplier(s) — the
+    classic's CREATE VIEW + scalar-max correlated filter, expressed as
+    an aggregate reused twice (Catalyst computes the per-supplier
+    frame once into the max and the equality filter; ties ALL emit,
+    classic semantics — exact integer revenue makes the tie test
+    deterministic).  Scale shape: quarter-pruned fact scan, one
+    suppkey agg, 1-row max broadcast, display join on survivors."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(_rev4()).alias("rev4")
+    )
+    mx = rev.agg(F.max("rev4").alias("m"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev4") == F.col("m"))
+        .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .select(
+            F.col("sk").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("rev4") / 10000, 4).alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "q291_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(round(l_quantity)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(round(l_quantity)) > 250
+    ),
+    ranked AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+             b.sum_qty,
+             row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey)
+               AS rnk
+      FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+    )
+    SELECT c.c_name, CAST(r.o_custkey AS BIGINT) AS c_custkey,
+           CAST(r.o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(r.o_totalprice, 2) AS o_totalprice, r.sum_qty
+    FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+    WHERE r.rnk <= 20
+    """,
+)
+def q291_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (total quantity > 250, the
+    ~p99 tail) and the customers who placed them, top-20 by order
+    value.  The classic's IN (GROUP BY ... HAVING) subquery is the
+    aggregate-then-join form directly.  Scale shape: one orderkey agg
+    with the HAVING filter applied in the agg (survivors ≈ 1% of
+    orders), join back to orders on orderkey, top-20 via
+    WindowGroupLimit, display join to customer on the 20 survivors
+    (broadcast the result side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity", 0)).cast("bigint").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    ranked = (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        c.join(F.broadcast(ranked), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            F.col("o_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@_register(
+    "q292_banded_disjunctive_revenue",
+    """
+    SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT))::DOUBLE / 10000, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_type = 'SMALL' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_type = 'MEDIUM' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_type = 'LARGE' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q292_banded_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs of (part attribute ×
+    quantity band) predicates — the disjunctive-pushdown exercise (no
+    container/brand triple in this schema; type × size × quantity
+    carries the same structure).  Catalyst extracts the common
+    join key and pushes the part-only disjuncts (type, size) to the
+    part scan and the quantity bounds (l_quantity BETWEEN 1 AND 40
+    overall) to the fact scan before the join evaluates the full
+    disjunction.  Scale shape: part broadcast after its filter; single
+    global agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _rev4().alias("rev4")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    cond = (
+        (
+            (F.col("p_type") == "SMALL")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_type") == "MEDIUM")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_type") == "LARGE")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(F.sum("rev4") / 10000, 4).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q293_suppliers_kept_waiting",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+             max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM lo GROUP BY l_orderkey
+    ),
+    blamed AS (
+      SELECT late_supp AS sk, count(*) AS numwait
+      FROM per_order WHERE n_supp >= 2 AND n_late = 1
+      GROUP BY late_supp
+    ),
+    ranked AS (
+      SELECT sk, numwait, row_number() OVER (ORDER BY numwait DESC, sk) AS rnk
+      FROM blamed
+    )
+    SELECT s.s_name, CAST(r.numwait AS BIGINT) AS numwait
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.sk
+    WHERE r.rnk <= 10
+    """,
+)
+def q293_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders (late = shipped >60 days after the
+    order date on this schema).  The classic's EXISTS(other supplier) +
+    NOT EXISTS(other LATE supplier) pair of correlated self-joins
+    collapses into ONE per-(order,supplier) aggregate and ONE per-order
+    aggregate: n_supp ≥ 2 ∧ n_late = 1 is exactly "someone else was on
+    the order and nobody else was late", and the max(CASE) picks the
+    blamed supplier because it is unique when n_late = 1.  Scale
+    shape: two orderkey-keyed aggregates replace the classic's THREE
+    lineitem self-join scans — one fact shuffle each, no self-join;
+    top-10 via WindowGroupLimit; supplier display join on 10 rows."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS"), 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = (
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy(F.col("late_supp").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    w = Window.orderBy(F.col("numwait").desc(), F.col("sk"))
+    ranked = blamed.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 10
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(F.broadcast(ranked), F.col("s_suppkey") == F.col("sk")).select(
+        "s_name", F.col("numwait").cast("bigint").alias("numwait")
+    )
+
+
+@_register(
+    "q294_dormant_rich_customers",
+    """
+    WITH cents AS (
+      SELECT c_custkey, c_custkey % 7 AS cntrycode,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    avgpos AS (
+      SELECT sum(bal_c) AS s, count(*) AS n FROM cents WHERE bal_c > 0
+    ),
+    dormant AS (
+      SELECT ce.cntrycode, ce.bal_c
+      FROM cents ce CROSS JOIN avgpos a
+      WHERE ce.cntrycode IN (1, 2, 4)
+        AND ce.bal_c * a.n > a.s
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = ce.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1999-08-01')
+    )
+    SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
+           CAST(count(*) AS BIGINT)  AS numcust,
+           round(sum(bal_c)::DOUBLE / 100, 2) AS totacctbal
+    FROM dormant GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def q294_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: "global sales opportunity" — customers in
+    selected country bands (custkey mod 7 stands in for the phone
+    prefix) whose balance beats the positive-balance average but who
+    have gone DORMANT — no orders in the final two years of the
+    calendar (this data has no never-ordered customers, so the
+    classic's empty-history test becomes a recency test; same anti-join
+    shape with the date filter pushed to the orders scan).  The above-average test is the exact integer
+    cross-product bal·n > sum (a float average threshold can flip
+    boundary customers between engines); the NOT EXISTS is a LEFT ANTI
+    join on custkey.  Scale shape: 1-row average broadcast; the anti
+    join is the only fact shuffle (orders needs just o_custkey —
+    column-pruned); final agg has ≤ 3 keys."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 7).alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_c"),
+    )
+    avgpos = c.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-08-01").cast("timestamp")
+    ).select("o_custkey")
+    dormant = (
+        c.where(F.col("cntrycode").isin(1, 2, 4))
+        .crossJoin(F.broadcast(avgpos))
+        .where(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        dormant.groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("bal_c") / 100, 2).alias("totacctbal"),
+        )
+        .select(
+            F.col("cntrycode").cast("bigint").alias("cntrycode"),
+            "numcust",
+            "totacctbal",
+        )
+        .orderBy("cntrycode")
+    )

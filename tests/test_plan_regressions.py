@@ -685,3 +685,85 @@ def test_q266_bootstrap_no_shuffle_blowup(q):
     assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
     assert s.count("BroadcastNestedLoopJoin") <= 2
     assert s.count("orders.parquet") <= 3
+
+
+def test_q278_bm25_broadcast_query_frame(q):
+    """BM25's 4-term query frame and its df stats broadcast; the only
+    fact shuffles are the (doc,term)/doc aggregates — the corpus never
+    shuffles against the query terms."""
+    df = q("q278_bm25_topk")
+    assert A.count_broadcast_joins(df) >= 2
+    assert not A.has_cartesian(df)
+    assert A.has_window_group_limit(df) or A.has_top_k(df)
+
+
+def test_q279_no_global_window(q):
+    """Shard packing rides prefix_sum_chunked: every WindowExec in the
+    plan is partitioned (the doc_id-block bucket), never global over
+    the corpus."""
+    df = q("q279_token_shard_packing")
+    p = A.plan_string(df)
+    import re
+
+    for m in re.finditer(r"Window \[", p):
+        frag = p[m.start() : m.start() + 400]
+        # partition spec present: windowspecdefinition(col, ...) with a
+        # partition column before the sort spec
+        assert "windowspecdefinition(__b" in frag or "partitionBy" in frag, frag
+
+
+def test_q280_no_vector_self_join(q):
+    """Dim-pair products are generated per row by a HOF — embeddings
+    never self-join on vec_id; the only joins are the two broadcast
+    dim-stats attachments onto the 2016-row pair frame."""
+    df = q("q280_embedding_dim_correlation")
+    assert not A.has_cartesian(df)
+    assert A.count_broadcast_joins(df) >= 2
+
+
+def test_q281_partitioned_windows_only(q):
+    """Gap-fill windows partition on partkey; the bounds frame joins by
+    broadcast (spine build), so no global sort anywhere."""
+    df = q("q281_price_gap_interpolation")
+    p = A.plan_string(df)
+    assert "windowspecdefinition(pk" in p
+    assert A.count_broadcast_joins(df) >= 1
+
+
+def test_q284_semi_join_with_residual_date_predicate(q):
+    """Q4 shape: the EXISTS compiles to one LEFT SEMI join carrying the
+    cross-side date comparison; the quarter filter reaches the orders
+    scan as a pushed predicate."""
+    df = q("q284_late_ship_priority")
+    assert "LeftSemi" in A.join_types(df)
+    assert A.has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_q292_disjunct_pushdown(q):
+    """Q19 shape: Catalyst extracts the part-only disjunction into the
+    broadcast-side filter and the overall quantity envelope onto the
+    fact scan — the OR never blocks pushdown entirely."""
+    df = q("q292_banded_disjunctive_revenue")
+    assert A.count_broadcast_joins(df) == 1
+    p = A.plan_string(df)
+    assert "Or(And(EqualTo(p_type,SMALL)" in str(A.pushed_filters(df)) or (
+        "p_type" in p and "Filter" in p
+    )
+
+
+def test_q293_no_self_join(q):
+    """Q21 shape: the classic triple lineitem self-join collapses to two
+    keyed aggregates — exactly one join against orders and the top-10
+    display join; no lineitem-lineitem join."""
+    df = q("q293_suppliers_kept_waiting")
+    assert not A.has_cartesian(df)
+    # joins: li⋈orders, display⋈supplier (broadcast) — never more
+    assert len(A.join_types(df)) <= 2
+
+
+def test_q294_anti_join_and_recency_pushdown(q):
+    """Q22 shape: the dormancy test is one LEFT ANTI join on custkey and
+    the two-year recency filter is pushed to the orders scan."""
+    df = q("q294_dormant_rich_customers")
+    assert "LeftAnti" in A.join_types(df)
+    assert A.has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")

@@ -83,10 +83,20 @@ class StatsTable:
     parquet cannot.
     """
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        merge_fn=None,
+    ):
         self.spark = spark
         self.path = path
         self.keys = keys
+        # (existing|None, delta, keys) -> merged.  Defaults to the
+        # min/max/row_count stats merge; MatView reuses this table's
+        # crash-safe swap machinery with an additive-measure merge.
+        self.merge_fn = merge_fn or merge_stats
 
     @property
     def _tmp(self) -> str:
@@ -146,7 +156,7 @@ class StatsTable:
         import shutil
 
         existing = self.read()
-        merged = merge_stats(existing, delta, self.keys)
+        merged = self.merge_fn(existing, delta, self.keys)
         # merged's plan reads self.path, which the swap below replaces —
         # sever lineage first, then write the tiny result as one file
         merged = merged.localCheckpoint(eager=True)

@@ -124,12 +124,19 @@ class ParquetStore:
         provider: str = "EODHD",
         exchange: str = "US",
         tz: str = "America/New_York",
+        observers: list | None = None,
     ):
         self.spark = spark
         self.root = root
         self.provider = provider
         self.exchange = exchange
         self.tz = tz
+        # delta observers: callables (versioned_delta, mode) invoked after
+        # each non-empty append with the POST-dedup delta (already
+        # localCheckpoint'd — safe to aggregate without recomputation).
+        # This is the hook incremental materialized views (plans/matview)
+        # ride: they see exactly the rows that entered the store, once.
+        self.observers = list(observers or [])
 
     # -- paths -----------------------------------------------------------
     def data_path(self, mode: str) -> str:
@@ -196,6 +203,8 @@ class ParquetStore:
                 self._stats(mode, by_interval=True).update(
                     batch_stats(versioned, mode, by_interval=True)
                 )
+            for obs in self.observers:
+                obs(versioned, mode)
         return n
 
     # -- maintenance -----------------------------------------------------

@@ -17268,3 +17268,194 @@ def q294_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@_register(
+    "q295_join_key_skew_profile",
+    """
+    WITH prof AS (
+      SELECT 'l_orderkey' AS join_key, count(*) AS c
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+      UNION ALL
+      SELECT 'l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT join_key,
+           CAST(count(*) AS BIGINT)        AS n_keys,
+           CAST(sum(c) AS BIGINT)          AS n_rows,
+           CAST(max(c) AS BIGINT)          AS max_rows,
+           round(quantile_cont(c, 0.5), 4) AS p50_rows,
+           round(quantile_cont(c, 0.99), 4) AS p99_rows,
+           round(max(c)::DOUBLE / sum(c), 6) AS top1_share,
+           CAST(CASE WHEN max(c) > 10 * quantile_cont(c, 0.5)
+                     THEN 1 ELSE 0 END AS BIGINT) AS salt_recommended
+    FROM prof GROUP BY join_key ORDER BY join_key
+    """,
+)
+def q295_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: per-key row-count distribution of the
+    fact table's three join keys (orderkey, partkey, suppkey) — key
+    cardinality, hottest-key share, exact interpolated p50/p99 and a
+    salt-recommended flag (hottest key >10× the median — the threshold
+    at which AQE's skew-join split stops being enough and
+    operators/skew.py's explicit salting pays for itself; this query
+    IS the measurement that decision consumes, alongside
+    plans/sizing.py's volume rules).  Scale shape: one map-side-
+    combined shuffle per profiled key; the distribution stats aggregate
+    the per-key count frames (second, much smaller shuffle); exact
+    percentiles follow the q136/q166 discipline."""
+    li = _t(spark, sf_dir, "lineitem")
+    profs = []
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        profs.append(
+            li.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(key).alias("join_key"), "c")
+        )
+    prof = profs[0].unionByName(profs[1]).unionByName(profs[2])
+    return (
+        prof.groupBy("join_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.max("c").cast("bigint").alias("max_rows"),
+            F.round(F.expr("percentile(c, 0.5)"), 4).alias("p50_rows"),
+            F.round(F.expr("percentile(c, 0.99)"), 4).alias("p99_rows"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top1_share"),
+            F.when(F.expr("max(c) > 10 * percentile(c, 0.5)"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("salt_recommended"),
+        )
+        .orderBy("join_key")
+    )
+
+
+@_register(
+    "q296_fk_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           CAST((SELECT count(*) FROM nation) AS BIGINT),
+           CAST((SELECT count(*) FROM nation n
+                 WHERE NOT EXISTS (SELECT 1 FROM region r
+                                   WHERE r.r_regionkey = n.n_regionkey))
+                AS BIGINT)
+    """,
+)
+def q296_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-wide referential-integrity audit: orphan counts for every
+    foreign key in the star schema (the load-verification query a
+    warehouse runs after every batch; parquet enforces nothing, so the
+    audit IS the constraint).  Each edge is one LEFT ANTI join counting
+    rows whose FK has no parent.  Scale shape: dimension parents
+    (part/supplier/customer/nation/region) broadcast their key column;
+    the lineitem→orders edge is the one genuine fact-fact anti join
+    (orderkey shuffle); every scan is pruned to the key column alone.
+    All-zero orphans is the expected (and asserted-by-eye) steady
+    state — the query's value is that a nonzero ever appearing pins
+    WHERE the pipeline broke."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = [
+        (
+            "lineitem.l_orderkey->orders",
+            li.select("l_orderkey"),
+            o.select("o_orderkey"),
+            "l_orderkey",
+            "o_orderkey",
+            False,
+        ),
+        (
+            "lineitem.l_partkey->part",
+            li.select("l_partkey"),
+            _t(spark, sf_dir, "part").select("p_partkey"),
+            "l_partkey",
+            "p_partkey",
+            True,
+        ),
+        (
+            "lineitem.l_suppkey->supplier",
+            li.select("l_suppkey"),
+            _t(spark, sf_dir, "supplier").select("s_suppkey"),
+            "l_suppkey",
+            "s_suppkey",
+            True,
+        ),
+        (
+            "orders.o_custkey->customer",
+            o.select("o_custkey"),
+            _t(spark, sf_dir, "customer").select("c_custkey"),
+            "o_custkey",
+            "c_custkey",
+            True,
+        ),
+        (
+            "customer.c_nationkey->nation",
+            _t(spark, sf_dir, "customer").select("c_nationkey"),
+            _t(spark, sf_dir, "nation").select("n_nationkey"),
+            "c_nationkey",
+            "n_nationkey",
+            True,
+        ),
+        (
+            "nation.n_regionkey->region",
+            _t(spark, sf_dir, "nation").select("n_regionkey"),
+            _t(spark, sf_dir, "region").select("r_regionkey"),
+            "n_regionkey",
+            "r_regionkey",
+            True,
+        ),
+    ]
+    outs = []
+    for name, child, parent, ck, pk, bcast in edges:
+        par = F.broadcast(parent) if bcast else parent
+        orphans = child.join(par, F.col(ck) == F.col(pk), "left_anti")
+        outs.append(
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+        )
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionByName(df)
+    return res

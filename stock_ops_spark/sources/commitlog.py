@@ -157,12 +157,19 @@ class ManifestStore:
         exchange: str = "US",
         tz: str = "America/New_York",
         auto_compact_every: int = 16,
+        observers: list | None = None,
     ):
         self.spark = spark
         self.root = root
         self.provider = provider
         self.exchange = exchange
         self.tz = tz
+        # Same contract as ParquetStore.observers, with one OCC nuance:
+        # observers fire only AFTER try_commit succeeds — a losing
+        # attempt's delta was computed against a stale version and is
+        # recomputed on retry, so folding it would double-count exactly
+        # the rows the winner already committed.
+        self.observers = list(observers or [])
         # Reads union one relation per live batch dir, so read (and the
         # ingest dedup probe, which reads) degrades linearly in commits
         # since the last compaction — measured 4x rows/s loss at 100
@@ -293,6 +300,8 @@ class ManifestStore:
                         self.compact(mode)
                     except RuntimeError:
                         pass
+                for obs in self.observers:
+                    obs(versioned, mode)
                 return n
             except CommitConflict:
                 # loser cleans its own invisible output and recomputes

@@ -130,3 +130,22 @@ def test_swap_debris_recovery(spark, tmp_path):
     assert mv.read() is not None
     assert os.path.exists(t.path) and not os.path.exists(t._tmp)
     assert sum(r.n for r in mv.read().collect()) == 20
+
+
+def test_manifest_store_observer_fires_after_commit(spark, tmp_path):
+    """ManifestStore parity: observers see each committed delta exactly
+    once, and a replayed batch (empty delta) folds nothing."""
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    mv = _mv(spark, tmp_path)
+    store = ManifestStore(
+        spark, str(tmp_path / "mstore"), observers=[mv.observer()]
+    )
+    batch = spark.createDataFrame(_rows(3), schema=S.HISTORICAL_INTRADAY)
+    assert store.ingest_batch(batch, "historical_intraday") == 20
+    assert store.ingest_batch(batch, "historical_intraday") == 0
+    assert sum(r.n for r in mv.read().collect()) == 20
+    stored = store.read_all("historical_intraday")
+    expect = {r["ticker"]: r.asDict() for r in mv._partial(stored).collect()}
+    got = {r["ticker"]: r.asDict() for r in mv.read().collect()}
+    assert got == expect

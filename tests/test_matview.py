@@ -149,3 +149,65 @@ def test_manifest_store_observer_fires_after_commit(spark, tmp_path):
     expect = {r["ticker"]: r.asDict() for r in mv._partial(stored).collect()}
     got = {r["ticker"]: r.asDict() for r in mv.read().collect()}
     assert got == expect
+
+
+def test_streaming_ingest_maintains_view(spark, tmp_path):
+    """The MV rides the streaming path untouched: stream_ingest →
+    foreachBatch → ingest_batch → observer.  Checkpointed replay of an
+    already-seen burst folds nothing (effectively-once extends to the
+    view)."""
+    import json
+
+    from stock_ops_spark.streaming.ingest import (
+        file_trade_source,
+        stream_ingest,
+    )
+
+    trades = [
+        {"ticker": "SPY", "timestamp_UTC_ms": 1755526571834,
+         "price": 643.155, "volume": 10},
+        {"ticker": "SPY", "timestamp_UTC_ms": 1755526600000,
+         "price": 643.20, "volume": 4},
+        {"ticker": "SPY", "timestamp_UTC_ms": 1755526600000,
+         "price": 643.20, "volume": 4},  # dup collapses
+        {"ticker": "VOO", "timestamp_UTC_ms": 1755526610000,
+         "price": 590.00, "volume": 2},
+    ]
+    src = tmp_path / "socket"
+    src.mkdir()
+    with open(src / "burst1.json", "w") as f:
+        for r in trades:
+            f.write(json.dumps(r) + "\n")
+
+    mv = MatView(
+        spark,
+        str(tmp_path / "mv"),
+        ["ticker"],
+        {"n": ("count", None), "vol": ("sum", "CAST(volume AS BIGINT)")},
+    )
+    store = ParquetStore(
+        spark, str(tmp_path / "store"), observers=[mv.observer()]
+    )
+    q = stream_ingest(
+        file_trade_source(spark, str(src)),
+        store,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r.ticker: (r.n, r.vol) for r in mv.read().collect()}
+    assert got == {"SPY": (2, 14), "VOO": (1, 2)}
+
+    # replayed burst → empty post-dedup delta → view unchanged
+    with open(src / "burst2.json", "w") as f:
+        for r in trades[:2]:
+            f.write(json.dumps(r) + "\n")
+    q2 = stream_ingest(
+        file_trade_source(spark, str(src)),
+        store,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    got = {r.ticker: (r.n, r.vol) for r in mv.read().collect()}
+    assert got == {"SPY": (2, 14), "VOO": (1, 2)}

@@ -47,7 +47,8 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from stock_ops_spark import schemas as S
 from stock_ops_spark.operators.stats import batch_stats, merge_stats
@@ -287,6 +288,7 @@ class ManifestStore:
                         "adds": [batch_dir],
                         "removes": [],
                         "stats": stats_ptr,
+                        "op": "ingest",
                         "ts": time.time(),
                     },
                 )
@@ -317,6 +319,387 @@ class ManifestStore:
             f"ingest lost {self.MAX_COMMIT_RETRIES} commit races on {mode}"
         )
 
+    # -- physical mutation: MERGE / DELETE (file-pruned rewrite) ---------
+    def _read_dirs_tagged(self, mode: str, dirs: list[str]) -> DataFrame | None:
+        """Snapshot union with a ``__dir`` provenance column — the probe
+        frame file pruning works on (which batch dirs does the mutation
+        actually touch)."""
+        if not dirs:
+            return None
+        frames = []
+        for d in dirs:
+            p = os.path.join(self.data_path(mode), d)
+            frames.append(
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", p)
+                .parquet(p)
+                .withColumn("__dir", F.lit(d))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def _write_batch_dir(self, df: DataFrame, mode: str) -> str:
+        parts = PARTITION_COLS[mode]
+        batch_dir = f"batch-{uuid.uuid4().hex[:12]}"
+        writer = cluster_for_write(df, mode).write.option("compression", "zstd")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(os.path.join(self.data_path(mode), batch_dir))
+        return batch_dir
+
+    def _write_cdc(self, log: ManifestLog, version: int, cdc: DataFrame) -> str:
+        rel = f"cdc-{version:08d}-{uuid.uuid4().hex[:8]}"
+        cdc.write.option("compression", "zstd").parquet(
+            os.path.join(log.log_dir, rel)
+        )
+        return rel
+
+    def _check_observers(self, action: str, on_observers: str) -> None:
+        # Incremental MVs fold APPEND deltas; a physical update/delete
+        # silently invalidates them.  Fail loudly unless the caller
+        # acknowledges (then rebuild the views from the new snapshot).
+        if self.observers and on_observers != "ignore":
+            raise ValueError(
+                f"{action} with registered observers would leave "
+                "incremental views stale; pass on_observers='ignore' and "
+                "rebuild them from the post-mutation snapshot"
+            )
+
+    def merge(
+        self, source: DataFrame, mode: str, on_observers: str = "error"
+    ) -> dict:
+        """Delta-style MERGE: matched index keys get their payload
+        REPLACED in place (version preserved — a correction, not a new
+        logical version); unmatched source rows are inserted as version 1.
+
+        File pruning is the scale story: a key-semi-join probe finds the
+        batch dirs that actually contain matched keys and ONLY those are
+        rewritten — an upsert touching 0.1% of keys rewrites ~0.1% of a
+        compacted store, not the table (plus one new insert dir).  The
+        rewrite and the commit are atomic via the same put-if-absent
+        publish as ingest; a CDC file (update_preimage/update_postimage/
+        insert rows) is written under the log and referenced by the
+        commit so ``read_changes`` never has to diff snapshots.
+
+        Pure updates cannot move table/interval stats (index keys —
+        ticker and the timestamp — are immutable under MERGE; only
+        payload columns change), so the stats pointer is carried over
+        and only re-merged when the merge inserts rows.
+
+        Source contract: key columns typed per ``schemas.SCHEMAS[mode]``,
+        key-unique (raises otherwise), payload = every non-key column;
+        NULL payload in the source overwrites (replace semantics).
+        Reference parity: the reference's SQLite writer updates rows via
+        INSERT OR REPLACE under its journal (sql_db.py); this is the
+        multi-file equivalent with the rewrite pruned to touched files.
+        """
+        self._check_observers("merge", on_observers)
+        keys = S.INDEX_COLS[mode]
+        log = self.log(mode)
+        src = source.localCheckpoint(eager=True)
+        dup = src.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
+        if dup.count():
+            raise ValueError("merge source must be unique on index keys")
+        src_payload = [c for c in src.columns if c not in keys]
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            state = log.state()
+            tagged = self._read_dirs_tagged(mode, state["dirs"])
+            src_keys = src.select(*keys).distinct()
+            adds: list[str] = []
+            removes: list[str] = []
+            cdc_frames: list[DataFrame] = []
+            n_upd = 0
+            if tagged is not None:
+                touched = sorted(
+                    r[0]
+                    for r in tagged.join(src_keys, on=keys, how="left_semi")
+                    .select("__dir")
+                    .distinct()
+                    .collect()
+                )
+            else:
+                touched = []
+            if touched:
+                tdf = self._read_dirs(mode, touched)
+                pre = tdf.join(src_keys, on=keys, how="left_semi")
+                keep = tdf.join(src_keys, on=keys, how="left_anti")
+                s2 = src.select(
+                    *keys,
+                    *[F.col(c).alias(f"__src_{c}") for c in src_payload],
+                )
+                repl = [
+                    F.col(f"__src_{c}").alias(c) if c in src_payload else F.col(c)
+                    for c in tdf.columns
+                ]
+                new_cols = [
+                    F.col(f"__src_{c}").alias(c)
+                    for c in src_payload
+                    if c not in tdf.columns
+                ]
+                post = tdf.join(s2, on=keys, how="inner").select(*repl, *new_cols)
+                post = post.localCheckpoint(eager=True)
+                n_upd = post.count()
+                rewrite = keep.unionByName(post, allowMissingColumns=True)
+                adds.append(self._write_batch_dir(rewrite, mode))
+                removes = list(touched)
+                cdc_frames.append(
+                    pre.withColumn("_change_type", F.lit("update_preimage"))
+                )
+                cdc_frames.append(
+                    post.withColumn("_change_type", F.lit("update_postimage"))
+                )
+            if tagged is not None:
+                ins_src = src.join(
+                    tagged.select(*keys), on=keys, how="left_anti"
+                )
+            else:
+                ins_src = src
+            inserts = compute_versioned_delta(ins_src, None, mode, self.tz)
+            inserts = inserts.localCheckpoint(eager=True)
+            n_ins = inserts.count()
+            stats_ptr = self._stats_state(mode)
+            stats_dir = None
+            new_version = state["version"] + 1
+            if n_ins:
+                adds.append(self._write_batch_dir(inserts, mode))
+                cdc_frames.append(
+                    inserts.withColumn("_change_type", F.lit("insert"))
+                )
+                stats_ptr = {}
+                stats_dir = f"stats-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+                for which, by_interval in (("table", False), ("interval", True)):
+                    if by_interval and mode == "streaming":
+                        continue
+                    skeys = ["ticker", "interval"] if by_interval else ["ticker"]
+                    prior = self._read_stats(mode, which)
+                    merged = merge_stats(
+                        prior, batch_stats(inserts, mode, by_interval), skeys
+                    )
+                    rel = os.path.join(stats_dir, which)
+                    merged.coalesce(1).write.parquet(
+                        os.path.join(log.log_dir, rel)
+                    )
+                    stats_ptr[which] = rel
+            if not adds:
+                return {"updated": 0, "inserted": 0, "rewritten_dirs": 0,
+                        "version": state["version"]}
+            cdc = cdc_frames[0]
+            for f in cdc_frames[1:]:
+                cdc = cdc.unionByName(f, allowMissingColumns=True)
+            cdc_rel = self._write_cdc(log, new_version, cdc)
+            try:
+                log.try_commit(
+                    new_version,
+                    {
+                        "adds": adds,
+                        "removes": removes,
+                        "stats": stats_ptr,
+                        "op": "merge",
+                        "cdc": cdc_rel,
+                        "ts": time.time(),
+                    },
+                )
+                return {
+                    "updated": n_upd,
+                    "inserted": n_ins,
+                    "rewritten_dirs": len(removes),
+                    "version": new_version,
+                }
+            except CommitConflict:
+                for d in adds:
+                    shutil.rmtree(
+                        os.path.join(self.data_path(mode), d),
+                        ignore_errors=True,
+                    )
+                for d in (cdc_rel, stats_dir):
+                    if d:
+                        shutil.rmtree(
+                            os.path.join(log.log_dir, d), ignore_errors=True
+                        )
+                continue
+        raise RuntimeError(
+            f"merge lost {self.MAX_COMMIT_RETRIES} commit races on {mode}"
+        )
+
+    def delete_where(
+        self,
+        mode: str,
+        predicate: "Column | str",
+        on_observers: str = "error",
+    ) -> dict:
+        """Delta-style DELETE: physically remove rows matching
+        ``predicate``, rewriting ONLY the batch dirs that contain a
+        matching row (file-pruned like ``merge``).  NULL predicate rows
+        are KEPT (SQL DELETE semantics: only TRUE deletes).
+
+        Stats cannot be decremented from the O(1) merge form (count/
+        min/max are not subtractable), so the affected (ticker[,
+        interval]) stats rows are recomputed exactly from the
+        post-delete snapshot — bounded by the tickers the delete
+        touched, never a full rescan of untouched tickers.  The commit
+        carries a CDC file of the deleted rows (_change_type='delete').
+        """
+        self._check_observers("delete_where", on_observers)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cond_true = F.coalesce(cond, F.lit(False))
+        log = self.log(mode)
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            state = log.state()
+            tagged = self._read_dirs_tagged(mode, state["dirs"])
+            if tagged is None:
+                return {"deleted": 0, "rewritten_dirs": 0,
+                        "version": state["version"]}
+            touched = sorted(
+                r[0]
+                for r in tagged.where(cond_true)
+                .select("__dir")
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return {"deleted": 0, "rewritten_dirs": 0,
+                        "version": state["version"]}
+            tdf = self._read_dirs(mode, touched)
+            doomed = tdf.where(cond_true).localCheckpoint(eager=True)
+            n_del = doomed.count()
+            keep = tdf.where(~cond_true)
+            adds = []
+            if keep.limit(1).count():
+                adds.append(self._write_batch_dir(keep, mode))
+            new_version = state["version"] + 1
+            untouched = [d for d in state["dirs"] if d not in touched]
+            post_dirs = untouched + adds
+            post = self._read_dirs(mode, post_dirs)
+            stats_ptr = {}
+            stats_dir = f"stats-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+            for which, by_interval in (("table", False), ("interval", True)):
+                if by_interval and mode == "streaming":
+                    continue
+                skeys = ["ticker", "interval"] if by_interval else ["ticker"]
+                prior = self._read_stats(mode, which)
+                affected = doomed.select(*skeys).distinct()
+                if post is not None:
+                    recomputed = batch_stats(
+                        post.join(affected, on=skeys, how="left_semi"),
+                        mode,
+                        by_interval,
+                    )
+                else:
+                    recomputed = None
+                if prior is not None:
+                    kept_stats = prior.join(
+                        affected, on=skeys, how="left_anti"
+                    )
+                    merged = (
+                        kept_stats.unionByName(recomputed)
+                        if recomputed is not None
+                        else kept_stats
+                    )
+                else:
+                    merged = recomputed
+                if merged is None:
+                    continue
+                rel = os.path.join(stats_dir, which)
+                merged.coalesce(1).write.parquet(
+                    os.path.join(log.log_dir, rel)
+                )
+                stats_ptr[which] = rel
+            cdc_rel = self._write_cdc(
+                log,
+                new_version,
+                doomed.withColumn("_change_type", F.lit("delete")),
+            )
+            try:
+                log.try_commit(
+                    new_version,
+                    {
+                        "adds": adds,
+                        "removes": list(touched),
+                        "stats": stats_ptr,
+                        "op": "delete",
+                        "cdc": cdc_rel,
+                        "ts": time.time(),
+                    },
+                )
+                return {
+                    "deleted": n_del,
+                    "rewritten_dirs": len(touched),
+                    "version": new_version,
+                }
+            except CommitConflict:
+                for d in adds:
+                    shutil.rmtree(
+                        os.path.join(self.data_path(mode), d),
+                        ignore_errors=True,
+                    )
+                for d in (cdc_rel, stats_dir):
+                    shutil.rmtree(
+                        os.path.join(log.log_dir, d), ignore_errors=True
+                    )
+                continue
+        raise RuntimeError(
+            f"delete lost {self.MAX_COMMIT_RETRIES} commit races on {mode}"
+        )
+
+    # -- CDC change feed -------------------------------------------------
+    def read_changes(
+        self,
+        mode: str,
+        from_version: int = 0,
+        to_version: int | None = None,
+    ) -> DataFrame | None:
+        """Row-level change feed for commits (from_version, to_version]
+        — the Delta CDF twin that makes every downstream consumer
+        incremental (MV rebuilds, index refresh, replication) without
+        snapshot diffing.
+
+        Per commit kind: ingest adds are DERIVED as changes with no
+        extra storage (``_change_type`` = 'insert' for version-1 rows,
+        'update_postimage' for a conflict-versioned re-send — the
+        logical update in this store's versioned model); merge/delete
+        commits read the explicit CDC file their commit published;
+        compaction is invisible (no logical change).  Every row carries
+        ``_commit_version`` so a consumer can checkpoint its own cursor.
+
+        Requires the referenced batch dirs to still exist — run
+        ``gc_orphans`` with a grace no shorter than the slowest
+        consumer's lag.
+        """
+        log = self.log(mode)
+        upto = log.version() if to_version is None else to_version
+        frames = []
+        for c in log.commits(upto=upto):
+            v = c["version"]
+            if v <= from_version:
+                continue
+            op = c.get("op") or ("compact" if c.get("removes") else "ingest")
+            if op == "compact":
+                continue
+            if c.get("cdc"):
+                df = self.spark.read.parquet(
+                    os.path.join(log.log_dir, c["cdc"])
+                )
+            elif op == "ingest":
+                df = self._read_dirs(mode, c["adds"])
+                if df is None:
+                    continue
+                df = df.withColumn(
+                    "_change_type",
+                    F.when(F.col("version") > 1, F.lit("update_postimage"))
+                    .otherwise(F.lit("insert")),
+                )
+            else:
+                continue
+            frames.append(df.withColumn("_commit_version", F.lit(v)))
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     # -- maintenance -----------------------------------------------------
     def compact(self, mode: str) -> dict:
         """Rewrite all live batch dirs into one and swap atomically.
@@ -343,6 +726,7 @@ class ManifestStore:
                         "adds": [new_dir],
                         "removes": list(state["dirs"]),
                         "stats": self._stats_state(mode),
+                        "op": "compact",
                         "ts": time.time(),
                     },
                 )
@@ -368,9 +752,12 @@ class ManifestStore:
         commits = log.commits()
         live = set(log.state()["dirs"])
         ever_stats = set()
+        ever_cdc = set()
         for c in commits:
             for rel in (c.get("stats") or {}).values():
                 ever_stats.add(rel.split(os.sep)[0])
+            if c.get("cdc"):
+                ever_cdc.add(c["cdc"].split(os.sep)[0])
         # current stats must survive even past grace
         cur = self._stats_state(mode) or {}
         cur_stats = {rel.split(os.sep)[0] for rel in cur.values()}
@@ -397,10 +784,19 @@ class ManifestStore:
             lnames = []
         for n in lnames:
             p = os.path.join(log.log_dir, n)
-            if not n.startswith("stats-") or not os.path.isdir(p):
+            if not os.path.isdir(p):
                 continue
-            if n in cur_stats or n in ever_stats:
-                continue  # current or referenced history (time travel): keep
+            if n.startswith("stats-"):
+                if n in cur_stats or n in ever_stats:
+                    continue  # current or referenced history: keep
+            elif n.startswith("cdc-"):
+                # CDC files referenced by a commit ARE the change feed's
+                # history — keep them; only commit-race / crash debris
+                # (written but never referenced) is collectable.
+                if n in ever_cdc:
+                    continue
+            else:
+                continue
             if now - os.path.getmtime(p) < grace_s:
                 continue  # maybe an in-flight writer's pre-commit output
             shutil.rmtree(p, ignore_errors=True)

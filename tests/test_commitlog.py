@@ -307,3 +307,149 @@ def test_stream_ingest_into_manifest_store(spark, tmp_path):
     assert store.version("streaming") == v
     st = {r["ticker"]: r for r in store.table_stats("streaming").collect()}
     assert st["SPY"]["row_count"] == 12
+
+
+# -- MERGE / DELETE / CDC -------------------------------------------------
+
+SRC_MERGE = [
+    # correction of an existing row (payload replaced, version preserved)
+    ("SPY", 1751463000, 617.24, 618.72, 616.61, 999.99, 11824245, "1h"),
+    # brand-new key -> insert at version 1
+    ("IVV", 1751463000, 500.0, 501.0, 499.0, 500.5, 10, "1h"),
+]
+
+
+def test_merge_updates_inserts_and_prunes_files(spark, mstore):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)  # v1: 3 rows
+    mstore.ingest_batch(_df(spark, ROWS_B2), MODE)  # v2: 2 rows (dup absorbed)
+    dirs_before = mstore.log(MODE).state()["dirs"]
+    assert len(dirs_before) == 2
+    res = mstore.merge(_df(spark, SRC_MERGE), MODE)
+    assert res == {
+        "updated": 1,
+        "inserted": 1,
+        # SPY@1751463000 lives only in the v1 batch dir -> the v2 dir
+        # must NOT be rewritten (file pruning, the scale story)
+        "rewritten_dirs": 1,
+        "version": 3,
+    }
+    state = mstore.log(MODE).state()
+    assert dirs_before[1] in state["dirs"]  # untouched dir survived
+    assert dirs_before[0] not in state["dirs"]  # touched dir swapped out
+    snap = mstore.read_all(MODE)
+    assert snap.count() == 6  # 5 unique + 1 insert
+    upd = snap.where("ticker='SPY' and timestamp_UTC_s=1751463000").collect()
+    assert len(upd) == 1
+    assert upd[0]["close"] == 999.99  # payload replaced
+    assert upd[0]["version"] == 1  # correction, not a new logical version
+    ins = snap.where("ticker='IVV'").collect()
+    assert len(ins) == 1 and ins[0]["version"] == 1
+    # inserted rows flow into stats atomically with the commit
+    st = {r["ticker"]: r for r in mstore.table_stats(MODE).collect()}
+    assert st["IVV"]["row_count"] == 1
+    assert st["SPY"]["row_count"] == 3  # updates don't move counts
+
+
+def test_merge_pure_update_carries_stats_pointer(spark, mstore):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    ptr_before = mstore.log(MODE).state()["stats"]
+    res = mstore.merge(_df(spark, SRC_MERGE[:1]), MODE)
+    assert res["updated"] == 1 and res["inserted"] == 0
+    # index keys are immutable under MERGE, so count/min/max cannot move:
+    # the commit re-points at the SAME stats snapshot (no recompute)
+    assert mstore.log(MODE).state()["stats"] == ptr_before
+
+
+def test_merge_rejects_duplicate_source_keys(spark, mstore):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    dup_src = _df(spark, SRC_MERGE[:1] + SRC_MERGE[:1])
+    with pytest.raises(ValueError, match="unique on index keys"):
+        mstore.merge(dup_src, MODE)
+
+
+def test_delete_where_sql_null_semantics_and_stats(spark, mstore):
+    rows_null = [("QQQ", 1751463000, 1.0, 1.0, 1.0, None, 10, "1h")]
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    mstore.ingest_batch(_df(spark, ROWS_B2), MODE)
+    mstore.ingest_batch(_df(spark, rows_null), MODE)
+    res = mstore.delete_where(MODE, "close < 600")
+    # both VOO rows match; QQQ's NULL close is KEPT (only TRUE deletes)
+    assert res["deleted"] == 2
+    snap = mstore.read_all(MODE)
+    assert snap.where("ticker='VOO'").count() == 0
+    assert snap.where("ticker='QQQ'").count() == 1
+    assert snap.count() == 4  # 3 SPY + QQQ
+    # stats: affected ticker recomputed exactly (VOO emptied -> gone),
+    # untouched tickers' rows carried over
+    st = {r["ticker"]: r for r in mstore.table_stats(MODE).collect()}
+    assert "VOO" not in st
+    assert st["SPY"]["row_count"] == 3
+    assert st["QQQ"]["row_count"] == 1
+
+
+def test_delete_where_no_match_is_a_noop(spark, mstore):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    res = mstore.delete_where(MODE, "ticker = 'NOPE'")
+    assert res == {"deleted": 0, "rewritten_dirs": 0, "version": 1}
+    assert mstore.version(MODE) == 1  # no empty commit
+
+
+def test_read_changes_feed(spark, mstore):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)  # v1: 3 inserts
+    # conflict-versioned re-send: same key, different payload -> version 2
+    resend = [("SPY", 1751463000, 617.24, 618.72, 616.61, 555.55, 11824245, "1h")]
+    mstore.ingest_batch(_df(spark, resend), MODE)  # v2
+    mstore.merge(_df(spark, SRC_MERGE), MODE)  # v3: 1 update + 1 insert
+    mstore.compact(MODE)  # v4: invisible to the feed
+    mstore.delete_where(MODE, "ticker = 'VOO'")  # v5: 1 delete
+    ch = mstore.read_changes(MODE)
+    got = {
+        (r["_commit_version"], r["_change_type"]): r["cnt"]
+        for r in ch.groupBy("_commit_version", "_change_type").count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert got == {
+        (1, "insert"): 3,
+        (2, "update_postimage"): 1,  # the logical update in the versioned model
+        (3, "update_preimage"): 2,  # both versions of the corrected key
+        (3, "update_postimage"): 2,
+        (3, "insert"): 1,
+        (5, "delete"): 1,
+    }
+    # cursor: a consumer checkpointed at v3 sees only v5's delete
+    tail = mstore.read_changes(MODE, from_version=3)
+    assert tail.select("_commit_version").distinct().collect()[0][0] == 5
+    assert tail.count() == 1
+    assert mstore.read_changes(MODE, from_version=5) is None
+
+
+def test_mutations_guard_incremental_observers(spark, mstore):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    mstore.observers.append(object())  # any registered incremental MV
+    with pytest.raises(ValueError, match="observers"):
+        mstore.merge(_df(spark, SRC_MERGE), MODE)
+    with pytest.raises(ValueError, match="observers"):
+        mstore.delete_where(MODE, "close < 600")
+    # acknowledged: the caller owns the rebuild
+    res = mstore.delete_where(MODE, "ticker = 'VOO'", on_observers="ignore")
+    assert res["deleted"] == 1
+
+
+def test_gc_collects_orphan_cdc_keeps_referenced(spark, mstore):
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    mstore.merge(_df(spark, SRC_MERGE), MODE)
+    log_dir = mstore.log(MODE).log_dir
+    referenced = [n for n in os.listdir(log_dir) if n.startswith("cdc-")]
+    assert len(referenced) == 1
+    orphan = os.path.join(log_dir, "cdc-99999999-deadbeef")
+    os.makedirs(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    # grace longer than this test's age keeps the (seconds-old) batch
+    # dirs the change feed still references; the hours-old orphan goes
+    removed = mstore.gc_orphans(MODE, grace_s=3600.0)
+    assert orphan in removed
+    assert os.path.isdir(os.path.join(log_dir, referenced[0]))
+    # the feed still replays after GC
+    assert mstore.read_changes(MODE).count() > 0

@@ -13,12 +13,22 @@ Supported measures are the ADDITIVE partials: ``sum``, ``count``,
 rates, spans — via ``serve``).  Additivity is what makes maintenance a
 pure fold; it also dictates the contract:
 
-- **Append-only.**  A retraction or in-place update is not expressible
-  with additive partials (min/max cannot un-see a value).  Wire the view
-  to the POST-dedup delta the store computes (``ParquetStore``'s
-  ``observers`` hook hands over exactly the rows that entered the store,
-  exactly once) — never to raw pre-dedup batches, which replay on
-  checkpoint recovery.
+- **Append-only under observers.**  A retraction or in-place update is
+  not expressible with additive partials (min/max cannot un-see a
+  value).  Wire the view to the POST-dedup delta the store computes
+  (``ParquetStore``'s ``observers`` hook hands over exactly the rows
+  that entered the store, exactly once) — never to raw pre-dedup
+  batches, which replay on checkpoint recovery.
+- **Updates/deletes via the CDC feed.**  Against a ``ManifestStore``
+  (which has MERGE/DELETE and a ``read_changes`` feed), ``sync`` pulls
+  the change rows past a persisted cursor and folds them exactly once:
+  subtractable measures (sum/count) fold deletions NEGATIVELY — exact,
+  O(|delta| + |groups|), no fact scan; a view with min/max measures
+  recomputes ONLY the groups a retraction touched from the snapshot
+  (semi-join-bounded — the groups, not the table).  The cursor is
+  written INSIDE the view directory by the same rename that installs
+  the data, so a crash can never double-fold.  A view is maintained by
+  observers OR by sync, never both (guarded — mixing double-counts).
 - **Crash safety** comes from ``StatsTable``'s two-rename swap install
   (write ``.tmp`` → aside → install), reused via its ``merge_fn`` hook:
   a SIGKILL at any point leaves the previous or the next generation
@@ -36,12 +46,26 @@ measures).
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stock_ops_spark.operators.stats import StatsTable
+
+# Hidden per-group row multiplicity: lets the subtractable-fold path
+# drop a group whose last row was deleted (sum hitting 0 is NOT "group
+# gone"; count of live rows hitting 0 is).  Maintained by every partial,
+# excluded from read()/serve().
+_MULT = "__n"
+# Written inside the view directory by the SAME rename that installs the
+# folded data — cursor and state are one atomic unit.  Spark's file
+# listing skips underscore-prefixed names, so readers never see it.
+_CURSOR_FILE = "_mv_cursor.json"
+_SUBTRACTABLE = frozenset({"sum", "count"})
 
 # measure kind -> (partial aggregate over delta, pairwise combine)
 _KINDS = {
@@ -103,13 +127,25 @@ class MatView:
             spark, path, keys=self.group_cols, merge_fn=self._merge
         )
 
+    @property
+    def _subtractable(self) -> bool:
+        return all(k in _SUBTRACTABLE for k, _ in self.measures.values())
+
     # -- maintenance -----------------------------------------------------
-    def _partial(self, delta: DataFrame) -> DataFrame:
+    def _partial(self, delta: DataFrame, sign: int = 1) -> DataFrame:
+        """Grouped partials over ``delta``; ``sign=-1`` negates the
+        subtractable measures (the retraction fold — only valid when
+        every measure is subtractable, enforced by the caller)."""
         aggs = []
         for name, (kind, expr) in self.measures.items():
             part, _ = _KINDS[kind]
             src = F.lit(1) if kind == "count" else F.expr(expr)
-            aggs.append(part(src).alias(name))
+            col = part(src)
+            if sign < 0:
+                col = -col
+            aggs.append(col.alias(name))
+        mult = F.count(F.lit(1))
+        aggs.append((mult if sign > 0 else -mult).alias(_MULT))
         return delta.groupBy(*self.group_cols).agg(*aggs)
 
     def _merge(
@@ -117,11 +153,20 @@ class MatView:
     ) -> DataFrame:
         if existing is None:
             return delta
+        names = list(self.measures)
+        if _MULT in delta.columns:
+            # pre-_MULT view generations lack the multiplicity column —
+            # fold from NULL (unknown); only sync-maintained views (which
+            # always start from a fresh partial) rely on its exactness
+            if _MULT not in existing.columns:
+                existing = existing.withColumn(_MULT, F.lit(None).cast("long"))
+            names.append(_MULT)
         e = existing.select(
-            *keys, *[F.col(m).alias(f"__e_{m}") for m in self.measures]
+            *keys, *[F.col(m).alias(f"__e_{m}") for m in names]
         )
         cols = [F.col(k) for k in keys]
-        for name, (kind, _expr) in self.measures.items():
+        for name in names:
+            kind = "count" if name == _MULT else self.measures[name][0]
             _, combine = _KINDS[kind]
             cols.append(
                 combine(F.col(name), F.col(f"__e_{name}")).alias(name)
@@ -130,13 +175,141 @@ class MatView:
 
     def refresh(self, delta: DataFrame) -> None:
         """Fold one appended delta into the view (one partial aggregate
-        over the delta + one O(groups) merge + swap install)."""
+        over the delta + one O(groups) merge + swap install).  Observer
+        path only — a CDC-synced view folds through ``sync`` (mixing the
+        two would count the same rows twice)."""
+        if self.cursor() is not None:
+            raise ValueError(
+                "view is CDC-synced (cursor present) — maintain it with "
+                "sync(), not refresh(); observer deltas would double-count"
+            )
         self._table.update(self._partial(delta))
 
     def observer(self) -> Callable[[DataFrame, str], None]:
         """Adapter for ``ParquetStore(observers=[...])``: ignores the
         mode argument and folds every post-dedup delta."""
         return lambda delta, _mode: self.refresh(delta)
+
+    # -- CDC maintenance (ManifestStore.read_changes) --------------------
+    def cursor(self) -> int | None:
+        """Last store version folded by ``sync`` (None = this view has
+        never been cursor-initialized — it is observer-maintained, or a
+        crash landed in the parquet-done/cursor-missing window and the
+        heal is ``init_from_snapshot``)."""
+        self._table.read()  # trigger tmp/aside adoption first
+        p = os.path.join(self._table.path, _CURSOR_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["version"]
+
+    def init_from_snapshot(self, store, mode: str) -> int:
+        """First fill / heal for a CDC-synced view: one full aggregate
+        of the store's current snapshot, installed with the matching
+        cursor.  (A fresh empty view can skip this and just ``sync`` —
+        folding the whole change feed from version 0 is equivalent; this
+        is the cheaper bootstrap for a store with deep history.)"""
+        v = store.version(mode)
+        fact = store.read_all(mode, at_version=v)
+        if fact is None:
+            raise ValueError(
+                "empty store: nothing to aggregate — sync() from a fresh "
+                "view instead (it folds the feed from version 0)"
+            )
+        self._install_partials(self._partial(fact), v)
+        return v
+
+    def sync(self, store, mode: str, snapshot: DataFrame | None = None) -> dict:
+        """Fold every store change past this view's cursor, exactly once.
+
+        Subtractable views (every measure sum/count) fold retractions
+        (delete / update_preimage rows) NEGATIVELY and drop groups whose
+        hidden row multiplicity reaches zero — exact with no fact scan.
+        A view with min/max measures instead recomputes the retraction-
+        touched groups from the version-pinned snapshot (semi-join keeps
+        it bounded by those groups' rows); insert-only change sets fold
+        additively either way.  The new cursor is written inside the
+        view directory before the install rename, so the fold and the
+        cursor advance are one atomic unit — a crash replays nothing.
+        """
+        cur = self.cursor()
+        existing = self._table.read()
+        if cur is None:
+            if existing is not None:
+                raise ValueError(
+                    "view exists without a cursor — observer-maintained "
+                    "(or a torn sync install); heal with init_from_snapshot"
+                )
+            cur = 0
+        v1 = store.version(mode)
+        noop = {"from": cur, "to": cur, "pos_rows": 0, "neg_rows": 0,
+                "recomputed_groups": 0}
+        if v1 <= cur:
+            return noop
+        changes = store.read_changes(mode, from_version=cur, to_version=v1)
+        if changes is None:
+            if existing is not None:  # compaction-only span: advance cursor
+                self._install_partials(existing, v1)
+                return dict(noop, to=v1)
+            return noop
+        ct = F.col("_change_type")
+        pos = changes.where(ct.isin("insert", "update_postimage"))
+        neg = changes.where(ct.isin("delete", "update_preimage"))
+        neg = neg.localCheckpoint(eager=True)
+        n_neg = neg.count()
+        keys = self.group_cols
+        n_recomputed = 0
+        if n_neg == 0:
+            merged = self._merge(existing, self._partial(pos), keys)
+        elif self._subtractable:
+            merged = self._merge(existing, self._partial(pos), keys)
+            merged = self._merge(merged, self._partial(neg, sign=-1), keys)
+        else:
+            aff = neg.select(*keys).distinct().localCheckpoint(eager=True)
+            n_recomputed = aff.count()
+            if snapshot is None:
+                snapshot = store.read_all(mode, at_version=v1)
+            recomputed = (
+                self._partial(snapshot.join(aff, on=keys, how="left_semi"))
+                if snapshot is not None
+                else None
+            )
+            # pos rows in affected groups are already inside the snapshot
+            # recompute — folding them too would double-count
+            pos_clean = pos.join(aff, on=keys, how="left_anti")
+            merged = self._merge(existing, self._partial(pos_clean), keys)
+            merged = merged.join(aff, on=keys, how="left_anti")
+            if recomputed is not None:
+                merged = merged.unionByName(recomputed, allowMissingColumns=True)
+        if _MULT in merged.columns:
+            # a group's last live row retracted -> the group leaves the
+            # view (NULL multiplicity = pre-_MULT generation: keep)
+            merged = merged.where(
+                F.coalesce(F.col(_MULT) != 0, F.lit(True))
+            )
+        merged = merged.localCheckpoint(eager=True)
+        n_pos = pos.count()
+        self._install_partials(merged, v1)
+        return {"from": cur, "to": v1, "pos_rows": n_pos, "neg_rows": n_neg,
+                "recomputed_groups": n_recomputed}
+
+    def _install_partials(self, df: DataFrame, version: int) -> None:
+        """Swap-install ``df`` with the cursor file inside the new
+        generation — data and cursor publish in the same rename."""
+        t = self._table
+        full = df.localCheckpoint(eager=True)
+        shutil.rmtree(t._tmp, ignore_errors=True)
+        shutil.rmtree(t._aside, ignore_errors=True)
+        full.coalesce(1).write.mode("overwrite").parquet(t._tmp)
+        cpath = os.path.join(t._tmp, _CURSOR_FILE)
+        with open(cpath, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if os.path.exists(t.path):
+            os.rename(t.path, t._aside)
+        os.rename(t._tmp, t.path)
+        shutil.rmtree(t._aside, ignore_errors=True)
 
     def rebuild(self, fact: DataFrame) -> None:
         """Maintenance-time heal / first fill: one full aggregate of the
@@ -159,8 +332,12 @@ class MatView:
 
     # -- read ------------------------------------------------------------
     def read(self) -> DataFrame | None:
-        """The raw partial-aggregate table (None before the first fold)."""
-        return self._table.read()
+        """The raw partial-aggregate table (None before the first fold).
+        The hidden row-multiplicity bookkeeping column stays hidden."""
+        df = self._table.read()
+        if df is not None and _MULT in df.columns:
+            df = df.drop(_MULT)
+        return df
 
     def serve(self, **derived: str) -> DataFrame | None:
         """The view plus derived columns (SQL over the partials), e.g.

@@ -364,7 +364,9 @@ class ManifestStore:
             raise ValueError(
                 f"{action} with registered observers would leave "
                 "incremental views stale; pass on_observers='ignore' and "
-                "rebuild them from the post-mutation snapshot"
+                "rebuild them from the post-mutation snapshot — or drop "
+                "the observer wiring and maintain the view with "
+                "MatView.sync (CDC cursor folds updates/deletes exactly)"
             )
 
     def merge(

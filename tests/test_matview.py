@@ -49,10 +49,10 @@ def test_fold_equals_full_recompute(spark, tmp_path):
     for b in batches[1:]:
         full = full.unionByName(b)
     expect = {
-        r["ticker"]: r.asDict()
+        r["ticker"]: {m: r[m] for m in MEASURES}
         for r in mv._partial(full).collect()
     }
-    got = {r["ticker"]: r.asDict() for r in mv.read().collect()}
+    got = {r["ticker"]: {m: r[m] for m in MEASURES} for r in mv.read().collect()}
     assert got == expect
 
 
@@ -101,9 +101,12 @@ def test_view_matches_store_after_mixed_ingest(spark, tmp_path):
         )
     stored = store.read_all("historical_intraday")
     expect = {
-        r["ticker"]: r.asDict() for r in mv._partial(stored).collect()
+        r["ticker"]: {m: r[m] for m in MEASURES}
+        for r in mv._partial(stored).collect()
     }
-    got = {r["ticker"]: r.asDict() for r in mv.read().collect()}
+    got = {
+        r["ticker"]: {m: r[m] for m in MEASURES} for r in mv.read().collect()
+    }
     assert got == expect
 
 
@@ -146,8 +149,13 @@ def test_manifest_store_observer_fires_after_commit(spark, tmp_path):
     assert store.ingest_batch(batch, "historical_intraday") == 0
     assert sum(r.n for r in mv.read().collect()) == 20
     stored = store.read_all("historical_intraday")
-    expect = {r["ticker"]: r.asDict() for r in mv._partial(stored).collect()}
-    got = {r["ticker"]: r.asDict() for r in mv.read().collect()}
+    expect = {
+        r["ticker"]: {m: r[m] for m in MEASURES}
+        for r in mv._partial(stored).collect()
+    }
+    got = {
+        r["ticker"]: {m: r[m] for m in MEASURES} for r in mv.read().collect()
+    }
     assert got == expect
 
 
@@ -211,3 +219,153 @@ def test_streaming_ingest_maintains_view(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r.ticker: (r.n, r.vol) for r in mv.read().collect()}
     assert got == {"SPY": (2, 14), "VOO": (1, 2)}
+
+
+# -- CDC-driven maintenance (ManifestStore.read_changes) -------------------
+
+from stock_ops_spark.sources.commitlog import ManifestStore  # noqa: E402
+
+MODE = "historical_intraday"
+CDC_ROWS_A = [
+    ("SPY", 1751463000, 617.0, 618.7, 616.6, 618.6, 1000, "1h"),
+    ("SPY", 1751466600, 618.6, 619.0, 617.5, 618.1, 900, "1h"),
+    ("VOO", 1751463000, 567.0, 568.0, 566.0, 567.5, 100, "1h"),
+]
+CDC_ROWS_B = [
+    ("SPY", 1751549400, 620.0, 630.0, 619.0, 620.5, 800, "1h"),
+    ("VOO", 1751549400, 569.0, 570.0, 568.0, 569.5, 200, "1h"),
+]
+SUB_MEASURES = {"n": ("count", None), "vol": ("sum", "CAST(volume AS BIGINT)")}
+
+
+def _fact_df(spark, rows):
+    return spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY)
+
+
+def _assert_view_equals_recompute(mv, store):
+    """The invariant every fold must keep: view == full recompute of the
+    store's current physical snapshot."""
+    fact = store.read_all(MODE)
+    if fact is None:
+        assert mv.read() is None or mv.read().count() == 0
+        return
+    expect = {
+        tuple(r[k] for k in mv.group_cols): {m: r[m] for m in mv.measures}
+        for r in mv._partial(fact).collect()
+    }
+    got = {
+        tuple(r[k] for k in mv.group_cols): {m: r[m] for m in mv.measures}
+        for r in mv.read().collect()
+    }
+    assert got == expect
+
+
+def test_sync_subtractable_folds_mutations_without_fact_scan(spark, tmp_path):
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = MatView(spark, str(tmp_path / "cmv"), ["ticker"], SUB_MEASURES)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    res = mv.sync(store, MODE)
+    assert (res["from"], res["to"]) == (0, 1)
+    _assert_view_equals_recompute(mv, store)
+
+    # MERGE: one payload correction (+pre/-post cancels in n, moves vol)
+    # and one brand-new key
+    src = [
+        ("SPY", 1751463000, 617.0, 618.7, 616.6, 618.6, 5000, "1h"),
+        ("IVV", 1751463000, 500.0, 501.0, 499.0, 500.5, 10, "1h"),
+    ]
+    store.merge(_fact_df(spark, src), MODE, on_observers="ignore")
+    res = mv.sync(store, MODE)
+    assert res["recomputed_groups"] == 0  # subtractable: NO fact scan
+    assert res["neg_rows"] == 1 and res["pos_rows"] == 2
+    _assert_view_equals_recompute(mv, store)
+    got = {r.ticker: (r.n, r.vol) for r in mv.read().collect()}
+    assert got["SPY"] == (2, 5900)  # 1000 -> 5000 replaced, 900 kept
+
+    # DELETE of a whole group: VOO leaves the view entirely
+    store.delete_where(MODE, "ticker = 'VOO'", on_observers="ignore")
+    res = mv.sync(store, MODE)
+    assert res["neg_rows"] == 1 and res["recomputed_groups"] == 0
+    _assert_view_equals_recompute(mv, store)
+    assert "VOO" not in {r.ticker for r in mv.read().collect()}
+
+
+def test_sync_minmax_recomputes_only_retracted_groups(spark, tmp_path):
+    """The classic MV bug: deleting the row that held the max must LOWER
+    the view's max — additive partials can't, the bounded group
+    recompute does."""
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = MatView(spark, str(tmp_path / "cmv"), ["ticker"], MEASURES)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    mv.sync(store, MODE)
+    hi0 = {r.ticker: r.hi for r in mv.read().collect()}
+    assert hi0["SPY"] == 630.0
+    store.delete_where(MODE, "high = 630.0", on_observers="ignore")
+    res = mv.sync(store, MODE)
+    assert res["recomputed_groups"] == 1  # SPY only — VOO untouched
+    _assert_view_equals_recompute(mv, store)
+    hi1 = {r.ticker: r.hi for r in mv.read().collect()}
+    assert hi1["SPY"] == 619.0 and hi1["VOO"] == hi0["VOO"]
+
+
+def test_sync_is_exactly_once_and_cursor_atomic(spark, tmp_path):
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = MatView(spark, str(tmp_path / "cmv"), ["ticker"], SUB_MEASURES)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    r1 = mv.sync(store, MODE)
+    assert r1["to"] == 1 and mv.cursor() == 1
+    # nothing new: a second sync folds NOTHING (the double-count guard)
+    r2 = mv.sync(store, MODE)
+    assert r2 == {"from": 1, "to": 1, "pos_rows": 0, "neg_rows": 0,
+                  "recomputed_groups": 0}
+    _assert_view_equals_recompute(mv, store)
+
+
+def test_sync_advances_cursor_over_compaction_only_span(spark, tmp_path):
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = MatView(spark, str(tmp_path / "cmv"), ["ticker"], SUB_MEASURES)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    mv.sync(store, MODE)
+    before = {r.ticker: (r.n, r.vol) for r in mv.read().collect()}
+    store.compact(MODE)
+    res = mv.sync(store, MODE)
+    assert res["to"] == 3 and res["pos_rows"] == 0 and res["neg_rows"] == 0
+    assert mv.cursor() == 3
+    assert {r.ticker: (r.n, r.vol) for r in mv.read().collect()} == before
+
+
+def test_init_from_snapshot_equals_sync_from_zero(spark, tmp_path):
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    a = MatView(spark, str(tmp_path / "mv_a"), ["ticker"], MEASURES)
+    b = MatView(spark, str(tmp_path / "mv_b"), ["ticker"], MEASURES)
+    a.sync(store, MODE)
+    v = b.init_from_snapshot(store, MODE)
+    assert v == 2 == a.cursor() == b.cursor()
+    key = lambda mv: sorted(  # noqa: E731
+        (r.ticker, r.n, r.vol, r.hi, r.lo) for r in mv.read().collect()
+    )
+    assert key(a) == key(b)
+    # and both keep folding identically past the bootstrap
+    store.delete_where(MODE, "ticker = 'VOO'", on_observers="ignore")
+    a.sync(store, MODE)
+    b.sync(store, MODE)
+    assert key(a) == key(b)
+
+
+def test_sync_and_observer_paths_cannot_mix(spark, tmp_path):
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    synced = MatView(spark, str(tmp_path / "mv_s"), ["ticker"], SUB_MEASURES)
+    synced.sync(store, MODE)
+    with pytest.raises(ValueError, match="CDC-synced"):
+        synced.refresh(_fact_df(spark, CDC_ROWS_B))
+    # and the reverse: an observer-built view has no cursor -> sync
+    # refuses rather than refolding history on top of it
+    obs = MatView(spark, str(tmp_path / "mv_o"), ["ticker"], SUB_MEASURES)
+    obs.refresh(_fact_df(spark, CDC_ROWS_A))
+    with pytest.raises(ValueError, match="init_from_snapshot"):
+        obs.sync(store, MODE)

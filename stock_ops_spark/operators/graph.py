@@ -213,6 +213,167 @@ def pagerank_cached(
     return spark.read.parquet(path)
 
 
+def pagerank_converged(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    tol: float = 1e-4,
+    max_iters: int = 100,
+    damping: float = 0.85,
+    init: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Tolerance-stopped PageRank: iterate until the max per-node rank
+    change drops below ``tol`` (or ``max_iters``).  ``init`` warm-starts
+    the iteration from a prior rank frame (``node``, ``rank``): carried
+    nodes start at their old rank, new nodes at the uniform 1.0 — the
+    power iteration converges to the same fixed point from ANY start,
+    so warm-starting is a pure iteration-count optimization, and for a
+    small edge delta the old ranks are already near the new fixed point.
+    ``stats['iterations']`` records how many rounds ran — the measured
+    warm-vs-cold saving is what justifies the artifact plumbing in
+    ``pagerank_warm_cached``.
+
+    Same per-iteration plan as ``pagerank`` (one join + one aggregate,
+    both keyed on node) plus one tiny max-|Δ| aggregate over the rank
+    frame — O(|nodes|) per round, negligible next to the edge join.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ew = e.join(outdeg, "s").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if init is not None:
+        ranks = (
+            nodes.join(
+                init.select("node", F.col("rank").alias("__r0")), "node", "left"
+            )
+            # nodes the prior artifact never saw start at (1-d) — their
+            # NO-inflow fixed point — not the uniform 1.0: a fresh node
+            # typically has little inbound mass, and seeding it 0.85 high
+            # would make the max-|Δ| stop as slow as a cold start
+            .select(
+                "node",
+                F.coalesce("__r0", F.lit(1.0 - damping)).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+    used = 0
+    for _ in range(max_iters):
+        contrib = (
+            ranks.join(ew, ranks.node == ew.s)
+            .select(
+                F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        nxt = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        used += 1
+        delta = (
+            nxt.join(ranks.select("node", F.col("rank").alias("__p")), "node")
+            .agg(F.max(F.abs(F.col("rank") - F.col("__p"))).alias("m"))
+            .collect()[0]["m"]
+        )
+        ranks = nxt
+        if delta is not None and delta < tol:
+            break
+    if stats is not None:
+        stats["iterations"] = used
+    return ranks
+
+
+def pagerank_warm_cached(
+    edges: DataFrame,
+    source_path: str,
+    variant: str,
+    src: str = "s",
+    dst: str = "d",
+    tol: float = 1e-4,
+    max_iters: int = 100,
+    damping: float = 0.85,
+    cache_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Versioned PageRank artifact with WARM-START refresh — the
+    minhash/containment/co-purchase incremental discipline applied to
+    the iterative-algorithm family.  ``pagerank_cached`` rebuilds from
+    the uniform start on every source rewrite; here a source-version
+    miss finds the newest complete prior version of the same family and
+    seeds the iteration from its ranks.  Unlike the pair artifacts
+    (exact ±1 folds) an eigenvector has no exact delta fold, but it has
+    something as good: convergence from any start — warm-starting near
+    the fixed point cuts iterations, and each iteration at 100 TB is a
+    full edge-table pass, so saved iterations are saved passes.  The
+    saving is ~log(cold_error/warm_error)/log(1/damping) passes — a
+    CONSTANT set by churn magnitude, so it dominates when churn is
+    small (the production refresh case: at 0.1% churn the warm error
+    starts ~3 orders below cold's and most passes are skipped); the
+    incremental test pins the aggressive end (5% structural churn,
+    measured 38 cold -> 33 warm at tol=1e-4, strictly fewer).
+
+    Family key = (variant, source abspath, tol/damping); version key =
+    source identity (mtime+size).  Results are tolerance-equal, not
+    bit-equal, across refresh paths — callers that need bit-stable
+    replay should pin ``pagerank_cached``'s fixed-iteration semantics
+    instead.
+    """
+    from stock_ops_spark.operators import artifacts
+
+    spark = edges.sparkSession
+    if cache_dir is None:
+        cache_dir = artifacts.default_cache_dir()
+    famraw = (
+        f"v1|pagerank_warm|{variant}|{os.path.abspath(source_path)}"
+        f"|tol={tol}|damping={damping}"
+    )
+    fam = artifacts.cache_key(famraw)
+    ver = artifacts.cache_key(artifacts.source_identity(source_path))
+    suffixes = [".ranks.parquet"]
+    rpath = artifacts.versioned_path(cache_dir, "pagerank_warm", fam, ver, suffixes[0])
+    if os.path.isdir(rpath):
+        return spark.read.parquet(rpath)
+    os.makedirs(cache_dir, exist_ok=True)
+    prior = artifacts.find_prior_version(
+        cache_dir, "pagerank_warm", fam, ver, suffixes
+    )
+    init = None
+    if prior is not None:
+        init = spark.read.parquet(
+            artifacts.versioned_path(
+                cache_dir, "pagerank_warm", fam, prior, suffixes[0]
+            )
+        )
+        if stats is not None:
+            stats["warm_start"] = True
+    ranks = pagerank_converged(
+        edges, src=src, dst=dst, tol=tol, max_iters=max_iters,
+        damping=damping, init=init, stats=stats,
+    )
+    artifacts.publish(ranks, rpath)
+    return spark.read.parquet(rpath)
+
+
 def copurchase_counts(op: DataFrame) -> DataFrame:
     """Unfiltered (pa, pb, w) pair counts over a DISTINCT (l_orderkey,
     l_partkey) frame: w = number of distinct orders containing both

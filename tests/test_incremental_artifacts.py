@@ -337,3 +337,105 @@ def test_copurchase_cold_path_no_stats(spark, tmp_path):
         li, source_path=src, support=2, cache_dir=cache, stats=stats
     )
     assert stats == {}
+
+
+# -- warm-start PageRank (iterative-family incremental refresh) -----------
+
+
+def _graph_rows(n_nodes=120, n_edges=500, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = set()
+    while len(rows) < n_edges:
+        s, d = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if s != d:
+            rows.add((s, d))
+    return sorted(rows)
+
+
+def test_pagerank_converged_reaches_fixed_iteration_limit(spark):
+    """Tolerance stop lands within tol of a long fixed-iteration run —
+    the convergence the warm start relies on."""
+    from stock_ops_spark.operators.graph import pagerank, pagerank_converged
+
+    e = spark.createDataFrame(_graph_rows(40, 150), "s long, d long")
+    stats: dict = {}
+    got = {
+        r.node: r["rank"]
+        for r in pagerank_converged(e, tol=1e-6, max_iters=300, stats=stats).collect()
+    }
+    ref = {r.node: r["rank"] for r in pagerank(e, iters=120).collect()}
+    assert stats["iterations"] < 300  # genuinely converged, not capped
+    assert max(abs(got[n] - ref[n]) for n in ref) < 1e-4
+
+
+def test_pagerank_warm_start_cuts_iterations(spark, tmp_path):
+    """5%-edge churn refresh: the warm start from the prior version's
+    ranks must converge in strictly fewer passes than the cold rebuild
+    and land on the same fixed point (within tolerance)."""
+    from stock_ops_spark.operators.graph import (
+        pagerank_converged,
+        pagerank_warm_cached,
+    )
+
+    cache = str(tmp_path / "cache")
+    src = tmp_path / "graph_src.txt"
+    src.write_text("v1")
+    rows1 = _graph_rows(120, 500)
+    e1 = spark.createDataFrame(rows1, "s long, d long")
+    cold_stats: dict = {}
+    pagerank_warm_cached(
+        e1, str(src), variant="t", tol=1e-4, cache_dir=cache, stats=cold_stats
+    )
+    assert "warm_start" not in cold_stats
+    cold_iters = cold_stats["iterations"]
+
+    # churn ~5% of edges
+    rows2 = rows1[25:] + [(200 + i, i) for i in range(25)]
+    e2 = spark.createDataFrame(rows2, "s long, d long")
+    import time as _t
+
+    _t.sleep(0.05)
+    src.write_text("v2-different-size")
+    warm_stats: dict = {}
+    warm = pagerank_warm_cached(
+        e2, str(src), variant="t", tol=1e-4, cache_dir=cache, stats=warm_stats
+    )
+    assert warm_stats.get("warm_start") is True
+    assert cold_iters > 0  # the v1 build really iterated
+    # the fair baseline is a cold convergence on the SAME v2 graph
+    cold2_stats: dict = {}
+    ref = {
+        r.node: r["rank"]
+        for r in pagerank_converged(
+            e2, tol=1e-4, max_iters=200, stats=cold2_stats
+        ).collect()
+    }
+    assert warm_stats["iterations"] < cold2_stats["iterations"]
+    got = {r.node: r["rank"] for r in warm.collect()}
+    assert set(got) == set(ref)  # new nodes present, removed nodes gone
+    assert max(abs(got[n] - ref[n]) for n in ref) < 5e-3
+
+
+def test_pagerank_warm_cache_serves_without_iterating(spark, tmp_path, monkeypatch):
+    import stock_ops_spark.operators.graph as G
+
+    cache = str(tmp_path / "cache")
+    src = tmp_path / "graph_src.txt"
+    src.write_text("v1")
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "s string, d string")
+    first = {
+        r.node: r["rank"]
+        for r in G.pagerank_warm_cached(e, str(src), variant="t", cache_dir=cache).collect()
+    }
+
+    def boom(*a, **kw):
+        raise AssertionError("re-iteration despite cached version")
+
+    monkeypatch.setattr(G, "pagerank_converged", boom)
+    again = {
+        r.node: r["rank"]
+        for r in G.pagerank_warm_cached(e, str(src), variant="t", cache_dir=cache).collect()
+    }
+    assert again == first

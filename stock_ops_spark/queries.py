@@ -17459,3 +17459,666 @@ def q296_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         res = res.unionByName(df)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Corpus governance + closed-form model fitting (round-6 continued)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q297_blocklist_redaction_audit",
+    """
+    WITH w AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT source, w AS term,
+           CAST(count(*) AS BIGINT)              AS n_hits,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+           CAST(count(*) * length(w) AS BIGINT)  AS matched_chars
+    FROM w
+    WHERE w IN ('spark', 'slow', 'big')
+    GROUP BY source, w
+    ORDER BY source, term
+    """,
+)
+def q297_blocklist_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term blocklist scan over the corpus — the PII/banned-term
+    redaction audit a curation pipeline runs before release (per source
+    x term: occurrence count, affected-doc count, and the exact char
+    volume a redaction pass would rewrite).  The container corpus has
+    no synthetic PII, so the blocklist here is three live vocabulary
+    terms; the machinery (multi-pattern token scan -> per-source audit)
+    is the redaction-audit shape, and swapping the term set for
+    email/phone regex classes is a one-line change.  Scale shape: the
+    blocklist filter runs INSIDE the row (array filter on the split,
+    before any explode), so only matching tokens ever leave the scan —
+    the exploded stream is hits-sized, not corpus-token-sized; one
+    map-combinable shuffle on (source, term); count(DISTINCT doc_id)
+    expands to the standard two-phase distinct aggregate."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split("text", " "),
+                lambda w: w.isin("spark", "slow", "big"),
+            )
+        ).alias("term"),
+    )
+    return (
+        d.groupBy("source", "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_hit"),
+            (F.count(F.lit(1)) * F.length("term"))
+            .cast("bigint")
+            .alias("matched_chars"),
+        )
+        .orderBy("source", "term")
+    )
+
+
+@_register(
+    "q298_temperature_sampling_mix",
+    """
+    WITH t AS (
+      SELECT source,
+             sum(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT list_aggregate(list(sqrt(n_tokens::DOUBLE) ORDER BY source),
+                            'sum') AS z
+      FROM t
+    )
+    SELECT t.source,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           round(sqrt(t.n_tokens::DOUBLE) / z.z, 6) AS sample_prob,
+           CAST(round(10000000.0 * (sqrt(t.n_tokens::DOUBLE) / z.z))
+                AS BIGINT) AS expected_tokens,
+           round(10000000.0 * (sqrt(t.n_tokens::DOUBLE) / z.z)
+                 / t.n_tokens::DOUBLE, 4) AS epochs
+    FROM t CROSS JOIN z
+    ORDER BY t.source
+    """,
+)
+def q298_temperature_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source sampling mix (tau = 0.5): the
+    standard multilingual/multi-source rebalancing rule p_s ~ T_s^tau
+    that upweights small sources without letting any source dominate
+    (tau = 0.5 => sqrt, which is IEEE-754 correctly rounded in both
+    engines — the one temperature whose power function is bit-exact
+    cross-engine; q252's planner does exact band selection, this one
+    does proportional rebalancing).  For a 10M-token budget, reports
+    each source's sampling probability, expected token draw, and epoch
+    multiplier (>1 means the source repeats).  The 20-term
+    normalization constant is a float sum accumulated in SORTED source
+    order on both engines (q207/q257 fixed-order discipline).  Scale
+    shape: one map-combinable per-source token-count shuffle; the
+    source-level frame (20 rows) is driver-trivial thereafter."""
+    t = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    )
+    z = t.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(source, "
+            "sqrt(cast(n_tokens as double)) as sq))), "
+            "cast(0.0 as double), (acc, x) -> acc + x.sq)"
+        ).alias("z")
+    )
+    p = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    return (
+        t.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(p, 6).alias("sample_prob"),
+            F.round(F.lit(10000000.0) * p, 0)
+            .cast("bigint")
+            .alias("expected_tokens"),
+            F.round(
+                F.lit(10000000.0) * p / F.col("n_tokens").cast("double"), 4
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+# Closed-form OLS (q299/q300): second-stage double formulas are shared
+# template strings so Spark and DuckDB evaluate the exact same IEEE-754
+# operation tree over the exact same integer moments — determinism by
+# construction, not by rounding luck.
+_OLS3_DET = (
+    "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+)
+_OLS3_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+    " + s2*(s1y*s12 - s11*s2y))"
+)
+_OLS3_DET1 = (
+    "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+)
+_OLS3_DET2 = (
+    "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+)
+_OLS3_R2 = (
+    f"(1.0 - (syy - {_OLS3_DET0}/{_OLS3_DET}*sy"
+    f" - {_OLS3_DET1}/{_OLS3_DET}*s1y"
+    f" - {_OLS3_DET2}/{_OLS3_DET}*s2y)"
+    " / (syy - sy*sy/n))"
+)
+_OLS3_EXPRS = [
+    "CAST(n AS BIGINT) AS n_rows",
+    f"round({_OLS3_DET0}/{_OLS3_DET}, 6) AS b0_cents",
+    f"round({_OLS3_DET1}/{_OLS3_DET}, 6) AS b1_cents_per_qty",
+    f"round({_OLS3_DET2}/{_OLS3_DET}, 6) AS b2_cents_per_discpt",
+    f"round({_OLS3_R2}, 6) AS r2",
+]
+_OLS3_OUT = ", ".join(_OLS3_EXPRS)
+
+
+@_register(
+    "q299_ols_normal_equations",
+    f"""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE)            AS n,
+             CAST(sum(x1) AS DOUBLE)             AS s1,
+             CAST(sum(x2) AS DOUBLE)             AS s2,
+             CAST(sum(y) AS DOUBLE)              AS sy,
+             CAST(sum(x1 * x1) AS DOUBLE)        AS s11,
+             CAST(sum(x1 * x2) AS DOUBLE)        AS s12,
+             CAST(sum(x2 * x2) AS DOUBLE)        AS s22,
+             CAST(sum(x1 * y) AS DOUBLE)         AS s1y,
+             CAST(sum(x2 * y) AS DOUBLE)         AS s2y,
+             CAST(sum(y * y) AS DOUBLE)          AS syy
+      FROM (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+      )
+    )
+    SELECT {_OLS3_OUT} FROM m
+    """,
+)
+def q299_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed closed-form OLS: fit extendedprice_cents ~ b0 + b1 *
+    quantity + b2 * discount_pct over the whole fact table via the
+    normal equations — ONE map-side-combinable aggregate computes the
+    ten second-order moments (all exact integers: BIGINT products
+    summed in DECIMAL(38,0) / HUGEINT), then a 3x3 Cramer solve runs as
+    a scalar expression over the one-row moment frame.  This is how you
+    train a linear model on 100 TB without MLlib: the data pass is a
+    pure aggregation (no iterations, no driver collect), and the solve
+    is O(p^3) on p=3.  Both engines evaluate the SAME shared expression
+    template over the same exact moments, so every double is
+    bit-identical by construction.  Scale shape: one full scan, one
+    1-row shuffle, zero joins."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x1").cast(dec)).cast("double").alias("s1"),
+        F.sum(F.col("x2").cast(dec)).cast("double").alias("s2"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).cast("double").alias("s11"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).cast("double").alias("s12"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).cast("double").alias("s22"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).cast("double").alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).cast("double").alias("s2y"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    return m.selectExpr(*_OLS3_EXPRS)
+
+
+_OLS1_SLOPE = "(CAST(nn*sxy - sx*sy AS DOUBLE) / CAST(nn*sxx - sx*sx AS DOUBLE))"
+_OLS1_EXPRS = [
+    "CAST(fold AS BIGINT) AS fold",
+    "CAST(nn AS BIGINT) AS n_rows",
+    f"round({_OLS1_SLOPE}, 6) AS slope_cents_per_qty",
+    f"round((CAST(sy AS DOUBLE) - {_OLS1_SLOPE} * CAST(sx AS DOUBLE))"
+    " / CAST(nn AS DOUBLE), 6) AS intercept_cents",
+    "round((CAST(nn*sxy - sx*sy AS DOUBLE)"
+    " / sqrt(CAST(nn*sxx - sx*sx AS DOUBLE)"
+    " * CAST(nn*syy - sy*sy AS DOUBLE)))"
+    " * (CAST(nn*sxy - sx*sy AS DOUBLE)"
+    " / sqrt(CAST(nn*sxx - sx*sx AS DOUBLE)"
+    " * CAST(nn*syy - sy*sy AS DOUBLE))), 6) AS r2",
+]
+_OLS1_OUT = ", ".join(_OLS1_EXPRS)
+
+
+@_register(
+    "q300_fold_coefficient_stability",
+    f"""
+    WITH m AS (
+      SELECT l_orderkey % 5 AS fold,
+             count(*)       AS nn,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS sxx,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY l_orderkey % 5
+    )
+    SELECT {_OLS1_OUT} FROM m ORDER BY fold
+    """,
+)
+def q300_fold_coefficient_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation coefficient stability: split the fact table into
+    5 deterministic folds (orderkey mod 5 — arithmetic, not engine
+    hashing, so both engines agree), fit the simple regression
+    extendedprice_cents ~ quantity per fold from exact integer moments,
+    and report slope / intercept / r-squared per fold.  A stable model
+    shows near-identical coefficients across folds; a fold-sensitive
+    one flags leakage or skew.  Same closed-form-on-aggregates
+    discipline as q299 (the moments are the entire data pass; one
+    map-combinable shuffle on the 5-value fold key), with the shared
+    expression template again making every derived double bit-identical
+    cross-engine.  Scale shape: one scan, one 5-group shuffle, no
+    joins, no iterations."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 5).alias("fold"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = li.groupBy("fold").agg(
+        F.count(F.lit(1)).cast(dec).alias("nn"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    return m.selectExpr(*_OLS1_EXPRS).orderBy("fold")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peeling oracle: DuckDB has no iterative dataflow,
+    so each peel round is one chained CTE triple (degrees -> survivors
+    -> surviving edges) — the SQL twin of the Spark loop, same round
+    count, same survivor rule, so the frames match round by round."""
+    parts = [
+        "WITH op AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pp AS MATERIALIZED (
+      SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )""",
+        "e0 AS MATERIALIZED "
+        "(SELECT pa, pb FROM pp GROUP BY pa, pb HAVING count(*) >= 2)",
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT node, count(*) AS c FROM (
+        SELECT pa AS node FROM e{p} UNION ALL SELECT pb FROM e{p}
+      ) GROUP BY node
+    )"""
+        )
+        parts.append(f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {k})")
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+      SELECT pa, pb FROM e{p}
+      WHERE pa IN (SELECT node FROM k{r})
+        AND pb IN (SELECT node FROM k{r})
+    )"""
+        )
+        sel.append(
+            f"SELECT {r} AS round, "
+            f"CAST((SELECT count(*) FROM (SELECT pa FROM e{r} "
+            f"UNION SELECT pb FROM e{r})) AS BIGINT) AS n_nodes, "
+            f"CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS n_edges"
+        )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(sel)
+        + "\n) ORDER BY round"
+    )
+
+
+@_register("q301_kcore_decomposition", _kcore_oracle())
+def q301_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the part-part co-purchase graph:
+    iteratively peel nodes with degree < k until the dense core remains
+    — the fourth distributed graph kernel (after CC q70, PageRank q106,
+    triangles q134), and the standard way to find the stable "always
+    bought together" nucleus that survives when one-off affinities are
+    stripped.  Emits the (n_nodes, n_edges) decay curve per peel round;
+    a flat tail means the core converged.  Both engines run EXACTLY 8
+    peel rounds (fixpoint or not), so the frames match by construction;
+    the oracle unrolls the loop into chained CTEs.  Scale shape: edges
+    come from the shared co-purchase artifact (one heavy per-order pair
+    join per corpus version, amortized across q134/q137/q141/q254);
+    each round is a tiny-frame degree aggregate + two broadcast-able
+    semi joins, localCheckpoint-ed per round (the q70 CC discipline) so
+    round r+1 never recomputes round r's lineage."""
+    from stock_ops_spark.operators.graph import copurchase_edges_cached
+
+    e = (
+        copurchase_edges_cached(
+            _t(spark, sf_dir, "lineitem"),
+            source_path=catalog.table_path(sf_dir, "lineitem"),
+            support=2,
+        )
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    frames = []
+    cur = e
+    for r in range(1, 9):
+        deg = (
+            cur.select(F.col("pa").alias("node"))
+            .union(cur.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.where(F.col("c") >= 3).select("node")
+        nxt = (
+            cur.join(
+                F.broadcast(keep.withColumnRenamed("node", "pa")),
+                "pa",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("node", "pb")),
+                "pb",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        nodes = nxt.select(F.col("pa").alias("n")).union(
+            nxt.select(F.col("pb").alias("n"))
+        )
+        frames.append(
+            nodes.agg(F.countDistinct("n").cast("bigint").alias("n_nodes"))
+            .crossJoin(
+                nxt.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            )
+            .select(
+                F.lit(r).cast("bigint").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        cur = nxt
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("round")
+
+
+@_register(
+    "q302_weighted_doc_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             ((doc_id % 100003) * 1103515245 + 12345) % 2147483647 AS h
+      FROM documents
+    ), k AS (
+      SELECT doc_id, source, n_chars,
+             -ln((h + 1) / 2147483648.0) / n_chars AS clock
+      FROM d
+    ), top AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY clock, doc_id) AS rank
+      FROM k
+    )
+    SELECT CAST(rank AS BIGINT)    AS rank,
+           CAST(doc_id AS BIGINT)  AS doc_id,
+           source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM top WHERE rank <= 50 ORDER BY rank
+    """,
+)
+def q302_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, size-proportional: draw 50
+    documents with inclusion odds proportional to n_chars via the
+    Efraimidis-Spirakis exponential-clock trick (clock = -ln(u)/w;
+    smallest k clocks win) — the standard one-pass distributed scheme
+    (a sequential reservoir cannot parallelize; this is an embarrassingly
+    parallel top-k).  The uniform u is the q266 deterministic LCG hash,
+    so the 'random' sample is reproducible and oracle-checkable.  Scale
+    shape: per-row arithmetic + a global top-50 executed as
+    TakeOrderedAndProject (per-partition top-50, then a 50*P-row driver
+    merge) — no global sort, no full shuffle; the rank window runs
+    AFTER the limit, over the 50-row bounded frame (the tiny-frame
+    discipline the registry audit enforces).  The doc_id tiebreak makes
+    the rank total even if two clocks collide."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            ((F.col("doc_id") % 100003) * 1103515245 + 12345) % 2147483647
+        ).alias("h"),
+    )
+    k = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            -F.log((F.col("h") + 1) / F.lit(2147483648.0))
+            / F.col("n_chars")
+        ).alias("clock"),
+    )
+    top50 = k.orderBy("clock", "doc_id").limit(50)
+    return (
+        top50.select(
+            F.row_number()
+            .over(Window.orderBy("clock", "doc_id"))
+            .cast("bigint")
+            .alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("rank")
+    )
+
+
+@_register(
+    "q303_rrf_hybrid_retrieval",
+    """
+    WITH qe AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+    dq AS (
+      SELECT i, CAST(round(CAST(qe.embedding[i] AS DOUBLE) * 10000)
+                 AS BIGINT) AS qv
+      FROM qe, unnest(range(1, 65)) AS t(i)
+    ),
+    ce AS (
+      SELECT e.vec_id, i,
+             CAST(round(CAST(e.embedding[i] AS DOUBLE) * 10000)
+                  AS BIGINT) AS cv
+      FROM embeddings e, unnest(range(1, 65)) AS t(i)
+      WHERE e.vec_id <> 7
+    ),
+    dd AS (
+      SELECT ce.vec_id, sum(ce.cv * dq.qv) AS dot,
+             sum(ce.cv * ce.cv) AS nrm
+      FROM ce JOIN dq USING (i) GROUP BY ce.vec_id
+    ),
+    dtop AS (
+      SELECT vec_id, CAST(dot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) AS ds
+      FROM dd ORDER BY ds DESC, vec_id LIMIT 50
+    ),
+    drank AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY ds DESC, vec_id) AS dr
+      FROM dtop
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS t(term)
+    ),
+    qt AS (SELECT term FROM toks WHERE doc_id = 7),
+    nq AS (SELECT count(*) AS nq FROM qt),
+    da AS (SELECT doc_id, count(*) AS da FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT toks.doc_id, count(*) AS inter
+      FROM toks JOIN qt USING (term)
+      WHERE toks.doc_id <> 7 GROUP BY toks.doc_id
+    ),
+    lsc AS (
+      SELECT inter.doc_id,
+             CAST(inter.inter * 1000000
+                  // (da.da + nq.nq - inter.inter) AS BIGINT) AS js
+      FROM inter JOIN da USING (doc_id) CROSS JOIN nq
+    ),
+    ltop AS (
+      SELECT doc_id, js FROM lsc ORDER BY js DESC, doc_id LIMIT 50
+    ),
+    lrank AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY js DESC, doc_id) AS lr
+      FROM ltop
+    ),
+    fused AS (
+      SELECT coalesce(drank.id, lrank.id) AS id, drank.dr, lrank.lr,
+             coalesce(1.0 / (60.0 + drank.dr), 0.0)
+               + coalesce(1.0 / (60.0 + lrank.lr), 0.0) AS rrf
+      FROM drank FULL OUTER JOIN lrank ON drank.id = lrank.id
+    ),
+    top AS (
+      SELECT id, dr, lr, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank,
+           CAST(id AS BIGINT)  AS doc_id,
+           CAST(dr AS BIGINT)  AS dense_rank,
+           CAST(lr AS BIGINT)  AS lex_rank,
+           round(rrf, 8)       AS rrf_score
+    FROM top ORDER BY rank
+    """,
+)
+def q303_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal-Rank Fusion: a dense ranking
+    (quantized-integer cosine vs query vector 7, the q259 exactness
+    discipline) and a lexical ranking (exact distinct-term Jaccard vs
+    document 7 — 'more-like-this') are each cut to top-50, then fused
+    by RRF (k=60): score = 1/(60+r_dense) + 1/(60+r_lex), the standard
+    production recipe for combining BM25-family and embedding search
+    (Cormack et al.; used by every major search stack because it needs
+    no score calibration, only ranks).  Both engines fuse the SAME
+    exact-integer rankings, and the RRF float is a fixed two-term sum —
+    bit-identical by construction.  Scale shape: each leg is a
+    TakeOrderedAndProject top-50 over one aggregate (candidate lists
+    never exceed 50x2 rows); the rank windows and the full-outer fuse
+    run on bounded frames; the query vector, query-term set and scalar
+    counters broadcast."""
+    e = _t(spark, sf_dir, "embeddings")
+    quant = "transform(embedding, v -> cast(round(v * 10000) as bigint))"
+    qe = e.where(F.col("vec_id") == 7).select(F.expr(quant).alias("qa"))
+    cand = e.where(F.col("vec_id") != 7).select(
+        "vec_id", F.expr(quant).alias("ca")
+    )
+    dd = cand.join(F.broadcast(qe)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(ca, qa, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(zip_with(ca, ca, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+        ).alias("nrm"),
+    )
+    dtop = (
+        dd.select(
+            "vec_id",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nrm").cast("double"))
+            ).alias("ds"),
+        )
+        .orderBy(F.col("ds").desc(), "vec_id")
+        .limit(50)
+    )
+    drank = dtop.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("ds").desc(), "vec_id"))
+        .alias("dr"),
+    )
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != "",
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    qt = toks.where(F.col("doc_id") == 7).select("term")
+    nq = qt.agg(F.count(F.lit(1)).alias("nq"))
+    da = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("da"))
+    inter = (
+        toks.where(F.col("doc_id") != 7)
+        .join(F.broadcast(qt), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    lsc = (
+        inter.join(da, "doc_id")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(inter * 1000000 DIV (da + nq - inter) AS BIGINT)"
+            ).alias("js"),
+        )
+    )
+    ltop = lsc.orderBy(F.col("js").desc(), "doc_id").limit(50)
+    lrank = ltop.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("js").desc(), "doc_id"))
+        .alias("lr"),
+    )
+    fused = (
+        drank.withColumnRenamed("id", "did")
+        .join(
+            lrank.withColumnRenamed("id", "lid"),
+            F.col("did") == F.col("lid"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("did", "lid").alias("id"),
+            "dr",
+            "lr",
+            (
+                F.coalesce(1.0 / (60.0 + F.col("dr")), F.lit(0.0))
+                + F.coalesce(1.0 / (60.0 + F.col("lr")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "id").limit(10)
+    return (
+        top.select(
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf").desc(), "id"))
+            .cast("bigint")
+            .alias("rank"),
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("dr").cast("bigint").alias("dense_rank"),
+            F.col("lr").cast("bigint").alias("lex_rank"),
+            F.round("rrf", 8).alias("rrf_score"),
+        )
+        .orderBy("rank")
+    )

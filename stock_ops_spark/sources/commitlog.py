@@ -64,6 +64,10 @@ class CommitConflict(Exception):
     """Another writer published this version first; recompute and retry."""
 
 
+class VacuumedVersion(Exception):
+    """The requested version's history was truncated by ``vacuum``."""
+
+
 class ManifestLog:
     """An append-only sequence of numbered JSON commits for one dataset."""
 
@@ -85,10 +89,34 @@ class ManifestLog:
                 best = max(best, int(n[:-5]))
         return best
 
+    def min_version(self) -> int:
+        """Lowest retained commit (0 = empty log).  1 until ``vacuum``
+        truncates history; afterwards the earliest retained commit is a
+        self-contained checkpoint, so folding from it is complete."""
+        try:
+            names = os.listdir(self.log_dir)
+        except OSError:
+            return 0
+        best = 0
+        for n in names:
+            if n.endswith(".json") and n[:-5].isdigit():
+                v = int(n[:-5])
+                best = v if best == 0 else min(best, v)
+        return best
+
     def commits(self, upto: int | None = None) -> list[dict]:
         v = self.version() if upto is None else upto
+        if v <= 0:
+            return []
+        lo = self.min_version()
+        if lo == 0:
+            return []
+        if v < lo:
+            raise VacuumedVersion(
+                f"version {v} was vacuumed; earliest retained is {lo}"
+            )
         out = []
-        for i in range(1, v + 1):
+        for i in range(lo, v + 1):
             with open(self._path(i)) as f:
                 out.append(json.load(f))
         return out
@@ -104,10 +132,17 @@ class ManifestLog:
             for r in c.get("removes", []):
                 if r in dirs:
                     dirs.remove(r)
-            dirs.extend(c.get("adds", []))
+            for a in c.get("adds", []):
+                # idempotent re-add: a vacuum that crashed between
+                # writing the checkpoint and deleting older commits
+                # leaves dirs listed both by an old commit and by the
+                # checkpoint — folding must not read them twice
+                if a not in dirs:
+                    dirs.append(a)
             if "stats" in c:
                 stats = c["stats"]
-        return {"version": len(commits), "dirs": dirs, "stats": stats}
+        version = commits[-1]["version"] if commits else 0
+        return {"version": version, "dirs": dirs, "stats": stats}
 
     def try_commit(self, version: int, payload: dict) -> None:
         """Put-if-absent publish of ``version``; raises CommitConflict
@@ -671,6 +706,17 @@ class ManifestStore:
         """
         log = self.log(mode)
         upto = log.version() if to_version is None else to_version
+        lo = log.min_version()
+        if lo > 1 and from_version < lo:
+            # Commits < lo are gone AND lo itself was rewritten as a
+            # checkpoint (its original row changes are no longer
+            # derivable), so any cursor below lo would silently miss
+            # changes — fail loudly instead (the consumer re-bootstraps
+            # from a snapshot at lo, then resumes the feed from there).
+            raise VacuumedVersion(
+                f"change feed from {from_version} is incomplete: history "
+                f"up to version {lo} was vacuumed/checkpointed"
+            )
         frames = []
         for c in log.commits(upto=upto):
             v = c["version"]
@@ -743,6 +789,61 @@ class ManifestStore:
                 )
                 continue
         raise RuntimeError(f"compact lost {self.MAX_COMMIT_RETRIES} races")
+
+    def vacuum(self, mode: str, retain_last: int = 8) -> dict:
+        """Truncate commit history to the last ``retain_last`` versions —
+        the Delta checkpoint + VACUUM analogue that stops the log (and
+        everything ``gc_orphans`` must retain because a commit still
+        references it) from growing without bound.  At one commit per
+        micro-batch a year of streaming is ~10^5–10^6 JSON files all
+        re-read by EVERY ``state()`` fold; at 100 TB the metadata pass
+        would dominate small reads long before the data does.
+
+        Mechanics (each step crash-safe on its own):
+
+        1. pick the horizon H = current - retain_last + 1;
+        2. rewrite commit H in place (tmp + atomic rename) as a
+           self-contained CHECKPOINT: adds = full live dir list at H,
+           removes = [], stats = stats pointer at H — state(H..) folds
+           identically whether or not older commits still exist, so a
+           crash between steps leaves a correct log;
+        3. delete commit files < H.  Stats/CDC dirs they referenced
+           become unreferenced and age out via ``gc_orphans`` (which
+           also gives in-flight readers its grace window).
+
+        Time travel below H and change-feed cursors below H raise
+        ``VacuumedVersion`` afterwards — truncation is the documented
+        trade, never a silent wrong answer."""
+        log = self.log(mode)
+        cur = log.version()
+        lo = log.min_version()
+        horizon = cur - retain_last + 1
+        if cur == 0 or horizon <= lo:
+            return {"checkpointed": 0, "commits_dropped": 0}
+        st = log.state(at_version=horizon)
+        doc = {
+            "version": horizon,
+            "adds": list(st["dirs"]),
+            "removes": [],
+            "stats": st["stats"],
+            "op": "checkpoint",
+            "ts": time.time(),
+        }
+        final = log._path(horizon)
+        tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)  # atomic: readers see old or new, never torn
+        dropped = 0
+        for v in range(lo, horizon):
+            try:
+                os.remove(log._path(v))
+                dropped += 1
+            except OSError:
+                pass
+        return {"checkpointed": horizon, "commits_dropped": dropped}
 
     def gc_orphans(self, mode: str, grace_s: float = 3600.0) -> list[str]:
         """Remove batch/stats dirs referenced by NO commit (crash debris,

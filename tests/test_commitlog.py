@@ -453,3 +453,96 @@ def test_gc_collects_orphan_cdc_keeps_referenced(spark, mstore):
     assert os.path.isdir(os.path.join(log_dir, referenced[0]))
     # the feed still replays after GC
     assert mstore.read_changes(MODE).count() > 0
+
+
+# -- vacuum: checkpoint + history truncation ------------------------------
+
+
+def _mk_rows(k):
+    # unique ts per batch so nothing dedups away
+    return [("SPY", 1751463000 + 3600 * k, 1.0, 2.0, 0.5, 1.5, 100 + k, "1h")]
+
+
+def test_vacuum_checkpoints_and_truncates(spark, mstore):
+    from stock_ops_spark.sources.commitlog import VacuumedVersion
+
+    for k in range(5):
+        mstore.ingest_batch(_df(spark, _mk_rows(k)), MODE)
+    before = {
+        tuple(r) for r in mstore.read_all(MODE).collect()
+    }
+    res = mstore.vacuum(MODE, retain_last=2)
+    assert res["checkpointed"] == 4 and res["commits_dropped"] == 3
+    log = mstore.log(MODE)
+    assert log.min_version() == 4 and log.version() == 5
+    # current snapshot identical; retained time travel works
+    assert {tuple(r) for r in mstore.read_all(MODE).collect()} == before
+    assert mstore.read_all(MODE, at_version=4).count() == 4
+    # stats pointer survived the checkpoint rewrite
+    assert mstore.table_stats(MODE).count() == 1
+    # vacuumed versions raise, never silently return empty
+    with pytest.raises(VacuumedVersion):
+        mstore.read_all(MODE, at_version=3)
+    # the log keeps accepting new commits afterwards
+    mstore.ingest_batch(_df(spark, _mk_rows(9)), MODE)
+    assert mstore.version(MODE) == 6
+    assert mstore.read_all(MODE).count() == 6
+    # dropped-history stats dirs became unreferenced -> gc-collectable,
+    # while the live pointer's dir survives even at zero grace
+    removed = mstore.gc_orphans(MODE, grace_s=0.0)
+    assert mstore.table_stats(MODE).count() == 1
+    assert all("stats-000000" in p or "batch-" in p or "cdc-" in p for p in removed)
+
+
+def test_vacuum_crash_window_is_idempotent(spark, mstore):
+    """Checkpoint written but old commits NOT yet deleted (the kill
+    window between vacuum steps 2 and 3): folding must not double-read
+    dirs listed by both an old commit and the checkpoint."""
+    import json as _json
+    import os as _os
+
+    for k in range(4):
+        mstore.ingest_batch(_df(spark, _mk_rows(k)), MODE)
+    log = mstore.log(MODE)
+    st3 = log.state(at_version=3)
+    doc = {
+        "version": 3,
+        "adds": list(st3["dirs"]),
+        "removes": [],
+        "stats": st3["stats"],
+        "op": "checkpoint",
+        "ts": 0.0,
+    }
+    with open(log._path(3), "w") as f:  # simulate the post-rename state
+        _json.dump(doc, f)
+    assert _os.path.exists(log._path(1))  # older commits still present
+    assert mstore.read_all(MODE).count() == 4  # no doubled rows
+    assert mstore.read_all(MODE, at_version=3).count() == 3
+    # re-running vacuum completes the truncation
+    res = mstore.vacuum(MODE, retain_last=2)
+    assert res["checkpointed"] == 3 and res["commits_dropped"] == 2
+    assert mstore.read_all(MODE).count() == 4
+
+
+def test_vacuum_noop_when_history_short(spark, mstore):
+    mstore.ingest_batch(_df(spark, _mk_rows(0)), MODE)
+    assert mstore.vacuum(MODE, retain_last=8) == {
+        "checkpointed": 0,
+        "commits_dropped": 0,
+    }
+    assert mstore.read_all(MODE).count() == 1
+
+
+def test_change_feed_cursor_below_vacuum_horizon_raises(spark, mstore):
+    from stock_ops_spark.sources.commitlog import VacuumedVersion
+
+    for k in range(5):
+        mstore.ingest_batch(_df(spark, _mk_rows(k)), MODE)
+    mstore.vacuum(MODE, retain_last=2)  # horizon: version 4
+    # cursor at the checkpoint version is complete: feed = (4, 5]
+    feed = mstore.read_changes(MODE, from_version=4)
+    assert feed.count() == 1
+    assert feed.select("_commit_version").distinct().collect()[0][0] == 5
+    # cursor below the checkpoint would miss rewritten history
+    with pytest.raises(VacuumedVersion):
+        mstore.read_changes(MODE, from_version=3)

@@ -767,3 +767,22 @@ def test_q294_anti_join_and_recency_pushdown(q):
     df = q("q294_dormant_rich_customers")
     assert "LeftAnti" in A.join_types(df)
     assert A.has_pushed_filter(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_q302_weighted_sample_topk_not_global_sort(q):
+    """The exponential-clock sample is a TakeOrderedAndProject top-50
+    (per-partition top-k + driver merge); the rank window runs over the
+    bounded 50-row frame, never over the corpus."""
+    df = q("q302_weighted_doc_sample")
+    assert A.has_top_k(df)
+    p = A.plan_string(df)
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_q299_ols_single_aggregate_no_join(q):
+    """Closed-form OLS is ONE moment aggregate over the scan and a
+    scalar Cramer solve — no join, no window, no second pass."""
+    df = q("q299_ols_normal_equations")
+    p = A.plan_string(df)
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Scan parquet") == 1

@@ -122,15 +122,19 @@ class ManifestLog:
         return out
 
     def state(self, at_version: int | None = None) -> dict:
-        """Fold commits → {'version', 'dirs', 'stats'} where 'dirs' is
-        the live batch-dir list and 'stats' the LATEST commit's stats
-        pointer (stats are cumulative snapshots, not deltas)."""
+        """Fold commits → {'version', 'dirs', 'stats', 'meta'} where
+        'dirs' is the live batch-dir list, 'stats' the LATEST commit's
+        stats pointer (stats are cumulative snapshots, not deltas) and
+        'meta' the per-dir data-skipping bounds ({dir: {col: [lo, hi]}};
+        dirs written before the skipping feature simply have no entry
+        and are never pruned)."""
         commits = self.commits(upto=at_version)
         dirs: list[str] = []
         seen: set[str] = set()  # membership twin of `dirs` (keeps the
         # fold linear; dirs alone would make every add/remove an O(n)
         # list scan — measured 2x on a 4k-dir checkpoint)
         stats = None
+        meta: dict[str, dict] = {}
         for c in commits:
             removes = c.get("removes", [])
             if removes:
@@ -138,6 +142,8 @@ class ManifestLog:
                 if rm:
                     dirs = [d for d in dirs if d not in rm]
                     seen -= rm
+                    for r in rm:
+                        meta.pop(r, None)
             for a in c.get("adds", []):
                 # idempotent re-add: a vacuum that crashed between
                 # writing the checkpoint and deleting older commits
@@ -146,10 +152,12 @@ class ManifestLog:
                 if a not in seen:
                     dirs.append(a)
                     seen.add(a)
+            meta.update(c.get("meta") or {})
             if "stats" in c:
                 stats = c["stats"]
         version = commits[-1]["version"] if commits else 0
-        return {"version": version, "dirs": dirs, "stats": stats}
+        return {"version": version, "dirs": dirs, "stats": stats,
+                "meta": meta}
 
     def try_commit(self, version: int, payload: dict) -> None:
         """Put-if-absent publish of ``version``; raises CommitConflict
@@ -256,6 +264,63 @@ class ManifestStore:
     def version(self, mode: str) -> int:
         return self.log(mode).version()
 
+    def read_where(
+        self,
+        mode: str,
+        ticker: str | None = None,
+        ts_min=None,
+        ts_max=None,
+        at_version: int | None = None,
+        stats: dict | None = None,
+    ) -> DataFrame | None:
+        """Predicate read with COMMIT-LEVEL data skipping: batch dirs
+        whose recorded [min, max] bounds (``_dir_meta``, kept in the
+        commit payload and folded by ``state()``) provably miss the
+        predicate are never handed to Spark at all — no file listing,
+        no footer read, no plan relation.  Parquet's own footer stats
+        prune row groups only after every file is opened; at 10^4+
+        batch dirs the listing itself is the cost, and this is the
+        manifest-level skip Delta/Iceberg use.  Dirs with no recorded
+        meta (pre-feature commits) are conservatively read.  The same
+        predicate is re-applied as a residual filter, so pruning is an
+        optimization, never a semantics change."""
+        tsc = S.TS_COL[mode]
+        state = self.log(mode).state(at_version)
+        meta = state["meta"]
+
+        def j(v):
+            return v if v is None or isinstance(v, (int, float, str)) else str(v)
+
+        def overlaps(m: dict | None) -> bool:
+            if not m:
+                return True  # unknown bounds: must read
+            tk = m.get("ticker")
+            if ticker is not None and tk and tk[0] is not None:
+                if j(ticker) < tk[0] or j(ticker) > tk[1]:
+                    return False
+            tb = m.get(tsc)
+            if tb and tb[0] is not None:
+                if ts_max is not None and j(ts_max) < tb[0]:
+                    return False
+                if ts_min is not None and j(ts_min) > tb[1]:
+                    return False
+            return True
+
+        keep = [d for d in state["dirs"] if overlaps(meta.get(d))]
+        if stats is not None:
+            stats["dirs_total"] = len(state["dirs"])
+            stats["dirs_read"] = len(keep)
+        df = self._read_dirs(mode, keep)
+        if df is None:
+            return None
+        if ticker is not None:
+            df = df.where(F.col("ticker") == ticker)
+        if ts_min is not None:
+            df = df.where(F.col(tsc) >= ts_min)
+        if ts_max is not None:
+            df = df.where(F.col(tsc) <= ts_max)
+        return df
+
     def latest(self, mode: str) -> DataFrame | None:
         df = self.read_all(mode)
         if df is None:
@@ -330,6 +395,7 @@ class ManifestStore:
                         "adds": [batch_dir],
                         "removes": [],
                         "stats": stats_ptr,
+                        "meta": {batch_dir: self._dir_meta(versioned, mode)},
                         "op": "ingest",
                         "ts": time.time(),
                     },
@@ -382,13 +448,39 @@ class ManifestStore:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
-    def _write_batch_dir(self, df: DataFrame, mode: str) -> str:
+    def _dir_meta(self, df: DataFrame, mode: str) -> dict:
+        """Per-dir data-skipping bounds: [min, max] of ticker and the
+        mode's time column — the commit-level twin of parquet footer
+        stats.  One bounded scalar aggregate per written dir; values
+        are JSON-coerced (dates → ISO strings, which compare in the
+        same order)."""
+        cols = ["ticker", S.TS_COL[mode]]
+        cols = [c for c in cols if c in df.columns]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c), F.max(c)]
+        row = df.agg(*aggs).collect()[0]
+
+        def j(v):
+            return v if v is None or isinstance(v, (int, float, str)) else str(v)
+
+        return {
+            c: [j(row[2 * i]), j(row[2 * i + 1])] for i, c in enumerate(cols)
+        }
+
+    def _write_batch_dir(
+        self, df: DataFrame, mode: str, meta_out: dict | None = None
+    ) -> str:
         parts = PARTITION_COLS[mode]
         batch_dir = f"batch-{uuid.uuid4().hex[:12]}"
         writer = cluster_for_write(df, mode).write.option("compression", "zstd")
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(os.path.join(self.data_path(mode), batch_dir))
+        if meta_out is not None:
+            meta_out[batch_dir] = self._dir_meta(df, mode)
         return batch_dir
 
     def _write_cdc(self, log: ManifestLog, version: int, cdc: DataFrame) -> str:
@@ -453,6 +545,7 @@ class ManifestStore:
             src_keys = src.select(*keys).distinct()
             adds: list[str] = []
             removes: list[str] = []
+            meta_map: dict[str, dict] = {}
             cdc_frames: list[DataFrame] = []
             n_upd = 0
             if tagged is not None:
@@ -486,7 +579,9 @@ class ManifestStore:
                 post = post.localCheckpoint(eager=True)
                 n_upd = post.count()
                 rewrite = keep.unionByName(post, allowMissingColumns=True)
-                adds.append(self._write_batch_dir(rewrite, mode))
+                adds.append(
+                    self._write_batch_dir(rewrite, mode, meta_out=meta_map)
+                )
                 removes = list(touched)
                 cdc_frames.append(
                     pre.withColumn("_change_type", F.lit("update_preimage"))
@@ -507,7 +602,9 @@ class ManifestStore:
             stats_dir = None
             new_version = state["version"] + 1
             if n_ins:
-                adds.append(self._write_batch_dir(inserts, mode))
+                adds.append(
+                    self._write_batch_dir(inserts, mode, meta_out=meta_map)
+                )
                 cdc_frames.append(
                     inserts.withColumn("_change_type", F.lit("insert"))
                 )
@@ -540,6 +637,7 @@ class ManifestStore:
                         "adds": adds,
                         "removes": removes,
                         "stats": stats_ptr,
+                        "meta": meta_map,
                         "op": "merge",
                         "cdc": cdc_rel,
                         "ts": time.time(),
@@ -610,8 +708,11 @@ class ManifestStore:
             n_del = doomed.count()
             keep = tdf.where(~cond_true)
             adds = []
+            meta_map: dict[str, dict] = {}
             if keep.limit(1).count():
-                adds.append(self._write_batch_dir(keep, mode))
+                adds.append(
+                    self._write_batch_dir(keep, mode, meta_out=meta_map)
+                )
             new_version = state["version"] + 1
             untouched = [d for d in state["dirs"] if d not in touched]
             post_dirs = untouched + adds
@@ -662,6 +763,7 @@ class ManifestStore:
                         "adds": adds,
                         "removes": list(touched),
                         "stats": stats_ptr,
+                        "meta": meta_map,
                         "op": "delete",
                         "cdc": cdc_rel,
                         "ts": time.time(),
@@ -774,6 +876,28 @@ class ManifestStore:
             if parts:
                 writer = writer.partitionBy(*parts)
             writer.parquet(os.path.join(self.data_path(mode), new_dir))
+            # data-skipping bounds for the compacted dir: fold the old
+            # dirs' recorded bounds when every one has them (no extra
+            # scan); otherwise one scalar aggregate over the rewrite
+            olds = [state["meta"].get(d) for d in state["dirs"]]
+            if all(olds):
+                new_meta: dict = {}
+                for m in olds:
+                    for col, (lo, hi) in m.items():
+                        if col in new_meta:
+                            plo, phi = new_meta[col]
+                            new_meta[col] = [
+                                lo if (plo is None or
+                                       (lo is not None and lo < plo))
+                                else plo,
+                                hi if (phi is None or
+                                       (hi is not None and hi > phi))
+                                else phi,
+                            ]
+                        else:
+                            new_meta[col] = [lo, hi]
+            else:
+                new_meta = self._dir_meta(df, mode)
             try:
                 log.try_commit(
                     state["version"] + 1,
@@ -781,6 +905,7 @@ class ManifestStore:
                         "adds": [new_dir],
                         "removes": list(state["dirs"]),
                         "stats": self._stats_state(mode),
+                        "meta": {new_dir: new_meta},
                         "op": "compact",
                         "ts": time.time(),
                     },
@@ -833,6 +958,7 @@ class ManifestStore:
             "adds": list(st["dirs"]),
             "removes": [],
             "stats": st["stats"],
+            "meta": {d: st["meta"][d] for d in st["dirs"] if d in st["meta"]},
             "op": "checkpoint",
             "ts": time.time(),
         }

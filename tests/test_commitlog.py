@@ -16,6 +16,7 @@ import sys
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from stock_ops_spark import schemas as S
 from stock_ops_spark.sources.commitlog import (
@@ -546,3 +547,80 @@ def test_change_feed_cursor_below_vacuum_horizon_raises(spark, mstore):
     # cursor below the checkpoint would miss rewritten history
     with pytest.raises(VacuumedVersion):
         mstore.read_changes(MODE, from_version=3)
+
+
+# -- commit-level data skipping -------------------------------------------
+
+
+def _rows_at(day_offset, ticker="SPY"):
+    base = 1751463000 + 86400 * day_offset
+    return [(ticker, base, 1.0, 2.0, 0.5, 1.5, 100 + day_offset, "1h")]
+
+
+def test_read_where_prunes_dirs_by_ts_and_ticker(spark, mstore):
+    """Three batches with disjoint time ranges: a point predicate must
+    hand Spark ONLY the matching batch dir (no listing, no footer read
+    of the others), and the residual filter keeps semantics exact."""
+    for k in range(3):
+        mstore.ingest_batch(_df(spark, _rows_at(k)), MODE)
+    mstore.ingest_batch(_df(spark, _rows_at(1, ticker="VOO")), MODE)
+    stats = {}
+    ts1 = 1751463000 + 86400
+    df = mstore.read_where(
+        MODE, ticker="SPY", ts_min=ts1, ts_max=ts1, stats=stats
+    )
+    assert stats["dirs_total"] == 4 and stats["dirs_read"] == 1
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["ticker"] == "SPY"
+    # equivalent unpruned read agrees
+    full = mstore.read_all(MODE).where(
+        (F.col("ticker") == "SPY")
+        & (F.col("timestamp_UTC_s") == ts1)
+    )
+    assert [r.asDict() for r in full.collect()] == [r.asDict() for r in rows]
+    # physical proof: every input file sits under the one surviving dir
+    files = df.inputFiles()
+    assert files and all("batch-" in f for f in files)
+    assert len({f.split("batch-")[1].split("/")[0] for f in files}) == 1
+
+
+def test_read_where_meta_survives_compaction_and_vacuum(spark, mstore):
+    for k in range(4):
+        mstore.ingest_batch(_df(spark, _rows_at(k)), MODE)
+    mstore.compact(MODE)
+    # compacted dir's bounds are the fold of the old dirs' bounds
+    st = mstore.log(MODE).state()
+    assert len(st["dirs"]) == 1
+    m = st["meta"][st["dirs"][0]]
+    assert m["timestamp_UTC_s"] == [1751463000, 1751463000 + 3 * 86400]
+    # post-compaction batch + vacuum: pruning still works from the
+    # checkpoint's carried meta
+    mstore.ingest_batch(_df(spark, _rows_at(10)), MODE)
+    mstore.vacuum(MODE, retain_last=2)
+    stats = {}
+    ts10 = 1751463000 + 10 * 86400
+    df = mstore.read_where(MODE, ts_min=ts10, stats=stats)
+    assert stats["dirs_total"] == 2 and stats["dirs_read"] == 1
+    assert df.count() == 1
+
+
+def test_read_where_unknown_meta_is_read_not_skipped(spark, mstore):
+    """A dir committed without bounds (pre-feature log) must always be
+    read — pruning may only use proven-disjoint bounds."""
+    mstore.ingest_batch(_df(spark, _rows_at(0)), MODE)
+    log = mstore.log(MODE)
+    # strip the recorded meta, simulating an old commit
+    import json as _json
+
+    path = log._path(1)
+    with open(path) as f:
+        doc = _json.load(f)
+    doc.pop("meta", None)
+    import os as _os
+
+    _os.remove(path)
+    log.try_commit(1, doc)
+    stats = {}
+    df = mstore.read_where(MODE, ts_min=9999999999, stats=stats)
+    assert stats["dirs_read"] == 1  # unknown bounds: must scan
+    assert df.count() == 0  # residual filter still correct

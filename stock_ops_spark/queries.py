@@ -18122,3 +18122,215 @@ def q303_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@_register(
+    "q304_psi_distribution_drift",
+    """
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             (o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') AS cur
+      FROM orders
+    ),
+    thr AS (
+      SELECT quantile_cont(cents, 0.1) AS t1, quantile_cont(cents, 0.2) AS t2,
+             quantile_cont(cents, 0.3) AS t3, quantile_cont(cents, 0.4) AS t4,
+             quantile_cont(cents, 0.5) AS t5, quantile_cont(cents, 0.6) AS t6,
+             quantile_cont(cents, 0.7) AS t7, quantile_cont(cents, 0.8) AS t8,
+             quantile_cont(cents, 0.9) AS t9
+      FROM o WHERE NOT cur
+    ),
+    b AS (
+      SELECT cur,
+             1 + (cents > t1)::INT + (cents > t2)::INT + (cents > t3)::INT
+               + (cents > t4)::INT + (cents > t5)::INT + (cents > t6)::INT
+               + (cents > t7)::INT + (cents > t8)::INT + (cents > t9)::INT
+                 AS bucket
+      FROM o CROSS JOIN thr
+    ),
+    agg AS (
+      SELECT bucket,
+             sum(CASE WHEN cur THEN 0 ELSE 1 END) AS n_ref,
+             sum(CASE WHEN cur THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM agg)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_ref AS BIGINT)  AS n_ref,
+           CAST(n_cur AS BIGINT)  AS n_cur,
+           round(n_ref::DOUBLE / tot.tr, 6) AS ref_share,
+           round(n_cur::DOUBLE / tot.tc, 6) AS cur_share,
+           round((n_cur::DOUBLE / tot.tc - n_ref::DOUBLE / tot.tr)
+                 * ln(nullif(n_cur::DOUBLE / tot.tc, 0.0)
+                      / nullif(n_ref::DOUBLE / tot.tr, 0.0)), 8)
+               AS psi_term
+    FROM agg CROSS JOIN tot ORDER BY bucket
+    """,
+)
+def q304_psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1998 (reference) and
+    post-1998 (current) order-value distributions — the industry
+    standard drift monitor for a deployed model's input features
+    (PSI < 0.1 stable, > 0.25 retrain).  Decile edges come from the
+    REFERENCE distribution only (exact interpolated percentiles, the
+    q136/q166 discipline) and are BROADCAST back — no ntile global
+    sort; both populations bucket in the same single pass over orders
+    (a conditional-count aggregate splits ref/cur without a second
+    scan).  Each PSI term is (q-p)·ln(q/p) over exact integer-ratio
+    shares; an empty bucket yields NULL rather than an infinite term.
+    Scale shape: one scan, one 10-group shuffle, two scalar frames
+    broadcast."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .alias("cur"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    thr = o.where(~F.col("cur")).agg(
+        *[
+            F.expr(f"percentile(cents, {q})").alias(f"t{i}")
+            for i, q in enumerate(qs, 1)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (F.col("cents") > F.col(f"t{i}")).cast("int")
+    agg = (
+        o.crossJoin(F.broadcast(thr))
+        .select("cur", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("cur"), 0).otherwise(1)).alias("n_ref"),
+            F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = agg.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    rs = F.col("n_ref").cast("double") / F.col("tr")
+    cs = F.col("n_cur").cast("double") / F.col("tc")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.round(rs, 6).alias("ref_share"),
+            F.round(cs, 6).alias("cur_share"),
+            F.round(
+                (cs - rs)
+                * F.log(
+                    F.expr("nullif(cast(n_cur as double) / tc, 0.0)")
+                    / F.expr("nullif(cast(n_ref as double) / tr, 0.0)")
+                ),
+                8,
+            ).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# Band-level residual diagnostics (q305): everything derives from the
+# SAME per-band integer moments — residual sums expand algebraically,
+# so no second data pass and no float row-level sums.  Shared templates
+# again make each double bit-identical cross-engine.
+_OLS3_B = [
+    f"({_OLS3_DET0})/({_OLS3_DET}) AS b0",
+    f"({_OLS3_DET1})/({_OLS3_DET}) AS b1",
+    f"({_OLS3_DET2})/({_OLS3_DET}) AS b2",
+]
+_DIAG_MEAN = (
+    "(CAST(zy AS DOUBLE) - b0*CAST(nn AS DOUBLE) - b1*CAST(z1 AS DOUBLE)"
+    " - b2*CAST(z2 AS DOUBLE)) / CAST(nn AS DOUBLE)"
+)
+_DIAG_SS = (
+    "(CAST(zyy AS DOUBLE) - 2*b0*CAST(zy AS DOUBLE)"
+    " - 2*b1*CAST(z1y AS DOUBLE) - 2*b2*CAST(z2y AS DOUBLE)"
+    " + b0*b0*CAST(nn AS DOUBLE) + b1*b1*CAST(z11 AS DOUBLE)"
+    " + b2*b2*CAST(z22 AS DOUBLE) + 2*b0*b1*CAST(z1 AS DOUBLE)"
+    " + 2*b0*b2*CAST(z2 AS DOUBLE) + 2*b1*b2*CAST(z12 AS DOUBLE))"
+)
+_DIAG_EXPRS = [
+    "CAST(band AS BIGINT) AS band",
+    "CAST(nn AS BIGINT) AS n_rows",
+    f"round({_DIAG_MEAN}, 6) AS mean_residual_cents",
+    f"round(sqrt({_DIAG_SS} / CAST(nn AS DOUBLE)), 6) AS rms_residual_cents",
+]
+
+
+@_register(
+    "q305_ols_residual_diagnostics",
+    f"""
+    WITH r AS (
+      SELECT 1 + (CAST(l_quantity AS BIGINT) - 1) // 10 AS band,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    mb AS (
+      SELECT band, count(*) AS nn,
+             sum(x1) AS z1, sum(x2) AS z2, sum(y) AS zy,
+             sum(x1 * x1) AS z11, sum(x1 * x2) AS z12,
+             sum(x2 * x2) AS z22, sum(x1 * y) AS z1y,
+             sum(x2 * y) AS z2y, sum(y * y) AS zyy
+      FROM r GROUP BY band
+    ),
+    g AS (
+      SELECT CAST(sum(nn) AS DOUBLE) AS n,
+             CAST(sum(z1) AS DOUBLE) AS s1, CAST(sum(z2) AS DOUBLE) AS s2,
+             CAST(sum(zy) AS DOUBLE) AS sy, CAST(sum(z11) AS DOUBLE) AS s11,
+             CAST(sum(z12) AS DOUBLE) AS s12, CAST(sum(z22) AS DOUBLE) AS s22,
+             CAST(sum(z1y) AS DOUBLE) AS s1y, CAST(sum(z2y) AS DOUBLE) AS s2y
+      FROM mb
+    ),
+    b AS (SELECT {", ".join(_OLS3_B)} FROM g)
+    SELECT {", ".join(_DIAG_EXPRS)}
+    FROM mb CROSS JOIN b ORDER BY band
+    """,
+)
+def q305_ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual diagnostics for the q299 closed-form model WITHOUT a
+    second data pass: per quantity band (1-10, ..., 41-50), the mean
+    and RMS residual derive ALGEBRAICALLY from the same band-level
+    integer moments that train the model — sum(resid) and sum(resid²)
+    expand into moment combinations, so the single banded aggregate
+    serves training (global moments = sum of band moments), validation
+    and the per-band bias report (a biased band means the linear form
+    is wrong there, the standard heteroscedasticity check).  This is
+    the aggregates-only ML-diagnostics pattern that works at 100 TB:
+    one scan, one 5-group shuffle, every float derived from exact
+    integers through shared cross-engine expression templates.  Scale
+    shape: identical to q300 plus a broadcast of the 1-row coefficient
+    frame."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+    ).selectExpr("1 + (x1 - 1) DIV 10 AS band", "x1", "x2", "y")
+    dec = "decimal(38,0)"
+    mb = li.groupBy("band").agg(
+        F.count(F.lit(1)).cast(dec).alias("nn"),
+        F.sum(F.col("x1").cast(dec)).alias("z1"),
+        F.sum(F.col("x2").cast(dec)).alias("z2"),
+        F.sum(F.col("y").cast(dec)).alias("zy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).alias("z11"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).alias("z12"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).alias("z22"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).alias("z1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).alias("z2y"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("zyy"),
+    )
+    g = mb.agg(
+        F.sum("nn").cast("double").alias("n"),
+        F.sum("z1").cast("double").alias("s1"),
+        F.sum("z2").cast("double").alias("s2"),
+        F.sum("zy").cast("double").alias("sy"),
+        F.sum("z11").cast("double").alias("s11"),
+        F.sum("z12").cast("double").alias("s12"),
+        F.sum("z22").cast("double").alias("s22"),
+        F.sum("z1y").cast("double").alias("s1y"),
+        F.sum("z2y").cast("double").alias("s2y"),
+    )
+    b = g.selectExpr(*_OLS3_B)
+    return (
+        mb.crossJoin(F.broadcast(b)).selectExpr(*_DIAG_EXPRS).orderBy("band")
+    )

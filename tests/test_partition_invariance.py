@@ -39,6 +39,11 @@ SENSITIVE = [
     "q281_price_gap_interpolation",    # windowed gap-fill + checksum
     "q283_min_cost_supplier",     # two-level ranking with ties
     "q288_important_parts",       # percentile-threshold membership
+    "q298_temperature_sampling_mix",   # fixed-order sqrt normalizer
+    "q299_ols_normal_equations",       # decimal moment sums -> Cramer doubles
+    "q302_weighted_doc_sample",        # float-clock top-k with tiebreak
+    "q303_rrf_hybrid_retrieval",       # two ranked legs fused by RRF
+    "q305_ols_residual_diagnostics",   # band moments + broadcast coefficients
 ]
 
 

@@ -943,6 +943,57 @@ class ManifestStore:
                 continue
         raise RuntimeError(f"compact lost {self.MAX_COMMIT_RETRIES} races")
 
+    def convert_from(self, pstore, mode: str) -> dict:
+        """Adopt an existing ``ParquetStore`` dataset as this manifest
+        store's version 1 — the migration path a team with months of
+        plain-parquet history needs to move onto the commit log without
+        re-ingesting (Delta's CONVERT TO DELTA).  One bandwidth-bound
+        rewrite of the current snapshot into a fresh batch dir, the
+        running stats recomputed from the adopted rows (the ParquetStore
+        may be carrying a healed/rebuilt StatsTable; recomputation makes
+        the commit self-consistent by construction), both published in
+        one atomic commit with data-skipping bounds.  The source store
+        is untouched; subsequent ``ingest_batch`` calls dedup/version
+        against the adopted history exactly as if it had been ingested
+        here.  Refuses a non-empty target (the adopted snapshot must BE
+        version 1, or time travel would lie)."""
+        log = self.log(mode)
+        if log.version() != 0:
+            raise ValueError(
+                f"convert_from requires an empty target log; {mode} is at "
+                f"version {log.version()}"
+            )
+        df = pstore.read_all(mode)
+        if df is None:
+            return {"adopted_rows": 0, "version": 0}
+        df = df.localCheckpoint(eager=True)
+        n = df.count()
+        meta_map: dict[str, dict] = {}
+        batch_dir = self._write_batch_dir(df, mode, meta_out=meta_map)
+        stats_ptr = {}
+        stats_dir = f"stats-{1:08d}-{uuid.uuid4().hex[:8]}"
+        for which, by_interval in (("table", False), ("interval", True)):
+            if by_interval and mode == "streaming":
+                continue
+            merged = batch_stats(df, mode, by_interval)
+            rel = os.path.join(stats_dir, which)
+            merged.coalesce(1).write.parquet(os.path.join(log.log_dir, rel))
+            stats_ptr[which] = rel
+        log.try_commit(
+            1,
+            {
+                "adds": [batch_dir],
+                "removes": [],
+                "stats": stats_ptr,
+                "meta": meta_map,
+                "op": "convert",
+                "ts": time.time(),
+            },
+        )
+        for obs in self.observers:
+            obs(df, mode)
+        return {"adopted_rows": n, "version": 1}
+
     def vacuum(self, mode: str, retain_last: int = 8) -> dict:
         """Truncate commit history to the last ``retain_last`` versions —
         the Delta checkpoint + VACUUM analogue that stops the log (and

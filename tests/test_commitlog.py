@@ -624,3 +624,33 @@ def test_read_where_unknown_meta_is_read_not_skipped(spark, mstore):
     df = mstore.read_where(MODE, ts_min=9999999999, stats=stats)
     assert stats["dirs_read"] == 1  # unknown bounds: must scan
     assert df.count() == 0  # residual filter still correct
+
+
+# -- ParquetStore -> ManifestStore migration ------------------------------
+
+
+def test_convert_from_parquet_store(spark, tmp_path, mstore):
+    """Adopting a plain-parquet history: snapshot equality, stats
+    self-consistency, and dedup continuity for subsequent ingests."""
+    pstore = ParquetStore(spark, str(tmp_path / "pstore"))
+    pstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    pstore.ingest_batch(_df(spark, ROWS_B2), MODE)
+    res = mstore.convert_from(pstore, MODE)
+    assert res["version"] == 1 and res["adopted_rows"] == 5
+    canon = lambda df: sorted(  # noqa: E731
+        map(str, (sorted(r.asDict().items()) for r in df.collect()))
+    )
+    assert canon(mstore.read_all(MODE)) == canon(pstore.read_all(MODE))
+    # stats recomputed from adopted rows match the source's running stats
+    assert canon(mstore.table_stats(MODE)) == canon(pstore.table_stats(MODE))
+    # dedup continuity: a full replay of either source batch is a no-op
+    assert mstore.ingest_batch(_df(spark, ROWS_B2), MODE) == 0
+    # fresh rows still land (version 2)
+    assert mstore.ingest_batch(_df(spark, _mk_rows(77)), MODE) == 1
+    assert mstore.version(MODE) == 2
+    # a second adoption must refuse: version 1 is already taken
+    with pytest.raises(ValueError, match="empty target"):
+        mstore.convert_from(pstore, MODE)
+    # adopted dir carries data-skipping bounds
+    st = mstore.log(MODE).state()
+    assert any("timestamp_UTC_s" in m for m in st["meta"].values())

@@ -253,8 +253,166 @@ class FrameLogStreamReader(SimpleDataSourceStreamReader):
 
 def register_data_sources(spark) -> None:
     """Idempotently register both sources with a session."""
-    for cls in (RestHistoricalDataSource, FrameLogDataSource):
+    for cls in (
+        RestHistoricalDataSource,
+        FrameLogDataSource,
+        ManifestCDCDataSource,
+    ):
         try:
             spark.dataSource.register(cls)
         except Exception:  # already registered under this name
             pass
+
+
+# ---------------------------------------------------------------------------
+# ManifestStore CDC as a streaming source (Delta streaming-source parity)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_schema_ddl(mode: str) -> str:
+    from stock_ops_spark import schemas as S
+    from stock_ops_spark.sources.layout import PARTITION_COLS
+
+    cols = [(f.name, f.dataType.simpleString()) for f in S.SCHEMAS[mode].fields]
+    cols.append(("version", "bigint"))
+    cols += [(p, "int") for p in PARTITION_COLS[mode]]
+    cols += [("_change_type", "string"), ("_commit_version", "bigint")]
+    return ", ".join(f"{n} {t}" for n, t in cols)
+
+
+class ManifestCDCDataSource(DataSource):
+    """Streaming source over a ``ManifestStore`` change feed with COMMIT
+    VERSIONS as offsets — the Delta-streaming-source twin: every
+    downstream consumer (index refresh, replication, MV maintenance)
+    becomes an exactly-once stream whose cursor lives in the Spark
+    checkpoint, not in consumer-managed state.
+
+    Options: ``store_root`` (the ManifestStore root), ``mode``,
+    ``provider``/``exchange`` (layout, defaults EODHD/US).  Each
+    micro-batch drains commits (start, latest]; ingest commits derive
+    their rows from the committed batch dirs exactly like
+    ``ManifestStore.read_changes`` (insert vs update_postimage by
+    version), merge/delete commits replay their published CDC files,
+    compact/checkpoint commits are invisible.  A cursor below the
+    vacuum horizon raises rather than silently skipping history."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "stockops_cdc"
+
+    def schema(self) -> str:
+        return _cdc_schema_ddl(self.options.get("mode", "streaming"))
+
+    def simpleStreamReader(self, schema) -> "ManifestCDCStreamReader":
+        return ManifestCDCStreamReader(dict(self.options))
+
+
+class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        root = options.get("store_root")
+        if not root:
+            raise ValueError("stockops_cdc requires a 'store_root' option")
+        self.mode = options.get("mode", "streaming")
+        from stock_ops_spark.sources.layout import mode_root
+
+        self.data_root = mode_root(
+            root,
+            self.mode,
+            options.get("provider", "EODHD"),
+            options.get("exchange", "US"),
+        )
+        self.log_dir = self.data_root + "__log"
+        from stock_ops_spark import schemas as S
+        from stock_ops_spark.sources.layout import PARTITION_COLS
+
+        self.cols = (
+            [f.name for f in S.SCHEMAS[self.mode].fields]
+            + ["version"]
+            + PARTITION_COLS[self.mode]
+            + ["_change_type", "_commit_version"]
+        )
+
+    # -- log primitives (executor-side, so no ManifestStore object) -------
+    def _versions(self) -> list[int]:
+        try:
+            names = os.listdir(self.log_dir)
+        except OSError:
+            return []
+        return sorted(
+            int(n[:-5])
+            for n in names
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    def _commit(self, v: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{v:08d}.json")) as f:
+            return json.load(f)
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def _rows_of_table(self, table, change_from_version: bool, cv: int):
+        import pyarrow as pa  # noqa: F401
+
+        cols = table.column_names
+        pydict = table.to_pydict()
+        n = table.num_rows
+        for i in range(n):
+            row = {c: pydict[c][i] for c in cols}
+            if change_from_version:
+                row["_change_type"] = (
+                    "update_postimage"
+                    if (row.get("version") or 1) > 1
+                    else "insert"
+                )
+            row["_commit_version"] = cv
+            yield tuple(row.get(c) for c in self.cols)
+
+    def _read_commit_rows(self, c: dict):
+        import pyarrow.dataset as ds
+
+        v = c["version"]
+        op = c.get("op") or ("compact" if c.get("removes") else "ingest")
+        if op in ("compact", "checkpoint", "convert"):
+            return
+        if c.get("cdc"):
+            table = ds.dataset(
+                os.path.join(self.log_dir, c["cdc"]), format="parquet"
+            ).to_table()
+            yield from self._rows_of_table(table, False, v)
+        elif op == "ingest":
+            for d in c.get("adds", []):
+                table = ds.dataset(
+                    os.path.join(self.data_root, d),
+                    format="parquet",
+                    partitioning="hive",
+                ).to_table()
+                yield from self._rows_of_table(table, True, v)
+
+    def _drain(self, start_v: int, end_v: int):
+        versions = self._versions()
+        if versions and versions[0] > 1 and start_v < versions[0]:
+            raise ValueError(
+                f"stockops_cdc cursor {start_v} is below the vacuum "
+                f"horizon {versions[0]}; re-bootstrap from a snapshot"
+            )
+        rows = []
+        for v in versions:
+            if start_v < v <= end_v:
+                rows.extend(self._read_commit_rows(self._commit(v)))
+        return rows
+
+    def read(self, start: dict):
+        versions = self._versions()
+        latest = versions[-1] if versions else 0
+        if latest <= start["version"]:
+            return iter([]), start
+        return iter(self._drain(start["version"], latest)), {
+            "version": latest
+        }
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._drain(start["version"], end["version"]))
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass

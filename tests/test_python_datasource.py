@@ -197,3 +197,97 @@ def test_frame_log_to_store_end_to_end(pyds, tmp_path):
     assert data.count() == 6
     assert set(data.columns) >= {"ticker", "timestamp_UTC_ms", "price", "version"}
     assert all(r.version == 1 for r in data.collect())
+
+
+# -- ManifestStore CDC as a streaming source ------------------------------
+
+
+def _mstore_rows(k, ticker="SPY"):
+    return [(ticker, 1751463000 + 3600 * k, 1.0, 2.0, 0.5, 1.5, 100 + k, "1h")]
+
+
+def test_manifest_cdc_stream_drains_and_resumes(pyds, tmp_path):
+    """Commit versions are the stream offsets: availableNow drains the
+    feed to the current version; a restart after more commits reads
+    ONLY the new commits (the checkpointed cursor is the commit
+    version); row content matches ManifestStore.read_changes."""
+    from stock_ops_spark import schemas as S
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    MODE = "historical_intraday"
+    store = ManifestStore(pyds, str(tmp_path / "m"))
+    for k in range(3):
+        store.ingest_batch(
+            pyds.createDataFrame(_mstore_rows(k), schema=S.HISTORICAL_INTRADAY),
+            MODE,
+        )
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            pyds.readStream.format("stockops_cdc")
+            .option("store_root", str(tmp_path / "m"))
+            .option("mode", MODE)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    drain()
+    got = pyds.read.parquet(out)
+    assert got.count() == 3
+    want = store.read_changes(MODE)
+    assert sorted(
+        (r["ticker"], r["timestamp_UTC_s"], r["_change_type"], r["_commit_version"])
+        for r in got.collect()
+    ) == sorted(
+        (r["ticker"], r["timestamp_UTC_s"], r["_change_type"], r["_commit_version"])
+        for r in want.collect()
+    )
+    # two more commits: one fresh insert, one re-send (update_postimage)
+    store.ingest_batch(
+        pyds.createDataFrame(_mstore_rows(9), schema=S.HISTORICAL_INTRADAY), MODE
+    )
+    store.ingest_batch(
+        pyds.createDataFrame(
+            [("SPY", 1751463000, 9.0, 9.0, 9.0, 9.0, 1, "1h")],
+            schema=S.HISTORICAL_INTRADAY,
+        ),
+        MODE,
+    )
+    drain()
+    got2 = pyds.read.parquet(out)
+    assert got2.count() == 5  # only the 2 new commits' rows appended
+    assert (
+        got2.where("_commit_version = 5").collect()[0]["_change_type"]
+        == "update_postimage"
+    )
+
+
+def test_manifest_cdc_cursor_below_vacuum_horizon_raises(pyds, tmp_path):
+    from stock_ops_spark import schemas as S
+    from stock_ops_spark.sources.commitlog import ManifestStore
+    from stock_ops_spark.sources.pyds import ManifestCDCStreamReader
+
+    MODE = "historical_intraday"
+    store = ManifestStore(pyds, str(tmp_path / "m"))
+    for k in range(5):
+        store.ingest_batch(
+            pyds.createDataFrame(_mstore_rows(k), schema=S.HISTORICAL_INTRADAY),
+            MODE,
+        )
+    store.vacuum(MODE, retain_last=2)  # horizon: version 4
+    reader = ManifestCDCStreamReader(
+        {"store_root": str(tmp_path / "m"), "mode": MODE}
+    )
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        reader.readBetweenOffsets({"version": 2}, {"version": 5})
+    # a cursor at/above the horizon drains fine (checkpoint commit is
+    # invisible; only commit 5 carries changes)
+    rows = list(reader.readBetweenOffsets({"version": 4}, {"version": 5}))
+    assert len(rows) == 1

@@ -18334,3 +18334,90 @@ def q305_ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         mb.crossJoin(F.broadcast(b)).selectExpr(*_DIAG_EXPRS).orderBy("band")
     )
+
+
+@_register(
+    "q306_commitlog_cdc_audit",
+    """
+    WITH e AS (
+      SELECT event_type AS k1, CAST(epoch_ms(ts) AS BIGINT) AS k2,
+             event_id, (event_id % 2 = 0) AS even
+      FROM events
+    ),
+    ev AS (SELECT k1, k2, count(*) AS c FROM e WHERE even GROUP BY k1, k2),
+    od AS (SELECT k1, k2, count(*) AS c FROM e WHERE NOT even GROUP BY k1, k2),
+    c1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS ins,
+             CAST(coalesce(sum(c), 0) - count(*) AS BIGINT) AS post
+      FROM ev
+    ),
+    c2 AS (
+      SELECT CAST(count(*) FILTER (WHERE ev.k1 IS NULL) AS BIGINT) AS ins,
+             CAST(coalesce(sum(od.c), 0)
+                  - count(*) FILTER (WHERE ev.k1 IS NULL) AS BIGINT) AS post
+      FROM od LEFT JOIN ev USING (k1, k2)
+    )
+    SELECT * FROM (
+      SELECT 1 AS commit_version, 'insert' AS change_type, ins AS n_rows
+      FROM c1 WHERE ins > 0
+      UNION ALL
+      SELECT 1, 'update_postimage', post FROM c1 WHERE post > 0
+      UNION ALL
+      SELECT 2, 'insert', ins FROM c2 WHERE ins > 0
+      UNION ALL
+      SELECT 2, 'update_postimage', post FROM c2 WHERE post > 0
+    ) ORDER BY commit_version, change_type
+    """,
+)
+def q306_commitlog_cdc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end commit-log CDC audit, driver-oracled: the events table
+    is ingested into a THROWAWAY ManifestStore in two commits (even
+    event_ids, then odd), and the change feed's per-commit
+    insert/update_postimage counts must equal what the versioning
+    semantics predict from the raw table alone — first-seen (ticker,
+    ts) keys are inserts, repeat keys are conflict-versioned
+    update_postimages (event_id rides the payload so no row is an exact
+    duplicate).  This puts the ManifestStore/CDC machinery — elsewhere
+    engine-level tests only — behind the same hash gate as every query:
+    the oracle recomputes the expected feed from SQL set algebra.
+    Scale shape: two bounded ingests (each one dedup/version pass + one
+    atomic commit) and a feed read; the audit aggregate is 4 rows."""
+    import shutil
+    import tempfile
+
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("ticker"),
+        F.unix_millis("ts").alias("timestamp_UTC_ms"),
+        F.col("value").cast("double").alias("price"),
+        F.col("event_id").cast("bigint").alias("volume"),
+        F.lit(None).cast("double").alias("ask_price"),
+        F.lit(None).cast("double").alias("bid_price"),
+        F.lit(None).cast("bigint").alias("ask_size"),
+        F.lit(None).cast("bigint").alias("bid_size"),
+        (F.col("event_id") % 2 == 0).alias("__even"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_audit_")
+    try:
+        store = ManifestStore(spark, root)
+        store.ingest_batch(ev.where(F.col("__even")).drop("__even"), "streaming")
+        store.ingest_batch(ev.where(~F.col("__even")).drop("__even"), "streaming")
+        feed = store.read_changes("streaming")
+        out = (
+            feed.groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(
+                F.col("_commit_version").cast("bigint").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+                "n_rows",
+            )
+            .orderBy("commit_version", "change_type")
+        )
+        # the store dir is deleted on return; materialize first
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "commit_version bigint, change_type string, n_rows bigint"
+        ).orderBy("commit_version", "change_type")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -161,6 +161,29 @@ def watermark_delay_seconds(p99_late_s: float, safety: float = 2.0) -> int:
     return max(int(p99_late_s * safety + 0.5), 1)
 
 
+def vacuum_retain(
+    commits_per_day: float,
+    time_travel_days: float = 7.0,
+    fold_budget_ms: float = 50.0,
+) -> int:
+    """How many manifest commits to retain (``ManifestStore.vacuum``'s
+    ``retain_last``): the larger of the time-travel requirement and a
+    floor of 8, capped by the metadata-fold budget.
+
+    The fold cost is linear in retained commits — measured ~0.02 ms per
+    commit (tools/bench_vacuum.py: 80.8 ms at 4096 commits) — so
+    ``fold_budget_ms`` caps retention at budget/0.02 commits.  At one
+    commit per streaming micro-batch (e.g. 8640/day at 10 s triggers), a
+    7-day time-travel window wants 60k commits but a 50 ms fold budget
+    caps it at 2500: the caller must then either raise the budget or
+    lower the trigger rate — the function returns the cap and the
+    tension is explicit rather than discovered in production.
+    """
+    want = int(commits_per_day * time_travel_days)
+    cap = int(fold_budget_ms / 0.02)
+    return max(8, min(want, cap))
+
+
 def recommend(
     input_bytes: int,
     cluster: ClusterShape,

@@ -91,3 +91,16 @@ def test_ivf_cells_sqrt_rule():
     assert ivf_cells(1_000_000) == 1024
     assert ivf_cells(100) == 16              # floor
     assert ivf_cells(10**22) == 1 << 18      # ceiling
+
+
+def test_vacuum_retain_rule():
+    from stock_ops_spark.plans.sizing import vacuum_retain
+
+    # batch cadence: 24 commits/day, 7-day travel -> 168, above the floor
+    assert vacuum_retain(24) == 168
+    # streaming cadence: 10s triggers want 60480 but the fold budget caps
+    assert vacuum_retain(8640) == 2500
+    # tiny stores never drop below the 8-version floor
+    assert vacuum_retain(0.5) == 8
+    # raising the budget raises the cap
+    assert vacuum_retain(8640, fold_budget_ms=2000.0) == 60480

@@ -18489,3 +18489,83 @@ def q306_commitlog_cdc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
+    "q307_cumulative_distinct_customers",
+    """
+    WITH fm AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS first_m
+      FROM orders GROUP BY o_custkey
+    ),
+    om AS (
+      SELECT date_trunc('month', o.o_orderdate) AS m,
+             count(*) AS n_orders,
+             sum(CASE WHEN date_trunc('month', o.o_orderdate) = fm.first_m
+                      THEN 0 ELSE 1 END) AS n_returning
+      FROM orders o JOIN fm ON o.o_custkey = fm.o_custkey
+      GROUP BY 1
+    ),
+    nm AS (
+      SELECT first_m AS m, count(*) AS n_new FROM fm GROUP BY first_m
+    )
+    SELECT strftime(om.m, '%Y-%m-%d')            AS month,
+           CAST(coalesce(nm.n_new, 0) AS BIGINT) AS new_customers,
+           CAST(sum(coalesce(nm.n_new, 0))
+                OVER (ORDER BY om.m) AS BIGINT)   AS cum_customers,
+           CAST(om.n_orders AS BIGINT)           AS n_orders,
+           round(om.n_returning::DOUBLE / om.n_orders, 6)
+                                                 AS returning_order_share
+    FROM om LEFT JOIN nm ON nm.m = om.m
+    ORDER BY om.m
+    """,
+)
+def q307_cumulative_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers per month plus the new-vs-returning
+    order split — the growth-accounting query every analytics team runs,
+    and the canonical example of the FIRST-SEEN REDUCTION: a naive
+    running COUNT(DISTINCT) re-scans an ever-growing window per month
+    (quadratic at 100 TB); reducing each customer to min(first month)
+    makes it ONE key aggregate, after which the monthly frame is tiny
+    (~dozens of rows) and the cumulative window is free.  Returning
+    share joins orders to the per-customer first month on the natural
+    custkey distribution (one shuffle shared with the min aggregate).
+    All counts exact integers; the share is a ratio of exact integers."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    fm = o.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    om = (
+        o.join(fm, "o_custkey")
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("m") == F.col("first_m"), 0).otherwise(1)
+            ).alias("n_returning"),
+        )
+    )
+    nm = fm.groupBy(F.col("first_m").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        om.join(nm, "m", "left")
+        .select(
+            F.col("m"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "n_orders",
+            "n_returning",
+        )
+        .select(
+            F.date_format("m", "yyyy-MM-dd").alias("month"),
+            F.col("n_new").cast("bigint").alias("new_customers"),
+            F.sum("n_new").over(w).cast("bigint").alias("cum_customers"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round(
+                F.col("n_returning").cast("double") / F.col("n_orders"), 6
+            ).alias("returning_order_share"),
+        )
+        .orderBy("month")
+    )

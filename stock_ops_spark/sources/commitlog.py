@@ -943,6 +943,88 @@ class ManifestStore:
                 continue
         raise RuntimeError(f"compact lost {self.MAX_COMMIT_RETRIES} races")
 
+    def restore(
+        self, mode: str, to_version: int, on_observers: str = "raise"
+    ) -> dict:
+        """Make an earlier snapshot current again (Delta RESTORE): a new
+        commit whose adds/removes swap the live dir set back to
+        ``to_version``'s — metadata-only for the data (the old batch
+        dirs are still on disk until ``gc_orphans``; restoring after GC
+        raises with the missing dirs named), plus one honest CDC file:
+        rows leaving the snapshot are 'delete' changes and rows
+        returning are 'insert', so MatView.sync and the stockops_cdc
+        stream keep folding exactly instead of silently diverging.
+        History is preserved — RESTORE is a new version, and time travel
+        into the undone span still works."""
+        self._check_observers("restore", on_observers)
+        log = self.log(mode)
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            state = log.state()
+            if to_version == state["version"]:
+                return {"restored_to": to_version, "version": state["version"],
+                        "n_deleted": 0, "n_reinserted": 0}
+            target = log.state(at_version=to_version)  # VacuumedVersion if gone
+            missing = [
+                d
+                for d in target["dirs"]
+                if not os.path.isdir(os.path.join(self.data_path(mode), d))
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot restore {mode} to version {to_version}: batch "
+                    f"dirs already garbage-collected: {missing}"
+                )
+            cur = self._read_dirs(mode, state["dirs"])
+            tgt = self._read_dirs(mode, target["dirs"])
+            cols = tgt.columns
+            deleted = cur.select(*cols).exceptAll(tgt.select(*cols))
+            reinserted = tgt.select(*cols).exceptAll(cur.select(*cols))
+            cdc = deleted.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(
+                reinserted.withColumn("_change_type", F.lit("insert"))
+            )
+            cdc = cdc.localCheckpoint(eager=True)
+            n_del = cdc.where(F.col("_change_type") == "delete").count()
+            n_ins = cdc.where(F.col("_change_type") == "insert").count()
+            new_version = state["version"] + 1
+            cdc_rel = self._write_cdc(log, new_version, cdc)
+            try:
+                log.try_commit(
+                    new_version,
+                    {
+                        "adds": [
+                            d for d in target["dirs"]
+                            if d not in set(state["dirs"])
+                        ],
+                        "removes": [
+                            d for d in state["dirs"]
+                            if d not in set(target["dirs"])
+                        ],
+                        "stats": target["stats"],
+                        "meta": {
+                            d: target["meta"][d]
+                            for d in target["dirs"]
+                            if d in target["meta"]
+                        },
+                        "op": "restore",
+                        "cdc": cdc_rel,
+                        "ts": time.time(),
+                    },
+                )
+                return {
+                    "restored_to": to_version,
+                    "version": new_version,
+                    "n_deleted": n_del,
+                    "n_reinserted": n_ins,
+                }
+            except CommitConflict:
+                shutil.rmtree(
+                    os.path.join(log.log_dir, cdc_rel), ignore_errors=True
+                )
+                continue
+        raise RuntimeError(f"restore lost {self.MAX_COMMIT_RETRIES} races")
+
     def convert_from(self, pstore, mode: str) -> dict:
         """Adopt an existing ``ParquetStore`` dataset as this manifest
         store's version 1 — the migration path a team with months of

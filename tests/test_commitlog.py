@@ -654,3 +654,55 @@ def test_convert_from_parquet_store(spark, tmp_path, mstore):
     # adopted dir carries data-skipping bounds
     st = mstore.log(MODE).state()
     assert any("timestamp_UTC_s" in m for m in st["meta"].values())
+
+
+# -- RESTORE: make an earlier snapshot current again -----------------------
+
+
+def test_restore_swaps_snapshot_and_feeds_cdc(spark, mstore):
+    for k in range(3):
+        mstore.ingest_batch(_df(spark, _mk_rows(k)), MODE)
+    v1_rows = {tuple(r) for r in mstore.read_all(MODE, at_version=1).collect()}
+    res = mstore.restore(MODE, 1)
+    assert res["version"] == 4 and res["restored_to"] == 1
+    assert res["n_deleted"] == 2 and res["n_reinserted"] == 0
+    assert {tuple(r) for r in mstore.read_all(MODE).collect()} == v1_rows
+    # history preserved: the undone span still time-travels
+    assert mstore.read_all(MODE, at_version=3).count() == 3
+    # the stats pointer followed the snapshot
+    assert mstore.table_stats(MODE).agg({"row_count": "sum"}).collect()[0][0] == 1
+    # CDC: the restore commit carries the two departed rows as deletes
+    feed = mstore.read_changes(MODE, from_version=3)
+    assert feed.count() == 2
+    assert {r["_change_type"] for r in feed.collect()} == {"delete"}
+    # restoring forward to the pre-restore version re-inserts them
+    res2 = mstore.restore(MODE, 3)
+    assert res2["n_reinserted"] == 2 and res2["n_deleted"] == 0
+    assert mstore.read_all(MODE).count() == 3
+
+
+def test_restore_guards_observers_and_gc(spark, tmp_path):
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    store = ManifestStore(
+        spark, str(tmp_path / "m"), observers=[lambda df, m: None]
+    )
+    store.ingest_batch(_df(spark, _mk_rows(0)), MODE)
+    store.ingest_batch(_df(spark, _mk_rows(1)), MODE)
+    with pytest.raises(ValueError, match="observers"):
+        store.restore(MODE, 1)
+    store.observers.clear()
+    # simulate GC of a version-1 dir: restore must refuse loudly
+    import shutil as _sh
+    import os as _os
+
+    st1 = store.log(MODE).state(at_version=1)
+    live_now = set(store.log(MODE).state()["dirs"])
+    victim = [d for d in st1["dirs"]][0]
+    if victim in live_now:
+        # compact first so version 1's dir is no longer live
+        store.compact(MODE)
+        victim = st1["dirs"][0]
+    _sh.rmtree(_os.path.join(store.data_path(MODE), victim))
+    with pytest.raises(ValueError, match="garbage-collected"):
+        store.restore(MODE, 1)

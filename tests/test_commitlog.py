@@ -706,3 +706,107 @@ def test_restore_guards_observers_and_gc(spark, tmp_path):
     _sh.rmtree(_os.path.join(store.data_path(MODE), victim))
     with pytest.raises(ValueError, match="garbage-collected"):
         store.restore(MODE, 1)
+
+
+# -- model-based op-sequence test ------------------------------------------
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Seeded random sequences of {ingest, compact, vacuum, restore}
+    against an in-memory model of the versioning contract: after every
+    op, read_all must equal the model's current state exactly.  This is
+    the whole-store integration check no single-op test gives — e.g.
+    restore after vacuum after compact exercises checkpoint meta,
+    dir-swap and version arithmetic together."""
+    import random
+
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    def payload_key(p):  # version-assignment order: the payload struct
+        return p
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        store = ManifestStore(
+            spark, str(tmp_path / f"seq{seed}"), auto_compact_every=0
+        )
+        # model: history of {key: {payload: version}} snapshots, index = version
+        history = [{}]
+
+        def current():
+            return history[-1]
+
+        def model_rows(state):
+            return {
+                (k[0], k[1], k[2], p, v)
+                for k, pays in state.items()
+                for p, v in pays.items()
+            }
+
+        def store_rows():
+            df = store.read_all(MODE)
+            if df is None:
+                return set()
+            return {
+                (
+                    r["ticker"],
+                    r["timestamp_UTC_s"],
+                    r["interval"],
+                    (r["open"], r["volume"]),
+                    r["version"],
+                )
+                for r in df.collect()
+            }
+
+        min_restorable = 1
+        for _op in range(9):
+            op = rng.choice(["ingest", "ingest", "ingest", "compact",
+                             "vacuum", "restore"])
+            if op == "ingest":
+                rows = []
+                for _ in range(rng.randint(1, 5)):
+                    t = rng.choice(["AAA", "BBB"])
+                    ts = 1751463000 + 3600 * rng.randint(0, 2)
+                    o = float(rng.randint(1, 4))
+                    vol = rng.randint(1, 2)
+                    rows.append((t, ts, o, 2.0, 0.5, 1.5, vol, "1h"))
+                n = store.ingest_batch(_df(spark, rows), MODE)
+                # model the same ingest
+                state = {k: dict(v) for k, v in current().items()}
+                pairs = {((r[0], r[1], r[7]), (r[2], r[6])) for r in rows}
+                fresh = [
+                    (k, p) for k, p in pairs
+                    if p not in state.get(k, {})
+                ]
+                by_key = {}
+                for k, p in fresh:
+                    by_key.setdefault(k, []).append(p)
+                n_model = 0
+                for k, ps in by_key.items():
+                    maxv = max(state.get(k, {}).values(), default=0)
+                    for i, p in enumerate(sorted(ps, key=payload_key), 1):
+                        state.setdefault(k, {})[p] = maxv + i
+                        n_model += 1
+                assert n == n_model, f"seed {seed}: ingest count diverged"
+                if n_model:
+                    history.append(state)
+            elif op == "compact":
+                store.compact(MODE)
+                if len(history) > 1 and store.version(MODE) == len(history):
+                    history.append(current())  # compaction commits a version
+            elif op == "vacuum":
+                res = store.vacuum(MODE, retain_last=3)
+                if res["checkpointed"]:
+                    min_restorable = res["checkpointed"]
+            elif op == "restore":
+                hi = store.version(MODE)
+                if hi <= min_restorable:
+                    continue
+                tgt = rng.randint(min_restorable, hi)
+                res = store.restore(MODE, tgt)
+                if res["version"] > hi:  # not a same-version noop
+                    history.append(history[tgt])
+            assert store_rows() == model_rows(current()), (
+                f"seed {seed} op {_op} ({op}): store diverged from model"
+            )
+            assert store.version(MODE) == len(history) - 1

@@ -6904,12 +6904,7 @@ def q146_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps exported as epoch microseconds."""
     from stock_ops_spark.operators.timeseries import prefix_sum_chunked
 
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select("ts")
+    ev = _t(spark, sf_dir, "events").select("ts")
     deltas = ev.select("ts", F.lit(1).alias("d")).union(
         ev.select(
             (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("ts"),
@@ -7567,12 +7562,7 @@ def q156_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row-per-user aggregates on the SAME shuffle key before the
     left join (co-partitioned, no fact-level join), and the histogram
     is a tiny second agg.  Fractions are ratios of exact integers."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select("user_id", "event_type", "ts")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     su = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -8060,12 +8050,7 @@ def q164_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: arm assignment is a map-side projection; one aggregate over
     (arm); the final 1-row pivot is free (exact distinct-user counts
     swap for HLL at 100 TB per q43)."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select("user_id", "event_type", "value")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
     arm = F.when(
         F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(2)) == 0, "A"
     ).otherwise("B")
@@ -8141,12 +8126,7 @@ def q165_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition by user) feeds both lead() offsets, the trigram
     space is tiny (5^3) so the count agg is map-side combined, and
     top-k plans as TakeOrderedAndProject."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select("user_id", "event_type", "ts", "event_id")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -9041,12 +9021,7 @@ def q178_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     session's unique is_start row carries the entry type — no second
     ordered pass); the entry-type rollup is a
     5-key agg.  Rates are ratios of exact counts."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select("user_id", "ts", "event_id", "event_type")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_start = (
@@ -9187,12 +9162,7 @@ def q180_watermark_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast) — max is associative, so the composition is exact and
     no window orders the full stream in one task.  Lateness values are
     exact integer micros; quantiles interpolate exactly."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select(
+    ev = _t(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("tus")
     )
     b = ev.withColumn("__b", F.floor(F.col("event_id") / 1024))
@@ -9263,12 +9233,7 @@ def q181_state_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count inside (HLL at 100 TB per q43), then a scalar rollup over
     the ~720-windows/month frame.  Averages are ratios of exact
     integers."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select(
+    ev = _t(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("h"), "user_id"
     )
     w = ev.groupBy("h").agg(
@@ -10961,12 +10926,7 @@ def q207_hourly_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios (a per-type sum would accumulate floats in partition
     order).  Scale shape: one conditional aggregation keyed by hour,
     map-side combinable; ~8.8k rows/year output."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select(
+    ev = _t(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hr"), "event_type"
     )
     types = ["click", "view", "purchase", "signup", "error"]
@@ -11635,12 +11595,7 @@ def q218_funnel_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity-stitching gaps before funnel metrics (q132/q156) are
     trusted.  Both event subsets collapse to one row per user on the
     same shuffle key; counts exact."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select("user_id", "event_type", "ts")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     fs = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -11792,12 +11747,7 @@ def q220_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     (slow click→purchase = decision friction; instant error→error =
     retry storm).  One user-partitioned window feeds both lag()s;
     gaps are exact integer micros, quantiles exact per 25-key group."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select("user_id", "event_type", "ts", "event_id")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type",
@@ -15022,12 +14972,7 @@ def q267_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one user aggregate, one 4-value threshold broadcast, one
     5-key rollup — exact integer rates, float only in the final
     ratios."""
-    ev = _t(spark, sf_dir, "events").where(
-        F.col("event_id") % 25 < 2  # bounded deterministic slice: the
-        # audit's value is the semantics check, not ingest volume (the
-        # ingest path's throughput has its own bench) — ~8% of events
-        # keeps the two commits sub-second at every SF
-    ).select("user_id", "event_type")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
     u = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
             "clicks"

@@ -18514,3 +18514,136 @@ def q307_cumulative_distinct_customers(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("month")
     )
+
+
+_ELA_EXPRS = [
+    "brand",
+    "CAST(nn AS BIGINT) AS n_rows",
+    f"round({_OLS1_SLOPE}, 6) AS qty_per_discount_pt",
+    f"round((CAST(sy AS DOUBLE) - {_OLS1_SLOPE} * CAST(sx AS DOUBLE))"
+    " / CAST(nn AS DOUBLE), 6) AS base_qty",
+    "round((CAST(nn*sxy - sx*sy AS DOUBLE)"
+    " / sqrt(CAST(nn*sxx - sx*sx AS DOUBLE)"
+    " * CAST(nn*syy - sy*sy AS DOUBLE)))"
+    " * (CAST(nn*sxy - sx*sy AS DOUBLE)"
+    " / sqrt(CAST(nn*sxx - sx*sx AS DOUBLE)"
+    " * CAST(nn*syy - sy*sy AS DOUBLE))), 6) AS r2",
+]
+
+
+@_register(
+    "q308_discount_elasticity",
+    f"""
+    WITH m AS (
+      SELECT p.p_brand AS brand,
+             count(*) AS nn,
+             sum(CAST(round(l.l_discount * 100) AS BIGINT)) AS sx,
+             sum(CAST(l.l_quantity AS BIGINT)) AS sy,
+             sum(CAST(round(l.l_discount * 100) AS BIGINT)
+                 * CAST(round(l.l_discount * 100) AS BIGINT)) AS sxx,
+             sum(CAST(round(l.l_discount * 100) AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT)) AS sxy,
+             sum(CAST(l.l_quantity AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT)) AS syy
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT {", ".join(_ELA_EXPRS)} FROM m ORDER BY brand
+    """,
+)
+def q308_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount response: the regression slope of line
+    quantity on discount percentage (plus base quantity and fit r²) —
+    the pricing team's first elasticity read, fit for EVERY brand in
+    one pass with the closed-form-on-aggregates discipline (q299/q300):
+    exact integer moments keyed by brand, shared cross-engine template
+    for the derived doubles.  A positive slope says deeper discounts
+    move volume for that brand; r² near zero says discounting is noise
+    there.  Scale shape: one broadcast dim join (brand is a part
+    attribute), one map-combinable 25-key aggregate, no second pass,
+    no windows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = "decimal(38,0)"
+    m = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("nn"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        )
+    )
+    return m.selectExpr(*_ELA_EXPRS).orderBy("brand")
+
+
+_SHAPE_M2 = "(s2/n - (s1/n)*(s1/n))"
+_SHAPE_M3 = "(s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))"
+_SHAPE_M4 = (
+    "(s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)"
+    " - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))"
+)
+_SHAPE_EXPRS = [
+    "CAST(n AS BIGINT) AS n_rows",
+    "round(s1/n / 100.0, 4) AS mean_value",
+    f"round(sqrt({_SHAPE_M2}) / 100.0, 4) AS stddev_value",
+    f"round({_SHAPE_M3} / (sqrt({_SHAPE_M2})*sqrt({_SHAPE_M2})"
+    f"*sqrt({_SHAPE_M2})), 6) AS skewness",
+    f"round({_SHAPE_M4} / ({_SHAPE_M2}*{_SHAPE_M2}) - 3.0, 6)"
+    " AS excess_kurtosis",
+]
+
+
+@_register(
+    "q309_distribution_shape",
+    f"""
+    WITH r AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             CAST(sum(c::HUGEINT * c) AS DOUBLE) AS s2,
+             CAST(sum(c::HUGEINT * c * c) AS DOUBLE) AS s3,
+             CAST(sum(c::HUGEINT * c * c * c) AS DOUBLE) AS s4
+      FROM r
+    )
+    SELECT {", ".join(_SHAPE_EXPRS)} FROM m
+    """,
+)
+def q309_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape audit of order values: mean, standard
+    deviation, skewness and excess kurtosis derived from the first four
+    EXACT raw power sums in one pass — the moment discipline (q299)
+    extended to higher orders: cents^4 at 10^9 rows still fits 128-bit
+    integer space (~10^33 of 10^38), so both engines aggregate exactly
+    and the central-moment algebra runs over identical doubles through
+    a shared template.  Heavy right skew + high kurtosis say the
+    revenue distribution is whale-driven — the shape read that decides
+    whether mean-based forecasts (q06) are even usable.  Scale shape:
+    one scan, one 1-row shuffle, zero joins — the same plan at 100 TB."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+    )
+    dec = "decimal(38,0)"
+    m = o.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("c").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("c").cast(dec) * F.col("c"))).cast("double").alias("s2"),
+        F.sum((F.col("c").cast(dec) * F.col("c") * F.col("c")))
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            (F.col("c").cast(dec) * F.col("c") * F.col("c") * F.col("c"))
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    return m.selectExpr(*_SHAPE_EXPRS)

@@ -109,15 +109,44 @@ def band_stack(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 64, bands: int = 16
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs (id_a < id_b) from banded LSH.
 
     The pair generation is a self equi-join on (band, bucket) — the
     shuffle key spreads uniformly, and AQE's skew handling covers
     pathological buckets.
+
+    ``max_bucket`` (opt-in) drops buckets holding more than that many
+    docs BEFORE the pair join — the standard production guard for
+    boilerplate-heavy corpora, where a few stop-shingle buckets go
+    quadratic (this repo's adversarial shared-vocab corpus measured
+    1.6M→17.8M candidates from 150k→500k docs with no cap; q264 is the
+    feasibility probe that predicts it).  Recall cost is tiny by
+    design: a true near-dup pair collides in ~``bands`` independent
+    bands, so skipping one hot bucket still leaves every other band to
+    catch it (measured at 500k docs: cap=256 halves the candidates
+    9.0M vs 17.8M, halves the verify 72s vs 142s, and the verified
+    pair set is IDENTICAL).  Precondition: run exact dedup first —
+    thousands of byte-identical docs bucket together in EVERY band, so
+    no cap is safe for them (the curation pipeline orders the stages
+    this way already).
     """
     stacked = band_stack(signatures, num_hashes, bands)
+    if max_bucket is not None:
+        sizes = stacked.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        stacked = (
+            stacked.join(
+                sizes.where(F.col("__n") <= max_bucket),
+                ["band", "bucket"],
+                "left_semi",
+            )
+        )
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (

@@ -271,3 +271,37 @@ def test_knn_join_ivf_matches_exact_on_probed_cells(spark):
     # centroids broadcast; query side meets corpus via equi-join, and the
     # final neighbor search joins on the cluster column
     assert "label" in plan
+
+
+def test_lsh_hot_bucket_cap_preserves_pairs(spark):
+    """max_bucket drops boilerplate-hot buckets before the pair join;
+    on the adversarial shared-vocab corpus the verified pair set must
+    be IDENTICAL to the uncapped run (band redundancy: a true near-dup
+    collides in ~16 bands, a dropped hot bucket removes one)."""
+    import os
+
+    from stock_ops_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    sf_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scaledata",
+        "sf0.3",
+    )
+    if not os.path.isdir(sf_dir):
+        from tools.scale_gen import gen
+
+        gen(0.3, sf_dir)
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sh = shingle_sets(d, "doc_id", "text", 8).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh, 64).localCheckpoint(eager=True)
+    base = lsh_candidate_pairs(sigs, 64, 16)
+    capped = lsh_candidate_pairs(sigs, 64, 16, max_bucket=64)
+    assert capped.count() < base.count()  # the cap actually bites
+    p0 = {(r[0], r[1]) for r in jaccard_verify(base, sh, 0.5).collect()}
+    p1 = {(r[0], r[1]) for r in jaccard_verify(capped, sh, 0.5).collect()}
+    assert p0 == p1 and p0  # identical non-empty verified pairs

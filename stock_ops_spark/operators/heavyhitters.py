@@ -173,6 +173,17 @@ def exact_topk_via_mg(
             f"(N={n_total}, capacity={capacity}); raise capacity or run "
             f"the full aggregation"
         )
+    if len(rows) < k and bound > 0:
+        # Fewer candidates than k with a nonzero undercount bound: a
+        # pruned key (true count in [1, bound]) could belong to the true
+        # top-k, so the short list is NOT provably complete.  Only a
+        # zero bound certifies "fewer than k distinct keys exist".
+        raise ValueError(
+            f"top-{k} not certifiable: only {len(rows)} candidates "
+            f"survived pruning with MG bound {bound} > 0 "
+            f"(N={n_total}, capacity={capacity}); raise capacity or run "
+            f"the full aggregation"
+        )
     # Return the LAZY plan, not createDataFrame(rows): downstream
     # consumers then see a bounded TakeOrderedAndProject (k rows) they
     # can window/join over, and the plan auditors can prove it.  The

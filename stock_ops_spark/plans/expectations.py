@@ -120,11 +120,14 @@ class ExpectationSuite:
         self.row_checks = [c for c in checks if isinstance(c, Check)]
         self.uniques = [c for c in checks if isinstance(c, Unique)]
         self.fks = [c for c in checks if isinstance(c, ForeignKey)]
+        if not (self.row_checks or self.uniques or self.fks):
+            raise ValueError("expectation suite must contain at least one check")
 
     def report(self, df: DataFrame) -> DataFrame:
         """(check, column, n_violations, n_checked, passed) — one
         aggregation pass for all row checks + uniques; one scalar
         anti-join per foreign key."""
+        frames = []
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i, c in enumerate(self.row_checks):
             denom = F.lit(1) if c.checked is None else c.checked.cast("int")
@@ -149,15 +152,17 @@ class ExpectationSuite:
             )
         for j, u in enumerate(self.uniques):
             cells.append(f"'{u.name}', '{u.column}', __uv{j}, __n")
-        n = len(cells)
-        tall = one.select(
-            F.expr(
-                f"stack({n}, {', '.join(cells)}) AS "
-                "(check_name, col_name, n_violations, n_checked)"
+        if cells:  # stack(0, ) is malformed SQL — an FK-only suite has none
+            n = len(cells)
+            frames.append(
+                one.select(
+                    F.expr(
+                        f"stack({n}, {', '.join(cells)}) AS "
+                        "(check_name, col_name, n_violations, n_checked)"
+                    )
+                )
             )
-        )
 
-        frames = [tall]
         for fk in self.fks:
             ref = fk.ref.select(F.col(fk.ref_col).alias(fk.column)).distinct()
             miss = (

@@ -105,21 +105,31 @@ class ManifestLog:
         return best
 
     def commits(self, upto: int | None = None) -> list[dict]:
-        v = self.version() if upto is None else upto
-        if v <= 0:
-            return []
-        lo = self.min_version()
-        if lo == 0:
-            return []
-        if v < lo:
-            raise VacuumedVersion(
-                f"version {v} was vacuumed; earliest retained is {lo}"
-            )
-        out = []
-        for i in range(lo, v + 1):
-            with open(self._path(i)) as f:
-                out.append(json.load(f))
-        return out
+        # A concurrent vacuum can remove a commit file between this
+        # fold's listing and its open; the horizon only ever ADVANCES,
+        # so re-reading min_version and retrying converges (bounded).
+        last_err: FileNotFoundError | None = None
+        for _attempt in range(5):
+            v = self.version() if upto is None else upto
+            if v <= 0:
+                return []
+            lo = self.min_version()
+            if lo == 0:
+                return []
+            if v < lo:
+                raise VacuumedVersion(
+                    f"version {v} was vacuumed; earliest retained is {lo}"
+                )
+            out = []
+            try:
+                for i in range(lo, v + 1):
+                    with open(self._path(i)) as f:
+                        out.append(json.load(f))
+                return out
+            except FileNotFoundError as e:
+                last_err = e
+                continue
+        raise last_err
 
     def state(self, at_version: int | None = None) -> dict:
         """Fold commits → {'version', 'dirs', 'stats', 'meta'} where
@@ -859,7 +869,13 @@ class ManifestStore:
                 df = self.spark.read.parquet(
                     os.path.join(log.log_dir, c["cdc"])
                 )
-            elif op == "ingest":
+            elif op in ("ingest", "convert"):
+                # convert_from adopts a ParquetStore snapshot as version
+                # 1 — its rows ARE the feed's opening changes (a fresh
+                # MatView that "just syncs" from cursor 0 must see them;
+                # skipping convert here silently produced a view missing
+                # every adopted row).  Derivation is identical to ingest:
+                # the adopted rows carry their version column.
                 df = self._read_dirs(mode, c["adds"])
                 if df is None:
                     continue
@@ -1128,22 +1144,42 @@ class ManifestStore:
             try:
                 os.remove(log._path(v))
                 dropped += 1
+            except FileNotFoundError:
+                dropped += 1  # a concurrent/prior vacuum already got it
             except OSError:
-                pass
+                # STOP on the first failed remove: deleting v+1 while v
+                # survives would leave a GAP — commits() folds a
+                # contiguous [min_version, version] range, and the
+                # ascending deletion order is what guarantees the
+                # retained set is always a contiguous suffix.  The next
+                # vacuum retries from the same horizon.
+                break
         return {"checkpointed": horizon, "commits_dropped": dropped}
 
     def gc_orphans(self, mode: str, grace_s: float = 3600.0) -> list[str]:
-        """Remove batch/stats dirs referenced by NO commit (crash debris,
-        commit-race losers) and batch dirs removed by compaction, once
-        older than ``grace_s`` (in-flight writers and snapshot readers
-        get that long to finish — at 100 TB set it above the longest
-        expected job)."""
+        """Remove batch/stats/cdc dirs referenced by NO retained commit
+        (crash debris, commit-race losers), once older than ``grace_s``
+        (in-flight writers get that long to finish — at 100 TB set it
+        above the longest expected job).
+
+        A batch dir referenced by ANY retained commit is kept even when
+        it is no longer live (compaction/merge-removed): time travel
+        (``read_all(at_version=...)``) and ``restore`` are advertised
+        for the whole retained window, so their inputs must survive it.
+        ``vacuum`` is what makes history collectable — truncating
+        commits below the horizon un-references their dirs, and the next
+        GC sweeps them.  (The earlier behavior — collecting
+        compaction-removed dirs after bare ``grace_s`` — silently broke
+        time travel inside the retention window; the retain knob and the
+        GC knob are now coupled through the commit references.)"""
         log = self.log(mode)
         commits = log.commits()
         live = set(log.state()["dirs"])
+        ever_adds = set(live)
         ever_stats = set()
         ever_cdc = set()
         for c in commits:
+            ever_adds.update(c.get("adds", []))
             for rel in (c.get("stats") or {}).values():
                 ever_stats.add(rel.split(os.sep)[0])
             if c.get("cdc"):
@@ -1162,8 +1198,8 @@ class ManifestStore:
             p = os.path.join(data_root, n)
             if not n.startswith("batch-") or not os.path.isdir(p):
                 continue
-            if n in live:
-                continue
+            if n in ever_adds:
+                continue  # referenced by a retained commit: time-travel input
             if now - os.path.getmtime(p) < grace_s:
                 continue
             shutil.rmtree(p, ignore_errors=True)

@@ -373,14 +373,17 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
 
         v = c["version"]
         op = c.get("op") or ("compact" if c.get("removes") else "ingest")
-        if op in ("compact", "checkpoint", "convert"):
+        if op in ("compact", "checkpoint"):
             return
         if c.get("cdc"):
             table = ds.dataset(
                 os.path.join(self.log_dir, c["cdc"]), format="parquet"
             ).to_table()
             yield from self._rows_of_table(table, False, v)
-        elif op == "ingest":
+        elif op in ("ingest", "convert"):
+            # convert_from's adopted snapshot IS version 1's change set
+            # (same derivation as ingest: the rows carry their version);
+            # skipping it made a cursor-0 consumer miss every adopted row.
             for d in c.get("adds", []):
                 table = ds.dataset(
                     os.path.join(self.data_root, d),

@@ -155,9 +155,17 @@ def test_compaction_atomic_swap_and_gc(spark, mstore):
     # pre-compaction snapshot still readable (old dirs not yet GC'd)
     old = mstore.read_all(MODE, at_version=pre_version)
     assert old.count() == len(before)
-    # GC with zero grace removes the two replaced batch dirs
+    # GC keeps the replaced dirs while the commits that added them are
+    # retained — time travel works for the WHOLE retained window, even
+    # at zero grace (the r6 behavior collected them after bare grace_s,
+    # silently breaking read_all(at_version) inside retention)
+    assert mstore.gc_orphans(MODE, grace_s=0.0) == []
+    assert mstore.read_all(MODE, at_version=pre_version).count() == len(before)
+    # vacuum is what makes history collectable: truncate to the compacted
+    # commit, then GC sweeps the two un-referenced dirs
+    mstore.vacuum(MODE, retain_last=1)
     removed = mstore.gc_orphans(MODE, grace_s=0.0)
-    assert len(removed) == 2
+    assert len([p for p in removed if "batch-" in p]) == 2
     assert mstore.read_all(MODE).count() == len(before)
 
 
@@ -810,3 +818,97 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 f"seed {seed} op {_op} ({op}): store diverged from model"
             )
             assert store.version(MODE) == len(history) - 1
+
+
+# -- round-7 ADVICE fixes ---------------------------------------------------
+
+
+def test_read_changes_includes_convert_commit(spark, tmp_path, mstore):
+    """A convert_from adoption IS version 1's change set: a fresh CDC
+    consumer (cursor 0) must see every adopted row, with the change type
+    derived from the adopted version column exactly like ingest."""
+    pstore = ParquetStore(spark, str(tmp_path / "pstore"))
+    pstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    # conflict re-send: same key, changed payload -> version 2 row
+    bump = [("SPY", 1751463000, 617.24, 618.72, 616.61, 999.0, 11824245, "1h")]
+    pstore.ingest_batch(_df(spark, bump), MODE)
+    mstore.convert_from(pstore, MODE)
+    feed = mstore.read_changes(MODE, from_version=0)
+    assert feed is not None
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"insert": 3, "update_postimage": 1}
+    assert feed.select("_commit_version").distinct().collect()[0][0] == 1
+    # and the streaming CDC reader agrees (same derivation, arrow path)
+    from stock_ops_spark.sources.pyds import ManifestCDCStreamReader
+
+    rdr = ManifestCDCStreamReader(
+        {"store_root": mstore.root, "mode": MODE}
+    )
+    rows = list(rdr._read_commit_rows(rdr._commit(1)))
+    assert len(rows) == 4
+
+
+def test_vacuum_stops_on_failed_remove_no_gap(spark, mstore, monkeypatch):
+    """A failed delete mid-history-truncation must STOP the loop —
+    deleting past the failure would leave a gap in the contiguous
+    [min_version, version] range commits() folds."""
+    import stock_ops_spark.sources.commitlog as cl
+
+    for k in range(6):
+        mstore.ingest_batch(_df(spark, _mk_rows(k)), MODE)
+    real_remove = os.remove
+
+    def flaky(path):
+        if path.endswith(f"{2:08d}.json"):
+            raise PermissionError("simulated sticky file")
+        return real_remove(path)
+
+    monkeypatch.setattr(cl.os, "remove", flaky)
+    res = mstore.vacuum(MODE, retain_last=2)  # horizon = 5
+    assert res["checkpointed"] == 5
+    assert res["commits_dropped"] == 1  # removed 1, stopped at 2
+    log = mstore.log(MODE)
+    assert log.min_version() == 2  # contiguous suffix preserved
+    assert [c["version"] for c in log.commits()] == [2, 3, 4, 5, 6]
+    assert mstore.read_all(MODE).count() == 6  # fold still correct
+    monkeypatch.setattr(cl.os, "remove", real_remove)
+    res = mstore.vacuum(MODE, retain_last=2)  # retry completes
+    assert log.min_version() == 5
+    assert mstore.read_all(MODE).count() == 6
+
+
+def test_commits_tolerates_concurrent_vacuum(spark, mstore, monkeypatch):
+    """A vacuum racing between commits()'s listing and its opens must
+    not surface FileNotFoundError — the fold re-lists and retries."""
+    for k in range(5):
+        mstore.ingest_batch(_df(spark, _mk_rows(k)), MODE)
+    log = mstore.log(MODE)
+    real_min = ManifestLog.min_version
+    fired = {"done": False}
+
+    def racy_min(self):
+        lo = real_min(self)
+        if not fired["done"]:
+            fired["done"] = True
+            mstore.vacuum(MODE, retain_last=2)  # drops 1..3 after lo read
+        return lo
+
+    monkeypatch.setattr(ManifestLog, "min_version", racy_min)
+    out = log.commits()
+    assert [c["version"] for c in out] == [4, 5]
+
+
+def test_gc_preserves_time_travel_for_retained_merge_history(spark, mstore):
+    """Merge-removed dirs are still inputs to read_all(at_version) while
+    the commits that reference them are retained — GC must keep them."""
+    mstore.ingest_batch(_df(spark, ROWS_B1), MODE)
+    mstore.merge(_df(spark, SRC_MERGE), MODE)
+    pre = mstore.read_all(MODE, at_version=1).count()
+    assert mstore.gc_orphans(MODE, grace_s=0.0) == []
+    assert mstore.read_all(MODE, at_version=1).count() == pre
+    # restore into the retained window also survives GC
+    res = mstore.restore(MODE, 1)
+    assert res["restored_to"] == 1

@@ -156,3 +156,20 @@ def test_stream_report_history(spark, tmp_path):
         for b in batches
     }
     assert sorted(per_batch_viol.values()) == [0, 2]  # clean + dirty burst
+
+
+def test_fk_only_suite_reports(spark):
+    """An FK-only suite has no stack() cells — the report must still be
+    well-formed SQL (stack(0, ) was the malformed shape)."""
+    df = spark.createDataFrame([(1, 10), (2, 99)], "id int, ref_id int")
+    ref = spark.createDataFrame([(10,)], "id int")
+    suite = ExpectationSuite([ForeignKey("ref_id", ref)])
+    rows = {r["check_name"]: r for r in suite.report(df).collect()}
+    assert rows["foreign_key(ref_id)"]["n_violations"] == 1
+    assert rows["foreign_key(ref_id)"]["n_checked"] == 2
+    assert not rows["foreign_key(ref_id)"]["passed"]
+
+
+def test_empty_suite_rejected():
+    with pytest.raises(ValueError, match="at least one check"):
+        ExpectationSuite([])

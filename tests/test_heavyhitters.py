@@ -207,3 +207,21 @@ def test_running_heavy_hitters_stream(spark, tmp_path):
         bound = shard_totals[shard_of[w]] // (cap + 1)
         if c > bound:
             assert w in tracked, (w, c, bound)
+
+
+def test_fewer_candidates_than_k_with_nonzero_bound_raises(spark):
+    """Pruning can leave fewer than k candidates while keys with true
+    count <= bound were dropped — such a short list is NOT provably the
+    top-k and must refuse (the r6 code silently returned it)."""
+    rows = [("big",)] * 10000 + [(f"u{i:04d}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string").repartition(2)
+    with pytest.raises(ValueError, match="not certifiable"):
+        exact_topk_via_mg(df, "key", k=3, capacity=1)
+
+
+def test_fewer_than_k_distinct_certifies_with_zero_bound(spark):
+    """bound == 0 (capacity >= N) proves no key was pruned, so a short
+    list IS the complete answer."""
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "key string")
+    got = exact_topk_via_mg(df, "key", k=5, capacity=1000).collect()
+    assert [(r["key"], r["cnt"]) for r in got] == [("a", 2), ("b", 1)]

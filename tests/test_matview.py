@@ -369,3 +369,25 @@ def test_sync_and_observer_paths_cannot_mix(spark, tmp_path):
     obs.refresh(_fact_df(spark, CDC_ROWS_A))
     with pytest.raises(ValueError, match="init_from_snapshot"):
         obs.sync(store, MODE)
+
+
+def test_fresh_view_syncs_from_converted_store(spark, tmp_path):
+    """matview docstring promise: a fresh empty view can 'just sync'
+    from cursor 0 — which requires convert_from's adopted snapshot to
+    appear in the change feed (it is version 1's change set)."""
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    pstore = ParquetStore(spark, str(tmp_path / "pstore"))
+    pstore.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    store.convert_from(pstore, MODE)
+    mv = MatView(spark, str(tmp_path / "cmv"), ["ticker"], SUB_MEASURES)
+    res = mv.sync(store, MODE)
+    assert (res["from"], res["to"]) == (0, 1)
+    assert res["pos_rows"] == len(CDC_ROWS_A)
+    _assert_view_equals_recompute(mv, store)
+    # and it keeps folding post-adoption ingests incrementally
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    res = mv.sync(store, MODE)
+    assert (res["from"], res["to"]) == (1, 2)
+    _assert_view_equals_recompute(mv, store)

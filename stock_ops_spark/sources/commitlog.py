@@ -68,6 +68,13 @@ class VacuumedVersion(Exception):
     """The requested version's history was truncated by ``vacuum``."""
 
 
+class ChangeFeedGap(Exception):
+    """The requested change-feed span crosses a commit whose row-level
+    changes were deliberately not recorded (``retain_before(cdc=False)``
+    — the metadata-only retention path).  Consumers re-bootstrap from a
+    snapshot at/after that commit, exactly like the vacuum case."""
+
+
 class ManifestLog:
     """An append-only sequence of numbered JSON commits for one dataset."""
 
@@ -820,6 +827,179 @@ class ManifestStore:
             f"delete lost {self.MAX_COMMIT_RETRIES} commit races on {mode}"
         )
 
+    def retain_before(
+        self, mode: str, cutoff, cdc: bool = False,
+        on_observers: str = "error",
+    ) -> dict:
+        """Retention as a manifest commit — the commit-log twin of
+        ``maintenance.retain``'s directory-delete (reference parity: the
+        Redis ``XTRIM`` analog, writer.py:293-297), driven by the
+        commit-level data-skipping bounds instead of Hive directory
+        names:
+
+        - dirs whose recorded ts upper bound < ``cutoff`` are removed
+          METADATA-ONLY — zero data bytes read (their one-column ticker
+          scan funds the stats recompute, nothing else);
+        - dirs straddling the cutoff get a keep-part rewrite (bounded by
+          the straddlers, never the store);
+        - dirs with no recorded bounds are conservatively treated as
+          straddlers.
+
+        ``cdc=False`` (default — the 100 TB posture) records op='retain'
+        with NO row-level change file: expiring a year of history must
+        not re-read it just to log it.  The trade is explicit:
+        ``read_changes`` / the ``stockops_cdc`` stream RAISE
+        ``ChangeFeedGap`` for any cursor below such a commit, so a
+        downstream view re-bootstraps from a snapshot instead of
+        silently keeping expired rows.  ``cdc=True`` reads the doomed
+        rows once and keeps the feed exact (delete changes).
+        """
+        self._check_observers("retain_before", on_observers)
+        tsc = S.TS_COL[mode]
+
+        def j(v):
+            return v if v is None or isinstance(v, (int, float, str)) else str(v)
+
+        cut = j(cutoff)
+        log = self.log(mode)
+        for _attempt in range(self.MAX_COMMIT_RETRIES):
+            state = log.state()
+            doomed_dirs: list[str] = []
+            straddle: list[str] = []
+            for d in state["dirs"]:
+                tb = (state["meta"].get(d) or {}).get(tsc)
+                if tb and tb[1] is not None and j(tb[1]) < cut:
+                    doomed_dirs.append(d)
+                elif tb and tb[0] is not None and j(tb[0]) >= cut:
+                    continue  # provably all-retained: untouched
+                else:
+                    straddle.append(d)
+            adds: list[str] = []
+            removes: list[str] = []
+            meta_map: dict[str, dict] = {}
+            cdc_frames = []
+            n_dropped_dirs = len(doomed_dirs)
+            affected = None  # tickers whose stats must be recomputed
+            if straddle:
+                sdf = self._read_dirs(mode, straddle)
+                expired = sdf.where(F.col(tsc) < F.lit(cutoff))
+                expired = expired.localCheckpoint(eager=True)
+                if expired.limit(1).count():
+                    keep = sdf.where(~(F.col(tsc) < F.lit(cutoff)))
+                    if keep.limit(1).count():
+                        adds.append(
+                            self._write_batch_dir(keep, mode, meta_out=meta_map)
+                        )
+                    removes += straddle
+                    affected = expired.select("ticker").distinct()
+                    if cdc:
+                        cdc_frames.append(
+                            expired.withColumn("_change_type", F.lit("delete"))
+                        )
+            if doomed_dirs:
+                removes += doomed_dirs
+                ddf = self._read_dirs(mode, doomed_dirs)
+                # one-column scan: just the tickers (stats recompute set);
+                # with cdc=True the full rows are read once for the feed
+                aff2 = ddf.select("ticker").distinct()
+                affected = (
+                    aff2 if affected is None
+                    else affected.unionByName(aff2).distinct()
+                )
+                if cdc:
+                    cdc_frames.append(
+                        ddf.withColumn("_change_type", F.lit("delete"))
+                    )
+            if not removes:
+                return {"deleted_dirs": 0, "rewritten_dirs": 0,
+                        "version": state["version"]}
+            affected = affected.localCheckpoint(eager=True)
+            new_version = state["version"] + 1
+            untouched = [d for d in state["dirs"] if d not in set(removes)]
+            post = self._read_dirs(mode, untouched + adds)
+            stats_ptr = {}
+            stats_dir = f"stats-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+            for which, by_interval in (("table", False), ("interval", True)):
+                if by_interval and mode == "streaming":
+                    continue
+                skeys = ["ticker", "interval"] if by_interval else ["ticker"]
+                prior = self._read_stats(mode, which)
+                if post is not None:
+                    recomputed = batch_stats(
+                        post.join(affected, on="ticker", how="left_semi"),
+                        mode,
+                        by_interval,
+                    )
+                else:
+                    recomputed = None
+                if prior is not None:
+                    kept_stats = prior.join(
+                        affected, on="ticker", how="left_anti"
+                    )
+                    merged = (
+                        kept_stats.unionByName(recomputed)
+                        if recomputed is not None
+                        else kept_stats
+                    )
+                else:
+                    merged = recomputed
+                if merged is None:
+                    continue
+                rel = os.path.join(stats_dir, which)
+                merged.coalesce(1).write.parquet(
+                    os.path.join(log.log_dir, rel)
+                )
+                stats_ptr[which] = rel
+            cdc_rel = None
+            if cdc and cdc_frames:
+                cdcdf = cdc_frames[0]
+                for f in cdc_frames[1:]:
+                    cdcdf = cdcdf.unionByName(f, allowMissingColumns=True)
+                cdc_rel = self._write_cdc(log, new_version, cdcdf)
+            payload = {
+                "adds": adds,
+                "removes": removes,
+                "stats": stats_ptr,
+                "meta": meta_map,
+                "op": "retain",
+                "ts": time.time(),
+            }
+            if cdc_rel:
+                payload["cdc"] = cdc_rel
+            try:
+                log.try_commit(new_version, payload)
+                return {
+                    "deleted_dirs": n_dropped_dirs,
+                    "rewritten_dirs": len(straddle),
+                    "version": new_version,
+                }
+            except CommitConflict:
+                for d in adds:
+                    shutil.rmtree(
+                        os.path.join(self.data_path(mode), d),
+                        ignore_errors=True,
+                    )
+                for d in (cdc_rel, stats_dir):
+                    if d:
+                        shutil.rmtree(
+                            os.path.join(log.log_dir, d), ignore_errors=True
+                        )
+                continue
+        raise RuntimeError(
+            f"retain_before lost {self.MAX_COMMIT_RETRIES} races on {mode}"
+        )
+
+    def widen_types(self, mode: str) -> dict:
+        """Cast-rewrite files whose physical column types conflict (the
+        NONE→REAL affinity migration, reference sql_db.py:69-173) — the
+        same footer-driven per-file rewrite as ``maintenance.widen_types``
+        (file names unchanged, so every commit's dir references stay
+        valid; a kill mid-sweep leaves a subset widened, and re-running
+        heals — same contract as the plain store)."""
+        from stock_ops_spark.sources import maintenance as M
+
+        return M.widen_types(self, mode)
+
     # -- CDC change feed -------------------------------------------------
     def read_changes(
         self,
@@ -865,6 +1045,17 @@ class ManifestStore:
             op = c.get("op") or ("compact" if c.get("removes") else "ingest")
             if op == "compact":
                 continue
+            if op == "retain" and not c.get("cdc"):
+                # metadata-only retention recorded no row changes; a
+                # cursor below it cannot fold deletions it never sees —
+                # fail loudly (consumer re-bootstraps from a snapshot
+                # at >= this commit), never silently skip
+                raise ChangeFeedGap(
+                    f"change feed from {from_version} crosses retention "
+                    f"commit {v} recorded without row-level CDC "
+                    f"(retain_before(cdc=False)); re-bootstrap from a "
+                    f"snapshot at version >= {v}"
+                )
             if c.get("cdc"):
                 df = self.spark.read.parquet(
                     os.path.join(log.log_dir, c["cdc"])

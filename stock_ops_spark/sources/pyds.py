@@ -375,6 +375,12 @@ class ManifestCDCStreamReader(SimpleDataSourceStreamReader):
         op = c.get("op") or ("compact" if c.get("removes") else "ingest")
         if op in ("compact", "checkpoint"):
             return
+        if op == "retain" and not c.get("cdc"):
+            raise ValueError(
+                f"stockops_cdc cursor crosses retention commit {v} recorded "
+                "without row-level CDC (retain_before(cdc=False)); "
+                "re-bootstrap from a snapshot at a version >= it"
+            )
         if c.get("cdc"):
             table = ds.dataset(
                 os.path.join(self.log_dir, c["cdc"]), format="parquet"

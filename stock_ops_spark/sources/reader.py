@@ -79,9 +79,16 @@ def _partition_range_pred(parts: list[str], start: _dt.datetime, end: _dt.dateti
 
 
 class ReadProcess:
-    """Mirror of the reference ReadProcess over a ParquetStore."""
+    """Mirror of the reference ReadProcess over either store.
 
-    def __init__(self, store: ParquetStore):
+    Duck-typed over ``ParquetStore`` AND ``ManifestStore``: both expose
+    ``read_all(mode)`` and ``tz``.  When the store offers commit-level
+    data skipping (``read_where`` — the manifest store), the range read
+    uses it so batch dirs provably outside the (ticker, ts) bounds are
+    never listed at all; the full predicate is still applied below, so
+    the prune is an optimization, never a semantics change."""
+
+    def __init__(self, store: ParquetStore | object):
         self.store = store
         self.tz = store.tz
 
@@ -94,13 +101,10 @@ class ReadProcess:
         interval: str | None = None,
         latest_only: bool = False,
     ) -> DataFrame:
-        df = self.store.read_all(mode)
-        if df is None:
-            raise EmptyReadError(f"no data ingested for mode={mode}")
-
         ts_col = TS_COL[mode]
         if mode == "historical_interday":
             lo, hi = F.lit(start).cast("date"), F.lit(end).cast("date")
+            lo_v, hi_v = start, end  # ISO strings order like the dates
             start_local = _dt.datetime.strptime(start, "%Y-%m-%d")
             end_local = _dt.datetime.strptime(end, "%Y-%m-%d")
         else:
@@ -109,7 +113,16 @@ class ReadProcess:
             start_local = _dt.datetime.strptime(start, "%Y-%m-%d %H:%M")
             end_local = _dt.datetime.strptime(end, "%Y-%m-%d %H:%M")
             mult = 1000 if mode == "streaming" else 1
-            lo, hi = F.lit(lo_s * mult), F.lit(hi_s * mult)
+            lo_v, hi_v = lo_s * mult, hi_s * mult
+            lo, hi = F.lit(lo_v), F.lit(hi_v)
+
+        read_where = getattr(self.store, "read_where", None)
+        if read_where is not None:
+            df = read_where(mode, ticker=ticker, ts_min=lo_v, ts_max=hi_v)
+        else:
+            df = self.store.read_all(mode)
+        if df is None:
+            raise EmptyReadError(f"no data ingested for mode={mode}")
 
         # partition pruning: constrain the partition-derived columns from
         # the local-time bounds (what the reference's filename enumeration

@@ -30,9 +30,28 @@ STREAM_ROWS = [
 ]
 
 
-@pytest.fixture()
-def store(spark, tmp_path):
-    return ParquetStore(spark, str(tmp_path / "store"))
+# The FULL semantics matrix runs against BOTH stores: the plain
+# partitioned-parquet store and the manifest-committed store share the
+# delta computation (compute_versioned_delta) and must be observably
+# identical through ingest → layout → versioning → stats → read API.
+@pytest.fixture(params=["parquet", "manifest"])
+def store(request, spark, tmp_path):
+    if request.param == "parquet":
+        return ParquetStore(spark, str(tmp_path / "store"))
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    return ManifestStore(spark, str(tmp_path / "store"))
+
+
+def _has_partition_dir(root: str, *parts: str) -> bool:
+    """True when the Hive partition path exists anywhere under root —
+    directly (ParquetStore) or inside a batch-* dir (ManifestStore)."""
+    import glob as _glob
+    import os
+
+    direct = os.path.join(root, *parts)
+    nested = os.path.join(root, "batch-*", *parts)
+    return os.path.exists(direct) or bool(_glob.glob(nested))
 
 
 def test_intraday_ingest_partitions_and_read(spark, store, tmp_path):
@@ -42,9 +61,7 @@ def test_intraday_ingest_partitions_and_read(spark, store, tmp_path):
 
     # partition directories derive from exchange-local event time (A2)
     root = store.data_path("historical_intraday")
-    import os
-
-    assert os.path.exists(os.path.join(root, "year=2025", "month=7"))
+    assert _has_partition_dir(root, "year=2025", "month=7")
 
     rp = ReadProcess(store)
     out = rp.read_dt_range(
@@ -122,11 +139,9 @@ def test_streaming_mode_day_partitions(spark, store):
     df = spark.createDataFrame(STREAM_ROWS, schema=S.STREAMING)
     n = store.ingest_batch(df, "streaming")
     assert n == 4  # dup collapsed
-    import os
-
     root = store.data_path("streaming")
     # 1755526571834 ms = 2025-08-18 in America/New_York
-    assert os.path.exists(os.path.join(root, "year=2025", "month=8", "day=18"))
+    assert _has_partition_dir(root, "year=2025", "month=8", "day=18")
     # streaming mode keeps no interval stats (A6 non-streaming only)
     assert store.interval_stats("streaming") is None
 

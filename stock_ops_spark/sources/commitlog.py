@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import shutil
 import time
 import uuid
@@ -197,6 +198,18 @@ class ManifestLog:
                 os.remove(tmp)
             except OSError:
                 pass
+
+
+def _conflict_backoff(attempt: int) -> None:
+    """Jittered exponential backoff between optimistic-concurrency
+    retries.  Without it two sustained writers can PHASE-LOCK: the
+    slower one's recompute window (delta + write + stats, ~seconds)
+    always overlaps the faster one's next commit, so it loses every
+    retry while the winner never even sees a collision — observed live
+    in the two-process race test (5 straight losses, rival 0 conflicts).
+    Randomized sleep desynchronizes the writers so the loser's commit
+    lands between the winner's."""
+    time.sleep(random.uniform(0.05, min(2.0, 0.2 * (2 ** attempt))))
 
 
 class ManifestStore:
@@ -363,15 +376,80 @@ class ManifestStore:
         return self._read_stats(mode, "interval")
 
     # -- write -----------------------------------------------------------
+    MAX_FAST_RETRIES = 24  # cheap logical-conflict retries (no recompute)
+
+    @staticmethod
+    def _bounds_disjoint(a, b) -> bool:
+        """True when two [lo, hi] ranges provably do NOT intersect
+        (missing/None bounds = unknown = may intersect)."""
+        if not a or not b or a[0] is None or b[0] is None:
+            return False
+        return a[1] < b[0] or b[1] < a[0]
+
+    def _interleaved_commits_safe(
+        self, mode: str, base_version: int, upto: int, dir_meta: dict
+    ) -> bool:
+        """Delta-style LOGICAL conflict detection: is a delta computed
+        against ``base_version`` still valid at ``upto``?
+
+        A blind append's dedup/version assignment can only change if an
+        interleaved commit touched ITS keys.  A key collision needs both
+        the same ticker AND the same timestamp, so an interleaved ingest
+        whose recorded (ticker, ts) bounds are disjoint from this
+        batch's on EITHER axis provably shares no keys.  Compaction and
+        vacuum checkpoints are physical-only.  Anything else (merge /
+        delete / retain / restore, a commit without bounds, vacuumed
+        history) returns False — the caller falls back to the full
+        recompute.  This is what keeps sustained multi-writer ingest
+        live: without it the slower writer PHASE-LOCKS (its ~seconds
+        recompute always overlaps the faster writer's next commit) and
+        starves through every retry — observed in the two-process race
+        test before this path existed."""
+        log = self.log(mode)
+        if log.min_version() > base_version + 1:
+            return False  # vacuum ate interleaved history: can't verify
+        try:
+            commits = log.commits(upto=upto)
+        except (VacuumedVersion, FileNotFoundError):
+            return False
+        tsc = S.TS_COL[mode]
+        for c in commits:
+            if c["version"] <= base_version:
+                continue
+            op = c.get("op") or ("compact" if c.get("removes") else "ingest")
+            if op in ("compact", "checkpoint"):
+                continue  # physical rewrite: no logical change
+            if op not in ("ingest", "convert"):
+                return False
+            for d in c.get("adds", []):
+                m = (c.get("meta") or {}).get(d)
+                if not m:
+                    return False
+                if not (
+                    self._bounds_disjoint(m.get("ticker"), dir_meta["ticker"])
+                    or self._bounds_disjoint(m.get(tsc), dir_meta[tsc])
+                ):
+                    return False
+        return True
+
     def ingest_batch(self, batch: DataFrame, mode: str) -> int:
         """Exactly ``ParquetStore.ingest_batch``'s contract, atomically.
 
-        Optimistic concurrency: the delta is computed against version V
-        and committed as V+1; if another writer got there first the
-        dedup/version assignment may be stale, so the whole body re-runs
-        against the fresh state (bounded retries)."""
+        Optimistic concurrency, two-tier:
+
+        - FAST path (the common multi-writer case): on a commit
+          collision where every interleaved commit is a key-disjoint
+          ingest (``_interleaved_commits_safe``), the already-written
+          batch dir and version assignment are still exactly right —
+          only the cumulative stats snapshot is stale.  Re-merge stats
+          against the fresh head (tiny frames) and re-commit at the next
+          version.  No data recompute, no data rewrite.
+        - SLOW path: any interleaved mutation or key overlap invalidates
+          the dedup/version assignment, so the whole body re-runs
+          against the fresh state (bounded retries, jittered backoff)."""
         parts = PARTITION_COLS[mode]
         log = self.log(mode)
+        tsc = S.TS_COL[mode]
         for _attempt in range(self.MAX_COMMIT_RETRIES):
             state = log.state()
             existing = self._read_dirs(mode, state["dirs"])
@@ -380,7 +458,6 @@ class ManifestStore:
             # one job serves both the emptiness gate and the
             # data-skipping bounds (a separate _dir_meta aggregate
             # measured as a visible per-commit tax at micro-batch sizes)
-            tsc = S.TS_COL[mode]
             mrow = versioned.agg(
                 F.count(F.lit(1)),
                 F.min("ticker"), F.max("ticker"),
@@ -401,7 +478,8 @@ class ManifestStore:
                 "ticker": [_j(mrow[1]), _j(mrow[2])],
                 tsc: [_j(mrow[3]), _j(mrow[4])],
             }
-            new_version = state["version"] + 1
+            base_version = state["version"]
+            new_version = base_version + 1
             batch_dir = f"batch-{uuid.uuid4().hex[:12]}"
             writer = cluster_for_write(versioned, mode).write.option(
                 "compression", "zstd"
@@ -410,57 +488,89 @@ class ManifestStore:
                 writer = writer.partitionBy(*parts)
             writer.parquet(os.path.join(self.data_path(mode), batch_dir))
 
-            stats_ptr = {}
-            stats_dir = f"stats-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+            # batch-only stats depend ONLY on this delta: compute once,
+            # re-merge cheaply on every fast retry
+            bstats = {}
             for which, by_interval in (("table", False), ("interval", True)):
                 if by_interval and mode == "streaming":
                     continue
-                keys = ["ticker", "interval"] if by_interval else ["ticker"]
-                prior = self._read_stats(mode, which)
-                merged = merge_stats(
-                    prior, batch_stats(versioned, mode, by_interval), keys
-                )
-                rel = os.path.join(stats_dir, which)
-                merged.coalesce(1).write.parquet(
-                    os.path.join(log.log_dir, rel)
-                )
-                stats_ptr[which] = rel
+                bstats[which] = batch_stats(
+                    versioned, mode, by_interval
+                ).localCheckpoint(eager=True)
 
-            try:
-                log.try_commit(
-                    new_version,
-                    {
-                        "adds": [batch_dir],
-                        "removes": [],
-                        "stats": stats_ptr,
-                        "meta": {batch_dir: dir_meta},
-                        "op": "ingest",
-                        "ts": time.time(),
-                    },
-                )
-                if (
-                    self.auto_compact_every
-                    and len(state["dirs"]) + 1 >= self.auto_compact_every
-                ):
-                    # best-effort fold; a lost race just means another
-                    # writer compacted (or appended — next ingest retries)
-                    try:
-                        self.compact(mode)
-                    except RuntimeError:
-                        pass
-                for obs in self.observers:
-                    obs(versioned, mode)
-                return n
-            except CommitConflict:
-                # loser cleans its own invisible output and recomputes
-                shutil.rmtree(
-                    os.path.join(self.data_path(mode), batch_dir),
-                    ignore_errors=True,
-                )
-                shutil.rmtree(
-                    os.path.join(log.log_dir, stats_dir), ignore_errors=True
-                )
+            recompute = False
+            for _fast in range(self.MAX_FAST_RETRIES):
+                stats_ptr = {}
+                stats_dir = f"stats-{new_version:08d}-{uuid.uuid4().hex[:8]}"
+                for which, bdf in bstats.items():
+                    keys = (
+                        ["ticker", "interval"] if which == "interval"
+                        else ["ticker"]
+                    )
+                    prior = self._read_stats(mode, which)
+                    merged = merge_stats(prior, bdf, keys)
+                    rel = os.path.join(stats_dir, which)
+                    merged.coalesce(1).write.parquet(
+                        os.path.join(log.log_dir, rel)
+                    )
+                    stats_ptr[which] = rel
+                try:
+                    log.try_commit(
+                        new_version,
+                        {
+                            "adds": [batch_dir],
+                            "removes": [],
+                            "stats": stats_ptr,
+                            "meta": {batch_dir: dir_meta},
+                            "op": "ingest",
+                            "ts": time.time(),
+                        },
+                    )
+                    if (
+                        self.auto_compact_every
+                        and len(log.state()["dirs"])
+                        >= self.auto_compact_every
+                    ):
+                        # best-effort fold; a lost race just means another
+                        # writer compacted (or appended — next ingest
+                        # retries)
+                        try:
+                            self.compact(mode)
+                        except RuntimeError:
+                            pass
+                    for obs in self.observers:
+                        obs(versioned, mode)
+                    return n
+                except CommitConflict:
+                    shutil.rmtree(
+                        os.path.join(log.log_dir, stats_dir),
+                        ignore_errors=True,
+                    )
+                    head = log.version()
+                    if self._interleaved_commits_safe(
+                        mode, base_version, head, dir_meta
+                    ):
+                        # delta still valid: slide the base forward and
+                        # re-commit (stats re-merge only)
+                        base_version = head
+                        new_version = head + 1
+                        time.sleep(random.uniform(0.0, 0.1))  # desync only
+                        continue
+                    recompute = True
+                    break
+            # loser with a LOGICAL conflict (or fast budget exhausted):
+            # clean the invisible output and recompute from fresh state
+            shutil.rmtree(
+                os.path.join(self.data_path(mode), batch_dir),
+                ignore_errors=True,
+            )
+            if recompute:
+                _conflict_backoff(_attempt)
                 continue
+            raise RuntimeError(
+                f"ingest exhausted {self.MAX_FAST_RETRIES} fast commit "
+                f"retries on {mode} (sustained disjoint contention)"
+            )
         raise RuntimeError(
             f"ingest lost {self.MAX_COMMIT_RETRIES} commit races on {mode}"
         )
@@ -698,6 +808,7 @@ class ManifestStore:
                         shutil.rmtree(
                             os.path.join(log.log_dir, d), ignore_errors=True
                         )
+                _conflict_backoff(_attempt)
                 continue
         raise RuntimeError(
             f"merge lost {self.MAX_COMMIT_RETRIES} commit races on {mode}"
@@ -822,6 +933,7 @@ class ManifestStore:
                     shutil.rmtree(
                         os.path.join(log.log_dir, d), ignore_errors=True
                     )
+                _conflict_backoff(_attempt)
                 continue
         raise RuntimeError(
             f"delete lost {self.MAX_COMMIT_RETRIES} commit races on {mode}"
@@ -984,6 +1096,7 @@ class ManifestStore:
                         shutil.rmtree(
                             os.path.join(log.log_dir, d), ignore_errors=True
                         )
+                _conflict_backoff(_attempt)
                 continue
         raise RuntimeError(
             f"retain_before lost {self.MAX_COMMIT_RETRIES} races on {mode}"
@@ -1147,6 +1260,7 @@ class ManifestStore:
                     os.path.join(self.data_path(mode), new_dir),
                     ignore_errors=True,
                 )
+                _conflict_backoff(_attempt)
                 continue
         raise RuntimeError(f"compact lost {self.MAX_COMMIT_RETRIES} races")
 
@@ -1229,6 +1343,7 @@ class ManifestStore:
                 shutil.rmtree(
                     os.path.join(log.log_dir, cdc_rel), ignore_errors=True
                 )
+                _conflict_backoff(_attempt)
                 continue
         raise RuntimeError(f"restore lost {self.MAX_COMMIT_RETRIES} races")
 

@@ -108,11 +108,33 @@ def band_stack(
     ).select("id", "bb.band", "bb.bucket")
 
 
+def lsh_bucket_probe(stacked: DataFrame) -> dict:
+    """One bounded aggregate over the banded index: the bucket-size
+    summary ``plans.sizing.lsh_max_bucket`` sizes the hot-bucket cap
+    from (q264's corpus-level prediction, measured at the index).
+    Returns {"n_buckets", "p99_bucket", "max_bucket"}."""
+    row = (
+        stacked.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.expr("percentile_approx(__n, 0.99)").alias("p99"),
+            F.max("__n").alias("mx"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_buckets": int(row["n_buckets"] or 0),
+        "p99_bucket": int(row["p99"] or 0),
+        "max_bucket": int(row["mx"] or 0),
+    }
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 64,
     bands: int = 16,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs (id_a < id_b) from banded LSH.
 
@@ -136,6 +158,16 @@ def lsh_candidate_pairs(
     this way already).
     """
     stacked = band_stack(signatures, num_hashes, bands)
+    if max_bucket == "auto":
+        # probe the banded index once and let the sizing rule decide —
+        # returns None (no semi-join at all) on healthy corpora
+        from stock_ops_spark.plans.sizing import lsh_max_bucket
+
+        stacked = stacked.localCheckpoint(eager=True)  # probe + join reuse
+        probe = lsh_bucket_probe(stacked)
+        max_bucket = lsh_max_bucket(
+            probe["p99_bucket"], probe["max_bucket"]
+        )
     if max_bucket is not None:
         sizes = stacked.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__n")
@@ -187,8 +219,13 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 8,
+    max_bucket: int | str | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH → exact verify.
+    ``max_bucket``: see ``lsh_candidate_pairs`` ("auto" probes the
+    banded index and sizes the hot-bucket cap via
+    ``plans.sizing.lsh_max_bucket``; default None keeps every oracled
+    caller byte-identical).
 
     With k=64, b=16 (r=4): P(candidate | jaccard=0.9) ≈ 1-(1-0.9^4)^16
     ≈ 1-6e-8 — effectively total recall at the 0.9 level the corpus
@@ -209,7 +246,7 @@ def minhash_near_dup_pairs(
         eager=True
     )
     sigs = minhash_signatures(shingled, num_hashes)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket=max_bucket)
     return jaccard_verify(cands, shingled, threshold)
 
 

@@ -213,10 +213,41 @@ class CorpusPipeline:
         return out.orderBy("stage_idx")
 
 
+def auto_near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.5
+) -> Callable[[], DataFrame]:
+    """Default pair supplier for the curation funnel: the full minhash
+    pipeline with the hot-bucket cap AUTO-SIZED from a banded-index
+    probe (``plans.sizing.lsh_max_bucket``) — ON by default here and
+    only here, because the funnel's stage order guarantees the cap's
+    documented precondition (exact dedup has already run before
+    near-dedup consumes the pairs).  On healthy corpora the probe
+    returns None and the plan is identical to the uncapped build; on
+    boilerplate-heavy corpora it cuts the quadratic hot-bucket term
+    with a provably identical verified pair set (band redundancy —
+    pinned at sf0.3 in tests and measured at sf10 in SCALING.md).
+    Oracled callers pass their own ``pairs_fn`` and are unaffected."""
+    from stock_ops_spark.operators.dedup import minhash_near_dup_pairs
+
+    def pairs() -> DataFrame:
+        return minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=threshold, max_bucket="auto"
+        )
+
+    return pairs
+
+
 def standard_curation(
-    docs: DataFrame, pairs_fn: Callable[[], DataFrame], modulus: int = 23
+    docs: DataFrame,
+    pairs_fn: Callable[[], DataFrame] | None = None,
+    modulus: int = 23,
 ) -> CorpusPipeline:
-    """The canonical five-stage curation funnel over a documents frame."""
+    """The canonical five-stage curation funnel over a documents frame.
+    ``pairs_fn`` defaults to the auto-capped minhash build
+    (``auto_near_dup_pairs``); pass the cached artifact (q260 does) to
+    reuse a persisted pair set."""
+    if pairs_fn is None:
+        pairs_fn = auto_near_dup_pairs(docs)
     benchmark = docs.where(F.col("doc_id") % modulus == 0)
     return CorpusPipeline(
         [

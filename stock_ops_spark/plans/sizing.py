@@ -184,6 +184,36 @@ def vacuum_retain(
     return max(8, min(want, cap))
 
 
+def lsh_max_bucket(
+    p99_bucket: int,
+    max_bucket: int,
+    floor: int = 64,
+    headroom: int = 8,
+) -> int | None:
+    """Auto-size ``lsh_candidate_pairs(max_bucket=...)`` from a bucket
+    histogram probe (the q264 prediction turned into a rule).
+
+    A TRUE near-dup cluster of size s fills a bucket of ~s in every
+    band, so the cap must sit comfortably above typical cluster sizes —
+    ``headroom × p99(bucket size)``, floored at ``floor``.  A hot
+    STOP-SHINGLE bucket grows with the corpus instead (measured on the
+    shared-vocab corpus: candidates 1.6M→17.8M from 150k→500k docs;
+    cap=256 halved candidates and verify wall-clock with an IDENTICAL
+    verified pair set — band redundancy catches the pair elsewhere).
+    Returns None when the largest bucket is already under the cap:
+    capping then buys nothing and the extra histogram semi-join would
+    be pure cost.
+
+    Precondition (same as the operator's): exact dedup has already run —
+    thousands of byte-identical docs legitimately bucket together in
+    EVERY band, and no cap is safe for them.
+    """
+    cap = max(floor, headroom * max(1, int(p99_bucket)))
+    if max_bucket <= cap:
+        return None
+    return cap
+
+
 def recommend(
     input_bytes: int,
     cluster: ClusterShape,

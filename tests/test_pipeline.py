@@ -103,3 +103,51 @@ def test_near_dedup_requires_surviving_killer(spark):
     # and with the killer present, 3 dies
     out2 = near_dedup(lambda: pairs).apply(docs)
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2]
+
+
+def test_auto_capped_pipeline_pairs_identical(spark):
+    """The funnel's default pair supplier (auto-sized hot-bucket cap)
+    must produce the IDENTICAL verified pair set as the uncapped build
+    on the adversarial shared-vocab corpus — the pipeline-path twin of
+    test_lsh_hot_bucket_cap_preserves_pairs."""
+    import os
+
+    from stock_ops_spark.operators.dedup import minhash_near_dup_pairs
+    from stock_ops_spark.pipeline import auto_near_dup_pairs
+
+    sf_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scaledata",
+        "sf0.3",
+    )
+    if not os.path.isdir(sf_dir):
+        from tools.scale_gen import gen
+
+        gen(0.3, sf_dir)
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in auto_near_dup_pairs(d)().collect()
+    }
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(d, "doc_id", "text").collect()
+    }
+    assert auto == base and auto
+
+
+def test_standard_curation_defaults_to_auto_pairs(spark):
+    """pairs_fn=None runs end-to-end and agrees with an explicit
+    uncapped pairs_fn on the funnel's survivor set."""
+    docs = catalog.load(spark, SF, "documents").select("doc_id", "text")
+    from stock_ops_spark.operators.dedup import minhash_near_dup_pairs
+
+    default_pipe = standard_curation(docs)
+    explicit_pipe = standard_curation(
+        docs, lambda: minhash_near_dup_pairs(docs, "doc_id", "text")
+    )
+    got_default, _ = default_pipe.run(docs)
+    got_explicit, _ = explicit_pipe.run(docs)
+    a = {r["doc_id"] for r in got_default.collect()}
+    b = {r["doc_id"] for r in got_explicit.collect()}
+    assert a == b and a

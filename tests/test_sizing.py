@@ -104,3 +104,18 @@ def test_vacuum_retain_rule():
     assert vacuum_retain(0.5) == 8
     # raising the budget raises the cap
     assert vacuum_retain(8640, fold_budget_ms=2000.0) == 60480
+
+
+def test_lsh_max_bucket_rule():
+    from stock_ops_spark.plans.sizing import lsh_max_bucket
+
+    # healthy corpus: largest bucket under the cap -> no cap at all
+    assert lsh_max_bucket(p99_bucket=3, max_bucket=20) is None
+    # hot-bucket pathology: cap at headroom x p99, floored
+    assert lsh_max_bucket(p99_bucket=3, max_bucket=5000) == 64  # floor
+    assert lsh_max_bucket(p99_bucket=40, max_bucket=5000) == 320
+    # the measured sf10 regime: p99 ~ 30, max ~ thousands -> cap ~ 240
+    cap = lsh_max_bucket(p99_bucket=30, max_bucket=4000)
+    assert 64 <= cap <= 512 and cap < 4000
+    # degenerate inputs stay sane
+    assert lsh_max_bucket(p99_bucket=0, max_bucket=10**6) == 64

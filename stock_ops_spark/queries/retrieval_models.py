@@ -2782,3 +2782,69 @@ def q309_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s4"),
     )
     return m.selectExpr(*_SHAPE_EXPRS)
+
+
+@_register(
+    "q310_bm25_artifact_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    s AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM toks)      AS t),
+    q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('vector'), ('merge'))
+          AS v(term)),
+    df AS (SELECT tf.term, count(*) AS df
+           FROM tf JOIN q USING (term) GROUP BY tf.term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(
+               (CAST(2 * s.n - 2 * df.df + 1 AS HUGEINT)
+                  * CAST(22 * tf.tf AS HUGEINT)
+                  * CAST(s.t AS HUGEINT) * 1000000)
+               // (CAST(2 * df.df + 1 AS HUGEINT)
+                     * (CAST(10 * s.t AS HUGEINT) * tf.tf
+                        + CAST(3 * s.t AS HUGEINT)
+                        + CAST(9 * dl.dl AS HUGEINT) * s.n))
+               AS BIGINT) AS term_score
+      FROM tf JOIN q USING (term) JOIN df ON df.term = tf.term
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s
+    ),
+    docs AS (
+      SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score,
+             CAST(count(*) AS BIGINT) AS n_hit_terms
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score, n_hit_terms,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM docs
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(doc_id AS BIGINT) AS doc_id,
+           score, n_hit_terms
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q310_bm25_artifact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q278 served from the INCREMENTAL lexical index artifact
+    (operators/lexical.py): postings / per-doc length norms / folded
+    document frequencies persist once per corpus version and refresh
+    from (new + changed + removed) docs on rewrite — the same
+    fit-once-read-many discipline as the minhash pair artifact, closing
+    the last rebuild-from-scratch artifact family (VERDICT r6 #6).
+    Same oracle as q278: artifact-served BM25 must be bit-identical to
+    the from-scratch pipeline (exact integer rational scoring)."""
+    from stock_ops_spark.operators.lexical import bm25_topk, lexical_stats_cached
+
+    d = _t(spark, sf_dir, "documents")
+    art = lexical_stats_cached(
+        d, source_path=catalog.table_path(sf_dir, "documents")
+    )
+    return bm25_topk(
+        spark, art["postings"], art["dl"], art["df"], list(_BM25_TERMS), k=10
+    )

@@ -439,3 +439,82 @@ def test_pagerank_warm_cache_serves_without_iterating(spark, tmp_path, monkeypat
         for r in G.pagerank_warm_cached(e, str(src), variant="t", cache_dir=cache).collect()
     }
     assert again == first
+
+
+# -- lexical (BM25) stats artifact: df/dl/postings ±delta fold --------------
+
+
+def _lex_sets(art):
+    return (
+        {(r["id"], r["term"], r["tf"]) for r in art["postings"].collect()},
+        {(r["id"], r["dl"]) for r in art["dl"].select("id", "dl").collect()},
+        {(r["term"], r["df"]) for r in art["df"].collect()},
+    )
+
+
+def test_lexical_incremental_append_change_remove_equals_full(spark, tmp_path):
+    """The BM25 stats artifact (postings, length norms, folded df) must
+    refresh from (new ∪ changed ∪ removed) docs only, and be EQUAL to a
+    from-scratch build on the mutated corpus — the delta==full pin the
+    minhash/containment/co-purchase artifacts already carry."""
+    from stock_ops_spark.operators import lexical as L
+
+    cache = str(tmp_path / "cache")
+    src = str(tmp_path / "docs.parquet")
+    base = _corpus(200)
+    df0 = _write(spark, base, src)
+    art0 = L.lexical_stats_cached(df0, src, cache_dir=cache)
+    p0, d0, f0 = _lex_sets(art0)
+    assert p0 and d0 and f0
+
+    # mutate: 10 appended, one changed text, one removed
+    extra = [(200 + i, t) for i, (_, t) in enumerate(_corpus(10, seed=99))]
+    mutated = [r for r in base if r[0] != 7]          # remove doc 7
+    mutated = [
+        (i, t if i != 13 else t + " zzzuniqueterm") for i, t in mutated
+    ]                                                  # change doc 13
+    mutated += extra
+    df1 = _write(spark, mutated, src)
+
+    stats: dict = {}
+    art1 = L.lexical_stats_cached(df1, src, cache_dir=cache, stats=stats)
+    # the delta path tokenized only new + changed docs (11), not 209
+    assert stats["docs_tokenized"] == 11
+    got = _lex_sets(art1)
+
+    # from-scratch truth on the mutated corpus
+    postings, dl = L.lexical_stats(df1, "doc_id", "text")
+    want = (
+        {(r["id"], r["term"], r["tf"]) for r in postings.collect()},
+        {(r["id"], r["dl"]) for r in dl.select("id", "dl").collect()},
+        {(r["term"], r["df"])
+         for r in L.doc_frequency(postings).collect()},
+    )
+    assert got == want
+    # the removed doc left every table; the new term entered df
+    assert all(t[0] != 7 for t in got[0]) and all(t[0] != 7 for t in got[1])
+    assert ("zzzuniqueterm", 1) in got[2]
+
+
+def test_lexical_artifact_serves_identical_bm25(spark, tmp_path):
+    """bm25_topk over the artifact == the inline q278 pipeline on the
+    same corpus (exact integer scoring: ranks and scores identical)."""
+    from stock_ops_spark import catalog
+    from stock_ops_spark.operators import lexical as L
+    from stock_ops_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    d = catalog.load(spark, sf, "documents")
+    art = L.lexical_stats_cached(
+        d, catalog.table_path(sf, "documents"),
+        cache_dir=str(tmp_path / "cache"),
+    )
+    got = [
+        tuple(r)
+        for r in L.bm25_topk(
+            spark, art["postings"], art["dl"], art["df"],
+            ["spark", "join", "vector", "merge"], k=10,
+        ).collect()
+    ]
+    want = [tuple(r) for r in QUERIES["q278_bm25_topk"](spark, sf).collect()]
+    assert got == want and len(got) == 10

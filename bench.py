@@ -93,6 +93,23 @@ def _regression_report_inner(timings: dict[str, float], sf: float) -> None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # The committed sf1.0 baseline (BENCH_SF1.json, raw bench shape)
+    # extends the guard past the driver's sf0.1 point, where most of the
+    # registry sits at the ~0.2 s local job floor and a plan regression
+    # hides under noise (VERDICT r6 #2).  Checked first when the sf
+    # matches; the driver BENCH_r*.json records remain the sf0.1 gate.
+    sf1 = os.path.join(here, "BENCH_SF1.json")
+    if os.path.exists(sf1):
+        try:
+            with open(sf1) as f:
+                doc = json.load(f)
+            if float(doc.get("sf", -2)) == sf and isinstance(
+                doc.get("queries"), dict
+            ):
+                _flag_slow(timings, doc["queries"], os.path.basename(sf1))
+                return
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
     records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     for path in reversed(records):
         try:
@@ -113,24 +130,30 @@ def _regression_report_inner(timings: dict[str, float], sf: float) -> None:
             }
         if not base:
             continue
-        slow = {
-            q: (base[q], t)
-            for q, t in timings.items()
-            if q in base and t > 1.5 * max(base[q], 0.1)  # sub-100ms = jitter
-        }
-        if slow:
-            for q, (b, t) in sorted(slow.items(), key=lambda kv: -kv[1][1]):
-                print(
-                    f"# REGRESSION vs {os.path.basename(path)}: "
-                    f"{q} {b:.2f}s -> {t:.2f}s ({t / max(b, 0.1):.1f}x)",
-                    file=sys.stderr,
-                )
-        else:
+        _flag_slow(timings, base, os.path.basename(path))
+        return
+
+
+def _flag_slow(
+    timings: dict[str, float], base: dict[str, float], label: str
+) -> None:
+    slow = {
+        q: (base[q], t)
+        for q, t in timings.items()
+        if q in base and t > 1.5 * max(base[q], 0.1)  # sub-100ms = jitter
+    }
+    if slow:
+        for q, (b, t) in sorted(slow.items(), key=lambda kv: -kv[1][1]):
             print(
-                f"# regression guard: no query >1.5x vs {os.path.basename(path)}",
+                f"# REGRESSION vs {label}: "
+                f"{q} {b:.2f}s -> {t:.2f}s ({t / max(b, 0.1):.1f}x)",
                 file=sys.stderr,
             )
-        return
+    else:
+        print(
+            f"# regression guard: no query >1.5x vs {label}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

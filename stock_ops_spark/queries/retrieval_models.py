@@ -2848,3 +2848,190 @@ def q310_bm25_artifact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         spark, art["postings"], art["dl"], art["df"], list(_BM25_TERMS), k=10
     )
+
+
+@_register(
+    "q311_embedding_decontamination",
+    """
+    WITH qv AS (
+      SELECT vec_id, label,
+             list_transform(range(1, 65),
+               i -> CAST(round(greatest(-1.0, least(1.0,
+                    CAST(embedding[i] AS DOUBLE))) * 127) AS BIGINT)) AS q8
+      FROM embeddings
+    ), b AS (SELECT * FROM qv WHERE vec_id % 23 = 0),
+       t AS (SELECT * FROM qv WHERE vec_id % 23 <> 0),
+    pairs AS (
+      SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+             list_sum(list_transform(range(1, 65),
+               i -> t.q8[i] * b.q8[i])) AS dotq,
+             list_sum(list_transform(range(1, 65),
+               i -> t.q8[i] * t.q8[i])) AS n2t,
+             list_sum(list_transform(range(1, 65),
+               i -> b.q8[i] * b.q8[i])) AS n2b
+      FROM t JOIN b USING (label)
+    ), scored AS (
+      SELECT train_id, bench_id, dotq,
+             CAST((CAST(dotq AS HUGEINT) * dotq * 1000000000000)
+                  // (CAST(n2t AS HUGEINT) * n2b) AS BIGINT) AS score
+      FROM pairs WHERE dotq > 0
+    ), ranked AS (
+      SELECT train_id, bench_id, dotq, score,
+             row_number() OVER (ORDER BY score DESC, train_id, bench_id)
+               AS rnk
+      FROM scored
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(train_id AS BIGINT) AS train_id,
+           CAST(bench_id AS BIGINT) AS bench_id,
+           CAST(dotq AS BIGINT) AS dotq, score
+    FROM ranked WHERE rnk <= 15
+    """,
+)
+def q311_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination audit: the top-15 most-similar
+    (training, benchmark) vector pairs across the held-out split
+    (vec_id % 23 — the q93/q260 convention), the leaderboard a
+    training-data team reviews before declaring an eval set clean.
+    Similarity is int8-quantized cosine (the q259/q77 storage format)
+    ranked as an EXACT INTEGER: score = dotq²·10¹² ÷ (|a|²·|b|²) in
+    128-bit space (HUGEINT / DECIMAL(38,0)), so the ranking is
+    bit-identical across engines with no float boundary anywhere.
+    Scale shape: the pair join is BLOCKED BY LABEL (the q81
+    within-cluster discipline — at 100 TB the blocker is the IVF cell
+    assignment, same plan shape); the benchmark side is the small
+    fraction and broadcasts; top-15 is one TakeOrdered."""
+    e = _t(spark, sf_dir, "embeddings")
+    q8 = (
+        "transform(embedding, x -> CAST(round(greatest(-1.0D, least(1.0D, "
+        "CAST(x AS DOUBLE))) * 127) AS BIGINT))"
+    )
+    qv = e.select("vec_id", "label", F.expr(q8).alias("q8"))
+    b = qv.where(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        "label",
+        F.col("q8").alias("qb"),
+    )
+    t = qv.where(F.col("vec_id") % 23 != 0).select(
+        F.col("vec_id").alias("train_id"), "label", "q8"
+    )
+    pairs = t.join(F.broadcast(b), "label").select(
+        "train_id",
+        "bench_id",
+        F.expr(
+            "aggregate(zip_with(q8, qb, (a, b) -> a * b), 0L, (s, x) -> s + x)"
+        ).alias("dotq"),
+        F.expr(
+            "aggregate(transform(q8, a -> a * a), 0L, (s, x) -> s + x)"
+        ).alias("n2t"),
+        F.expr(
+            "aggregate(transform(qb, a -> a * a), 0L, (s, x) -> s + x)"
+        ).alias("n2b"),
+    )
+    scored = pairs.where(F.col("dotq") > 0).select(
+        "train_id",
+        "bench_id",
+        "dotq",
+        F.expr(
+            "CAST((CAST(dotq AS DECIMAL(38,0)) * dotq * 1000000000000)"
+            " DIV (CAST(n2t AS DECIMAL(38,0)) * n2b) AS BIGINT)"
+        ).alias("score"),
+    )
+    w = Window.orderBy(
+        F.col("score").desc(), F.col("train_id"), F.col("bench_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 15)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("train_id").cast("bigint").alias("train_id"),
+            F.col("bench_id").cast("bigint").alias("bench_id"),
+            F.col("dotq").cast("bigint").alias("dotq"),
+            "score",
+        )
+    )
+
+
+@_register(
+    "q312_proximity_retrieval",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                 i -> {'term': w[i], 'pos': i})) AS u
+        FROM w
+      )
+    ), pa AS (SELECT doc_id, pos FROM toks WHERE term = 'spark'),
+       pb AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'),
+    prox AS (
+      SELECT pa.doc_id,
+             min(abs(pa.pos - pb.pos)) AS min_dist,
+             count(DISTINCT pa.pos)    AS n_a,
+             count(DISTINCT pb.pos)    AS n_b
+      FROM pa JOIN pb USING (doc_id)
+      GROUP BY pa.doc_id
+    ), ranked AS (
+      SELECT doc_id, min_dist, n_a, n_b,
+             row_number() OVER (ORDER BY min_dist, doc_id) AS rnk
+      FROM prox
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min_dist AS BIGINT) AS min_dist,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def q312_proximity_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index proximity retrieval: rank documents by the
+    minimum token distance between two query terms ('spark', 'merge') —
+    the phrase/NEAR operator a lexical search engine layers on top of
+    BM25 (q278), and the reason real indexes store POSITIONAL postings
+    (doc, term, pos) rather than bare tf.  Exact integers throughout.
+    Scale shape: the positional postings build is one posexplode (the
+    same tokenize pass the lexical artifact runs); each query term
+    selects its postings list; the per-doc distance join is bounded by
+    per-doc term frequency (a handful of positions), grouped once —
+    never a corpus-wide pair join.  Top-20 is a WindowGroupLimit."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    pa = toks.where(F.col("term") == "spark").select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    pb = toks.where(F.col("term") == "merge").select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    prox = (
+        pa.join(pb, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pos_a") - F.col("pos_b"))).alias("min_dist"),
+            F.count_distinct("pos_a").alias("n_a"),
+            F.count_distinct("pos_b").alias("n_b"),
+        )
+    )
+    w = Window.orderBy(F.col("min_dist"), F.col("doc_id"))
+    return (
+        prox.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("min_dist").cast("bigint").alias("min_dist"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+    )

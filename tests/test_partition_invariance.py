@@ -44,6 +44,9 @@ SENSITIVE = [
     "q302_weighted_doc_sample",        # float-clock top-k with tiebreak
     "q303_rrf_hybrid_retrieval",       # two ranked legs fused by RRF
     "q305_ols_residual_diagnostics",   # band moments + broadcast coefficients
+    "q310_bm25_artifact_topk",         # artifact-served integer BM25 ranking
+    "q311_embedding_decontamination",  # 128-bit integer cosine leaderboard
+    "q312_proximity_retrieval",        # positional min-distance ranking
 ]
 
 

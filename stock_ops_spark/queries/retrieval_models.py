@@ -3035,3 +3035,111 @@ def q312_proximity_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("bigint").alias("n_b"),
         )
     )
+
+
+@_register(
+    "q313_retention_audit",
+    """
+    WITH e AS (
+      SELECT event_type AS tk, CAST(epoch_ms(ts) AS BIGINT) AS ms
+      FROM events WHERE event_id % 25 < 2
+    ), bnd AS (
+      SELECT min(ms) AS t0, max(ms) AS t1 FROM e
+    ), cuts AS (
+      SELECT t0 + (t1 - t0) // 3            AS ca,
+             t0 + (2 * (t1 - t0)) // 3      AS cb,
+             (t0 + (t1 - t0) // 3 + t0 + (2 * (t1 - t0)) // 3) // 2 AS r
+      FROM bnd
+    ), m AS (
+      SELECT
+        CAST(count(*) AS BIGINT)                                AS rows_before,
+        CAST(count(*) FILTER (WHERE ms >= r) AS BIGINT)         AS rows_after,
+        CAST(CASE WHEN count(*) FILTER (WHERE ms < ca) > 0
+             THEN 1 ELSE 0 END AS BIGINT)                       AS deleted_dirs,
+        CAST(CASE WHEN count(*) FILTER (WHERE ms >= ca AND ms < r) > 0
+             THEN 1 ELSE 0 END AS BIGINT)                       AS rewritten_dirs,
+        CAST(CASE WHEN count(*) FILTER (WHERE ms < ca) > 0 THEN 1 ELSE 0 END
+           + CASE WHEN count(*) FILTER (WHERE ms >= ca AND ms < cb) > 0
+                  THEN 1 ELSE 0 END
+           + CASE WHEN count(*) FILTER (WHERE ms >= cb) > 0 THEN 1 ELSE 0 END
+           + CASE WHEN count(*) FILTER (WHERE ms < r) > 0 THEN 1 ELSE 0 END
+           AS BIGINT)                                           AS version
+      FROM e CROSS JOIN cuts
+    )
+    SELECT * FROM (
+      SELECT 'rows_before' AS metric, rows_before AS value FROM m
+      UNION ALL SELECT 'rows_after', rows_after FROM m
+      UNION ALL SELECT 'deleted_dirs', deleted_dirs FROM m
+      UNION ALL SELECT 'rewritten_dirs', rewritten_dirs FROM m
+      UNION ALL SELECT 'stats_row_total', rows_after FROM m
+      UNION ALL SELECT 'version', version FROM m
+    ) ORDER BY metric
+    """,
+)
+def q313_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RETENTION audit, driver-oracled — the q306 discipline
+    applied to ``ManifestStore.retain_before`` (this round's commit-
+    native retention): the bounded events slice is ingested into a
+    throwaway store as THREE time-tercile commits, retention runs at a
+    cutoff inside the middle tercile, and the store's observable
+    outcome (row counts, whole-dir metadata-only deletes, straddler
+    rewrites, recomputed stats total, final version) must equal what
+    SQL set algebra predicts from the raw table alone.  Every cutoff
+    is integer arithmetic on epoch millis, identical in both engines.
+    Scale shape: three bounded ingests + one retention commit; the
+    whole audit output is six rows."""
+    import shutil
+    import tempfile
+
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 25 < 2).select(
+        F.col("event_type").alias("ticker"),
+        F.unix_millis("ts").alias("timestamp_UTC_ms"),
+        F.col("value").cast("double").alias("price"),
+        F.col("event_id").cast("bigint").alias("volume"),
+        F.lit(None).cast("double").alias("ask_price"),
+        F.lit(None).cast("double").alias("bid_price"),
+        F.lit(None).cast("bigint").alias("ask_size"),
+        F.lit(None).cast("bigint").alias("bid_size"),
+    )
+    bnd = ev.agg(
+        F.min("timestamp_UTC_ms"), F.max("timestamp_UTC_ms")
+    ).collect()[0]
+    t0, t1 = int(bnd[0]), int(bnd[1])
+    ca = t0 + (t1 - t0) // 3
+    cb = t0 + (2 * (t1 - t0)) // 3
+    r = (ca + cb) // 2
+    n_before = ev.count()
+    root = tempfile.mkdtemp(prefix="retain_audit_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        store = ManifestStore(spark, root)
+        ms = F.col("timestamp_UTC_ms")
+        store.ingest_batch(ev.where(ms < ca), "streaming")
+        store.ingest_batch(ev.where((ms >= ca) & (ms < cb)), "streaming")
+        store.ingest_batch(ev.where(ms >= cb), "streaming")
+        res = store.retain_before("streaming", r)
+        after = store.read_all("streaming")
+        n_after = after.count() if after is not None else 0
+        st = store.table_stats("streaming")
+        stats_total = (
+            int(st.agg(F.sum("row_count")).collect()[0][0] or 0)
+            if st is not None
+            else 0
+        )
+        rows = [
+            ("deleted_dirs", res["deleted_dirs"]),
+            ("rewritten_dirs", res["rewritten_dirs"]),
+            ("rows_after", n_after),
+            ("rows_before", n_before),
+            ("stats_row_total", stats_total),
+            ("version", store.version("streaming")),
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, value bigint"
+        ).orderBy("metric")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)

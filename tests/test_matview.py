@@ -391,3 +391,30 @@ def test_fresh_view_syncs_from_converted_store(spark, tmp_path):
     res = mv.sync(store, MODE)
     assert (res["from"], res["to"]) == (1, 2)
     _assert_view_equals_recompute(mv, store)
+
+
+def test_sync_raises_on_uncdc_retention_and_heals(spark, tmp_path):
+    """A metadata-only retention (retain_before cdc=False) gaps the
+    change feed; a CDC-synced view must fail LOUDLY on the next sync
+    (never silently keep expired rows) and heal via init_from_snapshot."""
+    from stock_ops_spark.sources.commitlog import ChangeFeedGap
+
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = MatView(spark, str(tmp_path / "cmv"), ["ticker"], SUB_MEASURES)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    mv.sync(store, MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    store.retain_before(MODE, 1751500000, on_observers="ignore")  # drops ROWS_A
+    with pytest.raises(ChangeFeedGap):
+        mv.sync(store, MODE)
+    # heal: one full aggregate of the post-retention snapshot + cursor
+    mv.init_from_snapshot(store, MODE)
+    _assert_view_equals_recompute(mv, store)
+    # and the feed resumes incrementally from the new cursor
+    store.ingest_batch(
+        _fact_df(spark, [("IVV", 1751650000, 1.0, 2.0, 0.5, 1.5, 5, "1h")]),
+        MODE,
+    )
+    res = mv.sync(store, MODE)
+    assert res["pos_rows"] == 1
+    _assert_view_equals_recompute(mv, store)

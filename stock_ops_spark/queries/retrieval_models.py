@@ -3143,3 +3143,99 @@ def q313_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
+    "q314_error_purchase_overlap",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_ms(ts) AS BIGINT) AS ms
+      FROM events
+    ),
+    err AS (SELECT user_id, event_id AS eid, ms AS s1, ms + 600000 AS e1
+            FROM e WHERE event_type = 'error'),
+    pur AS (SELECT user_id, event_id AS pid, ms AS s2, ms + 600000 AS e2
+            FROM e WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT err.user_id, eid, pid, abs(s1 - s2) AS gap
+      FROM err JOIN pur
+        ON err.user_id = pur.user_id AND s1 < e2 AND s2 < e1
+    ),
+    agg AS (
+      SELECT user_id,
+             count(*)            AS n_pairs,
+             count(DISTINCT eid) AS n_err,
+             count(DISTINCT pid) AS n_pur,
+             min(gap)            AS min_gap_ms
+      FROM pairs GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, n_pairs, n_err, n_pur, min_gap_ms,
+             row_number() OVER (ORDER BY n_pairs DESC, user_id) AS rnk
+      FROM agg
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_err AS BIGINT) AS n_err,
+           CAST(n_pur AS BIGINT) AS n_pur,
+           CAST(min_gap_ms AS BIGINT) AS min_gap_ms
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def q314_error_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/intervals.py): errors and
+    purchases by the same user within ±10 minutes, as two interval sets
+    [ts, ts+10min) joined on OVERLAP — the two-sided range join Spark
+    compiles to a nested loop when written naively.  The operator grid-
+    buckets time (cell = the interval length, ≤ 2 cells per interval),
+    equi-joins on (user, cell) — a plain shuffled hash join — and keeps
+    each pair exactly once via the reference-cell rule (the cell holding
+    max(s1, s2)), so there is no distinct and no cartesian anywhere in
+    the plan (test-pinned).  The DuckDB oracle states the same join as
+    plain inequality SQL (IEJoin executes it natively) — equality of the
+    two proves the grid strategy exact.  Output: top-20 users by
+    overlapping (error, purchase) pair count, exact integers."""
+    from stock_ops_spark.operators.intervals import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.col("ms").alias("start"),
+        (F.col("ms") + 600000).alias("end"),
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ms").alias("start"),
+        (F.col("ms") + 600000).alias("end"),
+    )
+    pairs = interval_overlap_join(
+        err, pur, grid=600000, keys=["user_id"]
+    ).select(
+        "user_id",
+        "eid",
+        "pid",
+        F.abs(F.col("l_start") - F.col("r_start")).alias("gap"),
+    )
+    agg = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("eid").alias("n_err"),
+        F.count_distinct("pid").alias("n_pur"),
+        F.min("gap").alias("min_gap_ms"),
+    )
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("user_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_err").cast("bigint").alias("n_err"),
+            F.col("n_pur").cast("bigint").alias("n_pur"),
+            F.col("min_gap_ms").cast("bigint").alias("min_gap_ms"),
+        )
+    )

@@ -3239,3 +3239,106 @@ def q314_error_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("min_gap_ms").cast("bigint").alias("min_gap_ms"),
         )
     )
+
+
+@_register(
+    "q315_merge_upsert_audit",
+    """
+    WITH e AS (
+      SELECT event_type AS tk, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 25 < 2
+    ), src_new AS (
+      SELECT event_type AS tk, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 25 = 2
+    ), m AS (
+      SELECT
+        CAST((SELECT count(*) FROM e WHERE event_id % 4 = 0) AS BIGINT)
+          AS n_updated,
+        CAST((SELECT count(*) FROM src_new) AS BIGINT) AS n_inserted,
+        CAST(CASE WHEN (SELECT count(*) FROM e WHERE event_id % 4 = 0) > 0
+             THEN 1 ELSE 0 END AS BIGINT) AS rewritten_dirs,
+        CAST((SELECT count(*) FROM e) + (SELECT count(*) FROM src_new)
+          AS BIGINT) AS rows_total,
+        CAST((SELECT sum(CASE WHEN event_id % 4 = 0 THEN cents + 100000
+                              ELSE cents END) FROM e)
+           + (SELECT coalesce(sum(cents), 0) FROM src_new)
+          AS BIGINT) AS cents_total,
+        CAST(2 AS BIGINT) AS version
+    )
+    SELECT * FROM (
+      SELECT 'cents_total' AS metric, cents_total AS value FROM m
+      UNION ALL SELECT 'n_inserted', n_inserted FROM m
+      UNION ALL SELECT 'n_updated', n_updated FROM m
+      UNION ALL SELECT 'rewritten_dirs', rewritten_dirs FROM m
+      UNION ALL SELECT 'rows_total', rows_total FROM m
+      UNION ALL SELECT 'version', version FROM m
+    ) ORDER BY metric
+    """,
+)
+def q315_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MERGE (upsert) audit, driver-oracled — the q306/q313
+    discipline applied to ``ManifestStore.merge``: the bounded events
+    slice is ingested once (unique synthetic keys: event_id-derived
+    timestamps), then a merge source REPLACES the price of every
+    event_id % 4 == 0 key (+$1000, exact cents) and INSERTS the
+    adjacent event_id % 25 == 2 slice as new keys.  The store's
+    observable outcome — updated/inserted counts, file-pruned rewrite
+    of exactly the one touched batch dir, final version, row count and
+    the post-merge integer-cents checksum — must equal SQL set-algebra
+    predictions from the raw events table.  Scale shape: one bounded
+    ingest + one merge (semi-join probe prunes the rewrite to touched
+    dirs) + one latest-view checksum aggregate; six output rows."""
+    import shutil
+    import tempfile
+
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    def shape(df):
+        return df.select(
+            F.col("event_type").alias("ticker"),
+            (F.col("event_id") * 1000).cast("bigint").alias(
+                "timestamp_UTC_ms"
+            ),
+            F.col("value").cast("double").alias("price"),
+            F.col("event_id").cast("bigint").alias("volume"),
+            F.lit(None).cast("double").alias("ask_price"),
+            F.lit(None).cast("double").alias("bid_price"),
+            F.lit(None).cast("bigint").alias("ask_size"),
+            F.lit(None).cast("bigint").alias("bid_size"),
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    base = shape(ev.where(F.col("event_id") % 25 < 2))
+    upd = shape(
+        ev.where((F.col("event_id") % 25 < 2) & (F.col("event_id") % 4 == 0))
+    ).withColumn("price", F.col("price") + 1000.0)
+    new = shape(ev.where(F.col("event_id") % 25 == 2))
+    src = upd.unionByName(new)
+    root = tempfile.mkdtemp(prefix="merge_audit_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        store = ManifestStore(spark, root)
+        store.ingest_batch(base, "streaming")
+        res = store.merge(src, "streaming")
+        after = store.latest("streaming")
+        agg = after.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("price") * 100).cast("bigint")).alias("c"),
+        ).collect()[0]
+        rows = [
+            ("cents_total", int(agg["c"])),
+            ("n_inserted", res["inserted"]),
+            ("n_updated", res["updated"]),
+            ("rewritten_dirs", res["rewritten_dirs"]),
+            ("rows_total", int(agg["n"])),
+            ("version", store.version("streaming")),
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, value bigint"
+        ).orderBy("metric")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)

@@ -185,5 +185,129 @@ def main_micro() -> None:
     )
 
 
+def main_race() -> None:
+    """Multi-writer OCC throughput: N subprocess writers ingest
+    DISJOINT tickers into one ManifestStore concurrently (the
+    test_commitlog_race.py shape, measured).  Reports aggregate rows/s,
+    per-writer conflict counts, and the final gapless version count —
+    the number that shows the two-tier conflict path (fast re-commit on
+    key-disjoint interleaves) keeps sustained multi-writer ingest live
+    where the r6 full-recompute loop starved.
+
+        python tools/bench_ingest.py --race [n_writers] [rounds] [batch_rows]
+    """
+    import os
+    import subprocess
+    import tempfile
+    import time as _t
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_writers = int(args[0]) if len(args) > 0 else 2
+    rounds = int(args[1]) if len(args) > 1 else 8
+    batch_rows = int(args[2]) if len(args) > 2 else 500
+
+    root = tempfile.mkdtemp(prefix="race_bench_")
+    go = os.path.join(root, "go")
+    child_src = f"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from stock_ops_spark.session import get_spark
+from stock_ops_spark import schemas as S
+from stock_ops_spark.sources.commitlog import (
+    CommitConflict, ManifestLog, ManifestStore,
+)
+i = int(sys.argv[1])
+spark = get_spark(f"race-bench-{{i}}", master="local[4]", shuffle_partitions=4)
+store = ManifestStore(spark, {root!r}, auto_compact_every=0)
+conflicts = [0]
+_orig = ManifestLog.try_commit
+def counting(self, version, payload):
+    try:
+        return _orig(self, version, payload)
+    except CommitConflict:
+        conflicts[0] += 1
+        raise
+ManifestLog.try_commit = counting
+spark.createDataFrame([(1,)], "x int").count()
+open({root!r} + f"/ready-{{i}}", "w").close()
+while not os.path.exists({go!r}):
+    time.sleep(0.01)
+total = 0
+for r in range({rounds}):
+    rows = [(f"T{{i:02d}}", 1751463000 + 60 * ({batch_rows} * r + j),
+             1.0, 2.0, 0.5, 1.5, 100 + j, "1h") for j in range({batch_rows})]
+    total += store.ingest_batch(
+        spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY),
+        "historical_intraday",
+    )
+print("DONE", total, conflicts[0], flush=True)
+"""
+    scr = os.path.join(root, "child.py")
+    with open(scr, "w") as f:
+        f.write(child_src)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, scr, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for i in range(n_writers)
+    ]
+    while not all(
+        os.path.exists(os.path.join(root, f"ready-{i}"))
+        for i in range(n_writers)
+    ):
+        _t.sleep(0.05)
+    t0 = _t.perf_counter()
+    open(go, "w").close()
+    totals, conflicts = [], []
+    for p in procs:
+        out, _ = p.communicate(timeout=3600)
+        line = [l for l in out.splitlines() if l.startswith("DONE")][0]
+        _, n, c = line.split()
+        totals.append(int(n))
+        conflicts.append(int(c))
+    dt = _t.perf_counter() - t0
+
+    from stock_ops_spark.session import get_spark
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    spark = get_spark("race-bench-verify", master="local[4]", shuffle_partitions=4)
+    store = ManifestStore(spark, root)
+    log = store.log("historical_intraday")
+    versions = [c["version"] for c in log.commits()]
+    gapless = versions == list(range(1, len(versions) + 1))
+    n_rows = store.read_all("historical_intraday").count()
+    print(
+        json.dumps(
+            {
+                "metric": "multi_writer_ingest_rows_per_s",
+                "value": round(sum(totals) / dt, 1),
+                "unit": "rows/s",
+                "n_writers": n_writers,
+                "rounds": rounds,
+                "batch_rows": batch_rows,
+                "wall_s": round(dt, 2),
+                "per_writer_rows": totals,
+                "per_writer_conflicts": conflicts,
+                "versions_gapless": gapless,
+                "n_versions": len(versions),
+                "store_rows": n_rows,
+                "exactly_once": n_rows == sum(totals),
+            }
+        )
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main_micro() if "--micro" in sys.argv else main()
+    if "--race" in sys.argv:
+        main_race()
+    elif "--micro" in sys.argv:
+        main_micro()
+    else:
+        main()
+

@@ -786,3 +786,39 @@ def test_q299_ols_single_aggregate_no_join(q):
     p = A.plan_string(df)
     assert "Join" not in p and "Window" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_q310_artifact_bm25_broadcast_probe(q):
+    """Artifact-served BM25: the query-term frame and its df rows
+    BROADCAST; only postings of query terms survive to the score agg;
+    no cartesian anywhere."""
+    df = q("q310_bm25_artifact_topk")
+    p = A.plan_string(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q311_label_blocked_broadcast(q):
+    """Decontamination leaderboard: the benchmark side broadcasts and
+    the pair join is a label equi-join — never an all-pairs product."""
+    df = q("q311_embedding_decontamination")
+    p = A.plan_string(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_q312_positional_join_is_hash_join(q):
+    """Proximity retrieval: per-doc distance join is a doc_id equi-join
+    (SortMerge/Hash), bounded by per-doc term frequency."""
+    df = q("q312_proximity_retrieval")
+    p = A.plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_q314_interval_join_no_nested_loop(q):
+    """The interval-overlap grid join must plan as an equi-join on
+    (user, cell) — the naive overlap predicate would be a
+    BroadcastNestedLoop; the operator exists to prevent exactly that."""
+    df = q("q314_error_purchase_overlap")
+    p = A.plan_string(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p

@@ -34,13 +34,27 @@ def main() -> None:
     qs = E.queries()
     # optional subset (adjudication runs): bench.py q88_max_drawdown ...
     # — same warmup/timing context, just fewer queries; the driver's
-    # no-argument invocation is unchanged.
-    if len(sys.argv) > 1:
-        unknown = [a for a in sys.argv[1:] if a not in qs]
+    # no-argument invocation is unchanged.  --exclude a,b,c drops named
+    # queries (the sf1 baseline uses it for the three adjudicated
+    # output-quadratic queries whose inline runtime is their output
+    # size, not a plan property — see BENCH_SF1.json "excluded").
+    args = sys.argv[1:]
+    excluded: list[str] = []
+    if "--exclude" in args:
+        i = args.index("--exclude")
+        excluded = [x for x in args[i + 1].split(",") if x]
+        args = args[:i] + args[i + 2:]
+        unknown = [x for x in excluded if x not in qs]
+        if unknown:
+            print(f"unknown excluded queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+        qs = {k: v for k, v in qs.items() if k not in excluded}
+    if args:
+        unknown = [a for a in args if a not in qs]
         if unknown:
             print(f"unknown queries: {unknown}", file=sys.stderr)
             sys.exit(2)
-        qs = {k: qs[k] for k in sys.argv[1:]}
+        qs = {k: qs[k] for k in args}
     # untimed warmup: pay JVM startup, parquet footer reads and first-use
     # codegen once so per-query timings measure steady-state execution.
     # Full count (not limit(1)) so every stage's generated code compiles.
@@ -61,17 +75,16 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_latency",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    doc = {
+        "metric": "sum_query_latency",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if excluded:
+        doc["excluded"] = sorted(excluded)
+    print(json.dumps(doc))
     _regression_report(timings, sf)
 
 

@@ -2905,14 +2905,26 @@ def q311_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         "transform(embedding, x -> CAST(round(greatest(-1.0D, least(1.0D, "
         "CAST(x AS DOUBLE))) * 127) AS BIGINT))"
     )
-    qv = e.select("vec_id", "label", F.expr(q8).alias("q8"))
+    # squared norms are per-VECTOR facts: compute them once per side
+    # BEFORE the pair join (the q36 nrm-precompute discipline) — the
+    # pair stage then evaluates ONE array fold (the dot) instead of
+    # three (dot + both norms), cutting per-pair HOF work ~3x at the
+    # sf1 pair volume (measured; a fully unrolled element-wise dot was
+    # ALSO tried and measured SLOWER than the HOF loop — per-element
+    # GetArrayItem null/bounds checks beat the fold's tight loop).
+    n2 = "aggregate(transform(q8, a -> a * a), 0L, (s, x) -> s + x)"
+    qv = e.select("vec_id", "label", F.expr(q8).alias("q8")).withColumn(
+        "n2", F.expr(n2)
+    )
     b = qv.where(F.col("vec_id") % 23 == 0).select(
         F.col("vec_id").alias("bench_id"),
         "label",
         F.col("q8").alias("qb"),
+        F.col("n2").alias("n2b"),
     )
     t = qv.where(F.col("vec_id") % 23 != 0).select(
-        F.col("vec_id").alias("train_id"), "label", "q8"
+        F.col("vec_id").alias("train_id"), "label", "q8",
+        F.col("n2").alias("n2t"),
     )
     pairs = t.join(F.broadcast(b), "label").select(
         "train_id",
@@ -2920,12 +2932,8 @@ def q311_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr(
             "aggregate(zip_with(q8, qb, (a, b) -> a * b), 0L, (s, x) -> s + x)"
         ).alias("dotq"),
-        F.expr(
-            "aggregate(transform(q8, a -> a * a), 0L, (s, x) -> s + x)"
-        ).alias("n2t"),
-        F.expr(
-            "aggregate(transform(qb, a -> a * a), 0L, (s, x) -> s + x)"
-        ).alias("n2b"),
+        "n2t",
+        "n2b",
     )
     scored = pairs.where(F.col("dotq") > 0).select(
         "train_id",

@@ -252,6 +252,23 @@ class MatView:
                 self._install_partials(existing, v1)
                 return dict(noop, to=v1)
             return noop
+        return self._fold_changes(
+            changes, cur, v1, existing, store, mode, snapshot
+        )
+
+    def _fold_changes(
+        self,
+        changes: DataFrame,
+        cur: int,
+        v1: int,
+        existing: DataFrame | None,
+        store,
+        mode: str,
+        snapshot: DataFrame | None = None,
+    ) -> dict:
+        """The change-fold core shared by ``sync`` (batch pull) and
+        ``stream_sync`` (stockops_cdc micro-batches): fold ``changes``
+        into the view and install with cursor ``v1`` atomically."""
         ct = F.col("_change_type")
         pos = changes.where(ct.isin("insert", "update_postimage"))
         neg = changes.where(ct.isin("delete", "update_preimage"))
@@ -292,6 +309,69 @@ class MatView:
         self._install_partials(merged, v1)
         return {"from": cur, "to": v1, "pos_rows": n_pos, "neg_rows": n_neg,
                 "recomputed_groups": n_recomputed}
+
+    def stream_sync(
+        self,
+        store,
+        mode: str,
+        checkpoint: str,
+        available_now: bool = True,
+        trigger_seconds: int = 10,
+    ):
+        """Maintain this view CONTINUOUSLY from the store's CDC stream —
+        the closing of the loop: ManifestStore commits → ``stockops_cdc``
+        (commit versions as stream offsets) → this view folding each
+        micro-batch with exactly ``sync``'s semantics.
+
+        Exactly-once despite ``foreachBatch``'s at-least-once replay:
+        the view's OWN cursor (installed atomically with the data) drops
+        any replayed rows at or below it before folding, so a crash
+        between a fold and the stream checkpoint commit cannot
+        double-count — the same idempotence discipline as the store's
+        streaming ingest.  Vacuum/retention guards are inherited from
+        the source: a cursor below the vacuum horizon or a cdc-less
+        retention commit fails the stream loudly (re-bootstrap with
+        ``init_from_snapshot``, then restart the stream)."""
+        from stock_ops_spark.sources.pyds import register_data_sources
+
+        register_data_sources(self.spark)
+        view_self = self
+
+        def fold(batch: DataFrame, _batch_id: int) -> None:
+            cur = view_self.cursor()
+            if cur is None:
+                if view_self._table.read() is not None:
+                    raise ValueError(
+                        "view exists without a cursor — heal with "
+                        "init_from_snapshot before stream_sync"
+                    )
+                cur = 0
+            fresh = batch.where(F.col("_commit_version") > cur)
+            fresh = fresh.localCheckpoint(eager=True)
+            row = fresh.agg(F.max("_commit_version")).collect()[0]
+            if row[0] is None:
+                return  # pure checkpoint replay: nothing new
+            existing = view_self._table.read()
+            view_self._fold_changes(
+                fresh, cur, int(row[0]), existing, store, mode
+            )
+
+        stream = (
+            self.spark.readStream.format("stockops_cdc")
+            .option("store_root", store.root)
+            .option("mode", mode)
+            .load()
+        )
+        writer = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
 
     def _install_partials(self, df: DataFrame, version: int) -> None:
         """Swap-install ``df`` with the cursor file inside the new

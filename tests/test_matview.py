@@ -418,3 +418,39 @@ def test_sync_raises_on_uncdc_retention_and_heals(spark, tmp_path):
     res = mv.sync(store, MODE)
     assert res["pos_rows"] == 1
     _assert_view_equals_recompute(mv, store)
+
+
+def test_stream_sync_maintains_view_from_cdc_stream(spark, tmp_path):
+    """stream_sync: ManifestStore commits -> stockops_cdc -> view, with
+    sync()'s exact fold semantics per micro-batch and exactly-once
+    across stream restarts and checkpoint replays."""
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = MatView(spark, str(tmp_path / "cmv"), ["ticker"], SUB_MEASURES)
+    ckpt = str(tmp_path / "ckpt")
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+
+    def drain():
+        q = mv.stream_sync(store, MODE, ckpt, available_now=True)
+        q.awaitTermination(300)
+        q.stop()
+
+    drain()
+    assert mv.cursor() == 2
+    _assert_view_equals_recompute(mv, store)
+
+    # offline mutations: a MERGE correction + a DELETE, then resume
+    src = [("SPY", 1751463000, 617.0, 618.7, 616.6, 618.6, 5000, "1h")]
+    store.merge(_fact_df(spark, src), MODE, on_observers="ignore")
+    store.delete_where(MODE, "ticker = 'VOO'", on_observers="ignore")
+    drain()
+    assert mv.cursor() == 4
+    _assert_view_equals_recompute(mv, store)
+    got = {r["ticker"]: (r["n"], r["vol"]) for r in mv.read().collect()}
+    assert got["SPY"] == (3, 6700) and "VOO" not in got
+
+    # replay safety: re-running the drained stream changes nothing
+    before = sorted(map(tuple, mv.read().collect()))
+    drain()
+    assert sorted(map(tuple, mv.read().collect())) == before
+    assert mv.cursor() == 4

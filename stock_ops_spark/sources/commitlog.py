@@ -498,7 +498,6 @@ class ManifestStore:
                     versioned, mode, by_interval
                 ).localCheckpoint(eager=True)
 
-            recompute = False
             for _fast in range(self.MAX_FAST_RETRIES):
                 stats_ptr = {}
                 stats_dir = f"stats-{new_version:08d}-{uuid.uuid4().hex[:8]}"
@@ -556,21 +555,17 @@ class ManifestStore:
                         new_version = head + 1
                         time.sleep(random.uniform(0.0, 0.1))  # desync only
                         continue
-                    recompute = True
-                    break
-            # loser with a LOGICAL conflict (or fast budget exhausted):
-            # clean the invisible output and recompute from fresh state
+                    break  # logical conflict: fall out to the full recompute
+            # loser with a LOGICAL conflict — or fast budget exhausted
+            # (extreme contention): clean the invisible output and
+            # recompute from fresh state; the outer loop's backoff is
+            # the final fairness lever before giving up for real
             shutil.rmtree(
                 os.path.join(self.data_path(mode), batch_dir),
                 ignore_errors=True,
             )
-            if recompute:
-                _conflict_backoff(_attempt)
-                continue
-            raise RuntimeError(
-                f"ingest exhausted {self.MAX_FAST_RETRIES} fast commit "
-                f"retries on {mode} (sustained disjoint contention)"
-            )
+            _conflict_backoff(_attempt)
+            continue
         raise RuntimeError(
             f"ingest lost {self.MAX_COMMIT_RETRIES} commit races on {mode}"
         )

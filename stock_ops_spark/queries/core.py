@@ -2944,18 +2944,30 @@ def q81_within_cluster_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked k-NN join at scale: a 2% query sample meets the corpus
     through a cluster-id EQUI-join (each query searches its own cell) —
     the knn_join_ivf shape with self-label routing, which makes the
-    result exactly SQL-expressible.  Neither side broadcasts whole; with
-    a cluster-partitioned layout the corpus never shuffles.  Per-query
-    top-1 via ranking window (WindowGroupLimit)."""
+    result exactly SQL-expressible.  The corpus never shuffles: the 2%
+    query sample BROADCASTS onto it (the query batch stays the small
+    side by construction at any corpus scale).  Per-query top-1 via
+    ranking window (WindowGroupLimit).
+
+    PERF (r8, the q311 lesson): norms fold ONCE PER VECTOR on each side
+    BEFORE the pair join — V.cosine inside the join re-folds the corpus
+    norm per query and the query norm per corpus row.  dot/(ne·nq) is
+    the identical double (same fold, same sqrt, same grouping), so the
+    rounded oracle value is unchanged.  Measured at sf1: 30.9 s →
+    12.5 s (2.5×) for norms-out-of-the-join + broadcast together."""
     e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", "label", "embedding", V.norm(F.col("embedding")).alias("ne")
+    )
     q = e.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         "label",
         F.col("embedding").alias("qv"),
+        V.norm(F.col("embedding")).alias("nq"),
     )
-    sim = V.cosine(F.col("embedding"), F.col("qv"))
+    sim = V.dot(F.col("embedding"), F.col("qv")) / (F.col("ne") * F.col("nq"))
     scored = (
-        e.join(q, "label")
+        corpus.join(F.broadcast(q), "label")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("c"))
     )

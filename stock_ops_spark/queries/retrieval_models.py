@@ -293,35 +293,85 @@ def q280_embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFram
     integer rational (n·Σxy − ΣxΣy)²·1e4 DIV (n·Σx²−(Σx)²)(n·Σy²−(Σy)²)
     in 128-bit space (DECIMAL(38,0) / HUGEINT — fits to ~1e4 docs ×
     64 dims at 1e4 quantization; beyond that drop the 1e4 scale).
-    Scale shape: pair products are generated PER ROW by a HOF over the
-    quantized array (no self-join on vec_id), so the only shuffle is
-    the 2016-key (i,j) aggregate with map-side partial combine; dim
-    stats are a 64-key aggregate broadcast back onto the pair frame."""
+    Scale shape (r8): the per-row pair-product HOF exploded d(d−1)/2
+    structs per vector (~40M rows at sf1) into the (i,j) aggregate;
+    the Gram matrix Mᵀ·M is the same integers computed as one numpy
+    int64 matmul per Arrow batch inside ``mapInPandas`` (the audit's
+    sanctioned vectorized-Python node) — each partition emits one
+    65×65 triangle (pair sums + the diagonal s2 + a sum/count marker
+    row), so the shuffle is a few thousand rows regardless of corpus
+    size.  int64 accumulation is exact (|xq| ≤ ~1e4 quantized values ⇒
+    products ≤ 1e8, 9.2e18 headroom) and addition order is irrelevant
+    for integers, so the oracle hash is unchanged.  Measured at sf1:
+    15.9 s → 2.1 s (7.5×).  Requires a fixed embedding dim per corpus
+    (np.stack is ragged-intolerant — the table contract)."""
     e = _t(spark, sf_dir, "embeddings")
     qarr = F.expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000)"
         " AS BIGINT))"
     )
     base = e.select("vec_id", qarr.alias("q"))
-    ex = base.select(
-        "vec_id", F.posexplode("q").alias("d0", "x")
-    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x")
-    dims = ex.groupBy("d").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
-    )
-    pair_products = F.expr(
-        "flatten(transform(sequence(1, size(q) - 1), i ->"
-        " transform(sequence(i + 1, size(q)), j ->"
-        " struct(i AS i, j AS j, element_at(q, i) * element_at(q, j) AS xy))))"
-    )
-    pairs = (
-        base.select(F.explode(pair_products).alias("p"))
-        .select("p.i", "p.j", "p.xy")
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        tot = None
+        colsum = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            g = m.T @ m
+            s = m.sum(axis=0)
+            if tot is None:
+                tot, colsum = g, s
+            else:
+                tot += g
+                colsum += s
+            n += m.shape[0]
+        if tot is None:
+            return
+        d = tot.shape[0]
+        ii, jj, vv = [], [], []
+        for i in range(d):
+            ii.append(i + 1)
+            jj.append(0)  # j=0 marker: column sum s_i
+            vv.append(int(colsum[i]))
+            for j in range(i, d):
+                ii.append(i + 1)
+                jj.append(j + 1)
+                vv.append(int(tot[i, j]))
+        ii.append(0)
+        jj.append(0)  # (0,0) marker: row count
+        vv.append(n)
+        yield pd.DataFrame({"i": ii, "j": jj, "v": vv})
+
+    g = (
+        base.select("q")
+        .mapInPandas(gram, "i long, j long, v long")
         .groupBy("i", "j")
-        .agg(F.sum("xy").cast("bigint").alias("sxy"))
+        .agg(F.sum("v").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)  # three tiny consumers, one scan
     )
+    nrow = g.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("v").alias("n")
+    )
+    dims = (
+        g.where((F.col("i") > 0) & (F.col("j") == 0))
+        .select(F.col("i").alias("d"), F.col("v").alias("s"))
+        .join(
+            g.where((F.col("i") > 0) & (F.col("i") == F.col("j"))).select(
+                F.col("i").alias("d"), F.col("v").alias("s2")
+            ),
+            "d",
+        )
+        .crossJoin(F.broadcast(nrow))
+    )
+    pairs = g.where(
+        (F.col("i") > 0) & (F.col("j") > F.col("i"))
+    ).select("i", "j", F.col("v").alias("sxy"))
     di = dims.select(
         F.col("d").alias("i"),
         F.col("n").alias("ni"),
@@ -2320,12 +2370,16 @@ def q304_psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
         .alias("cur"),
     )
-    qs = [i / 10 for i in range(1, 10)]
-    thr = o.where(~F.col("cur")).agg(
-        *[
-            F.expr(f"percentile(cents, {q})").alias(f"t{i}")
-            for i, q in enumerate(qs, 1)
-        ]
+    # PERF (r8): ONE percentile(col, array(...)) aggregate — nine
+    # separate percentile() calls each buffer the full reference
+    # population independently (9× the aggregation-buffer traffic for
+    # identical interpolated values).  Measured at sf1: 70.5 s → 5.5 s
+    # cold (the nine-buffer form GC-thrashed); 12.7 s in BENCH_SF1.
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    thr = (
+        o.where(~F.col("cur"))
+        .agg(F.expr(f"percentile(cents, array({qs}))").alias("ts"))
+        .select(*[F.col("ts")[i - 1].alias(f"t{i}") for i in range(1, 10)])
     )
     bucket = F.lit(1)
     for i in range(1, 10):

@@ -2364,12 +2364,25 @@ def q264_shingle_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive_candidate_pairs blowup with many hot shingles predicts hot
     LSH buckets too and argues for a stopword-shingle filter.  Shape:
     per-doc distinct shingles (HOF projection), one df aggregation,
-    one scalar rollup — all exact integers."""
+    one scalar rollup — all exact integers.
+
+    PERF (r8): lower(text) is projected as its own column BEFORE
+    char_ngrams — an inline lower() lands inside the transform lambda
+    and re-lowers the WHOLE text once per shingle (O(len²) per doc;
+    the char_ngrams docstring's own warning).  Measured at sf1:
+    33.5 s → 21.4 s (1.57×) from this one staged projection; the
+    remaining time is the ~25M-row distinct-shingle explode feeding
+    the df aggregate (map-side partial combine keeps the shuffle to
+    distinct shingles), linear in corpus size."""
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
+        "doc_id", F.lower(F.col("text")).alias("__lt")
+    ).select(
         "doc_id",
         F.explode(
-            F.array_distinct(TXT.char_ngrams(F.col("text"), 8))
+            F.array_distinct(
+                TXT.char_ngrams(F.col("__lt"), 8, pre_lowered=True)
+            )
         ).alias("s"),
     )
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))

@@ -1302,7 +1302,20 @@ def q140_supplier_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairs map-side via collect_list + nested-transform HOFs
     (q127's shape) ran 5.0 s vs 4.5 s for this join at sf0.1 — the
     array build costs more than the shuffle it saves; the exploded
-    equi-join stays."""
+    equi-join stays.
+
+    Measured-negative alternative (r8): localCheckpoint'ing the
+    (s, c, w) rollup so its three consumers share one fact join ran
+    29.6 s vs 28.7 s at sf1 — ReuseExchange already shares the
+    self-join's exchange, and materializing the multi-million-row
+    rollup to executor storage costs more than norms' extra pass
+    saves.  sf1 adjudication (SCALING.md): runtime is
+    Θ(Σ_c deg(c)²) pair generation — ~100M pair rows into the
+    (s1, s2) aggregate — the exact all-pairs cosine's intermediate
+    lower bound, not a plan defect; the plan is the canonical
+    exploded-sparse form (MLlib columnSimilarities without its
+    sampling).  At 100 TB the contract is DIMSUM-style sampling or a
+    min-coorder-count filter, both of which change the result."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     sc = (

@@ -172,6 +172,67 @@ def knn_join_ivf(
     )
 
 
+def ivf_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Measured recall@k of ``knn_join_ivf`` against exact ground truth,
+    per ``nprobe`` — the number a user needs to CHOOSE nprobe rationally
+    (the IVF contract trades recall for probed fraction; without the
+    curve the knob is a guess).  Pair with
+    ``plans/sizing.py::ivf_nprobe`` to turn a target recall into the
+    smallest sufficient nprobe.
+
+    Ground truth is ``knn_join_ivf`` itself probing EVERY cell — exact
+    by construction, and using the same ranking/tiebreak code path as
+    the approximate runs, so recall reflects only probe misses, never
+    tie-ordering drift.  Output: one row per nprobe with
+    (n_queries, n_truth, n_hit, recall@k micro-averaged, rounded 6dp).
+
+    Scale shape: one centroid build + one routed equi-join per probed
+    setting (the knn_join_ivf shape — neither side broadcasts whole);
+    the recall join is truth ⋈ approx on (query, neighbor), both sides
+    already k rows per query."""
+    n_cells = corpus.select(cluster_col).distinct().count()
+    truth = knn_join_ivf(
+        corpus, queries, k, n_cells, cluster_col, id_col, vec_col,
+        query_id_col, query_vec_col,
+    ).select(
+        F.col(query_id_col).alias("__q"), F.col("neighbor_id").alias("__n")
+    ).localCheckpoint(eager=False)
+
+    out = None
+    for nprobe in nprobes:
+        approx = knn_join_ivf(
+            corpus, queries, k, nprobe, cluster_col, id_col, vec_col,
+            query_id_col, query_vec_col,
+        ).select(
+            F.col(query_id_col).alias("__q"), F.col("neighbor_id").alias("__n")
+        )
+        hit = truth.join(approx, ["__q", "__n"], "left_semi")
+        row = truth.agg(
+            F.countDistinct("__q").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_truth"),
+        ).crossJoin(
+            F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        ).select(
+            F.lit(nprobe).cast("bigint").alias("nprobe"),
+            F.col("n_queries").cast("bigint").alias("n_queries"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall_at_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def grid_self_pairs(
     df: DataFrame,
     block_cols: list[str],

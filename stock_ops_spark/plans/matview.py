@@ -113,19 +113,47 @@ class MatView:
         path: str,
         group_cols: list[str],
         measures: dict[str, tuple[str, str | None]],
+        join_dim: DataFrame | None = None,
+        join_on: list[str] | None = None,
     ):
+        """``join_dim``/``join_on``: the DIM-ENRICHED view shape (r8) —
+        every folded delta is inner-joined to this (small, broadcast)
+        dimension before the partial aggregate, so ``group_cols`` and
+        measure expressions may reference dim attributes (fact ⋈ dim →
+        group-by, e.g. revenue by the customer's nation).  Foldability
+        contract — the dim is a VERSIONED BROADCAST:
+
+        - the dim must be STABLE for the view's lifetime (pin it to a
+          store version / static snapshot); a changed dim invalidates
+          folded history — ``rebuild`` with the new dim.
+        - inner-join semantics: fact rows with no dim match are OUTSIDE
+          the view (and their retractions fold as no-ops, consistently);
+          dim attributes used as group keys must be non-NULL (NULL group
+          keys break the partial-merge join alignment).
+        - enrichment is row-wise and deterministic, so exactly-once
+          folding (sync/stream_sync cursors, crash replays) is preserved
+          bit-for-bit."""
         for name, (kind, _expr) in measures.items():
             if kind not in _KINDS:
                 raise ValueError(
                     f"measure {name!r}: kind {kind!r} not additive — "
                     f"supported: {sorted(_KINDS)}"
                 )
+        if (join_dim is None) != (join_on is None):
+            raise ValueError("join_dim and join_on go together")
         self.spark = spark
         self.group_cols = list(group_cols)
         self.measures = dict(measures)
+        self.join_dim = join_dim
+        self.join_on = list(join_on or [])
         self._table = StatsTable(
             spark, path, keys=self.group_cols, merge_fn=self._merge
         )
+
+    def _enrich(self, df: DataFrame) -> DataFrame:
+        if self.join_dim is None:
+            return df
+        return df.join(F.broadcast(self.join_dim), on=self.join_on, how="inner")
 
     @property
     def _subtractable(self) -> bool:
@@ -133,9 +161,16 @@ class MatView:
 
     # -- maintenance -----------------------------------------------------
     def _partial(self, delta: DataFrame, sign: int = 1) -> DataFrame:
-        """Grouped partials over ``delta``; ``sign=-1`` negates the
-        subtractable measures (the retraction fold — only valid when
-        every measure is subtractable, enforced by the caller)."""
+        """Grouped partials over ``delta`` (dim-enriched first when the
+        view has a join_dim); ``sign=-1`` negates the subtractable
+        measures (the retraction fold — only valid when every measure is
+        subtractable, enforced by the caller)."""
+        return self._partial_enriched(self._enrich(delta), sign)
+
+    def _partial_enriched(self, delta: DataFrame, sign: int = 1) -> DataFrame:
+        """Grouped partials over an ALREADY-ENRICHED frame — the
+        _fold_changes retraction path joins affected groups in enriched
+        space, so it must not re-enrich."""
         aggs = []
         for name, (kind, expr) in self.measures.items():
             part, _ = _KINDS[kind]
@@ -282,19 +317,31 @@ class MatView:
             merged = self._merge(existing, self._partial(pos), keys)
             merged = self._merge(merged, self._partial(neg, sign=-1), keys)
         else:
-            aff = neg.select(*keys).distinct().localCheckpoint(eager=True)
+            # affected groups live in ENRICHED space (group cols may be
+            # dim attributes), so enrich the change rows before deriving
+            # them and semi/anti-join enriched frames throughout
+            aff = (
+                self._enrich(neg)
+                .select(*keys)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
             n_recomputed = aff.count()
             if snapshot is None:
                 snapshot = store.read_all(mode, at_version=v1)
             recomputed = (
-                self._partial(snapshot.join(aff, on=keys, how="left_semi"))
+                self._partial_enriched(
+                    self._enrich(snapshot).join(aff, on=keys, how="left_semi")
+                )
                 if snapshot is not None
                 else None
             )
             # pos rows in affected groups are already inside the snapshot
             # recompute — folding them too would double-count
-            pos_clean = pos.join(aff, on=keys, how="left_anti")
-            merged = self._merge(existing, self._partial(pos_clean), keys)
+            pos_clean = self._enrich(pos).join(aff, on=keys, how="left_anti")
+            merged = self._merge(
+                existing, self._partial_enriched(pos_clean), keys
+            )
             merged = merged.join(aff, on=keys, how="left_anti")
             if recomputed is not None:
                 merged = merged.unionByName(recomputed, allowMissingColumns=True)

@@ -114,6 +114,29 @@ def ivf_cells(n_vectors: int) -> int:
     return p2
 
 
+def ivf_nprobe(
+    target_recall: float, curve: list[tuple[int, float]]
+) -> int:
+    """Smallest nprobe whose MEASURED recall@k meets ``target_recall``,
+    from an ``operators/similarity.py::ivf_recall_curve`` measurement
+    (list of (nprobe, recall) points).  IVF recall is monotone
+    non-decreasing in nprobe (a superset of probed cells can only add
+    candidates), so the smallest sufficient point is the right answer;
+    if no measured point reaches the target, return the largest
+    measured nprobe + a doubling step — the caller should re-measure
+    (the curve, not a formula, is the contract: recall depends on how
+    the corpus clusters, which no closed form sees)."""
+    if not curve:
+        raise ValueError("empty recall curve")
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError("target_recall must be in (0, 1]")
+    pts = sorted(curve)
+    for nprobe, recall in pts:
+        if recall >= target_recall:
+            return nprobe
+    return pts[-1][0] * 2
+
+
 def max_partition_bytes(cluster: ClusterShape) -> int:
     """Scan-split size: 1/8 of per-core memory, clamped to [32 MB, 512 MB].
 

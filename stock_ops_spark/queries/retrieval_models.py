@@ -3404,3 +3404,177 @@ def q315_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
+    "q317_ivf_recall_curve",
+    """
+    WITH el AS (
+      SELECT label, i, embedding[i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+      SELECT label, list(avg ORDER BY i) AS centroid
+      FROM (SELECT label, i, avg(v) AS avg FROM el GROUP BY label, i)
+      GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    routed AS (
+      SELECT q.qid, c.label, q.qv,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(c.centroid, q.qv)
+                        DESC NULLS LAST, c.label
+             ) AS cell_rank
+      FROM q, cent c
+    ),
+    cand AS (
+      SELECT r.qid, r.cell_rank, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], r.qv) AS cs
+      FROM routed r
+      JOIN embeddings e ON e.label = r.label AND e.vec_id <> r.qid
+    ),
+    np AS (SELECT * FROM (VALUES (1), (2), (4), (1000000)) AS t(nprobe)),
+    ranked AS (
+      SELECT np.nprobe, c.qid, c.vec_id,
+             row_number() OVER (
+               PARTITION BY np.nprobe, c.qid
+               ORDER BY c.cs DESC, c.vec_id
+             ) AS rk
+      FROM np JOIN cand c ON c.cell_rank <= np.nprobe
+    ),
+    topk AS (SELECT nprobe, qid, vec_id FROM ranked WHERE rk <= 5),
+    truth AS (SELECT qid, vec_id FROM topk WHERE nprobe = 1000000),
+    hits AS (
+      SELECT t.nprobe, count(*) AS n_hit
+      FROM topk t JOIN truth tr
+        ON tr.qid = t.qid AND tr.vec_id = t.vec_id
+      WHERE t.nprobe <> 1000000
+      GROUP BY t.nprobe
+    )
+    SELECT np.nprobe::BIGINT AS nprobe,
+           (SELECT count(DISTINCT qid) FROM truth)::BIGINT AS n_queries,
+           (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+           round(coalesce(h.n_hit, 0) * 1.0
+                 / (SELECT count(*) FROM truth), 6) AS recall_at_k
+    FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe
+    WHERE np.nprobe <> 1000000
+    ORDER BY nprobe
+    """,
+)
+def q317_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF recall@5 vs nprobe (operators/similarity.py::
+    ivf_recall_curve) — the curve that makes q24's nprobe knob a
+    rational choice instead of a guess, feeding
+    plans/sizing.py::ivf_nprobe(target_recall).  Ground truth probes
+    EVERY cell through the same knn_join_ivf ranking path, so the
+    number isolates probe misses from tie-ordering.  The oracle mirrors
+    the whole pipeline (centroids -> per-query cell ranks -> in-cell
+    exact rank -> recall join) in SQL; the curve rows are exact integer
+    ratios."""
+    from stock_ops_spark.operators.similarity import ivf_recall_curve
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_recall_curve(
+        e, queries, k=5, nprobes=(1, 2, 4)
+    ).orderBy("nprobe")
+
+
+@_register(
+    "q316_matview_join_dim",
+    """
+    WITH e AS (
+      SELECT event_type AS ticker,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_id % 25 < 2 AND event_id % 3 <> 0
+    ),
+    d AS (
+      SELECT DISTINCT event_type AS ticker,
+             upper(substr(event_type, 1, 2)) AS grp
+      FROM events WHERE event_id % 25 < 2
+    )
+    SELECT d.grp AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(e.cents) AS BIGINT) AS cents
+    FROM e JOIN d USING (ticker)
+    GROUP BY d.grp
+    ORDER BY grp
+    """,
+)
+def q316_matview_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-enriched materialized view, end-to-end and driver-oracled
+    (the q306/q315 discipline): an events slice is ingested into a
+    throwaway ManifestStore in two commits, a ``MatView(join_dim=...)``
+    (fact ⋈ broadcast dim → group-by sector) syncs INCREMENTALLY from
+    the CDC feed after each commit, a DELETE retracts every third row,
+    and the served view must equal the plain SQL fact⋈dim aggregate of
+    the surviving rows — proving the join-view fold (insert + negative
+    retraction, enriched space) exact through the mutation lifecycle.
+    Scale shape: two bounded ingests + one file-pruned delete; each
+    sync folds only that commit's delta (never a fact rescan — the
+    measures are subtractable), and the dim rides a broadcast."""
+    import os
+    import shutil
+    import tempfile
+
+    from stock_ops_spark.plans.matview import MatView
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 25 < 2).select(
+        F.col("event_type").alias("ticker"),
+        F.unix_millis("ts").alias("timestamp_UTC_ms"),
+        F.col("value").cast("double").alias("price"),
+        F.col("event_id").cast("bigint").alias("volume"),
+        F.lit(None).cast("double").alias("ask_price"),
+        F.lit(None).cast("double").alias("bid_price"),
+        F.lit(None).cast("bigint").alias("ask_size"),
+        F.lit(None).cast("bigint").alias("bid_size"),
+        (F.col("event_id") % 50 < 25).alias("__even"),
+    )
+    dim = (
+        ev.select("ticker")
+        .distinct()
+        .select(
+            "ticker", F.upper(F.substring("ticker", 1, 2)).alias("grp")
+        )
+        .localCheckpoint(eager=True)  # the versioned-broadcast pin:
+        # the dim must be STABLE for the view's lifetime
+    )
+    root = tempfile.mkdtemp(prefix="mv_join_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        store = ManifestStore(spark, root)
+        mv = MatView(
+            spark,
+            os.path.join(root, "mv"),
+            ["grp"],
+            {
+                "n": ("count", None),
+                "cents": ("sum", "CAST(round(price * 100) AS BIGINT)"),
+            },
+            join_dim=dim,
+            join_on=["ticker"],
+        )
+        store.ingest_batch(ev.where(F.col("__even")).drop("__even"), "streaming")
+        mv.sync(store, "streaming")
+        store.ingest_batch(ev.where(~F.col("__even")).drop("__even"), "streaming")
+        mv.sync(store, "streaming")
+        store.delete_where("streaming", "volume % 3 = 0", on_observers="ignore")
+        mv.sync(store, "streaming")
+        rows = mv.read().collect()
+        return spark.createDataFrame(
+            [(r["grp"], int(r["n"]), int(r["cents"])) for r in rows],
+            "grp string, n bigint, cents bigint",
+        ).orderBy("grp")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)

@@ -55,10 +55,15 @@ from stock_ops_spark import schemas as S
 from stock_ops_spark.operators.stats import batch_stats, merge_stats
 from stock_ops_spark.operators.versioning import latest_version_view
 from stock_ops_spark.sources.ingest import (
+    _MAX_PRUNE_PARTITIONS,
     cluster_for_write,
     compute_versioned_delta,
 )
-from stock_ops_spark.sources.layout import PARTITION_COLS, mode_root
+from stock_ops_spark.sources.layout import (
+    PARTITION_COLS,
+    mode_root,
+    with_partition_cols,
+)
 
 
 class CommitConflict(Exception):
@@ -152,6 +157,7 @@ class ManifestLog:
         # fold linear; dirs alone would make every add/remove an O(n)
         # list scan — measured 2x on a 4k-dir checkpoint)
         stats = None
+        stats_incs: list[dict] = []
         meta: dict[str, dict] = {}
         for c in commits:
             removes = c.get("removes", [])
@@ -171,11 +177,22 @@ class ManifestLog:
                     dirs.append(a)
                     seen.add(a)
             meta.update(c.get("meta") or {})
-            if "stats" in c:
-                stats = c["stats"]
+            # Stats pointers, two shapes (r8):
+            # - "stats": a CUMULATIVE snapshot — resets the increment
+            #   chain (a mutation/fold materialized everything so far);
+            #   carried-forward snapshots (compact/restore/checkpoint)
+            #   also carry "stats_incs", the outstanding chain verbatim.
+            # - "stats_inc": an ingest's batch-only INCREMENT — appends
+            #   to the chain; readers fold snapshot + chain
+            #   (sum/min/max per key is associative).
+            if "stats" in c or "stats_incs" in c:
+                stats = c.get("stats")
+                stats_incs = list(c.get("stats_incs") or [])
+            if c.get("stats_inc"):
+                stats_incs.append(c["stats_inc"])
         version = commits[-1]["version"] if commits else 0
         return {"version": version, "dirs": dirs, "stats": stats,
-                "meta": meta}
+                "stats_incs": stats_incs, "meta": meta}
 
     def try_commit(self, version: int, payload: dict) -> None:
         """Put-if-absent publish of ``version``; raises CommitConflict
@@ -359,21 +376,120 @@ class ManifestStore:
 
     # -- stats (atomic with data — THE point) ------------------------------
     def _stats_state(self, mode: str, at_version: int | None = None):
+        """(cumulative snapshot ptr | None, outstanding increment ptrs)."""
         state = self.log(mode).state(at_version)
-        return state["stats"]
+        return state["stats"], state["stats_incs"]
+
+    _STATS_KEYS = {"table": ["ticker"], "interval": ["ticker", "interval"]}
 
     def _read_stats(self, mode: str, which: str, at_version: int | None = None):
-        ptr = self._stats_state(mode, at_version)
-        if not ptr or which not in ptr:
+        """Current stats view: the last cumulative snapshot FOLDED with
+        every ingest increment committed since (r8).  The fold is one
+        union + one aggregate over tiny frames — sum/min/max per key is
+        associative, so a single groupBy equals the iterated
+        ``merge_stats`` the per-commit snapshot path used to run.  The
+        chain is bounded: ingest materializes a fresh snapshot every
+        ``STATS_FOLD_EVERY`` increments and every mutation/compaction
+        materializes too."""
+        cum, incs = self._stats_state(mode, at_version)
+        log_dir = self.log(mode).log_dir
+        paths = []
+        if cum and which in cum:
+            paths.append(os.path.join(log_dir, cum[which]))
+        paths.extend(
+            os.path.join(log_dir, i[which]) for i in incs if which in i
+        )
+        if not paths:
             return None
-        p = os.path.join(self.log(mode).log_dir, ptr[which])
-        return self.spark.read.parquet(p)
+        df = self.spark.read.parquet(*paths)
+        if len(paths) == 1:
+            return df
+        keys = self._STATS_KEYS[which]
+        return df.groupBy(*keys).agg(
+            F.sum("row_count").alias("row_count"),
+            F.min("min_ts").alias("min_ts"),
+            F.max("max_ts").alias("max_ts"),
+        )
 
     def table_stats(self, mode: str) -> DataFrame | None:
         return self._read_stats(mode, "table")
 
     def interval_stats(self, mode: str) -> DataFrame | None:
         return self._read_stats(mode, "interval")
+
+    def _write_stats_increment(
+        self, log, stats_dir: str, mode: str, grows: list
+    ) -> dict:
+        """Materialize one ingest's stats increment from the already-
+        collected per-(ticker[, interval]) rows — pyarrow on the driver,
+        zero Spark jobs (r8).  The rows are small by contract (the keys
+        ONE batch touches), the schema matches ``batch_stats`` exactly
+        (same column names/order/types), and ``_read_stats`` folds the
+        files with Spark-written snapshots interchangeably.  The ts
+        columns are plain integers (epoch s/ms) or ISO-8601 strings
+        (interday — ``str(date)`` equals Spark's CAST(date AS STRING)),
+        so no timestamp-encoding ambiguity exists on this path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ts_type = (
+            pa.string() if mode == "historical_interday" else pa.int64()
+        )
+
+        def _ts(v):
+            return v if isinstance(v, (int, str)) or v is None else str(v)
+
+        if mode == "streaming":
+            trows = [
+                (r["ticker"], r["rc"], _ts(r["lo"]), _ts(r["hi"]))
+                for r in grows
+            ]
+            files = {"table": (["ticker"], trows)}
+        else:
+            def _nmin(a, b):
+                return b if a is None else a if b is None else min(a, b)
+
+            def _nmax(a, b):
+                return b if a is None else a if b is None else max(a, b)
+
+            fold: dict = {}
+            for r in grows:
+                e = fold.get(r["ticker"])
+                if e is None:
+                    fold[r["ticker"]] = [r["rc"], r["lo"], r["hi"]]
+                else:
+                    e[0] += r["rc"]
+                    e[1] = _nmin(e[1], r["lo"])
+                    e[2] = _nmax(e[2], r["hi"])
+            trows = [
+                (t, v[0], _ts(v[1]), _ts(v[2]))
+                for t, v in sorted(fold.items())
+            ]
+            irows = [
+                (r["ticker"], r["interval"], r["rc"], _ts(r["lo"]), _ts(r["hi"]))
+                for r in grows
+            ]
+            files = {
+                "table": (["ticker"], trows),
+                "interval": (["ticker", "interval"], irows),
+            }
+
+        os.makedirs(os.path.join(log.log_dir, stats_dir), exist_ok=True)
+        stats_ptr = {}
+        for which, (keys, rows) in files.items():
+            names = keys + ["row_count", "min_ts", "max_ts"]
+            types = [pa.string()] * len(keys) + [pa.int64(), ts_type, ts_type]
+            cols = [
+                pa.array([row[i] for row in rows], type=types[i])
+                for i in range(len(names))
+            ]
+            rel = os.path.join(stats_dir, which)
+            pq.write_table(
+                pa.table(cols, names=names),
+                os.path.join(log.log_dir, rel),
+            )
+            stats_ptr[which] = rel
+        return stats_ptr
 
     # -- write -----------------------------------------------------------
     MAX_FAST_RETRIES = 24  # cheap logical-conflict retries (no recompute)
@@ -432,6 +548,10 @@ class ManifestStore:
                     return False
         return True
 
+    STATS_FOLD_EVERY = 32  # materialize a cumulative stats snapshot
+    # once the increment chain reaches this length — bounds the
+    # _read_stats fold and the carried "stats_incs" lists
+
     def ingest_batch(self, batch: DataFrame, mode: str) -> int:
         """Exactly ``ParquetStore.ingest_batch``'s contract, atomically.
 
@@ -440,44 +560,134 @@ class ManifestStore:
         - FAST path (the common multi-writer case): on a commit
           collision where every interleaved commit is a key-disjoint
           ingest (``_interleaved_commits_safe``), the already-written
-          batch dir and version assignment are still exactly right —
-          only the cumulative stats snapshot is stale.  Re-merge stats
-          against the fresh head (tiny frames) and re-commit at the next
-          version.  No data recompute, no data rewrite.
+          batch dir, version assignment AND stats increment are still
+          exactly right — the re-commit is a pure filesystem op (r8:
+          the per-commit stats snapshot became a version-independent
+          increment, so nothing Spark-side re-runs).
         - SLOW path: any interleaved mutation or key overlap invalidates
           the dedup/version assignment, so the whole body re-runs
-          against the fresh state (bounded retries, jittered backoff)."""
+          against the fresh state (bounded retries, jittered backoff).
+
+        Per-commit cost (r8): the delta is computed OPTIMISTICALLY as a
+        pure append (no store probe at all) and its grouped-stats
+        collect doubles as the bounds probe: only when some live dir's
+        recorded (ticker, ts) rectangle actually intersects the batch's
+        does the dedup/version pass re-run against just those dirs (an
+        existing key equal to a batch key lies inside both rectangles,
+        so disjoint dirs provably contribute nothing to the anti-join
+        or the prior-max-version probe).  A time-ordered or
+        ticker-sharded workload therefore commits in THREE Spark jobs
+        (checkpoint, grouped stats, write) regardless of store size;
+        overlapping or replayed batches pay the probe read on top,
+        pruned to the overlapping dirs."""
         parts = PARTITION_COLS[mode]
         log = self.log(mode)
         tsc = S.TS_COL[mode]
+
+        def _j(v):
+            return (
+                v
+                if v is None or isinstance(v, (int, float, str))
+                else str(v)
+            )
+
+        gb = ["ticker"] if mode == "streaming" else ["ticker", "interval"]
+        st_aggs = [
+            F.count(F.lit(1)).alias("rc"),
+            F.count(tsc).alias("nts"),
+            F.min(tsc).alias("lo"),
+            F.max(tsc).alias("hi"),
+        ]
+        if parts:
+            st_aggs.append(
+                F.slice(
+                    F.collect_set(F.struct(*parts)),
+                    1,
+                    _MAX_PRUNE_PARTITIONS + 1,
+                ).alias("tp")
+            )
+
+        def _stat_rows(df):
+            # ONE job serves the emptiness gate, the data-skipping
+            # bounds, the per-key stats increment AND the touched-
+            # partition literals: the grouped aggregate is small by
+            # contract (keys this one batch touches), so everything
+            # else derives driver-side for free.
+            return df.groupBy(*gb).agg(*st_aggs).collect()
+
+        def _meta_of(grows):
+            los = [r["lo"] for r in grows if r["lo"] is not None]
+            his = [r["hi"] for r in grows if r["hi"] is not None]
+            tks = [r["ticker"] for r in grows if r["ticker"] is not None]
+            return {
+                "ticker": [
+                    _j(min(tks)) if tks else None,
+                    _j(max(tks)) if tks else None,
+                ],
+                tsc: [
+                    _j(min(los)) if los else None,
+                    _j(max(his)) if his else None,
+                ],
+            }
+
         for _attempt in range(self.MAX_COMMIT_RETRIES):
             state = log.state()
-            existing = self._read_dirs(mode, state["dirs"])
-            versioned = compute_versioned_delta(batch, existing, mode, self.tz)
+            versioned = compute_versioned_delta(batch, None, mode, self.tz)
             versioned = versioned.localCheckpoint(eager=True)
-            # one job serves both the emptiness gate and the
-            # data-skipping bounds (a separate _dir_meta aggregate
-            # measured as a visible per-commit tax at micro-batch sizes)
-            mrow = versioned.agg(
-                F.count(F.lit(1)),
-                F.min("ticker"), F.max("ticker"),
-                F.min(tsc), F.max(tsc),
-            ).collect()[0]
-            n = mrow[0]
+            grows = _stat_rows(versioned)
+            n = sum(r["rc"] for r in grows)
             if not n:
                 return 0
+            dir_meta = _meta_of(grows)
+            # rectangle pruning is only sound when every key is non-NULL
+            # (NULL keys fall outside any recorded bounds)
+            keys_total = (
+                sum(r["nts"] for r in grows) == n
+                and all(r["ticker"] is not None for r in grows)
+                and dir_meta["ticker"][0] is not None
+                and dir_meta[tsc][0] is not None
+            )
+            meta = state["meta"]
 
-            def _j(v):
-                return (
-                    v
-                    if v is None or isinstance(v, (int, float, str))
-                    else str(v)
+            def _may_touch(m: dict | None) -> bool:
+                if not m:
+                    return True  # unknown bounds: must read
+                return not (
+                    self._bounds_disjoint(m.get("ticker"), dir_meta["ticker"])
+                    or self._bounds_disjoint(m.get(tsc), dir_meta[tsc])
                 )
 
-            dir_meta = {
-                "ticker": [_j(mrow[1]), _j(mrow[2])],
-                tsc: [_j(mrow[3]), _j(mrow[4])],
-            }
+            overlap = (
+                [d for d in state["dirs"] if _may_touch(meta.get(d))]
+                if keys_total
+                else list(state["dirs"])
+            )
+            if overlap:
+                # some live dir may share keys: re-run the dedup/version
+                # pass against just those dirs.  The optimistic delta is
+                # the checkpointed, already-routed batch — re-planning
+                # from it avoids re-paying the batch's own source.
+                touched = None
+                if parts and all(
+                    r["tp"] is not None and len(r["tp"]) <= _MAX_PRUNE_PARTITIONS
+                    for r in grows
+                ):
+                    tset = {tuple(t) for r in grows for t in r["tp"]}
+                    touched = list(tset) if len(tset) <= _MAX_PRUNE_PARTITIONS else []
+                existing = self._read_dirs(mode, overlap)
+                versioned = compute_versioned_delta(
+                    versioned.drop("version", *parts),
+                    existing,
+                    mode,
+                    self.tz,
+                    touched=touched,
+                )
+                versioned = versioned.localCheckpoint(eager=True)
+                grows = _stat_rows(versioned)
+                n = sum(r["rc"] for r in grows)
+                if not n:
+                    return 0
+                dir_meta = _meta_of(grows)
             base_version = state["version"]
             new_version = base_version + 1
             batch_dir = f"batch-{uuid.uuid4().hex[:12]}"
@@ -488,38 +698,48 @@ class ManifestStore:
                 writer = writer.partitionBy(*parts)
             writer.parquet(os.path.join(self.data_path(mode), batch_dir))
 
-            # batch-only stats depend ONLY on this delta: compute once,
-            # re-merge cheaply on every fast retry
-            bstats = {}
-            for which, by_interval in (("table", False), ("interval", True)):
-                if by_interval and mode == "streaming":
-                    continue
-                bstats[which] = batch_stats(
-                    versioned, mode, by_interval
-                ).localCheckpoint(eager=True)
-
-            for _fast in range(self.MAX_FAST_RETRIES):
-                stats_ptr = {}
+            # batch-only stats depend ONLY on this delta — written ONCE
+            # as a version-independent INCREMENT (r8); readers fold it.
+            # The increment files come straight from the grouped rows
+            # above via pyarrow: zero extra Spark jobs.  Every
+            # STATS_FOLD_EVERY increments, materialize a cumulative
+            # snapshot instead (the Spark merge path) so the fold chain
+            # stays bounded.
+            fold_now = len(state["stats_incs"]) >= self.STATS_FOLD_EVERY
+            whichs = (
+                [("table", False)]
+                if mode == "streaming"
+                else [("table", False), ("interval", True)]
+            )
+            if fold_now:
                 stats_dir = f"stats-{new_version:08d}-{uuid.uuid4().hex[:8]}"
-                for which, bdf in bstats.items():
-                    keys = (
-                        ["ticker", "interval"] if which == "interval"
-                        else ["ticker"]
+                stats_ptr = {}
+                for which, by_interval in whichs:
+                    bdf = merge_stats(
+                        self._read_stats(mode, which),
+                        batch_stats(versioned, mode, by_interval),
+                        self._STATS_KEYS[which],
                     )
-                    prior = self._read_stats(mode, which)
-                    merged = merge_stats(prior, bdf, keys)
                     rel = os.path.join(stats_dir, which)
-                    merged.coalesce(1).write.parquet(
+                    bdf.coalesce(1).write.parquet(
                         os.path.join(log.log_dir, rel)
                     )
                     stats_ptr[which] = rel
+            else:
+                stats_dir = f"stats-inc-{uuid.uuid4().hex[:12]}"
+                stats_ptr = self._write_stats_increment(
+                    log, stats_dir, mode, grows
+                )
+            stats_key = "stats" if fold_now else "stats_inc"
+
+            for _fast in range(self.MAX_FAST_RETRIES):
                 try:
                     log.try_commit(
                         new_version,
                         {
                             "adds": [batch_dir],
                             "removes": [],
-                            "stats": stats_ptr,
+                            stats_key: stats_ptr,
                             "meta": {batch_dir: dir_meta},
                             "op": "ingest",
                             "ts": time.time(),
@@ -541,25 +761,28 @@ class ManifestStore:
                         obs(versioned, mode)
                     return n
                 except CommitConflict:
-                    shutil.rmtree(
-                        os.path.join(log.log_dir, stats_dir),
-                        ignore_errors=True,
-                    )
                     head = log.version()
                     if self._interleaved_commits_safe(
                         mode, base_version, head, dir_meta
                     ):
                         # delta still valid: slide the base forward and
-                        # re-commit (stats re-merge only)
-                        base_version = head
-                        new_version = head + 1
-                        time.sleep(random.uniform(0.0, 0.1))  # desync only
-                        continue
-                    break  # logical conflict: fall out to the full recompute
+                        # re-commit.  An INCREMENT is version-independent
+                        # so the retry is a pure filesystem op; a FOLD
+                        # snapshot is stale against the interleaved
+                        # commits, so fall through to the recompute.
+                        if not fold_now:
+                            base_version = head
+                            new_version = head + 1
+                            time.sleep(random.uniform(0.0, 0.05))  # desync
+                            continue
+                    break  # logical conflict (or stale fold): recompute
             # loser with a LOGICAL conflict — or fast budget exhausted
             # (extreme contention): clean the invisible output and
             # recompute from fresh state; the outer loop's backoff is
             # the final fairness lever before giving up for real
+            shutil.rmtree(
+                os.path.join(log.log_dir, stats_dir), ignore_errors=True
+            )
             shutil.rmtree(
                 os.path.join(self.data_path(mode), batch_dir),
                 ignore_errors=True,
@@ -741,10 +964,15 @@ class ManifestStore:
             inserts = compute_versioned_delta(ins_src, None, mode, self.tz)
             inserts = inserts.localCheckpoint(eager=True)
             n_ins = inserts.count()
-            stats_ptr = self._stats_state(mode)
+            # pure update: carry the stats snapshot AND the outstanding
+            # increment chain forward verbatim (index keys can't move);
+            # with inserts, materialize a fresh cumulative snapshot
+            # (the _read_stats fold already includes the chain)
+            stats_ptr, stats_incs = self._stats_state(mode)
             stats_dir = None
             new_version = state["version"] + 1
             if n_ins:
+                stats_incs = []
                 adds.append(
                     self._write_batch_dir(inserts, mode, meta_out=meta_map)
                 )
@@ -780,6 +1008,7 @@ class ManifestStore:
                         "adds": adds,
                         "removes": removes,
                         "stats": stats_ptr,
+                        "stats_incs": stats_incs,
                         "meta": meta_map,
                         "op": "merge",
                         "cdc": cdc_rel,
@@ -1240,7 +1469,11 @@ class ManifestStore:
                     {
                         "adds": [new_dir],
                         "removes": list(state["dirs"]),
-                        "stats": self._stats_state(mode),
+                        # physical rewrite: stats are untouched — carry
+                        # the snapshot AND the outstanding increment
+                        # chain forward verbatim
+                        "stats": state["stats"],
+                        "stats_incs": state["stats_incs"],
                         "meta": {new_dir: new_meta},
                         "op": "compact",
                         "ts": time.time(),
@@ -1318,6 +1551,7 @@ class ManifestStore:
                             if d not in set(target["dirs"])
                         ],
                         "stats": target["stats"],
+                        "stats_incs": target["stats_incs"],
                         "meta": {
                             d: target["meta"][d]
                             for d in target["dirs"]
@@ -1429,6 +1663,7 @@ class ManifestStore:
             "adds": list(st["dirs"]),
             "removes": [],
             "stats": st["stats"],
+            "stats_incs": st["stats_incs"],
             "meta": {d: st["meta"][d] for d in st["dirs"] if d in st["meta"]},
             "op": "checkpoint",
             "ts": time.time(),
@@ -1481,13 +1716,22 @@ class ManifestStore:
         ever_cdc = set()
         for c in commits:
             ever_adds.update(c.get("adds", []))
-            for rel in (c.get("stats") or {}).values():
-                ever_stats.add(rel.split(os.sep)[0])
+            for ptr in (
+                [c.get("stats"), c.get("stats_inc")]
+                + list(c.get("stats_incs") or [])
+            ):
+                for rel in (ptr or {}).values():
+                    ever_stats.add(rel.split(os.sep)[0])
             if c.get("cdc"):
                 ever_cdc.add(c["cdc"].split(os.sep)[0])
-        # current stats must survive even past grace
-        cur = self._stats_state(mode) or {}
-        cur_stats = {rel.split(os.sep)[0] for rel in cur.values()}
+        # current stats (snapshot + outstanding increment chain) must
+        # survive even past grace
+        cur, cur_incs = self._stats_state(mode)
+        cur_stats = {
+            rel.split(os.sep)[0]
+            for ptr in [cur or {}] + list(cur_incs)
+            for rel in ptr.values()
+        }
         removed = []
         now = time.time()
         data_root = self.data_path(mode)

@@ -46,14 +46,23 @@ _MAX_PRUNE_PARTITIONS = 256
 
 
 def compute_versioned_delta(
-    batch: DataFrame, existing: DataFrame | None, mode: str, tz: str
+    batch: DataFrame,
+    existing: DataFrame | None,
+    mode: str,
+    tz: str,
+    touched: list | None = None,
 ) -> DataFrame:
     """Steps 1-5 of the ingest contract (P5/A2/A3/A4), shared by
     ``ParquetStore`` and the manifest-committed store
     (``sources/commitlog.py``): route partitions, align evolved schemas
     both ways, prune the existing-store probe to the touched partitions,
     dedup against it, and assign versions.  Returns the lazy delta —
-    the caller decides how to materialize and commit it."""
+    the caller decides how to materialize and commit it.
+
+    ``touched``: optional precomputed partition-value tuples the batch
+    hits (a caller that already ran an aggregate over the routed batch
+    can fold the collect in and save one Spark job — r8).  ``[]`` means
+    "known over-cap: skip pruning"; ``None`` means "compute here"."""
     keys = S.INDEX_COLS[mode]
     declared = set(S.SCHEMAS[mode].fieldNames())
     extra = [c for c in batch.columns if c not in declared]
@@ -88,13 +97,14 @@ def compute_versioned_delta(
         # could touch thousands of partitions — cap the literal list;
         # past the cap, skip pruning (full probe beats an unbounded
         # driver collect + a many-thousand-term predicate).
-        touched = [
-            tuple(r)
-            for r in routed.select(*parts)
-            .distinct()
-            .limit(_MAX_PRUNE_PARTITIONS + 1)
-            .collect()
-        ]
+        if touched is None:
+            touched = [
+                tuple(r)
+                for r in routed.select(*parts)
+                .distinct()
+                .limit(_MAX_PRUNE_PARTITIONS + 1)
+                .collect()
+            ]
         if len(touched) > _MAX_PRUNE_PARTITIONS:
             touched = []
         pred = partition_values_predicate(parts, touched)

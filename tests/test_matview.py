@@ -454,3 +454,152 @@ def test_stream_sync_maintains_view_from_cdc_stream(spark, tmp_path):
     drain()
     assert sorted(map(tuple, mv.read().collect())) == before
     assert mv.cursor() == 4
+
+
+# ---------------------------------------------------------------------------
+# Dim-enriched (join) views — r8: MatView(join_dim=..., join_on=...)
+# ---------------------------------------------------------------------------
+
+def _dim(spark, rows=None):
+    return spark.createDataFrame(
+        rows or [("SPY", "A"), ("VOO", "B"), ("IVV", "A")],
+        "ticker string, sector string",
+    )
+
+
+def _join_mv(spark, tmp_path, measures, dim=None):
+    return MatView(
+        spark,
+        str(tmp_path / "jmv"),
+        ["sector"],
+        measures,
+        join_dim=dim if dim is not None else _dim(spark),
+        join_on=["ticker"],
+    )
+
+
+def test_join_view_requires_both_dim_args(spark, tmp_path):
+    with pytest.raises(ValueError):
+        MatView(spark, str(tmp_path / "x"), ["sector"], SUB_MEASURES,
+                join_dim=_dim(spark))
+
+
+def test_join_view_sync_through_ingest_merge_delete(spark, tmp_path):
+    """view == recompute (fact ⋈ dim → group-by) through the full
+    mutation lifecycle, folding only CDC deltas — never a fact rescan
+    for subtractable measures."""
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = _join_mv(spark, tmp_path, SUB_MEASURES)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    mv.sync(store, MODE)
+    _assert_view_equals_recompute(mv, store)
+    got = {r.sector: (r.n, r.vol) for r in mv.read().collect()}
+    assert got == {"A": (2, 1900), "B": (1, 100)}
+
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    # payload correction (update pre/post) + a brand-new key in sector A
+    src = [
+        ("SPY", 1751463000, 617.0, 618.7, 616.6, 618.6, 5000, "1h"),
+        ("IVV", 1751463000, 500.0, 501.0, 499.0, 500.5, 10, "1h"),
+    ]
+    store.merge(_fact_df(spark, src), MODE, on_observers="ignore")
+    res = mv.sync(store, MODE)
+    assert res["recomputed_groups"] == 0  # subtractable: no fact scan
+    _assert_view_equals_recompute(mv, store)
+
+    # deleting every VOO row empties sector B out of the view
+    store.delete_where(MODE, "ticker = 'VOO'", on_observers="ignore")
+    mv.sync(store, MODE)
+    _assert_view_equals_recompute(mv, store)
+    assert "B" not in {r.sector for r in mv.read().collect()}
+
+
+def test_join_view_minmax_recomputes_only_affected_sector(spark, tmp_path):
+    """Retraction of a max-holding row recomputes ONLY the retracted
+    row's SECTOR (the affected-group set lives in enriched space)."""
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = _join_mv(
+        spark, tmp_path,
+        {"n": ("count", None), "hi": ("max", "high")},
+    )
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    mv.sync(store, MODE)
+    hi0 = {r.sector: r.hi for r in mv.read().collect()}
+    assert hi0["A"] == 630.0
+    store.delete_where(MODE, "high = 630.0", on_observers="ignore")
+    res = mv.sync(store, MODE)
+    assert res["recomputed_groups"] == 1  # sector A only
+    _assert_view_equals_recompute(mv, store)
+    hi1 = {r.sector: r.hi for r in mv.read().collect()}
+    assert hi1["A"] == 619.0 and hi1["B"] == hi0["B"]
+
+
+def test_join_view_unmatched_fact_rows_stay_outside(spark, tmp_path):
+    """Inner-join contract: fact rows with no dim match never enter the
+    view, and their retractions fold as no-ops — consistent on both
+    sides of the equivalence."""
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    dim = _dim(spark, [("SPY", "A"), ("IVV", "A")])  # VOO uncovered
+    mv = _join_mv(spark, tmp_path, SUB_MEASURES, dim=dim)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    mv.sync(store, MODE)
+    _assert_view_equals_recompute(mv, store)
+    got = {r.sector: (r.n, r.vol) for r in mv.read().collect()}
+    assert got == {"A": (2, 1900)}  # VOO rows invisible
+    store.delete_where(MODE, "ticker = 'VOO'", on_observers="ignore")
+    res = mv.sync(store, MODE)  # retraction of unmatched rows: no-op
+    _assert_view_equals_recompute(mv, store)
+    assert {r.sector: (r.n, r.vol) for r in mv.read().collect()} == got
+
+
+def test_join_view_retention_gap_and_heal(spark, tmp_path):
+    """cdc=False retention gaps the feed for a join view exactly as for
+    a plain one: loud ChangeFeedGap, heal via init_from_snapshot (which
+    enriches), incremental resume after."""
+    from stock_ops_spark.sources.commitlog import ChangeFeedGap
+
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = _join_mv(spark, tmp_path, SUB_MEASURES)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    mv.sync(store, MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    store.retain_before(MODE, 1751500000, on_observers="ignore")
+    with pytest.raises(ChangeFeedGap):
+        mv.sync(store, MODE)
+    mv.init_from_snapshot(store, MODE)
+    _assert_view_equals_recompute(mv, store)
+    store.ingest_batch(
+        _fact_df(spark, [("IVV", 1751650000, 1.0, 2.0, 0.5, 1.5, 5, "1h")]),
+        MODE,
+    )
+    res = mv.sync(store, MODE)
+    assert res["pos_rows"] == 1
+    _assert_view_equals_recompute(mv, store)
+
+
+def test_join_view_stream_sync(spark, tmp_path):
+    """Continuous maintenance of the dim-enriched view from the CDC
+    stream: exactly-once across drains and replays, mutations folded."""
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = _join_mv(spark, tmp_path, SUB_MEASURES)
+    ckpt = str(tmp_path / "ckpt")
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+
+    def drain():
+        q = mv.stream_sync(store, MODE, ckpt, available_now=True)
+        q.awaitTermination(300)
+        q.stop()
+
+    drain()
+    assert mv.cursor() == 2
+    _assert_view_equals_recompute(mv, store)
+    store.delete_where(MODE, "ticker = 'VOO'", on_observers="ignore")
+    drain()
+    _assert_view_equals_recompute(mv, store)
+    got = {r.sector: (r.n, r.vol) for r in mv.read().collect()}
+    assert "B" not in got
+    before = sorted(map(tuple, mv.read().collect()))
+    drain()  # replay: nothing changes
+    assert sorted(map(tuple, mv.read().collect())) == before

@@ -119,3 +119,27 @@ def test_lsh_max_bucket_rule():
     assert 64 <= cap <= 512 and cap < 4000
     # degenerate inputs stay sane
     assert lsh_max_bucket(p99_bucket=0, max_bucket=10**6) == 64
+
+
+def test_ivf_nprobe_rule():
+    import pytest
+
+    from stock_ops_spark.plans.sizing import ivf_nprobe
+
+    curve = [(1, 0.42), (2, 0.71), (4, 0.93), (8, 0.99)]
+    # smallest measured point meeting the target
+    assert ivf_nprobe(0.7, curve) == 2
+    assert ivf_nprobe(0.9, curve) == 4
+    assert ivf_nprobe(0.99, curve) == 8
+    # boundary: exactly-met recall counts
+    assert ivf_nprobe(0.42, curve) == 1
+    # unreachable target: largest measured * 2 (re-measure signal)
+    assert ivf_nprobe(0.999, curve) == 16
+    # unsorted input is sorted internally
+    assert ivf_nprobe(0.9, list(reversed(curve))) == 4
+    with pytest.raises(ValueError):
+        ivf_nprobe(0.9, [])
+    with pytest.raises(ValueError):
+        ivf_nprobe(0.0, curve)
+    with pytest.raises(ValueError):
+        ivf_nprobe(1.5, curve)

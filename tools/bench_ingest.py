@@ -228,7 +228,19 @@ def counting(self, version, payload):
         conflicts[0] += 1
         raise
 ManifestLog.try_commit = counting
-spark.createDataFrame([(1,)], "x int").count()
+# Warm the FULL ingest path (codegen/JIT for the window, parquet+zstd
+# writer, arrow stats) against a private throwaway store BEFORE the
+# start gate: the first-ever commit pays ~3 s of one-time JVM warmup
+# (measured r8) that would otherwise dominate a "sustained rows/s"
+# number.  The measured store sees only timed commits.
+warm = ManifestStore(spark, {root!r} + f"-warm-{{i}}", auto_compact_every=0)
+rows = [(f"T{{i:02d}}", 1751463000 + 60 * j, 1.0, 2.0, 0.5, 1.5, 100 + j, "1h")
+        for j in range({batch_rows})]
+warm.ingest_batch(
+    spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY),
+    "historical_intraday",
+)
+conflicts[0] = 0
 open({root!r} + f"/ready-{{i}}", "w").close()
 while not os.path.exists({go!r}):
     time.sleep(0.01)
@@ -301,6 +313,8 @@ print("DONE", total, conflicts[0], flush=True)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
+    for i in range(n_writers):
+        shutil.rmtree(f"{root}-warm-{i}", ignore_errors=True)
 
 
 if __name__ == "__main__":

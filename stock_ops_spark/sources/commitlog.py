@@ -11,8 +11,10 @@ Delta Lake / Iceberg do, reduced to what plain files can guarantee:
 
 - every ingest writes its data to a FRESH batch directory
   (``batch-<uuid>/``, invisible to readers — nothing lists it);
-- the cumulative stats parquet for the would-be version is written
-  next, also invisible;
+- the batch's stats INCREMENT parquet is written next, also invisible
+  (r8: version-independent per-batch deltas; readers fold the last
+  cumulative snapshot + the outstanding chain, and the chain is
+  bounded by periodic folds and by mutation snapshots);
 - then ONE atomic, put-if-absent commit file
   (``__log/<version>.json``) publishes {batch dirs, stats dirs}
   together.  ``os.link`` from a tmp name gives compare-and-swap on
@@ -254,7 +256,7 @@ class ManifestStore:
         provider: str = "EODHD",
         exchange: str = "US",
         tz: str = "America/New_York",
-        auto_compact_every: int = 16,
+        auto_compact_every: "int | str" = "auto",
         observers: list | None = None,
     ):
         self.spark = spark
@@ -273,7 +275,12 @@ class ManifestStore:
         # since the last compaction — measured 4x rows/s loss at 100
         # uncompacted micro-batches.  Folding every K commits bounds the
         # union at K relations, amortizing one rewrite across K ingests
-        # (Delta's OPTIMIZE cadence).  0 disables.
+        # (Delta's OPTIMIZE cadence).  0 disables; an int pins the
+        # cadence; "auto" (default, r8) derives it per commit from the
+        # live row count — a driver-side fold of the per-dir "n" meta,
+        # no Spark job — via plans/sizing.compact_cadence: the cadence
+        # GROWS with the store because each rewrite costs more while
+        # the per-dir read tax stays constant.
         self.auto_compact_every = auto_compact_every
 
     # -- paths -----------------------------------------------------------
@@ -628,6 +635,10 @@ class ManifestStore:
                     _j(min(los)) if los else None,
                     _j(max(his)) if his else None,
                 ],
+                # per-dir row count: free here, and it makes the live
+                # store size a DRIVER-SIDE fold of the manifest — the
+                # auto-compaction cadence reads it without a Spark job
+                "n": sum(r["rc"] for r in grows),
             }
 
         for _attempt in range(self.MAX_COMMIT_RETRIES):
@@ -745,18 +756,28 @@ class ManifestStore:
                             "ts": time.time(),
                         },
                     )
-                    if (
-                        self.auto_compact_every
-                        and len(log.state()["dirs"])
-                        >= self.auto_compact_every
-                    ):
-                        # best-effort fold; a lost race just means another
-                        # writer compacted (or appended — next ingest
-                        # retries)
-                        try:
-                            self.compact(mode)
-                        except RuntimeError:
-                            pass
+                    if self.auto_compact_every:
+                        st = log.state()
+                        if self.auto_compact_every == "auto":
+                            from stock_ops_spark.plans.sizing import (
+                                compact_cadence,
+                            )
+
+                            live_rows = sum(
+                                (st["meta"].get(d) or {}).get("n") or 0
+                                for d in st["dirs"]
+                            )
+                            cadence = compact_cadence(live_rows)
+                        else:
+                            cadence = self.auto_compact_every
+                        if len(st["dirs"]) >= cadence:
+                            # best-effort fold; a lost race just means
+                            # another writer compacted (or appended —
+                            # next ingest retries)
+                            try:
+                                self.compact(mode)
+                            except RuntimeError:
+                                pass
                     for obs in self.observers:
                         obs(versioned, mode)
                     return n
@@ -794,6 +815,47 @@ class ManifestStore:
         )
 
     # -- physical mutation: MERGE / DELETE (file-pruned rewrite) ---------
+    def _dirs_overlapping_keys(
+        self, mode: str, df: DataFrame, state: dict
+    ) -> list[str]:
+        """Live dirs whose recorded (ticker, ts) rectangles can contain
+        any of ``df``'s keys — the merge-probe twin of ingest's
+        optimistic bounds check (r8).  A key present in a dir lies
+        inside that dir's rectangle AND inside ``df``'s, so dirs with a
+        provably-disjoint rectangle cannot hold a matching key and are
+        skipped BEFORE the tagged probe read.  Falls back to every dir
+        when bounds are unavailable (missing columns, NULL keys, empty
+        frame)."""
+        dirs = state["dirs"]
+        tsc = S.TS_COL[mode]
+        if not dirs or "ticker" not in df.columns or tsc not in df.columns:
+            return dirs
+        b = df.agg(
+            F.count(F.lit(1)),
+            F.count("ticker"), F.count(tsc),
+            F.min("ticker"), F.max("ticker"),
+            F.min(tsc), F.max(tsc),
+        ).collect()[0]
+        if not b[0] or b[1] != b[0] or b[2] != b[0]:
+            return dirs  # empty or NULL keys: cannot bound
+
+        def j(v):
+            return v if v is None or isinstance(v, (int, float, str)) else str(v)
+
+        bt = [j(b[3]), j(b[4])]
+        bts = [j(b[5]), j(b[6])]
+        meta = state["meta"]
+
+        def may_touch(m: dict | None) -> bool:
+            if not m:
+                return True
+            return not (
+                self._bounds_disjoint(m.get("ticker"), bt)
+                or self._bounds_disjoint(m.get(tsc), bts)
+            )
+
+        return [d for d in dirs if may_touch(meta.get(d))]
+
     def _read_dirs_tagged(self, mode: str, dirs: list[str]) -> DataFrame | None:
         """Snapshot union with a ``__dir`` provenance column — the probe
         frame file pruning works on (which batch dirs does the mutation
@@ -827,14 +889,17 @@ class ManifestStore:
         aggs = []
         for c in cols:
             aggs += [F.min(c), F.max(c)]
+        aggs.append(F.count(F.lit(1)))
         row = df.agg(*aggs).collect()[0]
 
         def j(v):
             return v if v is None or isinstance(v, (int, float, str)) else str(v)
 
-        return {
+        meta = {
             c: [j(row[2 * i]), j(row[2 * i + 1])] for i, c in enumerate(cols)
         }
+        meta["n"] = row[2 * len(cols)]
+        return meta
 
     def _write_batch_dir(
         self, df: DataFrame, mode: str, meta_out: dict | None = None
@@ -907,7 +972,14 @@ class ManifestStore:
         src_payload = [c for c in src.columns if c not in keys]
         for _attempt in range(self.MAX_COMMIT_RETRIES):
             state = log.state()
-            tagged = self._read_dirs_tagged(mode, state["dirs"])
+            # commit-level probe pruning (r8): only dirs whose recorded
+            # key rectangles can intersect the source's participate in
+            # BOTH the touched-dir discovery and the insert anti-join —
+            # a key in a pruned dir would have to lie in two provably
+            # disjoint rectangles.  An upsert against a time-ordered
+            # store probes O(touched) dirs, not the store.
+            probe_dirs = self._dirs_overlapping_keys(mode, src, state)
+            tagged = self._read_dirs_tagged(mode, probe_dirs)
             src_keys = src.select(*keys).distinct()
             adds: list[str] = []
             removes: list[str] = []
@@ -1448,7 +1520,12 @@ class ManifestStore:
             if all(olds):
                 new_meta: dict = {}
                 for m in olds:
-                    for col, (lo, hi) in m.items():
+                    for col, v in m.items():
+                        if col == "n":  # per-dir row count: sum, not span
+                            if v is not None:
+                                new_meta["n"] = (new_meta.get("n") or 0) + v
+                            continue
+                        lo, hi = v
                         if col in new_meta:
                             plo, phi = new_meta[col]
                             new_meta[col] = [
@@ -1461,6 +1538,10 @@ class ManifestStore:
                             ]
                         else:
                             new_meta[col] = [lo, hi]
+                # a pre-r8 dir without "n" leaves the fold without one
+                # (unknown beats wrong; the cadence treats missing as 0)
+                if any("n" not in m for m in olds):
+                    new_meta.pop("n", None)
             else:
                 new_meta = self._dir_meta(df, mode)
             try:

@@ -109,9 +109,15 @@ def test_two_process_commit_race_gapless_exactly_once(spark, tmp_path):
 
     store = ManifestStore(spark, root)
     log = store.log(MODE)
-    versions = [c["version"] for c in log.commits()]
-    # gapless linear history: one commit per ingest, no holes, no dupes
-    assert versions == list(range(1, 2 * ROUNDS + 1))
+    commits = log.commits()
+    versions = [c["version"] for c in commits]
+    # gapless linear history: no holes, no dupes.  The r8 "auto"
+    # compaction cadence may legitimately fold once mid-race (live
+    # dirs reach the cadence floor), so the pin is: every version
+    # consecutive, and EXACTLY one ingest commit per ingest call.
+    assert versions == list(range(1, len(versions) + 1))
+    n_ingests = sum(1 for c in commits if c.get("op") == "ingest")
+    assert n_ingests == 2 * ROUNDS
     rows = store.read_all(MODE).collect()
     assert len(rows) == 2 * ROUNDS
     assert all(r["version"] == 1 for r in rows)  # disjoint keys: no conflicts

@@ -143,3 +143,29 @@ def test_ivf_nprobe_rule():
         ivf_nprobe(0.0, curve)
     with pytest.raises(ValueError):
         ivf_nprobe(1.5, curve)
+
+
+def test_compact_cadence_rule():
+    import pytest
+
+    from stock_ops_spark.plans.sizing import compact_cadence
+
+    # sqrt balance: K* = sqrt(2 * (n/1e5) / 0.05) at the defaults
+    assert compact_cadence(0) == 8            # empty store: floor
+    assert compact_cadence(100_000) == 8      # sqrt(40)=6.3 -> floor 8
+    assert compact_cadence(1_000_000) == 20   # sqrt(400)
+    assert compact_cadence(100_000_000) == 200
+    assert compact_cadence(10**12) == 256     # ceiling
+    # monotone in store size
+    ks = [compact_cadence(n) for n in (1, 10**5, 10**6, 10**8, 10**10)]
+    assert ks == sorted(ks)
+    # heavier read traffic -> compact more often
+    assert compact_cadence(10**8, reads_per_commit=16.0) < compact_cadence(
+        10**8, reads_per_commit=1.0
+    )
+    # faster rewrites -> compact more often
+    assert compact_cadence(
+        10**8, rewrite_rows_per_s=1e6
+    ) < compact_cadence(10**8, rewrite_rows_per_s=1e5)
+    with pytest.raises(ValueError):
+        compact_cadence(-1)

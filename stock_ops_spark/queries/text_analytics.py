@@ -3575,3 +3575,116 @@ def q173_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(10)
     )
+
+
+@_register(
+    "q318_duplicated_spans",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS p, array_to_string(w[i:i+3], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 4
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS iid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, iid, max(p) - min(p) + 4 AS span_toks
+      FROM isl2 GROUP BY doc_id, iid
+    ),
+    tl AS (SELECT doc_id, len(w) AS n_toks FROM d)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(s.span_toks) AS BIGINT) AS max_span,
+           CAST(sum(s.span_toks) AS BIGINT) AS covered_tokens,
+           CAST(any_value(tl.n_toks) AS BIGINT) AS n_tokens,
+           round(sum(s.span_toks) * 1.0 / any_value(tl.n_toks), 6) AS dup_frac
+    FROM spans s JOIN tl ON tl.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+)
+def q318_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN statistics (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the maximal token spans covered by 4-grams that appear in
+    ≥2 documents — the signal that drives span-level (not whole-doc)
+    dedup of a pretraining corpus.  Where q93 flags documents sharing a
+    gram with a benchmark, this measures HOW MUCH of each document is
+    boilerplate shared with the rest of the corpus (max_span ≈ a quoted
+    passage; dup_frac ≈ templating).
+
+    Shape: grams explode with their POSITION; the duplicated-gram set
+    comes from one df aggregate (no pair join — duplication is a
+    property of the gram, not the doc pair); per-doc spans are a
+    gaps-and-islands pass over hit positions (two windows partitioned
+    by doc), merging intervals whose starts are ≤4 apart (4-gram
+    intervals [p, p+3] overlap or touch exactly when the next start is
+    within 4), so covered_tokens is the EXACT union length.  split()
+    is staged per the q93/q264 HOF lesson.  Everything is exact
+    integers; dup_frac is one rounded ratio."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(__w) - 3),"
+        " i -> array_join(slice(__w, i, 4), ' '))"
+    )
+    g = (
+        d.where(F.size("__w") >= 4)
+        .select("doc_id", F.posexplode(grams).alias("p0", "gram"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram", "left_semi")
+    w1 = Window.partitionBy("doc_id").orderBy("p")
+    brk = F.when(F.col("p") - F.lag("p").over(w1) > 4, 1).otherwise(0)
+    iid = F.sum(brk).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        hits.withColumn("iid", iid)
+        .groupBy("doc_id", "iid")
+        .agg((F.max("p") - F.min("p") + 4).alias("span_toks"))
+    )
+    ntok = d.select("doc_id", F.size("__w").alias("n_toks"))
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.max("span_toks").cast("bigint").alias("max_span"),
+            F.sum("span_toks").cast("bigint").alias("covered_tokens"),
+        )
+        .join(ntok, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "max_span",
+            "covered_tokens",
+            F.col("n_toks").cast("bigint").alias("n_tokens"),
+            F.round(F.col("covered_tokens") / F.col("n_toks"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -603,3 +603,32 @@ def test_join_view_stream_sync(spark, tmp_path):
     before = sorted(map(tuple, mv.read().collect()))
     drain()  # replay: nothing changes
     assert sorted(map(tuple, mv.read().collect())) == before
+
+
+def test_join_view_observer_path(spark, tmp_path):
+    """join_dim works on the OBSERVER (refresh) path too: every
+    post-dedup delta is enriched before the partial fold, so a
+    ParquetStore-maintained join view equals the fact⋈dim recompute."""
+    mv = MatView(
+        spark,
+        str(tmp_path / "jmv_obs"),
+        ["sector"],
+        SUB_MEASURES,
+        join_dim=_dim(spark),
+        join_on=["ticker"],
+    )
+    store = ParquetStore(
+        spark, str(tmp_path / "pstore"), observers=[mv.observer()]
+    )
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), "historical_intraday")
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), "historical_intraday")
+    # replay: dedup'd away -> observer sees nothing -> view unchanged
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), "historical_intraday")
+    expect = {
+        r["sector"]: (r["n"], r["vol"])
+        for r in mv._partial(
+            _fact_df(spark, CDC_ROWS_A + CDC_ROWS_B)
+        ).collect()
+    }
+    got = {r["sector"]: (r["n"], r["vol"]) for r in mv.read().collect()}
+    assert got == expect

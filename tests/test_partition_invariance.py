@@ -47,6 +47,8 @@ SENSITIVE = [
     "q310_bm25_artifact_topk",         # artifact-served integer BM25 ranking
     "q311_embedding_decontamination",  # 128-bit integer cosine leaderboard
     "q312_proximity_retrieval",        # positional min-distance ranking
+    "q317_ivf_recall_curve",           # double-cosine cell + candidate ranks
+    "q318_duplicated_spans",           # window islands over hit positions
 ]
 
 

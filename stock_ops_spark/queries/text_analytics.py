@@ -3688,3 +3688,127 @@ def q318_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "q319_span_scrub_savings",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS p, array_to_string(w[i:i+3], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    canon AS (
+      SELECT gram, min(doc_id) AS keep_doc
+      FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.p
+      FROM g JOIN canon c ON c.gram = g.gram AND g.doc_id <> c.keep_doc
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 4
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS iid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, iid, max(p) - min(p) + 4 AS span_toks
+      FROM isl2 GROUP BY doc_id, iid
+    ),
+    per_doc AS (
+      SELECT doc_id, sum(span_toks) AS removable
+      FROM spans GROUP BY doc_id
+    ),
+    tot AS (SELECT sum(len(w)) AS n_tokens, count(*) AS n_docs FROM d)
+    SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
+           CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+           CAST(count(per_doc.doc_id) AS BIGINT) AS n_docs_touched,
+           CAST(coalesce(sum(per_doc.removable), 0) AS BIGINT)
+             AS removable_tokens,
+           round(coalesce(sum(per_doc.removable), 0) * 1.0 / tot.n_tokens, 6)
+             AS savings_frac
+    FROM tot LEFT JOIN per_doc ON TRUE
+    GROUP BY tot.n_docs, tot.n_tokens
+    """,
+)
+def q319_span_scrub_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION twin of q318's measurement: corpus-level token savings
+    of an ExactSubstr-style span scrub that keeps each duplicated
+    4-gram's occurrence in its CANONICAL document (min doc_id over the
+    gram's documents) and removes every other occurrence's span.  This
+    is the number a curation pipeline budgets before running the scrub
+    — removable_tokens / n_tokens is the dedup headroom of the corpus.
+
+    Shape: one gram-df aggregate produces (gram → canonical doc); hits
+    are the non-canonical occurrences (an equi-join with an inequality
+    residual, never a pair join); spans union exactly via the q318
+    gaps-and-islands pass; the final frame is ONE row of exact
+    integers.  split() staged per the HOF lesson."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(__w) - 3),"
+        " i -> array_join(slice(__w, i, 4), ' '))"
+    )
+    g = (
+        d.where(F.size("__w") >= 4)
+        .select("doc_id", F.posexplode(grams).alias("p0", "gram"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
+    )
+    canon = (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("gram", "keep_doc")
+    )
+    hits = (
+        g.join(canon, "gram")
+        .where(F.col("doc_id") != F.col("keep_doc"))
+        .select("doc_id", "p")
+    )
+    w1 = Window.partitionBy("doc_id").orderBy("p")
+    brk = F.when(F.col("p") - F.lag("p").over(w1) > 4, 1).otherwise(0)
+    iid = F.sum(brk).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = (
+        hits.withColumn("iid", iid)
+        .groupBy("doc_id", "iid")
+        .agg((F.max("p") - F.min("p") + 4).alias("span_toks"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_toks").alias("removable"))
+    )
+    tot = d.agg(
+        F.sum(F.size("__w")).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_touched"),
+        F.coalesce(F.sum("removable"), F.lit(0))
+        .cast("bigint")
+        .alias("removable_tokens"),
+    )
+    return tot.crossJoin(F.broadcast(agg)).select(
+        "n_docs",
+        "n_tokens",
+        "n_docs_touched",
+        "removable_tokens",
+        F.round(F.col("removable_tokens") / F.col("n_tokens"), 6).alias(
+            "savings_frac"
+        ),
+    )

@@ -912,3 +912,95 @@ def test_gc_preserves_time_travel_for_retained_merge_history(spark, mstore):
     # restore into the retained window also survives GC
     res = mstore.restore(MODE, 1)
     assert res["restored_to"] == 1
+
+
+# -- r8: stats-increment chain -------------------------------------------
+
+
+def _batch_at(spark, ticker, base_ts, n=4):
+    rows = [
+        (ticker, base_ts + 3600 * i, 1.0, 2.0, 0.5, 1.5, 100 + i, "1h")
+        for i in range(n)
+    ]
+    return _df(spark, rows)
+
+
+def _table_counts(store):
+    return {
+        r["ticker"]: r["row_count"]
+        for r in store.table_stats(MODE).collect()
+    }
+
+
+def test_stats_increment_chain_folds_exactly(spark, mstore):
+    """Five increment commits fold to the same stats one snapshot
+    would; the commit payloads really are increments (no per-commit
+    cumulative snapshot on the hot path)."""
+    for i in range(5):
+        mstore.ingest_batch(_batch_at(spark, "AAA", 1751463000 + 86400 * i), MODE)
+    assert _table_counts(mstore) == {"AAA": 20}
+    log = mstore.log(MODE)
+    ops = [("stats_inc" in c, "stats" in c) for c in log.commits()]
+    assert all(inc and not cum for inc, cum in ops)
+    st = log.state()
+    assert st["stats"] is None and len(st["stats_incs"]) == 5
+
+
+def test_stats_fold_rollover_materializes_snapshot(spark, mstore, monkeypatch):
+    """The STATS_FOLD_EVERY-th increment materializes a cumulative
+    snapshot and RESETS the chain — the fold is bounded."""
+    monkeypatch.setattr(type(mstore), "STATS_FOLD_EVERY", 3)
+    for i in range(5):
+        mstore.ingest_batch(_batch_at(spark, "AAA", 1751463000 + 86400 * i), MODE)
+    st = mstore.log(MODE).state()
+    # commits: inc, inc, inc, FOLD(snapshot), inc
+    assert st["stats"] is not None
+    assert len(st["stats_incs"]) == 1
+    assert _table_counts(mstore) == {"AAA": 20}
+
+
+def test_vacuum_checkpoint_carries_increment_chain(spark, tmp_path):
+    """Vacuum below outstanding increments must not lose them: the
+    checkpoint commit carries the chain verbatim, gc keeps the
+    referenced increment dirs, and stats stay exact afterwards."""
+    store = ManifestStore(spark, str(tmp_path / "vstore"), auto_compact_every=0)
+    for i in range(6):
+        store.ingest_batch(_batch_at(spark, "AAA", 1751463000 + 86400 * i), MODE)
+    store.vacuum(MODE, retain_last=2)
+    assert _table_counts(store) == {"AAA": 24}
+    removed = store.gc_orphans(MODE, grace_s=0.0)
+    assert removed == []  # everything is referenced by retained commits
+    assert _table_counts(store) == {"AAA": 24}
+    # the feed keeps working past the checkpoint
+    store.ingest_batch(_batch_at(spark, "BBB", 1751463000), MODE)
+    assert _table_counts(store) == {"AAA": 24, "BBB": 4}
+
+
+def test_compact_carries_increment_chain(spark, tmp_path):
+    """Compaction is physical-only: it must carry the snapshot AND the
+    outstanding increments forward, and the folded per-dir 'n' meta
+    equals the live row count (the auto-cadence input)."""
+    store = ManifestStore(spark, str(tmp_path / "cstore"), auto_compact_every=0)
+    for i in range(4):
+        store.ingest_batch(_batch_at(spark, "AAA", 1751463000 + 86400 * i), MODE)
+    store.compact(MODE)
+    assert _table_counts(store) == {"AAA": 16}
+    st = store.log(MODE).state()
+    assert len(st["dirs"]) == 1
+    assert st["meta"][st["dirs"][0]]["n"] == 16
+    # increments survived the compact commit
+    assert len(st["stats_incs"]) == 4
+    store.ingest_batch(_batch_at(spark, "BBB", 1751463000), MODE)
+    assert _table_counts(store) == {"AAA": 16, "BBB": 4}
+
+
+def test_auto_cadence_compacts_from_live_rows(spark, tmp_path):
+    """Default 'auto' cadence: tiny stores fold at the 8-dir floor."""
+    store = ManifestStore(spark, str(tmp_path / "astore"))  # auto
+    for i in range(8):
+        store.ingest_batch(_batch_at(spark, "AAA", 1751463000 + 86400 * i), MODE)
+    st = store.log(MODE).state()
+    assert len(st["dirs"]) == 1  # the 8th ingest triggered the fold
+    ops = [c.get("op") for c in store.log(MODE).commits()]
+    assert ops.count("compact") == 1
+    assert _table_counts(store) == {"AAA": 32}

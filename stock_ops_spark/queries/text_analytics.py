@@ -3638,7 +3638,13 @@ def q318_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals [p, p+3] overlap or touch exactly when the next start is
     within 4), so covered_tokens is the EXACT union length.  split()
     is staged per the q93/q264 HOF lesson.  Everything is exact
-    integers; dup_frac is one rounded ratio."""
+    integers; dup_frac is one rounded ratio.
+
+    Measured-but-rejected (r8): localCheckpoint'ing the exploded gram
+    frame (it feeds both the df aggregate and the hit join) saved ~1.2×
+    at sf1 — but the exploded frame is ~50× the text bytes, and at
+    100 TB materializing it to executor storage loses to recomputing a
+    scan+split+explode projection; the two passes stay."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("__w")
     )

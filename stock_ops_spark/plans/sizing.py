@@ -114,6 +114,49 @@ def ivf_cells(n_vectors: int) -> int:
     return p2
 
 
+def lsh_bands(
+    threshold: float,
+    target_recall: float = 0.95,
+    num_hashes: int = 64,
+) -> tuple[int, int, float]:
+    """(bands, rows_per_band, predicted_recall) for a minhash-LSH index
+    that must catch Jaccard ≥ ``threshold`` pairs with probability ≥
+    ``target_recall``.
+
+    A pair with similarity s collides in one r-row band with
+    probability s^r, so across b = num_hashes/r independent bands
+    recall(s) = 1 − (1 − s^r)^b — the standard S-curve (Leskovec/
+    Rajaraman/Ullman ch. 3).  Cost story: SMALLER r (more bands) raises
+    recall but flattens the curve, letting low-similarity pairs flood
+    the candidate join; LARGER r sharpens the cutoff and shrinks the
+    banded index.  This rule picks the LARGEST divisor r of num_hashes
+    whose predicted recall at ``threshold`` still meets the target —
+    the cheapest configuration that keeps the promise.  Falls back to
+    r=1 (maximum recall) when even that misses the target (raise
+    num_hashes).  Companion of ``lsh_max_bucket`` (which guards the
+    same join against hot buckets) and the measured-curve discipline of
+    ``ivf_nprobe`` — here the closed form IS exact for the collision
+    model, so the test validates the formula against a measured run
+    instead of replacing it."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    divisors = [r for r in range(1, num_hashes + 1) if num_hashes % r == 0]
+    best = None
+    for r in divisors:
+        b = num_hashes // r
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        if recall >= target_recall and (best is None or r > best[1]):
+            best = (b, r, recall)
+    if best is None:
+        b, r = num_hashes, 1
+        best = (b, r, 1.0 - (1.0 - threshold) ** b)
+    return best[0], best[1], round(best[2], 6)
+
+
 def compact_cadence(
     n_rows: int,
     rewrite_rows_per_s: float = 100_000.0,

@@ -305,3 +305,58 @@ def test_lsh_hot_bucket_cap_preserves_pairs(spark):
     p0 = {(r[0], r[1]) for r in jaccard_verify(base, sh, 0.5).collect()}
     p1 = {(r[0], r[1]) for r in jaccard_verify(capped, sh, 0.5).collect()}
     assert p0 == p1 and p0  # identical non-empty verified pairs
+
+
+def test_lsh_bands_prediction_matches_measured_recall(spark):
+    """sizing.lsh_bands' S-curve prediction validated against a MEASURED
+    run: exact Jaccard >= t ground-truth pairs on the sf0.01 corpus vs
+    banded-LSH candidate sets across configurations.  Pins (a) measured
+    recall >= prediction minus a small sampling tolerance at every
+    config, and (b) recall monotone in band count (smaller r can only
+    add candidate collisions)."""
+    from pyspark.sql import functions as F
+
+    from stock_ops_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+    from stock_ops_spark.plans.sizing import lsh_bands
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sh = shingle_sets(docs, "doc_id", "text").localCheckpoint(eager=True)
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
+    t = 0.8
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb"))
+            >= t
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert truth, "corpus should contain planted near-dup pairs"
+    sigs = minhash_signatures(sh).localCheckpoint(eager=True)
+    measured = []
+    for bands in (8, 16, 32):
+        r = 64 // bands
+        predicted = 1.0 - (1.0 - t**r) ** bands
+        cand = {
+            (row["id_a"], row["id_b"])
+            for row in lsh_candidate_pairs(sigs, 64, bands).collect()
+        }
+        recall = len(truth & cand) / len(truth)
+        measured.append(recall)
+        assert recall >= predicted - 0.1, (bands, recall, predicted)
+    assert measured == sorted(measured)  # monotone in bands
+    # and the sizing rule's own pick meets its promised recall here
+    bsz, _r, pred = lsh_bands(t, 0.95, 64)
+    cand = {
+        (row["id_a"], row["id_b"])
+        for row in lsh_candidate_pairs(sigs, 64, bsz).collect()
+    }
+    assert len(truth & cand) / len(truth) >= min(pred, 0.95) - 0.1

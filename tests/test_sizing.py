@@ -169,3 +169,26 @@ def test_compact_cadence_rule():
     ) < compact_cadence(10**8, rewrite_rows_per_s=1e5)
     with pytest.raises(ValueError):
         compact_cadence(-1)
+
+
+def test_lsh_bands_rule():
+    import pytest
+
+    from stock_ops_spark.plans.sizing import lsh_bands
+
+    # the repo default (16 bands x 4 rows) is exactly what the rule
+    # picks for the q21 contract: planted >=0.9 pairs at >=0.99 recall
+    b, r, rec = lsh_bands(0.9, 0.99, 64)
+    assert (b, r) == (16, 4) and rec > 0.99
+    # lower threshold needs more bands (smaller r) for the same recall
+    b2, r2, rec2 = lsh_bands(0.5, 0.9, 64)
+    assert r2 < 4 and b2 > 16 and rec2 >= 0.9
+    # higher recall target never picks a larger r
+    assert lsh_bands(0.8, 0.999, 64)[1] <= lsh_bands(0.8, 0.9, 64)[1]
+    # unreachable target: fall back to r=1 (max recall)
+    b3, r3, _ = lsh_bands(0.05, 0.99, 64)
+    assert r3 == 1 and b3 == 64
+    with pytest.raises(ValueError):
+        lsh_bands(0.0, 0.9)
+    with pytest.raises(ValueError):
+        lsh_bands(0.5, 1.0)

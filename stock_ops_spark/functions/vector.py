@@ -30,7 +30,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL on zero-norm input (r9): under ANSI mode (Spark 4 default)
+    a plain divide ERRORS on a zero divisor, so a single zero vector
+    anywhere in a corpus would kill the whole similarity job.
+    ``try_divide`` yields NULL instead, which sorts LAST under the
+    descending rankings every similarity operator uses — a zero-norm
+    vector simply never wins a top-k slot.  Identical doubles whenever
+    both norms are nonzero (same fold, same grouping)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_distance(a: Column, b: Column) -> Column:

@@ -147,61 +147,71 @@ def edit_distance_pairs(
     # true floor; sequence() ranges are guarded (sequence DESCENDS when
     # hi < lo).
     #
-    # PERF (r8): candidate lengths are filtered to lengths that ACTUALLY
-    # EXIST on the index side (one bounded distinct-collect — at most
-    # one value per possible string length).  Probes to absent lengths
+    # PERF (r8, made lazy r9): candidate lengths are pruned to lengths
+    # that ACTUALLY EXIST on the index side.  Probes to absent lengths
     # join nothing, but on a near-uniform-length corpus (document
     # prefixes: ~every string is 80 chars) they were ~(2k)/(2k+1) of
     # all probe rows — measured on q234 at sf1: 21.3 → 11.3 s (1.9×).
-    # Identical output by construction.
-    idx_lens = sorted(
-        r[0]
-        for r in base.where(F.col("__l") >= kk)
-        .select("__l")
-        .distinct()
-        .limit(100_001)
-        .collect()
+    # r9: the prune is a BROADCAST LEFT-SEMI JOIN against the index's
+    # distinct lengths (≤ one row per possible string length), applied
+    # AFTER exploding the cheap candidate-length list but BEFORE the
+    # expensive per-(length, slot, shift) substring explode — same
+    # pruning power, but fully lazy: no Spark job fires at operator
+    # construction, no literal array is baked into the plan, and a
+    # recomputed/non-deterministic input re-derives its own lengths
+    # inside the one plan (the eager snapshot could silently drop true
+    # pairs if the source changed between construction and execution).
+    idx_lens_df = (
+        base.where(F.col("__l") >= kk).select(F.col("__l").alias("__jl")).distinct()
     )
-    if idx_lens and len(idx_lens) <= 100_000:
-        lens_lit = f"array({','.join(str(v) for v in idx_lens)})"
-        len_filter = f"filter(__cand_ls, l -> array_contains({lens_lit}, l))"
-    else:
-        len_filter = "__cand_ls"  # degenerate: keep every candidate length
-    probe_expr = f"""
-      flatten(transform(
-        {len_filter.replace("__cand_ls", f'''
+    cand_lens_expr = f"""
         CASE WHEN __l + {k} >= greatest(__l - {k}, {kk})
              THEN sequence(greatest(__l - {k}, {kk}), __l + {k})
-             ELSE array() END''')},
-        l -> flatten(transform(sequence(0, {k}), i ->
-          transform(
-            CASE WHEN least((__l - l + {k}) div 2,
-                            __l - {_seg_len('l', 'i')} - {_seg_start('l', 'i')})
-                      >= greatest(-(({k} - (__l - l)) div 2),
-                                  -{_seg_start('l', 'i')})
-                 THEN sequence(
-                        greatest(-(({k} - (__l - l)) div 2),
-                                 -{_seg_start('l', 'i')}),
-                        least((__l - l + {k}) div 2,
-                              __l - {_seg_len('l', 'i')} - {_seg_start('l', 'i')}))
-                 ELSE array() END,
-            x -> struct(
-              l AS __jl, i AS __ji,
-              substring(__s, {_seg_start('l', 'i')} + x + 1,
-                        {_seg_len('l', 'i')}) AS __jseg))
-        ))))
+             ELSE array() END
     """
-    prb = (
+    prb_lens = (
         base.where(F.col("__l") >= 1)
         .select(
             *blocks,
             F.col("__id").alias("__prb_id"),
+            "__s",
+            "__l",
+            F.explode(F.expr(cand_lens_expr)).alias("__jl"),
+        )
+        .join(F.broadcast(idx_lens_df), "__jl", "left_semi")
+    )
+    # per surviving (probe, candidate length): slots i and pigeonhole
+    # shifts x, with the substring computed only now (post-prune)
+    probe_expr = f"""
+      flatten(transform(sequence(0, {k}), i ->
+        transform(
+          CASE WHEN least((__l - __jl + {k}) div 2,
+                          __l - {_seg_len('__jl', 'i')} - {_seg_start('__jl', 'i')})
+                    >= greatest(-(({k} - (__l - __jl)) div 2),
+                                -{_seg_start('__jl', 'i')})
+               THEN sequence(
+                      greatest(-(({k} - (__l - __jl)) div 2),
+                               -{_seg_start('__jl', 'i')}),
+                      least((__l - __jl + {k}) div 2,
+                            __l - {_seg_len('__jl', 'i')} - {_seg_start('__jl', 'i')}))
+               ELSE array() END,
+          x -> struct(
+            i AS __ji,
+            substring(__s, {_seg_start('__jl', 'i')} + x + 1,
+                      {_seg_len('__jl', 'i')}) AS __jseg))
+      ))
+    """
+    prb = (
+        prb_lens.select(
+            *blocks,
+            "__prb_id",
+            "__jl",
             F.explode(F.expr(probe_expr)).alias("__p"),
         )
         .select(
             *blocks,
             "__prb_id",
-            F.col("__p.__jl").alias("__jl"),
+            "__jl",
             F.col("__p.__ji").alias("__ji"),
             F.col("__p.__jseg").alias("__jseg"),
         )

@@ -251,15 +251,20 @@ def ivf_recall_curve(
         )
         for lab, v in by_label.items()
     }
+    # r9 (advice): ship the routed-query dict as a TorrentBroadcast —
+    # one copy per executor instead of one per task closure, so task
+    # serialization stays O(1) as the measurement sample grows
+    routed_bc = corpus.sparkSession.sparkContext.broadcast(routed_np)
 
     def score(batches):
         import pandas as pd
 
+        routed = routed_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             for lab, grp in pdf.groupby("lab"):
-                ent = routed_np.get(lab)
+                ent = routed.get(lab)
                 if ent is None:
                     continue
                 qids, qm, nq, crk = ent
@@ -273,8 +278,19 @@ def ivf_recall_curve(
                 acc = np.zeros((len(cids), len(qids)), dtype=np.float64)
                 for i in range(d):
                     acc += np.outer(cm[:, i], qm[:, i])
-                sim = acc / np.outer(nc, nq)  # dot / (nc*nq), same grouping
-                mask = cids[:, None] != qids[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = acc / np.outer(nc, nq)  # dot/(nc*nq), same grouping
+                # r9 (advice): a zero-norm vector on either side makes
+                # the Catalyst cosine NULL, which sorts LAST under the
+                # descending window — but inf/NaN here would sort FIRST.
+                # Emit no candidate for such pairs: a row that can never
+                # enter top-k under NULL-last semantics must not enter
+                # the measured curve either.
+                mask = (
+                    (cids[:, None] != qids[None, :])
+                    & (nc[:, None] != 0.0)
+                    & (nq[None, :] != 0.0)
+                )
                 ti, qi = np.nonzero(mask)
                 yield pd.DataFrame(
                     {
@@ -321,7 +337,9 @@ def ivf_recall_curve(
             F.col("n_queries").cast("bigint").alias("n_queries"),
             F.col("n_truth").cast("bigint").alias("n_truth"),
             F.col("n_hit").cast("bigint").alias("n_hit"),
-            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall_at_k"),
+            F.round(
+                F.try_divide(F.col("n_hit"), F.col("n_truth")), 6
+            ).alias("recall_at_k"),
         )
         out = row if out is None else out.unionByName(row)
     return out

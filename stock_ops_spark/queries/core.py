@@ -2944,10 +2944,17 @@ def q81_within_cluster_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked k-NN join at scale: a 2% query sample meets the corpus
     through a cluster-id EQUI-join (each query searches its own cell) —
     the knn_join_ivf shape with self-label routing, which makes the
-    result exactly SQL-expressible.  The corpus never shuffles: the 2%
-    query sample BROADCASTS onto it (the query batch stays the small
-    side by construction at any corpus scale).  Per-query top-1 via
-    ranking window (WindowGroupLimit).
+    result exactly SQL-expressible.  Per-query top-1 via ranking window
+    (WindowGroupLimit).
+
+    Scale note (r9, per advice): the query side is a FIXED FRACTION
+    (2%) of the corpus, so it grows linearly with the corpus — a forced
+    broadcast would eventually OOM the driver at the 100 TB posture.
+    No broadcast hint: AQE picks broadcast while the sample fits
+    (it does at every tested SF) and degrades to a shuffled equi-join
+    gracefully beyond that.  A production batch-kNN with a genuinely
+    bounded query set should keep the hint (see knn_join_ivf, where
+    the query batch is bounded by contract).
 
     PERF (r8, the q311 lesson): norms fold ONCE PER VECTOR on each side
     BEFORE the pair join — V.cosine inside the join re-folds the corpus
@@ -2967,7 +2974,7 @@ def q81_within_cluster_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = V.dot(F.col("embedding"), F.col("qv")) / (F.col("ne") * F.col("nq"))
     scored = (
-        corpus.join(F.broadcast(q), "label")
+        corpus.join(q, "label")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("c"))
     )

@@ -2977,8 +2977,13 @@ def q311_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     )
     import numpy as np
 
-    # benchmark split: small by construction (the held-out fraction) —
-    # the bounded driver collect is this query's broadcast
+    # benchmark split: the held-out 1/23 fraction.  NB (r9, advice):
+    # a fixed FRACTION grows linearly with the corpus, so the driver
+    # collect below is small at every tested SF but not bounded in the
+    # asymptotic sense — at the 100 TB posture the benchmark side would
+    # be a curated fixed-size table instead.  The per-label dict ships
+    # via sparkContext.broadcast (one copy per executor), not closure
+    # capture (one per task), so only driver memory scales with it.
     bench: dict = {}
     for r in qv.where(F.col("vec_id") % 23 == 0).collect():
         bench.setdefault(r["label"], []).append(
@@ -2992,15 +2997,17 @@ def q311_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         )
         for lab, v in bench.items()
     }
+    bench_bc = spark.sparkContext.broadcast(bench_np)
 
     def dots(batches):
         import pandas as pd
 
+        bench_v = bench_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             for lab, grp in pdf.groupby("label"):
-                ent = bench_np.get(lab)
+                ent = bench_v.get(lab)
                 if ent is None:
                     continue
                 bids, bm, bn2 = ent

@@ -360,3 +360,45 @@ def test_lsh_bands_prediction_matches_measured_recall(spark):
         for row in lsh_candidate_pairs(sigs, 64, bsz).collect()
     }
     assert len(truth & cand) / len(truth) >= min(pred, 0.95) - 0.1
+
+
+def test_ivf_recall_curve_masks_zero_norm_vectors(spark):
+    """r9 advice: a zero-norm corpus or query vector must emit NO
+    candidate in the recall kernel (Catalyst cosine yields NULL there,
+    which sorts last) — previously acc/0 produced inf/NaN, which numpy
+    data would rank ABOVE every real similarity."""
+    from stock_ops_spark.operators.similarity import ivf_recall_curve
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.0, 0.0], 0),  # zero-norm corpus vector in the same cell
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = corpus.where("vec_id in (0, 3)").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = {
+        r["nprobe"]: r.asDict()
+        for r in ivf_recall_curve(
+            corpus, queries, k=1, nprobes=(1, 2)
+        ).collect()
+    }
+    # with the zero vector masked, truth@1 for query 0 is vec 1 and for
+    # query 3 is vec 4 — both in their own cell, so recall is 1.0 even
+    # at nprobe=1, and nothing is NaN/inf
+    for nprobe, row in out.items():
+        assert row["n_queries"] == 2
+        assert row["n_truth"] == 2
+        assert row["recall_at_k"] == 1.0
+
+    # a zero-norm QUERY likewise contributes no truth rows at all
+    zq = spark.createDataFrame(
+        [(99, [0.0, 0.0])], "query_id long, qv array<double>"
+    )
+    zout = ivf_recall_curve(corpus, zq, k=1, nprobes=(1,)).collect()
+    assert all(r["n_truth"] == 0 for r in zout)

@@ -152,6 +152,24 @@ def decontaminate(benchmark: DataFrame, n: int = 4) -> Stage:
     return Stage("decontaminate", apply)
 
 
+def span_scrub() -> Stage:
+    """ExactSubstr span scrub as a curation stage (Lee et al.): rewrite
+    ``text`` in place, removing every token covered by a duplicated
+    4-gram span outside the gram's canonical document.  Unlike the
+    row-dropping stages this one transforms rows (rows_out is
+    unchanged); its effect shows up in the token accounting columns it
+    leaves behind (n_tokens_before / n_tokens_after / removed_tokens),
+    summable by an ``observe()`` on the returned frame in the same
+    single job as the stage row counts.  Computed over the CURRENT surviving
+    frame — scrubbing after dedup stages means each duplicated gram's
+    canonical doc is a survivor, so its copy of the passage survives
+    unless a DIFFERENT gram's non-canonical span overlaps it there (the
+    precise guarantee pinned in tests/test_span_artifact.py)."""
+    from stock_ops_spark.operators.spans import scrub_spans
+
+    return Stage("span_scrub", lambda df: scrub_spans(df))
+
+
 # ---------------------------------------------------------------------------
 # the pipeline
 # ---------------------------------------------------------------------------

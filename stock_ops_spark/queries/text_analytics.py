@@ -3644,56 +3644,21 @@ def q318_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (it feeds both the df aggregate and the hit join) saved ~1.2×
     at sf1 — but the exploded frame is ~50× the text bytes, and at
     100 TB materializing it to executor storage loses to recomputing a
-    scan+split+explode projection; the two passes stay."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    scan+split+explode projection; the two passes stay.
+
+    r9: served from the persisted incremental span-gram artifact
+    (operators/spans.py) — the shared tokenize+explode+gram-incidence
+    pass that dominated q318 AND q319 AND the scrub action persists
+    once per corpus version and folds ±deltas on rewrite (the lexical
+    index discipline).  The oracle is unchanged and from-scratch, so
+    artifact-served results stay pinned bit-identical."""
+    from stock_ops_spark.operators.spans import duplicated_spans, span_state_cached
+
+    d = _t(spark, sf_dir, "documents")
+    art = span_state_cached(
+        d, source_path=catalog.table_path(sf_dir, "documents")
     )
-    grams = F.expr(
-        "transform(sequence(1, size(__w) - 3),"
-        " i -> array_join(slice(__w, i, 4), ' '))"
-    )
-    g = (
-        d.where(F.size("__w") >= 4)
-        .select("doc_id", F.posexplode(grams).alias("p0", "gram"))
-        .select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
-    )
-    dup = (
-        g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
-    )
-    hits = g.join(dup, "gram", "left_semi")
-    w1 = Window.partitionBy("doc_id").orderBy("p")
-    brk = F.when(F.col("p") - F.lag("p").over(w1) > 4, 1).otherwise(0)
-    iid = F.sum(brk).over(
-        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    spans = (
-        hits.withColumn("iid", iid)
-        .groupBy("doc_id", "iid")
-        .agg((F.max("p") - F.min("p") + 4).alias("span_toks"))
-    )
-    ntok = d.select("doc_id", F.size("__w").alias("n_toks"))
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.max("span_toks").cast("bigint").alias("max_span"),
-            F.sum("span_toks").cast("bigint").alias("covered_tokens"),
-        )
-        .join(ntok, "doc_id")
-        .select(
-            "doc_id",
-            "n_spans",
-            "max_span",
-            "covered_tokens",
-            F.col("n_toks").cast("bigint").alias("n_tokens"),
-            F.round(F.col("covered_tokens") / F.col("n_toks"), 6).alias(
-                "dup_frac"
-            ),
-        )
-    )
+    return duplicated_spans(art["postings"], art["gramstats"], art["docstats"])
 
 
 @_register(
@@ -3760,61 +3725,96 @@ def q319_span_scrub_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the non-canonical occurrences (an equi-join with an inequality
     residual, never a pair join); spans union exactly via the q318
     gaps-and-islands pass; the final frame is ONE row of exact
-    integers.  split() staged per the HOF lesson."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    integers.
+
+    r9: served from the persisted incremental span-gram artifact (see
+    q318); the from-scratch oracle pins the artifact path
+    bit-identical."""
+    from stock_ops_spark.operators.spans import scrub_savings, span_state_cached
+
+    d = _t(spark, sf_dir, "documents")
+    art = span_state_cached(
+        d, source_path=catalog.table_path(sf_dir, "documents")
     )
-    grams = F.expr(
-        "transform(sequence(1, size(__w) - 3),"
-        " i -> array_join(slice(__w, i, 4), ' '))"
+    return scrub_savings(art["postings"], art["gramstats"], art["docstats"])
+
+
+@_register(
+    "q320_span_scrub_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS p, array_to_string(w[i:i+3], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    canon AS (
+      SELECT gram, min(doc_id) AS keep_doc
+      FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.p
+      FROM g JOIN canon c ON c.gram = g.gram AND g.doc_id <> c.keep_doc
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, p + o AS pos
+      FROM hits, unnest([0, 1, 2, 3]) AS u(o)
+    ),
+    toks AS (
+      SELECT doc_id, i AS p, w[i] AS tok
+      FROM d, unnest(range(1, len(w) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.pos = t.p
+      WHERE r.pos IS NULL
+    ),
+    scrub AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text2,
+             count(*) AS n_after
+      FROM kept GROUP BY doc_id
     )
-    g = (
-        d.where(F.size("__w") >= 4)
-        .select("doc_id", F.posexplode(grams).alias("p0", "gram"))
-        .select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(s.n_after, 0) AS BIGINT) AS n_tokens_after,
+           CAST(len(d.w) - coalesce(s.n_after, 0) AS BIGINT)
+             AS removed_tokens,
+           md5(coalesce(s.text2, '')) AS scrub_fp
+    FROM d LEFT JOIN scrub s ON s.doc_id = d.doc_id
+    """,
+)
+def q320_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub ACTION executed (operators/spans.py::scrub_spans —
+    Lee et al.'s ExactSubstr output, not just its budget): every token
+    covered by a duplicated span outside the gram's canonical document
+    is removed, and the per-doc output row carries exact before/after
+    token accounting plus the md5 of the SCRUBBED TEXT ITSELF — so the
+    oracle pins the actual byte content of the rewritten corpus, not
+    merely its statistics.  Serves from the same persisted incremental
+    span-gram artifact as q318/q319 (one corpus pass shared by all
+    three); the DuckDB twin rebuilds everything from scratch, pinning
+    the artifact path end-to-end.
+
+    Scale shape: removed positions are an xNGRAM explode of the hit set
+    (bounded by duplicated text volume, not corpus volume), one
+    collect_set per touched doc (bounded by doc length), and the text
+    rewrite is a map-side array filter — no pair join anywhere."""
+    from stock_ops_spark.operators.spans import scrub_spans, span_state_cached
+
+    d = _t(spark, sf_dir, "documents")
+    art = span_state_cached(
+        d, source_path=catalog.table_path(sf_dir, "documents")
     )
-    canon = (
-        g.groupBy("gram")
-        .agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("keep_doc"),
-        )
-        .where(F.col("nd") >= 2)
-        .select("gram", "keep_doc")
+    sc = scrub_spans(
+        d, postings=art["postings"], gramstats=art["gramstats"]
     )
-    hits = (
-        g.join(canon, "gram")
-        .where(F.col("doc_id") != F.col("keep_doc"))
-        .select("doc_id", "p")
-    )
-    w1 = Window.partitionBy("doc_id").orderBy("p")
-    brk = F.when(F.col("p") - F.lag("p").over(w1) > 4, 1).otherwise(0)
-    iid = F.sum(brk).over(
-        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    per_doc = (
-        hits.withColumn("iid", iid)
-        .groupBy("doc_id", "iid")
-        .agg((F.max("p") - F.min("p") + 4).alias("span_toks"))
-        .groupBy("doc_id")
-        .agg(F.sum("span_toks").alias("removable"))
-    )
-    tot = d.agg(
-        F.sum(F.size("__w")).cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-    )
-    agg = per_doc.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs_touched"),
-        F.coalesce(F.sum("removable"), F.lit(0))
-        .cast("bigint")
-        .alias("removable_tokens"),
-    )
-    return tot.crossJoin(F.broadcast(agg)).select(
-        "n_docs",
-        "n_tokens",
-        "n_docs_touched",
-        "removable_tokens",
-        F.round(F.col("removable_tokens") / F.col("n_tokens"), 6).alias(
-            "savings_frac"
-        ),
+    return sc.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        "removed_tokens",
+        F.md5(F.col("text")).alias("scrub_fp"),
     )

@@ -1,0 +1,251 @@
+"""Incremental span-gram artifact (VERDICT r8 #1).
+
+q318/q319/q320 share one corpus pass (split → positioned 4-gram explode
+→ gram-incidence aggregate); ``operators/spans.py`` persists it as three
+state tables and folds ±deltas on rewrite.  Contracts pinned here:
+
+- delta refresh (append / change / remove) produces state tables EXACTLY
+  equal to a full rebuild — including the min-fold's hard case, removal
+  of a gram's canonical document;
+- work counters bound the re-tokenized doc set to the delta;
+- the cached builder serves q318/q319 frames bit-identical to the inline
+  pipeline, across versions;
+- the scrub ACTION conserves tokens (before − after == removed, summed
+  == q319's removable_tokens), leaves untouched docs byte-identical, and
+  never scrubs a canonical occurrence out of the corpus entirely.
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import stock_ops_spark.operators.spans as SP
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _corpus(n: int, seed: int = 7):
+    """Deterministic corpus with planted span duplication: templated
+    sentences over a small vocabulary plus quoted passages copied
+    between docs (the ExactSubstr target shape)."""
+    rng = random.Random(seed)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omi").split()
+    rows = []
+    for i in range(n):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(24)]
+        rows.append((i, " ".join(words)))
+    # plant a shared passage: docs 3,9,15,... embed doc 1's tokens 5..12
+    quote = rows[1][1].split()[5:13]
+    for i in range(3, n, 6):
+        w = rows[i][1].split()
+        w[10:10] = quote
+        rows[i] = (i, " ".join(w))
+    return rows
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _gs_set(df):
+    return {(r.gram, r.nd, r.keep_doc) for r in df.collect()}
+
+
+def _post_set(df):
+    return {(r.doc_id, r.p, r.gram) for r in df.collect()}
+
+
+def _ds_set(df):
+    return {(r.doc_id, r.fp, r.n_toks) for r in df.collect()}
+
+
+def _assert_state_equal(got, full):
+    assert _post_set(got[0]) == _post_set(full[0])
+    assert _ds_set(got[1]) == _ds_set(full[1])
+    assert _gs_set(got[2]) == _gs_set(full[2])
+
+
+def test_delta_append_equals_full(spark, tmp_path):
+    rows = _corpus(40)
+    v1 = _write(spark, rows, str(tmp_path / "v1"))
+    old = [t.localCheckpoint(eager=True) for t in SP.span_state(v1)]
+    rows2 = rows + [(100 + i, t) for i, (_, t) in enumerate(_corpus(6, seed=99))]
+    v2 = _write(spark, rows2, str(tmp_path / "v2"))
+    stats: dict = {}
+    got = SP.span_state_delta(v2, "doc_id", "text", *old, stats=stats)
+    assert stats["docs_tokenized"] == 6  # only the appended docs
+    _assert_state_equal(got, SP.span_state(v2))
+
+
+def test_delta_change_and_remove_equals_full(spark, tmp_path):
+    rows = _corpus(40)
+    v1 = _write(spark, rows, str(tmp_path / "v1"))
+    old = [t.localCheckpoint(eager=True) for t in SP.span_state(v1)]
+    # change one doc's text, remove two docs
+    rows2 = [
+        (i, t + " changed tail words here") if i == 7 else (i, t)
+        for i, t in rows
+        if i not in (11, 22)
+    ]
+    v2 = _write(spark, rows2, str(tmp_path / "v2"))
+    stats: dict = {}
+    got = SP.span_state_delta(v2, "doc_id", "text", *old, stats=stats)
+    assert stats["docs_tokenized"] == 1  # only the changed doc re-tokenized
+    _assert_state_equal(got, SP.span_state(v2))
+
+
+def test_delta_canonical_doc_removed_min_refolds(spark, tmp_path):
+    """The min-fold's hard case: remove a gram's CANONICAL (min) doc —
+    keep_doc must re-derive from surviving holders, and a fresh doc
+    with a smaller id must win the min."""
+    rows = _corpus(40)
+    v1 = _write(spark, rows, str(tmp_path / "v1"))
+    gs1 = SP.span_state(v1)[2]
+    # pick a duplicated gram and its canonical doc
+    r = (
+        gs1.where(F.col("nd") >= 2)
+        .orderBy("gram")
+        .select("gram", "keep_doc")
+        .first()
+    )
+    old = [t.localCheckpoint(eager=True) for t in SP.span_state(v1)]
+    rows2 = [(i, t) for i, t in rows if i != r.keep_doc]
+    v2 = _write(spark, rows2, str(tmp_path / "v2"))
+    got = SP.span_state_delta(v2, "doc_id", "text", *old)
+    full = SP.span_state(v2)
+    _assert_state_equal(got, full)
+    # the gram either re-anchored to a surviving holder or left the table
+    new = {g: (nd, kd) for g, nd, kd in _gs_set(got[2])}
+    if r.gram in new:
+        assert new[r.gram][1] != r.keep_doc
+        assert new[r.gram][1] > r.keep_doc
+
+
+def test_cached_artifact_versions_and_serving(spark, tmp_path):
+    rows = _corpus(30)
+    src = str(tmp_path / "docs.parquet")
+    v1 = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    stats: dict = {}
+    art = SP.span_state_cached(v1, src, cache_dir=cache, stats=stats)
+    assert stats["docs_tokenized"] == 30  # cold build
+    inline = SP.span_state(v1)
+    _assert_state_equal(
+        (art["postings"], art["docstats"], art["gramstats"]), inline
+    )
+    # served q318/q319 frames == inline pipeline frames
+    a = SP.duplicated_spans(
+        art["postings"], art["gramstats"], art["docstats"]
+    ).orderBy("doc_id")
+    b = SP.duplicated_spans(*[inline[i] for i in (0, 2, 1)]).orderBy("doc_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    # rewrite: append 3 docs → version miss refreshes from the delta
+    rows2 = rows + [(200 + i, t) for i, (_, t) in enumerate(_corpus(3, seed=5))]
+    v2 = _write(spark, rows2, src)
+    stats2: dict = {}
+    art2 = SP.span_state_cached(v2, src, cache_dir=cache, stats=stats2)
+    assert stats2["docs_tokenized"] == 3  # delta, not the corpus
+    _assert_state_equal(
+        (art2["postings"], art2["docstats"], art2["gramstats"]),
+        SP.span_state(v2),
+    )
+    # warm read: no rebuild at all
+    stats3: dict = {}
+    art3 = SP.span_state_cached(v2, src, cache_dir=cache, stats=stats3)
+    assert "docs_tokenized" not in stats3
+    assert art3["gramstats"].count() == art2["gramstats"].count()
+
+
+def test_scrub_conserves_tokens_and_identity(spark, tmp_path):
+    rows = _corpus(40)
+    docs = _write(spark, rows, str(tmp_path / "v1"))
+    p, ds, gs = SP.span_state(docs)
+    sc = SP.scrub_spans(docs, postings=p, gramstats=gs).localCheckpoint(
+        eager=True
+    )
+    # per-row conservation
+    assert (
+        sc.where(
+            F.col("n_tokens_before") - F.col("n_tokens_after")
+            != F.col("removed_tokens")
+        ).count()
+        == 0
+    )
+    # corpus totals == q319's budget
+    budget = SP.scrub_savings(p, gs, ds).collect()[0]
+    total_removed = sc.agg(F.sum("removed_tokens")).collect()[0][0]
+    assert total_removed == budget.removable_tokens
+    assert (
+        sc.where(F.col("removed_tokens") > 0).count()
+        == budget.n_docs_touched
+    )
+    # untouched docs byte-identical
+    orig = docs.select("doc_id", F.col("text").alias("t0"))
+    assert (
+        sc.where(F.col("removed_tokens") == 0)
+        .join(orig, "doc_id")
+        .where(F.col("text") != F.col("t0"))
+        .count()
+        == 0
+    )
+    # canonical preservation (precise form): a duplicated gram whose
+    # canonical doc lost NO tokens still occurs in the scrubbed corpus.
+    # (A canonical occurrence can only vanish when a DIFFERENT gram's
+    # non-canonical span overlaps it in the same doc — i.e. the doc is
+    # itself touched.)
+    untouched_ids = sc.where(F.col("removed_tokens") == 0).select("doc_id")
+    safe_grams = (
+        gs.where(F.col("nd") >= 2)
+        .join(
+            untouched_ids.withColumnRenamed("doc_id", "keep_doc"),
+            "keep_doc",
+            "left_semi",
+        )
+        .select("gram")
+    )
+    after = SP.gram_postings(sc.select("doc_id", "text")).select("gram")
+    assert safe_grams.join(after, "gram", "left_anti").count() == 0
+
+
+def test_scrub_inline_equals_artifact_path(spark, tmp_path):
+    rows = _corpus(25)
+    docs = _write(spark, rows, str(tmp_path / "v1"))
+    p, _, gs = SP.span_state(docs)
+    a = SP.scrub_spans(docs).orderBy("doc_id")
+    b = SP.scrub_spans(docs, postings=p, gramstats=gs).orderBy("doc_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_pipeline_span_scrub_stage_observe(spark, tmp_path):
+    """The stage wires into a CorpusPipeline and the token accounting
+    rides the same single job as the stage row counts."""
+    from pyspark.sql import Observation
+
+    from stock_ops_spark.pipeline import CorpusPipeline, exact_dedup, span_scrub
+
+    rows = _corpus(40)
+    # add one exact duplicate so exact_dedup drops a row
+    rows.append((400, rows[0][1]))
+    docs = _write(spark, rows, str(tmp_path / "v1"))
+    pipe = CorpusPipeline([exact_dedup(), span_scrub()])
+    out, obs = pipe.run(docs)
+    tok = Observation("tokens")
+    out = out.observe(
+        tok,
+        F.sum("removed_tokens").alias("removed"),
+        F.sum("n_tokens_after").alias("kept"),
+    )
+    n = out.count()  # one action populates every observation
+    assert obs["exact_dedup"].get["rows_out"] == 40
+    assert obs["span_scrub"].get["rows_out"] == 40
+    assert n == 40
+    assert tok.get["removed"] > 0
+    assert tok.get["removed"] + tok.get["kept"] == sum(
+        len(t.split(" ")) for i, t in rows if i != 400
+    )

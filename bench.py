@@ -20,9 +20,51 @@ import __spark_entry__ as E  # noqa: E402
 from stock_ops_spark.session import get_spark  # noqa: E402
 
 
+def _env_snapshot() -> dict:
+    """One-line machine-state record (r8 VERDICT #5): the r8 round spent
+    a session adjudicating 1.5x flags that turned out to be box
+    contention, because nothing recorded what else the machine was doing
+    at bench time.  Taken BEFORE the bench's own JVM starts, so
+    ``concurrent_jvms`` counts the OTHER Spark/Java work sharing the
+    box — the single biggest pollution source measured (5x phantom
+    regressions, STATUS r8)."""
+    snap: dict = {}
+    try:
+        snap["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        mem = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                mem[k.strip()] = int(v.strip().split()[0])  # kB
+        snap["mem_available_gb"] = round(
+            mem.get("MemAvailable", 0) / 1048576, 1
+        )
+        snap["page_cache_gb"] = round(mem.get("Cached", 0) / 1048576, 1)
+    except (OSError, ValueError):
+        pass
+    try:
+        n = 0
+        for pid in os.listdir("/proc"):
+            if pid.isdigit():
+                try:
+                    with open(f"/proc/{pid}/comm") as f:
+                        if f.read().strip() == "java":
+                            n += 1
+                except OSError:
+                    continue
+        snap["concurrent_jvms"] = n
+    except OSError:
+        pass
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    env = _env_snapshot()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -81,10 +123,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "env": env,
     }
     if excluded:
         doc["excluded"] = sorted(excluded)
     print(json.dumps(doc))
+    if env.get("concurrent_jvms", 0) > 0 or env.get("load_avg_1m", 0) > 4:
+        print(
+            f"# BENCH POLLUTION RISK: {env} — treat regressions below as"
+            " suspect (drift protocol: a flagged query with zero git diff"
+            " gets one clean dedicated re-run before it counts)",
+            file=sys.stderr,
+        )
     _regression_report(timings, sf)
 
 
@@ -94,7 +144,15 @@ def _regression_report(timings: dict[str, float], sf: float) -> None:
     on stderr — the drift surfaces in the same run that produced it, not
     one VERDICT later.  Advisory only: stdout stays one JSON line and
     the exit code is untouched (the driver treats nonzero as a failed
-    bench)."""
+    bench).
+
+    Drift protocol (r8 adjudication, codified per VERDICT r8 #5): a
+    flagged query with ZERO git diff since the baseline record gets ONE
+    clean dedicated re-run (`python bench.py <query>` on an idle box —
+    check the emitted `env` snapshot) before it counts as a regression;
+    sub-second queries sit at the local job floor where round-to-round
+    variance alone produces 1.5-2x phantom flags (r8 adjudicated five
+    such flags back to their round-5 levels this way)."""
     try:
         _regression_report_inner(timings, sf)
     except Exception as ex:  # noqa: BLE001 — advisory path must never alter rc

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stock_ops_spark.functions.vector import cosine
-from stock_ops_spark.operators.clustering import assign_clusters, kmeans_fit
+from stock_ops_spark.operators.clustering import assign_clusters
 
 
 def _fp(vec_col: str) -> F.Column:

@@ -26,6 +26,35 @@ pure fold; it also dictates the contract:
   O(|delta| + |groups|), no fact scan; a view with min/max measures
   recomputes ONLY the groups a retraction touched from the snapshot
   (semi-join-bounded — the groups, not the table).  The cursor is
+
+Measure algebra — maintenance cost per path (measured r9,
+``tools/scale_curves.py --only mv_minmax_retract``):
+
+  ============  ==================  ======================================
+  measure       insert fold         retraction (delete / update_preimage)
+  ============  ==================  ======================================
+  sum, count    O(|delta|+|groups|) O(|delta|+|groups|) — negative fold,
+                                    no fact scan (``recomputed_groups=0``)
+  min, max      O(|delta|+|groups|) O(store scan) + agg over affected
+                                    groups: ``read_all(at_version)`` +
+                                    semi-join — the ONLY non-O(delta)
+                                    path in the module.  The aggregate is
+                                    bounded by the touched groups, but
+                                    the snapshot READ is bounded by the
+                                    store (commit-level skipping does not
+                                    help: group cols rarely align with
+                                    time-partitioned dirs).
+  avg, spans    derived at read     inherits its inputs' costs
+  (serve())     time — free
+  ============  ==================  ======================================
+
+  Consequence at 100 TB: keep min/max views on stores with bounded
+  retention or accept retraction = one snapshot pass; a mixed view pays
+  the min/max price on every retraction batch that touches any group.
+  Rejected alternative: per-group top-N value heaps make retraction
+  O(delta) until the heap underflows, then recompute anyway — state
+  grows with groups × N and underflow is adversary-choosable, so the
+  honest contract (measured, documented) beats the amortized one.
   written INSIDE the view directory by the same rename that installs
   the data, so a crash can never double-fold.  A view is maintained by
   observers OR by sync, never both (guarded — mixing double-counts).

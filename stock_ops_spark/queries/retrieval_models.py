@@ -3635,3 +3635,68 @@ def q316_matview_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _q321_oracle() -> str:
+    from stock_ops_spark.operators.clustering import kmeans_oracle_cte
+
+    return f"""
+    WITH {kmeans_oracle_cte(k=8, iters=3, dim=64)},
+    q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    probed AS (
+      SELECT c.cid FROM c3 c, q
+      ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.cid
+      LIMIT 3
+    )
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cid AS BIGINT) AS cid,
+           round(list_cosine_similarity(
+             list_transform(e.embedding, x -> x::DOUBLE), q.qv), 6) AS cos_sim
+    FROM embeddings e JOIN assign a USING (vec_id), q
+    WHERE a.cid IN (SELECT cid FROM probed) AND e.vec_id <> 0
+    ORDER BY list_cosine_similarity(
+      list_transform(e.embedding, x -> x::DOUBLE), q.qv) DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@_register("q321_ivf_index_topk", _q321_oracle())
+def q321_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k SERVED FROM THE PERSISTED INDEX (operators/ivf.py):
+    (centroids, cell assignments) persist once per corpus version —
+    the Lloyd's fit shared with q113's model artifact — and appends
+    assign only the delta against frozen centroids (VERDICT r8 #2).
+    Where q24 derives cells from the label column per run and q113
+    recomputes assignment per run, this query touches the corpus only
+    to score candidates inside the 3 probed cells; routing and cell
+    membership come entirely from the artifact tables.  The oracle
+    replays the identical Lloyd iterations (kmeans_oracle_cte) from
+    scratch, pinning the artifact path end-to-end: same cells, same
+    probe choice, same exact ranking."""
+    from stock_ops_spark.operators.ivf import ivf_index_cached, ivf_topk_from_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = ivf_index_cached(
+        e,
+        source_path=catalog.table_path(sf_dir, "embeddings"),
+        k_cells=8,
+        iters=3,
+        dim=64,
+    )
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    out = ivf_topk_from_index(
+        e.where(F.col("vec_id") != 0),
+        idx["centroids"],
+        idx["assign"],
+        qv,
+        k=10,
+        nprobe=3,
+    )
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cid").cast("bigint").alias("cid"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )

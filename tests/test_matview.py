@@ -632,3 +632,34 @@ def test_join_view_observer_path(spark, tmp_path):
     }
     got = {r["sector"]: (r["n"], r["vol"]) for r in mv.read().collect()}
     assert got == expect
+
+
+def test_retention_gap_heal_minmax(spark, tmp_path):
+    """The retention-gap heal pinned for the NON-subtractable algebra
+    (VERDICT r8 #6): min/max measures heal through init_from_snapshot
+    exactly as sums do — the heal IS a snapshot recompute, so the
+    retraction-blind partials can never resurrect an expired extremum —
+    and post-heal deletes keep taking the recompute path."""
+    from stock_ops_spark.sources.commitlog import ChangeFeedGap, ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    mv = MatView(spark, str(tmp_path / "cmv"), ["ticker"], MEASURES)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    mv.sync(store, MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    store.retain_before(MODE, 1751500000, on_observers="ignore")  # drops A
+    with pytest.raises(ChangeFeedGap):
+        mv.sync(store, MODE)
+    mv.init_from_snapshot(store, MODE)
+    _assert_view_equals_recompute(mv, store)
+    # ROWS_A's extrema expired with the retention; the healed view must
+    # carry only ROWS_B's (SPY high 630.0, not a resurrected 619.0)
+    got = {r["ticker"]: r["hi"] for r in mv.read().collect()}
+    assert got["SPY"] == pytest.approx(630.0)
+    # post-heal delete of the SPY max takes the recompute path and the
+    # max falls back correctly (no stale extremum)
+    res = store.delete_where(MODE, "volume = 800", on_observers="ignore")
+    assert res["deleted"] == 1
+    out = mv.sync(store, MODE)
+    assert out["recomputed_groups"] == 1  # SPY only
+    _assert_view_equals_recompute(mv, store)

@@ -76,6 +76,16 @@ class VacuumedVersion(Exception):
     """The requested version's history was truncated by ``vacuum``."""
 
 
+class _GroupOverlap(Exception):
+    """Internal: a group-commit's batches could not be PROVEN
+    key-disjoint; the caller falls back to sequential ingestion."""
+
+
+#: caller-internal batch-id tag column carried through the group-commit
+#: versioned-delta pass (excluded from payload/dedup/tiebreak/write)
+_GBID = "__gbid"
+
+
 class ChangeFeedGap(Exception):
     """The requested change-feed span crosses a commit whose row-level
     changes were deliberately not recorded (``retain_before(cdc=False)``
@@ -424,6 +434,34 @@ class ManifestStore:
     def interval_stats(self, mode: str) -> DataFrame | None:
         return self._read_stats(mode, "interval")
 
+    @staticmethod
+    def _fold_bid_rows(grows: list, gb_base: list) -> list[dict]:
+        """Fold a group commit's per-(group key, batch id) stat rows to
+        bid-free rows for the stats increment — driver-side, trivially
+        small (keys the group touches)."""
+        def _nmin(a, b):
+            return b if a is None else a if b is None else min(a, b)
+
+        def _nmax(a, b):
+            return b if a is None else a if b is None else max(a, b)
+
+        fold: dict = {}
+        for r in grows:
+            k = tuple(r[c] for c in gb_base)
+            e = fold.get(k)
+            if e is None:
+                fold[k] = {
+                    **{c: r[c] for c in gb_base},
+                    "rc": r["rc"],
+                    "lo": r["lo"],
+                    "hi": r["hi"],
+                }
+            else:
+                e["rc"] += r["rc"]
+                e["lo"] = _nmin(e["lo"], r["lo"])
+                e["hi"] = _nmax(e["hi"], r["hi"])
+        return [fold[k] for k in sorted(fold, key=str)]
+
     def _write_stats_increment(
         self, log, stats_dir: str, mode: str, grows: list
     ) -> dict:
@@ -560,6 +598,85 @@ class ManifestStore:
     # _read_stats fold and the carried "stats_incs" lists
 
     def ingest_batch(self, batch: DataFrame, mode: str) -> int:
+        """One batch, one commit — see ``_ingest_frame`` for the
+        optimistic-concurrency contract."""
+        return self._ingest_frame(batch, mode, n_bids=None)
+
+    def ingest_group(self, batches: list, mode: str) -> list[int]:
+        """GROUP COMMIT (r8 directive #3): coalesce queued KEY-DISJOINT
+        batches into ONE commit — one versioned-delta pass, one parquet
+        write, one stats increment, one commit race — amortizing the
+        ~3-Spark-job fixed cost that dominates per-commit latency
+        (profiled r9: ~1.3 s/commit of JVM round-trips at the 500-row
+        scale, independent of batch size) across the whole group, and
+        cutting the multi-writer conflict rate by the group factor.
+
+        Disjointness is PROVEN, not assumed, from the same grouped-
+        stats job the single-batch path already runs: two batches may
+        interact only if they share a (ticker[, interval]) group with
+        overlapping ts ranges — an interacting key would be a row in
+        both rectangles.  Any such pair (or any NULL key, which no
+        rectangle can bound) aborts the group BEFORE anything is
+        written and falls back to sequential ``ingest_batch`` in list
+        order, so observable semantics are exactly sequential
+        ingestion; when the group path runs, union-level dedup equals
+        sequential dedup BECAUSE no key crosses batches.
+
+        Returns per-batch appended-row counts.  One caveat, pinned in
+        tests: a row submitted IDENTICALLY by two batches of the same
+        group is appended once (exactly-once holds) but attributed to
+        one of the two arbitrarily — sequential ingestion attributes it
+        to the earlier batch.  Atomicity is all-or-nothing for the
+        group (stronger than sequential's prefix-on-crash)."""
+        if not batches:
+            return []
+        if len(batches) == 1:
+            return [self.ingest_batch(batches[0], mode)]
+        tagged = batches[0].withColumn(_GBID, F.lit(0))
+        for i, b in enumerate(batches[1:], 1):
+            tagged = tagged.unionByName(
+                b.withColumn(_GBID, F.lit(i)), allowMissingColumns=True
+            )
+        try:
+            return self._ingest_frame(tagged, mode, n_bids=len(batches))
+        except _GroupOverlap:
+            return [self.ingest_batch(b, mode) for b in batches]
+
+    @staticmethod
+    def _check_group_disjoint(grows: list, gb_base: list) -> None:
+        """Prove pairwise key-disjointness of a group's batches from the
+        per-(group key, batch id) stat rows of the POST-DEDUP delta, or
+        raise ``_GroupOverlap``.  Sound because a key shared by two
+        batches either survives dedup in both (two stat rows whose
+        [lo, hi] ranges contain the shared ts → ranges intersect →
+        caught) or was an exact duplicate (one surviving copy — content
+        identical to what sequential ingestion stores).  NULL keys and
+        NULL timestamps fall outside every rectangle → conservative
+        abort."""
+        per: dict = {}
+        for r in grows:
+            if (
+                r["ticker"] is None
+                or r["lo"] is None
+                or r["nts"] != r["rc"]
+            ):
+                raise _GroupOverlap
+            k = tuple(r[c] for c in gb_base)
+            per.setdefault(k, []).append((r["lo"], r["hi"], r[_GBID]))
+        for lst in per.values():
+            if len(lst) == 1:
+                continue
+            lst.sort()
+            for (_, h1, b1), (l2, _, b2) in zip(lst, lst[1:]):
+                # distinct bids by construction (one stat row per
+                # (key, bid)); ranges may not even touch: an equal ts
+                # in both batches would be the same index key
+                if b1 != b2 and l2 <= h1:
+                    raise _GroupOverlap
+
+    def _ingest_frame(
+        self, batch: DataFrame, mode: str, n_bids: int | None
+    ) -> int | list[int]:
         """Exactly ``ParquetStore.ingest_batch``'s contract, atomically.
 
         Optimistic concurrency, two-tier:
@@ -590,6 +707,7 @@ class ManifestStore:
         parts = PARTITION_COLS[mode]
         log = self.log(mode)
         tsc = S.TS_COL[mode]
+        ign = (_GBID,) if n_bids else ()
 
         def _j(v):
             return (
@@ -598,7 +716,8 @@ class ManifestStore:
                 else str(v)
             )
 
-        gb = ["ticker"] if mode == "streaming" else ["ticker", "interval"]
+        gb_base = ["ticker"] if mode == "streaming" else ["ticker", "interval"]
+        gb = gb_base + list(ign)
         st_aggs = [
             F.count(F.lit(1)).alias("rc"),
             F.count(tsc).alias("nts"),
@@ -641,14 +760,23 @@ class ManifestStore:
                 "n": sum(r["rc"] for r in grows),
             }
 
+        def _zero():
+            return [0] * n_bids if n_bids else 0
+
         for _attempt in range(self.MAX_COMMIT_RETRIES):
             state = log.state()
-            versioned = compute_versioned_delta(batch, None, mode, self.tz)
+            versioned = compute_versioned_delta(
+                batch, None, mode, self.tz, ignore_cols=ign
+            )
             versioned = versioned.localCheckpoint(eager=True)
             grows = _stat_rows(versioned)
+            if n_bids:
+                # prove pairwise batch disjointness BEFORE any write;
+                # raises _GroupOverlap -> caller ingests sequentially
+                self._check_group_disjoint(grows, gb_base)
             n = sum(r["rc"] for r in grows)
             if not n:
-                return 0
+                return _zero()
             dir_meta = _meta_of(grows)
             # rectangle pruning is only sound when every key is non-NULL
             # (NULL keys fall outside any recorded bounds)
@@ -692,17 +820,21 @@ class ManifestStore:
                     mode,
                     self.tz,
                     touched=touched,
+                    ignore_cols=ign,
                 )
                 versioned = versioned.localCheckpoint(eager=True)
                 grows = _stat_rows(versioned)
+                # no group re-check needed: the store anti-join only
+                # REMOVES rows — it cannot create cross-batch overlap
                 n = sum(r["rc"] for r in grows)
                 if not n:
-                    return 0
+                    return _zero()
                 dir_meta = _meta_of(grows)
             base_version = state["version"]
             new_version = base_version + 1
             batch_dir = f"batch-{uuid.uuid4().hex[:12]}"
-            writer = cluster_for_write(versioned, mode).write.option(
+            out_frame = versioned.drop(*ign) if n_bids else versioned
+            writer = cluster_for_write(out_frame, mode).write.option(
                 "compression", "zstd"
             )
             if parts:
@@ -728,7 +860,7 @@ class ManifestStore:
                 for which, by_interval in whichs:
                     bdf = merge_stats(
                         self._read_stats(mode, which),
-                        batch_stats(versioned, mode, by_interval),
+                        batch_stats(out_frame, mode, by_interval),
                         self._STATS_KEYS[which],
                     )
                     rel = os.path.join(stats_dir, which)
@@ -738,8 +870,11 @@ class ManifestStore:
                     stats_ptr[which] = rel
             else:
                 stats_dir = f"stats-inc-{uuid.uuid4().hex[:12]}"
+                inc_rows = (
+                    self._fold_bid_rows(grows, gb_base) if n_bids else grows
+                )
                 stats_ptr = self._write_stats_increment(
-                    log, stats_dir, mode, grows
+                    log, stats_dir, mode, inc_rows
                 )
             stats_key = "stats" if fold_now else "stats_inc"
 
@@ -779,7 +914,12 @@ class ManifestStore:
                             except RuntimeError:
                                 pass
                     for obs in self.observers:
-                        obs(versioned, mode)
+                        obs(out_frame, mode)
+                    if n_bids:
+                        return [
+                            sum(r["rc"] for r in grows if r[_GBID] == i)
+                            for i in range(n_bids)
+                        ]
                     return n
                 except CommitConflict:
                     head = log.version()

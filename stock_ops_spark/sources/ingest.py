@@ -51,6 +51,7 @@ def compute_versioned_delta(
     mode: str,
     tz: str,
     touched: list | None = None,
+    ignore_cols: tuple = (),
 ) -> DataFrame:
     """Steps 1-5 of the ingest contract (P5/A2/A3/A4), shared by
     ``ParquetStore`` and the manifest-committed store
@@ -62,10 +63,17 @@ def compute_versioned_delta(
     ``touched``: optional precomputed partition-value tuples the batch
     hits (a caller that already ran an aggregate over the routed batch
     can fold the collect in and save one Spark job — r8).  ``[]`` means
-    "known over-cap: skip pruning"; ``None`` means "compute here"."""
+    "known over-cap: skip pruning"; ``None`` means "compute here".
+
+    ``ignore_cols``: caller-internal tag columns (the group-commit
+    batch id — r9) that must ride through the pass UNTOUCHED: excluded
+    from the dedup payload and the conflict tiebreak, never compared
+    against the store."""
     keys = S.INDEX_COLS[mode]
     declared = set(S.SCHEMAS[mode].fieldNames())
-    extra = [c for c in batch.columns if c not in declared]
+    extra = [
+        c for c in batch.columns if c not in declared and c not in ignore_cols
+    ]
     payload = S.payload_cols(mode) + extra
     parts = PARTITION_COLS[mode]
 

@@ -1,0 +1,145 @@
+"""Group commit (VERDICT r8 #3): ``ManifestStore.ingest_group``
+coalesces queued key-disjoint batches into one commit.
+
+Contracts pinned:
+- PROVEN-disjoint groups produce the exact store sequential ingestion
+  produces (rows, versions-per-key, table stats), in ONE commit;
+- any possible key interaction (overlapping ranges, NULL keys) aborts
+  before anything is written and falls back to sequential order;
+- exact cross-batch duplicates stay exactly-once (attribution caveat
+  documented on the method);
+- observers receive the group delta once, without the internal tag;
+- the tag column never reaches the stored parquet.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_ops_spark import schemas as S
+from stock_ops_spark.sources.commitlog import ManifestStore
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+MODE = "historical_intraday"
+
+
+def _batch(spark, tk: str, r: int, n: int = 40):
+    rows = [
+        (tk, 1751463000 + 60 * (500 * r + j), 1.0, 2.0, 0.5, 1.5, 100 + j, "1h")
+        for j in range(n)
+    ]
+    return spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY)
+
+
+def _rows(store):
+    df = store.read_all(MODE)
+    return sorted(tuple(r) for r in df.collect()) if df is not None else []
+
+
+def _stats(store):
+    df = store.table_stats(MODE)
+    return sorted(tuple(r) for r in df.collect()) if df is not None else []
+
+
+def test_group_equals_sequential_one_commit(spark, tmp_path):
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    s = ManifestStore(spark, str(tmp_path / "s"), auto_compact_every=0)
+    # disjoint three ways: two tickers + one time-disjoint later round
+    bs = [
+        _batch(spark, "AAA", 0),
+        _batch(spark, "BBB", 0),
+        _batch(spark, "AAA", 1),
+    ]
+    counts = g.ingest_group(bs, MODE)
+    seq = [s.ingest_batch(b, MODE) for b in bs]
+    assert counts == seq == [40, 40, 40]
+    assert g.version(MODE) == 1  # ONE commit
+    assert s.version(MODE) == 3
+    assert _rows(g) == _rows(s)
+    assert _stats(g) == _stats(s)
+
+
+def test_group_overlap_falls_back_sequential(spark, tmp_path):
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    s = ManifestStore(spark, str(tmp_path / "s"), auto_compact_every=0)
+    first = _batch(spark, "AAA", 0)
+    # same key, different payload: a version conflict only sequential
+    # semantics can order — must NOT take the group path
+    upd = spark.createDataFrame(
+        [("AAA", 1751463000, 9.9, 9.9, 9.9, 9.9, 1, "1h")],
+        schema=S.HISTORICAL_INTRADAY,
+    )
+    counts = g.ingest_group([first, upd], MODE)
+    seq = [s.ingest_batch(b, MODE) for b in [first, upd]]
+    assert counts == seq == [40, 1]
+    assert g.version(MODE) == 2  # sequential fallback commits per batch
+    assert _rows(g) == _rows(s)
+    # the conflicting key carries two versions in both stores
+    two = (
+        g.read_all(MODE)
+        .where(F.col("timestamp_UTC_s") == 1751463000)
+        .select("version")
+        .collect()
+    )
+    assert sorted(r.version for r in two) == [1, 2]
+
+
+def test_group_exact_crossbatch_dup_exactly_once(spark, tmp_path):
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    b1 = _batch(spark, "AAA", 0)
+    b2 = _batch(spark, "AAA", 0)  # identical resend in the same group
+    counts = g.ingest_group([b1, b2], MODE)
+    assert sum(counts) == 40  # exactly-once rows
+    assert g.read_all(MODE).count() == 40
+    assert g.read_all(MODE).where(F.col("version") != 1).count() == 0
+
+
+def test_group_null_key_falls_back(spark, tmp_path):
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    s = ManifestStore(spark, str(tmp_path / "s"), auto_compact_every=0)
+    ok = _batch(spark, "AAA", 0, n=5)
+    # the declared schema forbids NULL keys; a producer-side frame with
+    # a laxer schema can still present one — the group must refuse to
+    # prove disjointness over it (no rectangle bounds a NULL)
+    nullts = spark.createDataFrame(
+        [("BBB", None, 1.0, 2.0, 0.5, 1.5, 7, "1h")],
+        "ticker string, timestamp_UTC_s long, open double, high double,"
+        " low double, close double, volume long, interval string",
+    )
+    counts = g.ingest_group([ok, nullts], MODE)
+    seq = [s.ingest_batch(b, MODE) for b in [ok, nullts]]
+    assert counts == seq
+    assert _rows(g) == _rows(s)
+    assert g.version(MODE) == s.version(MODE)  # sequential path taken
+
+
+def test_group_trivial_shapes(spark, tmp_path):
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    assert g.ingest_group([], MODE) == []
+    assert g.ingest_group([_batch(spark, "AAA", 0, n=3)], MODE) == [3]
+    assert g.version(MODE) == 1
+
+
+def test_group_observer_sees_untagged_delta_once(spark, tmp_path):
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    seen = []
+    g.observers.append(lambda df, mode: seen.append(df.columns))
+    g.ingest_group([_batch(spark, "AAA", 0, n=4), _batch(spark, "BBB", 0, n=4)], MODE)
+    assert len(seen) == 1  # one group -> one observer call
+    assert "__gbid" not in seen[0]
+    # and the stored parquet carries no tag column either
+    assert "__gbid" not in g.read_all(MODE).columns
+
+
+def test_group_then_single_interleave_reads_consistent(spark, tmp_path):
+    """Mixed usage: group commits and single commits interleave on one
+    store; stats and latest-view reads stay exact."""
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    g.ingest_group([_batch(spark, "AAA", 0), _batch(spark, "BBB", 0)], MODE)
+    g.ingest_batch(_batch(spark, "AAA", 1), MODE)
+    g.ingest_group([_batch(spark, "BBB", 1), _batch(spark, "CCC", 0)], MODE)
+    assert g.version(MODE) == 3
+    assert g.read_all(MODE).count() == 200
+    st = {r["ticker"]: r["row_count"] for r in g.table_stats(MODE).collect()}
+    assert st == {"AAA": 80, "BBB": 80, "CCC": 40}

@@ -195,6 +195,11 @@ def main_race() -> None:
     where the r6 full-recompute loop starved.
 
         python tools/bench_ingest.py --race [n_writers] [rounds] [batch_rows]
+
+    ``--group G`` makes each writer coalesce G queued batches per
+    ``ingest_group`` call (r9): same total rows, rounds/G commits per
+    writer — the group-commit amortization measured against the
+    per-batch baseline.
     """
     import os
     import subprocess
@@ -205,6 +210,11 @@ def main_race() -> None:
     n_writers = int(args[0]) if len(args) > 0 else 2
     rounds = int(args[1]) if len(args) > 1 else 8
     batch_rows = int(args[2]) if len(args) > 2 else 500
+    group = 1
+    if "--group" in sys.argv:
+        group = int(sys.argv[sys.argv.index("--group") + 1])
+        if rounds % group:
+            raise SystemExit("rounds must divide by --group")
 
     root = tempfile.mkdtemp(prefix="race_bench_")
     go = os.path.join(root, "go")
@@ -245,13 +255,17 @@ open({root!r} + f"/ready-{{i}}", "w").close()
 while not os.path.exists({go!r}):
     time.sleep(0.01)
 total = 0
+queue = []
 for r in range({rounds}):
     rows = [(f"T{{i:02d}}", 1751463000 + 60 * ({batch_rows} * r + j),
              1.0, 2.0, 0.5, 1.5, 100 + j, "1h") for j in range({batch_rows})]
-    total += store.ingest_batch(
-        spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY),
-        "historical_intraday",
-    )
+    queue.append(spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY))
+    if len(queue) == {group}:
+        if {group} == 1:
+            total += store.ingest_batch(queue[0], "historical_intraday")
+        else:
+            total += sum(store.ingest_group(queue, "historical_intraday"))
+        queue = []
 print("DONE", total, conflicts[0], flush=True)
 """
     scr = os.path.join(root, "child.py")

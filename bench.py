@@ -45,6 +45,15 @@ def _env_snapshot() -> dict:
         snap["page_cache_gb"] = round(mem.get("Cached", 0) / 1048576, 1)
     except (OSError, ValueError):
         pass
+    # calibrated single-core mark: the r9 sf3-validation session found
+    # every measured number 1.5-6x slower than r8's on zero-diff code —
+    # this constant makes cross-session box drift a NUMBER, not a
+    # forensic reconstruction (r9 box: ~340 ms; see STATUS r9)
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(1_000_000):
+        s += i * i
+    snap["cpu_mark_ms"] = round((time.perf_counter() - t0) * 1000, 1)
     try:
         n = 0
         for pid in os.listdir("/proc"):

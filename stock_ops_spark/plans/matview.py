@@ -48,6 +48,11 @@ Measure algebra — maintenance cost per path (measured r9,
   (serve())     time — free
   ============  ==================  ======================================
 
+  Measured (r9, events store 0.3M→3M rows, one-group delete): 2.7 /
+  3.1 / 2.7 s, k = 0.01 — at local scale the per-sync job floor hides
+  the scan term entirely; the O(store) read is the asymptotic bound a
+  1000-executor store WILL hit, not the local constant.
+
   Consequence at 100 TB: keep min/max views on stores with bounded
   retention or accept retraction = one snapshot pass; a mixed view pays
   the min/max price on every retraction batch that touches any group.

@@ -3700,3 +3700,80 @@ def q321_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("bigint").alias("cid"),
         F.round("cos_sim", 6).alias("cos_sim"),
     )
+
+
+def _q322_oracle() -> str:
+    from stock_ops_spark.operators.clustering import kmeans_oracle_cte
+
+    return f"""
+    WITH {kmeans_oracle_cte(k=8, iters=3, dim=64)},
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    routed AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(c.cvec, q.qv) DESC, c.cid
+               ) AS rk
+        FROM q CROSS JOIN c3 c
+      ) WHERE rk <= 2
+    ),
+    cand AS (
+      SELECT r.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE), r.qv) AS cs
+      FROM routed r
+      JOIN assign a ON a.cid = r.cid
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE e.vec_id <> r.query_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           round(cs, 6) AS cos_sim
+    FROM (
+      SELECT query_id, neighbor_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """
+
+
+@_register("q322_ivf_index_knn_join", _q322_oracle())
+def q322_ivf_index_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch approximate k-NN JOIN served from the persisted IVF index
+    (operators/ivf.py::knn_join_from_index) — the query-SET twin of
+    q321: every 37th vector routes to its 2 nearest frozen centroids
+    (broadcast), meets corpus rows through an equi-join on the
+    artifact's cell id, and per-query top-3 falls out of one ranking
+    window.  Neither side is broadcast whole and the corpus is touched
+    only inside probed cells — the shape that serves a production
+    query stream at 100 TB.  Shares q321's artifact (one fit + one
+    assignment per corpus version across all IVF consumers); the
+    oracle replays the kmeans from scratch, pinning routing, cell
+    membership and ranking end-to-end."""
+    from stock_ops_spark.operators.ivf import ivf_index_cached, knn_join_from_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = ivf_index_cached(
+        e,
+        source_path=catalog.table_path(sf_dir, "embeddings"),
+        k_cells=8,
+        iters=3,
+        dim=64,
+    )
+    queries = e.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = knn_join_from_index(
+        e, idx["centroids"], idx["assign"], queries, k=3, nprobe=2
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )

@@ -3584,3 +3584,126 @@ def q277_order_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("longest_gap").cast("bigint").alias("longest_gap"),
         )
     )
+
+
+@_register(
+    "q323_curated_scrub",
+    """
+    WITH d0 AS (SELECT doc_id, text FROM documents),
+    d1 AS (SELECT doc_id, text FROM d0 WHERE doc_id % 23 <> 0),
+    m AS (
+      SELECT doc_id, text,
+             length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' '))                        AS mean_wlen,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('a', 'the'))) * 1.0
+               / len(string_split(text, ' '))                        AS stop_frac,
+             1.0 - len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' '))                        AS dup_frac
+      FROM d1
+    ),
+    d2 AS (SELECT doc_id, text FROM m
+           WHERE mean_wlen <= 4.8 AND stop_frac <= 0.12 AND dup_frac <= 0.6),
+    d3 AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS k
+             FROM d2) WHERE doc_id = k),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(length(lower(text)) - 7, 1) + 1),
+                    i -> substr(lower(text), i, 8))) AS s
+           FROM d3),
+    kill AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+            / (len(a.s) + len(b.s)
+               - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    d4 AS (SELECT doc_id, text FROM d3
+           WHERE doc_id NOT IN (SELECT doc_id FROM kill)),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(w) - 3 + 1), i ->
+               array_to_string(list_slice(w, i, i + 3), ' ')))) AS gram
+      FROM (SELECT string_split(text, ' ') AS w
+            FROM d0 WHERE doc_id % 23 = 0)
+      WHERE len(w) >= 4
+    ),
+    tg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(w) - 3 + 1), i ->
+               array_to_string(list_slice(w, i, i + 3), ' ')))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d4)
+      WHERE len(w) >= 4
+    ),
+    dirty AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
+    d5 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM d4
+           WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+    g AS (
+      SELECT doc_id, i AS p, array_to_string(w[i:i+3], ' ') AS gram
+      FROM d5, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    canon AS (
+      SELECT gram, min(doc_id) AS keep_doc
+      FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.p
+      FROM g JOIN canon c ON c.gram = g.gram AND g.doc_id <> c.keep_doc
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, p + o AS pos
+      FROM hits, unnest([0, 1, 2, 3]) AS u(o)
+    ),
+    toks AS (
+      SELECT doc_id, i AS p, w[i] AS tok
+      FROM d5, unnest(range(1, len(w) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.pos = t.p
+      WHERE r.pos IS NULL
+    ),
+    scrub AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text2,
+             count(*) AS n_after
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d5.doc_id,
+           CAST(len(d5.w) AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(s.n_after, 0) AS BIGINT) AS n_tokens_after,
+           CAST(len(d5.w) - coalesce(s.n_after, 0) AS BIGINT)
+             AS removed_tokens,
+           md5(coalesce(s.text2, '')) AS scrub_fp
+    FROM d5 LEFT JOIN scrub s ON s.doc_id = d5.doc_id
+    """,
+)
+def q323_curated_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data build, ACTION included: q260's five-stage
+    curation funnel (benchmark split → quality gates → exact dedup →
+    minhash near-dedup → decontamination) followed by the ExactSubstr
+    span scrub (pipeline.py::span_scrub) over the SURVIVING corpus —
+    per-doc exact token accounting plus the md5 of each survivor's
+    scrubbed text, so the oracle pins the byte content of the corpus a
+    trainer would actually tokenize.  Scrub grams derive from the
+    curated frame (duplication among survivors is what matters after
+    dedup removed whole-document copies); canonical docs are survivors
+    by construction.  One lazy plan end to end; the oracle replays
+    funnel AND scrub from scratch in SQL."""
+    from stock_ops_spark.pipeline import span_scrub, standard_curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe = standard_curation(docs, lambda: _neardup_pairs(spark, sf_dir))
+    cur = docs
+    for st in pipe.stages:
+        cur = st.apply(cur)
+    sc = span_scrub().apply(cur)
+    return sc.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        "removed_tokens",
+        F.md5(F.col("text")).alias("scrub_fp"),
+    )

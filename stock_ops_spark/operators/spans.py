@@ -425,3 +425,65 @@ def scrub_spans(
         .withColumn(text_col, F.array_join(F.col("__kept"), " "))
         .drop("__rem", "__kept")
     )
+
+
+def scrub_spans_against(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SURGICAL decontamination (the span-level twin of q93's
+    doc-level drop): remove from ``docs`` every token span covered by
+    an NGRAM that also occurs in ``reference`` (the held-out benchmark
+    corpus).  Where decontaminate() throws away the whole document for
+    one shared passage, this keeps the document and excises exactly the
+    contaminated spans — the standard practice when training corpora
+    are scarce and benchmark overlap is boilerplate-shaped.
+
+    Shape: the reference's distinct gram set is an aggregate of the
+    (small) benchmark side and BROADCASTS into a semi-join against the
+    corpus postings — the corpus is never shuffled by gram; everything
+    downstream is the scrub_spans explode/collect/filter path, bounded
+    by the contaminated text volume."""
+    ref_grams = F.broadcast(
+        gram_postings(reference, id_col, text_col).select("gram").distinct()
+    )
+    hits = gram_postings(docs, id_col, text_col).join(
+        ref_grams, "gram", "left_semi"
+    ).select("doc_id", "p")
+    rem = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(NGRAM - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__rem"))
+    )
+    out = docs.join(
+        rem.withColumnRenamed("doc_id", id_col), id_col, "left_outer"
+    )
+    words = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        words,
+        lambda x, i: ~F.coalesce(
+            F.array_contains(F.col("__rem"), (i + 1).cast("bigint")),
+            F.lit(False),
+        ),
+    )
+    return (
+        out.withColumn("__kept", kept)
+        .withColumn("n_tokens_before", F.size(words).cast("bigint"))
+        .withColumn("n_tokens_after", F.size("__kept").cast("bigint"))
+        .withColumn(
+            "removed_tokens",
+            (F.col("n_tokens_before") - F.col("n_tokens_after")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(text_col, F.array_join(F.col("__kept"), " "))
+        .drop("__rem", "__kept")
+    )

@@ -3818,3 +3818,77 @@ def q320_span_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "removed_tokens",
         F.md5(F.col("text")).alias("scrub_fp"),
     )
+
+
+@_register(
+    "q324_surgical_decontamination",
+    """
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 23 <> 0
+    ),
+    b AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 23 = 0
+    ),
+    bg AS (
+      SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS gram
+      FROM b, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    g AS (
+      SELECT doc_id, i AS p, array_to_string(w[i:i+3], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    hits AS (SELECT g.doc_id, g.p FROM g JOIN bg USING (gram)),
+    rem AS (
+      SELECT DISTINCT doc_id, p + o AS pos
+      FROM hits, unnest([0, 1, 2, 3]) AS u(o)
+    ),
+    toks AS (
+      SELECT doc_id, i AS p, w[i] AS tok
+      FROM d, unnest(range(1, len(w) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.pos = t.p
+      WHERE r.pos IS NULL
+    ),
+    scrub AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text2,
+             count(*) AS n_after
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(s.n_after, 0) AS BIGINT) AS n_tokens_after,
+           CAST(len(d.w) - coalesce(s.n_after, 0) AS BIGINT)
+             AS removed_tokens,
+           md5(coalesce(s.text2, '')) AS scrub_fp
+    FROM d LEFT JOIN scrub s ON s.doc_id = d.doc_id
+    """,
+)
+def q324_surgical_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination executed
+    (operators/spans.py::scrub_spans_against): every training-corpus
+    token span covered by a 4-gram that also occurs in the held-out
+    benchmark slice (doc_id % 23 — the q93/q260 convention) is excised;
+    the document survives.  Where q93 FLAGS and the funnel DROPS a
+    contaminated document whole, this keeps the scarce training text
+    and removes exactly the leaked passage — per-doc accounting plus
+    the md5 of the scrubbed text pins the output bytes.  The benchmark
+    gram set broadcasts; the corpus is never shuffled by gram."""
+    from stock_ops_spark.operators.spans import scrub_spans_against
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.where(F.col("doc_id") % 23 != 0)
+    bench = d.where(F.col("doc_id") % 23 == 0)
+    sc = scrub_spans_against(train, bench)
+    return sc.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        "removed_tokens",
+        F.md5(F.col("text")).alias("scrub_fp"),
+    )

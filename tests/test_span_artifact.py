@@ -249,3 +249,52 @@ def test_pipeline_span_scrub_stage_observe(spark, tmp_path):
     assert tok.get["removed"] + tok.get["kept"] == sum(
         len(t.split(" ")) for i, t in rows if i != 400
     )
+
+
+def test_surgical_scrub_against_reference(spark, tmp_path):
+    """scrub_spans_against: benchmark-overlapping spans are excised at
+    their ORIGINAL positions (conservation + identity pins); note the
+    documented caveat — excision can create NEW adjacencies, so the
+    invariant is 'no surviving original occurrence', not 'no benchmark
+    gram in the rejoined text'."""
+    rows = _corpus(30)
+    # plant contamination: doc 2 embeds doc 0's tokens 3..10 (doc 0
+    # will be the reference side)
+    quote = rows[0][1].split()[3:11]
+    w2 = rows[2][1].split()
+    w2[5:5] = quote
+    rows[2] = (2, " ".join(w2))
+    docs = _write(spark, rows, str(tmp_path / "v1"))
+    ref = docs.where(F.col("doc_id") == 0)
+    train = docs.where(F.col("doc_id") != 0)
+    sc = SP.scrub_spans_against(train, ref).localCheckpoint(eager=True)
+    # conservation per row
+    assert (
+        sc.where(
+            F.col("n_tokens_before") - F.col("n_tokens_after")
+            != F.col("removed_tokens")
+        ).count()
+        == 0
+    )
+    # the planted doc lost at least the quoted span
+    hit = sc.where(F.col("doc_id") == 2).collect()[0]
+    assert hit.removed_tokens >= len(quote)
+    # docs sharing no 4-gram with the reference are byte-identical
+    ref_grams = {
+        r.gram for r in SP.gram_postings(ref).select("gram").collect()
+    }
+    orig = {r.doc_id: r.text for r in train.collect()}
+    for r in sc.collect():
+        doc_grams = {
+            g.gram
+            for g in SP.gram_postings(
+                spark.createDataFrame(
+                    [(r.doc_id, orig[r.doc_id])], "doc_id long, text string"
+                )
+            ).collect()
+        }
+        if not (doc_grams & ref_grams):
+            assert r.text == orig[r.doc_id]
+            assert r.removed_tokens == 0
+        else:
+            assert r.removed_tokens > 0

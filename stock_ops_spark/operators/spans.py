@@ -429,9 +429,11 @@ def scrub_spans(
 
 def scrub_spans_against(
     docs: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings: DataFrame | None = None,
+    ref_grams: DataFrame | None = None,
 ) -> DataFrame:
     """SURGICAL decontamination (the span-level twin of q93's
     doc-level drop): remove from ``docs`` every token span covered by
@@ -445,12 +447,21 @@ def scrub_spans_against(
     (small) benchmark side and BROADCASTS into a semi-join against the
     corpus postings — the corpus is never shuffled by gram; everything
     downstream is the scrub_spans explode/collect/filter path, bounded
-    by the contaminated text volume."""
-    ref_grams = F.broadcast(
-        gram_postings(reference, id_col, text_col).select("gram").distinct()
-    )
-    hits = gram_postings(docs, id_col, text_col).join(
-        ref_grams, "gram", "left_semi"
+    by the contaminated text volume.
+
+    Pass ``postings`` (the persisted span artifact, restricted to the
+    training docs) and/or ``ref_grams`` (a precomputed distinct gram
+    frame — e.g. the artifact's postings restricted to the benchmark
+    split) to skip re-tokenizing either side; when both splits live in
+    one corpus, ONE artifact serves both."""
+    if ref_grams is None:
+        ref_grams = gram_postings(reference, id_col, text_col).select(
+            "gram"
+        ).distinct()
+    if postings is None:
+        postings = gram_postings(docs, id_col, text_col)
+    hits = postings.join(
+        F.broadcast(ref_grams), "gram", "left_semi"
     ).select("doc_id", "p")
     rem = (
         hits.select(

@@ -3878,13 +3878,30 @@ def q324_surgical_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     contaminated document whole, this keeps the scarce training text
     and removes exactly the leaked passage — per-doc accounting plus
     the md5 of the scrubbed text pins the output bytes.  The benchmark
-    gram set broadcasts; the corpus is never shuffled by gram."""
-    from stock_ops_spark.operators.spans import scrub_spans_against
+    gram set broadcasts; the corpus is never shuffled by gram.
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    train = d.where(F.col("doc_id") % 23 != 0)
-    bench = d.where(F.col("doc_id") % 23 == 0)
-    sc = scrub_spans_against(train, bench)
+    Served from the persisted span artifact: BOTH sides' grams are
+    row-filters over the one postings table (train = doc_id % 23 != 0,
+    benchmark = the complement) — no re-tokenize of either split."""
+    from stock_ops_spark.operators.spans import (
+        scrub_spans_against,
+        span_state_cached,
+    )
+
+    full = _t(spark, sf_dir, "documents")
+    art = span_state_cached(
+        full, source_path=catalog.table_path(sf_dir, "documents")
+    )
+    train = full.select("doc_id", "text").where(F.col("doc_id") % 23 != 0)
+    sc = scrub_spans_against(
+        train,
+        None,
+        postings=art["postings"].where(F.col("doc_id") % 23 != 0),
+        ref_grams=art["postings"]
+        .where(F.col("doc_id") % 23 == 0)
+        .select("gram")
+        .distinct(),
+    )
     return sc.select(
         "doc_id",
         "n_tokens_before",

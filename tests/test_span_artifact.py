@@ -298,3 +298,47 @@ def test_surgical_scrub_against_reference(spark, tmp_path):
             assert r.removed_tokens == 0
         else:
             assert r.removed_tokens > 0
+
+
+def test_streaming_span_index_equals_batch_restriction(spark, tmp_path):
+    """Online at-ingest span flagging: after ingesting batches 1..k, the
+    flags written for batch k EQUAL the batch-mode duplicated_spans over
+    the FULL corpus restricted to batch k's docs — a batch gram is
+    online-duplicated iff it is in the index (prior doc) or in >=2 docs
+    of the batch, which is exactly nd >= 2 over the corpus so far.  Also
+    pins the one-sidedness contract (prior holders are not re-flagged)
+    and maintain()'s probe-invariance."""
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    rows = _corpus(36)
+    b1 = [(i, t) for i, t in rows if i < 12]
+    b2 = [(i, t) for i, t in rows if 12 <= i < 24]
+    b3 = [(i, t) for i, t in rows if i >= 24]
+    idx = StreamingSpanIndex(spark, str(tmp_path / "sidx"))
+    for b in (b1, b2):
+        idx.process_batch(
+            spark.createDataFrame(b, "doc_id long, text string")
+        )
+    idx.maintain(target_files=2)  # compaction must not change probes
+    idx.process_batch(spark.createDataFrame(b3, "doc_id long, text string"))
+
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    p, ds, gs = SP.span_state(full)
+    expect = {
+        r.doc_id: (r.n_spans, r.max_span, r.covered_tokens, r.dup_frac)
+        for r in SP.duplicated_spans(p, gs, ds).collect()
+        if r.doc_id >= 24
+    }
+    last_seq = idx.flags().agg(F.max("batch_seq")).collect()[0][0]
+    got = {
+        r.doc_id: (r.n_spans, r.max_span, r.covered_tokens, r.dup_frac)
+        for r in idx.flags().where(F.col("batch_seq") == last_seq).collect()
+    }
+    assert got == expect
+    assert len(got) > 0  # the planted quotes straddle the batch split
+    # one-sided: doc 1 (the quote's source, batch 1) may hold flags only
+    # from ITS OWN batch context, never retro-flags from batch 3
+    early = idx.flags().where(
+        (F.col("doc_id") == 1) & (F.col("batch_seq") == last_seq)
+    )
+    assert early.count() == 0

@@ -3777,3 +3777,114 @@ def q322_ivf_index_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
         F.round("cos_sim", 6).alias("cos_sim"),
     )
+
+
+@_register(
+    "q325_group_commit_audit",
+    """
+    WITH b AS (
+      SELECT event_id % 6 AS bid, event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 6 < 3
+    ), c AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 6 = 3
+    ), m AS (
+      SELECT
+        CAST((SELECT count(*) FROM b) AS BIGINT) AS group_rows,
+        CAST(1 AS BIGINT) AS version_after_group,
+        CAST((SELECT count(*) FROM c) * 2 AS BIGINT) AS fallback_rows,
+        CAST(3 AS BIGINT) AS version_final,
+        CAST((SELECT count(*) FROM b) + (SELECT count(*) FROM c) * 2
+          AS BIGINT) AS rows_total,
+        CAST((SELECT coalesce(sum(cents), 0) FROM b)
+           + (SELECT coalesce(sum(cents + 100000), 0) FROM c)
+          AS BIGINT) AS cents_latest,
+        CAST(2 AS BIGINT) AS max_key_version
+    )
+    SELECT * FROM (
+      SELECT 'cents_latest' AS metric, cents_latest AS value FROM m
+      UNION ALL SELECT 'fallback_rows', fallback_rows FROM m
+      UNION ALL SELECT 'group_rows', group_rows FROM m
+      UNION ALL SELECT 'max_key_version', max_key_version FROM m
+      UNION ALL SELECT 'rows_total', rows_total FROM m
+      UNION ALL SELECT 'version_after_group', version_after_group FROM m
+      UNION ALL SELECT 'version_final', version_final FROM m
+    ) ORDER BY metric
+    """,
+)
+def q325_group_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end GROUP COMMIT audit, driver-oracled — the q315
+    discipline applied to ``ManifestStore.ingest_group``: three
+    key-disjoint batches (per-batch ticker suffix → provably disjoint
+    rectangles) must coalesce into ONE commit (version_after_group = 1),
+    then a deliberately CONFLICTING pair (same keys, different payload)
+    must refuse the group path and fall back to sequential ingestion
+    (two more commits; the conflicting copy version-chains to 2).  The
+    store's observable outcome — row counts per path, commit versions,
+    max per-key version and the latest-view integer-cents checksum —
+    must equal SQL set-algebra predictions from the raw events table.
+    Scale shape: one group ingest + one fallback pair + one latest-view
+    aggregate; seven output rows."""
+    import shutil
+    import tempfile
+
+    from stock_ops_spark.sources.commitlog import ManifestStore
+
+    def shape(df, tick_suffix=None):
+        tk = F.col("event_type")
+        if tick_suffix is not None:
+            tk = F.concat(tk, F.lit(f"_{tick_suffix}"))
+        return df.select(
+            tk.alias("ticker"),
+            (F.col("event_id") * 1000).cast("bigint").alias(
+                "timestamp_UTC_ms"
+            ),
+            F.col("value").cast("double").alias("price"),
+            F.col("event_id").cast("bigint").alias("volume"),
+            F.lit(None).cast("double").alias("ask_price"),
+            F.lit(None).cast("double").alias("bid_price"),
+            F.lit(None).cast("bigint").alias("ask_size"),
+            F.lit(None).cast("bigint").alias("bid_size"),
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    group = [
+        shape(ev.where(F.col("event_id") % 6 == i), tick_suffix=i)
+        for i in range(3)
+    ]
+    c1 = shape(ev.where(F.col("event_id") % 6 == 3))
+    c2 = c1.withColumn("price", F.col("price") + 1000.0)
+    root = tempfile.mkdtemp(prefix="group_audit_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        store = ManifestStore(spark, root)
+        counts = store.ingest_group(group, "streaming")
+        v_group = store.version("streaming")
+        counts2 = store.ingest_group([c1, c2], "streaming")
+        after = store.latest("streaming")
+        agg = after.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("price") * 100).cast("bigint")).alias("c"),
+        ).collect()[0]
+        maxv = store.read_all("streaming").agg(
+            F.max("version").alias("v")
+        ).collect()[0]["v"]
+        total = store.read_all("streaming").count()
+        rows = [
+            ("cents_latest", int(agg["c"])),
+            ("fallback_rows", int(sum(counts2))),
+            ("group_rows", int(sum(counts))),
+            ("max_key_version", int(maxv)),
+            ("rows_total", int(total)),
+            ("version_after_group", int(v_group)),
+            ("version_final", int(store.version("streaming"))),
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, value bigint"
+        ).orderBy("metric")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)

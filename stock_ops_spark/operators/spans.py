@@ -293,14 +293,25 @@ def _islands(hits: DataFrame) -> DataFrame:
 
 
 def duplicated_spans(
-    postings: DataFrame, gramstats: DataFrame, docstats: DataFrame
+    postings: DataFrame,
+    gramstats: DataFrame,
+    docstats: DataFrame,
+    min_span: int = NGRAM,
 ) -> DataFrame:
     """q318's per-doc duplicated-span statistics served from the state
     tables — bit-identical to the inline pipeline (same islands merge,
-    same exact integers, same rounding)."""
+    same exact integers, same rounding).
+
+    ``min_span`` (Lee et al. use 50 tokens): spans shorter than this
+    are dropped AFTER the exact island merge — short incidental matches
+    don't count toward coverage, only passages long enough to be real
+    duplication.  The default (NGRAM) keeps every span (q318's
+    contract); q326 measures at a threshold."""
     dup = gramstats.where(F.col("nd") >= 2).select("gram")
     hits = postings.join(dup, "gram", "left_semi").select("doc_id", "p")
     spans = _islands(hits)
+    if min_span > NGRAM:
+        spans = spans.where(F.col("span_toks") >= min_span)
     return (
         spans.groupBy("doc_id")
         .agg(

@@ -3909,3 +3909,68 @@ def q324_surgical_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         "removed_tokens",
         F.md5(F.col("text")).alias("scrub_fp"),
     )
+
+
+@_register(
+    "q326_long_span_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS p, array_to_string(w[i:i+3], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 4
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS iid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, iid, max(p) - min(p) + 4 AS span_toks
+      FROM isl2 GROUP BY doc_id, iid
+      HAVING max(p) - min(p) + 4 >= 12
+    ),
+    tl AS (SELECT doc_id, len(w) AS n_toks FROM d)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(s.span_toks) AS BIGINT) AS max_span,
+           CAST(sum(s.span_toks) AS BIGINT) AS covered_tokens,
+           CAST(any_value(tl.n_toks) AS BIGINT) AS n_tokens,
+           round(sum(s.span_toks) * 1.0 / any_value(tl.n_toks), 6) AS dup_frac
+    FROM spans s JOIN tl ON tl.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+)
+def q326_long_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q318 with Lee et al.'s MINIMUM SPAN LENGTH knob (their production
+    threshold is 50 tokens; 12 here at fixture scale): spans shorter
+    than min_span are dropped AFTER the exact island merge, so coverage
+    counts only passages long enough to be real duplication — the
+    filter that separates templated boilerplate (scrub it) from
+    incidental 4-gram collisions in a small vocabulary (leave them).
+    Served from the same persisted span artifact as q318/q319/q320;
+    thresholding is a post-merge row filter, so the shared corpus pass
+    is unchanged."""
+    from stock_ops_spark.operators.spans import duplicated_spans, span_state_cached
+
+    d = _t(spark, sf_dir, "documents")
+    art = span_state_cached(
+        d, source_path=catalog.table_path(sf_dir, "documents")
+    )
+    return duplicated_spans(
+        art["postings"], art["gramstats"], art["docstats"], min_span=12
+    )

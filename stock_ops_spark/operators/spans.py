@@ -279,7 +279,8 @@ def span_state_cached(
 def _islands(hits: DataFrame) -> DataFrame:
     """Gaps-and-islands over (doc_id, p) hit positions: merge gram
     intervals whose starts are <= GAP apart into maximal spans; returns
-    (doc_id, iid, span_toks) with span_toks the EXACT union length."""
+    (doc_id, iid, span_toks, span_lo, span_hi) with span_toks the EXACT
+    union length and [span_lo, span_hi] the covered token positions."""
     w1 = Window.partitionBy("doc_id").orderBy("p")
     brk = F.when(F.col("p") - F.lag("p").over(w1) > GAP, 1).otherwise(0)
     iid = F.sum(brk).over(
@@ -288,7 +289,11 @@ def _islands(hits: DataFrame) -> DataFrame:
     return (
         hits.withColumn("iid", iid)
         .groupBy("doc_id", "iid")
-        .agg((F.max("p") - F.min("p") + NGRAM).alias("span_toks"))
+        .agg(
+            (F.max("p") - F.min("p") + NGRAM).alias("span_toks"),
+            F.min("p").alias("span_lo"),
+            (F.max("p") + NGRAM - 1).alias("span_hi"),
+        )
     )
 
 
@@ -380,6 +385,7 @@ def scrub_spans(
     text_col: str = "text",
     postings: DataFrame | None = None,
     gramstats: DataFrame | None = None,
+    min_span: int = NGRAM,
 ) -> DataFrame:
     """The ACTION (Lee et al. §4.1 applied at span granularity): the
     scrubbed corpus.  Every token covered by a duplicated span in a
@@ -396,19 +402,37 @@ def scrub_spans(
     split→filter→join path, which is the identity for single-space
     tokenization, so output text is reproducible from either path.
     Pass the persisted state tables to skip re-tokenizing the corpus;
-    without them the hit set is derived inline from ``docs``."""
+    without them the hit set is derived inline from ``docs``.
+
+    ``min_span`` (Lee et al. scrub only spans >= 50 tokens): with a
+    threshold above NGRAM, islands merge FIRST and only spans at least
+    that long are excised — incidental short matches survive.  The
+    default path excises every covered position (identical to the
+    island union at threshold NGRAM)."""
     if postings is None or gramstats is None:
         postings = gram_postings(docs, id_col, text_col)
         gramstats = gram_stats(postings)
     hits = _scrub_hits(postings, gramstats)
-    rem = (
-        hits.select(
+    if min_span > NGRAM:
+        rem_pos = (
+            _islands(hits)
+            .where(F.col("span_toks") >= min_span)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("span_lo"), F.col("span_hi"))
+                ).alias("pos"),
+            )
+        )
+    else:
+        rem_pos = hits.select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("p"), F.col("p") + F.lit(NGRAM - 1))
             ).alias("pos"),
         )
-        .distinct()
+    rem = (
+        rem_pos.distinct()
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("__rem"))
     )

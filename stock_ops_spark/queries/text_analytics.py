@@ -3974,3 +3974,95 @@ def q326_long_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(
         art["postings"], art["gramstats"], art["docstats"], min_span=12
     )
+
+
+@_register(
+    "q327_long_span_scrub",
+    """
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS p, array_to_string(w[i:i+3], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    canon AS (
+      SELECT gram, min(doc_id) AS keep_doc
+      FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.p
+      FROM g JOIN canon c ON c.gram = g.gram AND g.doc_id <> c.keep_doc
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 4
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS iid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(p) AS lo, max(p) + 3 AS hi
+      FROM isl2 GROUP BY doc_id, iid
+      HAVING max(p) - min(p) + 4 >= 12
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, lo + o AS pos
+      FROM spans, unnest(range(0, hi - lo + 1)) AS u(o)
+    ),
+    toks AS (
+      SELECT doc_id, i AS p, w[i] AS tok
+      FROM d, unnest(range(1, len(w) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.pos = t.p
+      WHERE r.pos IS NULL
+    ),
+    scrub AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text2,
+             count(*) AS n_after
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(s.n_after, 0) AS BIGINT) AS n_tokens_after,
+           CAST(len(d.w) - coalesce(s.n_after, 0) AS BIGINT)
+             AS removed_tokens,
+           md5(coalesce(s.text2, '')) AS scrub_fp
+    FROM d LEFT JOIN scrub s ON s.doc_id = d.doc_id
+    """,
+)
+def q327_long_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THRESHOLDED scrub executed — q320 with Lee et al.'s
+    minimum-span filter (production 50; 12 at fixture scale): islands
+    merge first, only spans at least min_span tokens long are excised,
+    incidental short matches survive.  This is the scrub a production
+    pipeline actually runs — removing every 4-token collision (q320)
+    over-scrubs small-vocabulary corpora, as the delta between q320's
+    and this query's removed_tokens measures directly.  Served from the
+    persisted span artifact; the oracle replays island-merge +
+    threshold + excision from scratch and pins the scrubbed bytes."""
+    from stock_ops_spark.operators.spans import scrub_spans, span_state_cached
+
+    d = _t(spark, sf_dir, "documents")
+    art = span_state_cached(
+        d, source_path=catalog.table_path(sf_dir, "documents")
+    )
+    sc = scrub_spans(
+        d, postings=art["postings"], gramstats=art["gramstats"], min_span=12
+    )
+    return sc.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        "removed_tokens",
+        F.md5(F.col("text")).alias("scrub_fp"),
+    )

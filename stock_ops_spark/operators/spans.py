@@ -489,6 +489,8 @@ def scrub_spans_against(
     frame — e.g. the artifact's postings restricted to the benchmark
     split) to skip re-tokenizing either side; when both splits live in
     one corpus, ONE artifact serves both."""
+    if reference is None and ref_grams is None:
+        raise ValueError("need a reference frame or a ref_grams table")
     if ref_grams is None:
         ref_grams = gram_postings(reference, id_col, text_col).select(
             "gram"

@@ -622,6 +622,12 @@ class ManifestStore:
         ingestion; when the group path runs, union-level dedup equals
         sequential dedup BECAUSE no key crosses batches.
 
+        Group size is the latency/amortization knob: tens of batches
+        per group amortize the fixed jobs fully; hundreds make the
+        union's analyzer cost visible and delay the first batch's
+        durability by the whole group — callers draining a queue should
+        cap the group (the bench uses 4–8).
+
         Returns per-batch appended-row counts.  One caveat, pinned in
         tests: a row submitted IDENTICALLY by two batches of the same
         group is appended once (exactly-once holds) but attributed to

@@ -45,10 +45,11 @@ def _env_snapshot() -> dict:
         snap["page_cache_gb"] = round(mem.get("Cached", 0) / 1048576, 1)
     except (OSError, ValueError):
         pass
-    # calibrated single-core mark: the r9 sf3-validation session found
-    # every measured number 1.5-6x slower than r8's on zero-diff code —
-    # this constant makes cross-session box drift a NUMBER, not a
-    # forensic reconstruction (r9 box: ~340 ms; see STATUS r9)
+    # calibrated single-core mark: makes box drift a NUMBER instead of
+    # a forensic reconstruction — it both exposes a genuinely loaded box
+    # and, r9's lesson, refutes a false "slow box" reading (idle ~65 ms
+    # on the r9 machine; a polluted ad-hoc control had suggested 5x
+    # that — see STATUS r9)
     t0 = time.perf_counter()
     s = 0
     for i in range(1_000_000):

@@ -42,10 +42,21 @@ from stock_ops_spark.operators.clustering import assign_clusters
 
 def _fp(vec_col: str) -> F.Column:
     """Deterministic md5 fingerprint of an embedding (float-to-string is
-    locale-free in Spark; the same vector always maps to the same fp)."""
+    locale-free in Spark; the same vector always maps to the same fp).
+
+    NULL elements are encoded explicitly (r10, advice): ``concat_ws``
+    SKIPS nulls, so ``[1.0, NULL, 2.0]`` and ``[1.0, 2.0]`` would
+    otherwise collide and a rewrite that nulls an element would be
+    treated as unchanged — the incremental refresh would serve a stale
+    cell assignment.  ``coalesce(x, '\\u0000')`` keeps every position
+    visible ('\\u0000' cannot appear in a float's string form)."""
     return F.md5(
         F.concat_ws(
-            ",", F.transform(F.col(vec_col), lambda x: x.cast("string"))
+            ",",
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.coalesce(x.cast("string"), F.lit("\u0000")),
+            ),
         )
     )
 
@@ -104,6 +115,15 @@ def ivf_index_cached(
         f"v1|{os.path.abspath(source_path)}|k={k_cells}|iters={iters}"
         f"|dim={dim}|{id_col}|{vec_col}"
     )
+    gen = _generation(cache_dir, artifacts.cache_key(famraw))
+    if gen:
+        # quantizer GENERATION (r10, VERDICT #3): a refresh bumps the
+        # marker, moving the whole family — the new generation has no
+        # prior version, so it cold-builds (fresh Lloyd fit on the
+        # CURRENT corpus + full assignment), which is exactly the
+        # refresh-equals-cold-build contract.  Appends within a
+        # generation keep freezing that generation's centroids.
+        famraw += f"|gen={gen}"
     fam = artifacts.cache_key(famraw)
     ver = artifacts.cache_key(artifacts.source_identity(source_path))
     suffixes = [".centroids.parquet", ".assign.parquet"]
@@ -217,12 +237,42 @@ def knn_join_from_index(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
+    kernel: str = "blocked",
 ) -> DataFrame:
     """Approximate k-NN JOIN served from the persisted index — the
     ``knn_join_ivf`` shape with the artifact's frozen cells instead of
     per-run ``centroids_by``: queries route to nprobe nearest centroids
     (broadcast), meet corpus rows through an equi-join on cid, and
-    neither side is broadcast whole."""
+    neither side is broadcast whole.
+
+    ``kernel`` picks the in-cell scoring path (VERDICT r9 #1):
+
+    - ``"blocked"`` (default): the q311/q280 Gram discipline — the
+      routed query set (the small side by construction: a query stream
+      × nprobe) ships to executors via ``sparkContext.broadcast`` as
+      per-cell numpy matrices, and each (Arrow batch × cell) scores as
+      ONE float64 matmul inside ``mapInPandas`` instead of a
+      zip_with+aggregate HOF per pair (which allocates an intermediate
+      array per pair — measured 56 s at sf1 for q322, the same failure
+      mode q311's kernel removed at 11×).  The kernel also applies a
+      MAP-SIDE PARTIAL TOP-K: only rows whose cosine reaches the
+      batch-local kth value per query (ties kept via >= threshold, so
+      the global winner set is provably a subset of what survives)
+      cross the shuffle — output is O(k · queries) per task, not
+      O(pairs).
+    - ``"hof"``: the per-pair Catalyst expression path (kept as the
+      parity twin; the equality test pins blocked == hof).
+
+    EXACTNESS of the blocked path: embeddings are float32 parquet, so
+    every pairwise product is exact in float64 (24-bit mantissas →
+    ≤48-bit products); matmul and the HOF fold differ only in SUMMATION
+    GROUPING, bounded by |Σ| · d · 2⁻⁵³ ≈ 1e-14 for d=64 — nine orders
+    below both the oracle's 1e-6 rounding grid and the spacing between
+    distinct cosines of non-identical random vectors, so ranking and
+    6dp-rounded output match the sequential fold (pinned by the
+    blocked==hof test and the q322 oracle).  Zero-norm vectors: the
+    kernel DROPS non-finite cosines (the HOF path's try_divide NULLs
+    sort last and likewise never win a slot)."""
     qsim = cosine(F.col("centroid"), F.col(query_vec_col))
     w = Window.partitionBy(query_id_col).orderBy(
         qsim.desc_nulls_last(), F.col("cid")
@@ -233,19 +283,25 @@ def knn_join_from_index(
         .where(F.col("__rk") <= nprobe)
         .select(query_id_col, query_vec_col, "cid")
     )
-    tagged = corpus.join(
-        assign.select(F.col("vec_id").alias(id_col), "cid"), id_col
-    )
-    sim = cosine(F.col(vec_col), F.col(query_vec_col))
-    scored = (
-        tagged.join(routed, "cid")
-        .where(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            sim.alias("cos_sim"),
+    if kernel == "blocked":
+        scored = _blocked_cell_scores(
+            corpus, assign, routed, k, id_col, vec_col,
+            query_id_col, query_vec_col,
         )
-    )
+    else:
+        tagged = corpus.join(
+            assign.select(F.col("vec_id").alias(id_col), "cid"), id_col
+        )
+        sim = cosine(F.col(vec_col), F.col(query_vec_col))
+        scored = (
+            tagged.join(routed, "cid")
+            .where(F.col(id_col) != F.col(query_id_col))
+            .select(
+                query_id_col,
+                F.col(id_col).alias("neighbor_id"),
+                sim.alias("cos_sim"),
+            )
+        )
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc_nulls_last(), F.col("neighbor_id")
     )
@@ -254,3 +310,227 @@ def knn_join_from_index(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def _blocked_cell_scores(
+    corpus: DataFrame,
+    assign: DataFrame,
+    routed: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim) candidate scores for the
+    blocked kernel: per-cell numpy query matrices broadcast once, one
+    Gram matmul per (Arrow batch × cell), batch-local top-k with ties
+    kept (see ``knn_join_from_index`` for the exactness argument).
+
+    The corpus is pruned to PROBED cells Catalyst-side (broadcast
+    semi-join on cid) before any Python boundary — with a
+    cell-partitioned layout that semi-join is partition pruning at the
+    scan, so the kernel only ever sees candidate rows."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    by_cell: dict[int, list] = {}
+    for r in routed.collect():  # bounded: |queries| × nprobe
+        qv = r[query_vec_col]
+        if qv is None:
+            continue
+        by_cell.setdefault(int(r["cid"]), []).append(
+            (int(r[query_id_col]), qv)
+        )
+    qmats = {}
+    for cid, lst in by_cell.items():
+        qids = np.array([q for q, _ in lst], dtype=np.int64)
+        qm = np.array([v for _, v in lst], dtype=np.float64)
+        qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+        qmats[cid] = (qids, qm, qn)
+    bc = spark.sparkContext.broadcast(qmats)
+    probed = spark.createDataFrame(
+        [(int(c),) for c in sorted(by_cell)], "cid int"
+    )
+    tagged = corpus.join(
+        assign.join(F.broadcast(probed), "cid").select(
+            F.col("vec_id").alias(id_col), "cid"
+        ),
+        id_col,
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        cells = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for cid, grp in pdf.groupby("cid"):
+                ent = cells.get(int(cid))
+                if ent is None:
+                    continue
+                qids, qm, qn = ent
+                m = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                ids = grp[id_col].to_numpy().astype(np.int64)
+                mn = np.sqrt(np.einsum("ij,ij->i", m, m))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (m @ qm.T) / np.outer(mn, qn)
+                # self-pairs and non-finite scores never win a slot
+                cos[~np.isfinite(cos)] = -np.inf
+                cos[ids[:, None] == qids[None, :]] = -np.inf
+                n_rows, n_q = cos.shape
+                if n_rows > k:
+                    # batch-local kth value per query; keep >= (ties!)
+                    kth = np.partition(cos, n_rows - k, axis=0)[n_rows - k]
+                    keep = cos >= kth[None, :]
+                else:
+                    keep = np.ones_like(cos, dtype=bool)
+                keep &= np.isfinite(cos)
+                ri, qi = np.nonzero(keep)
+                if not len(ri):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "neighbor_id": ids[ri],
+                        "cos_sim": cos[ri, qi],
+                    }
+                )
+
+    out = tagged.select(
+        F.col(id_col), F.col("cid"), F.col(vec_col)
+    ).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    return out.select(
+        F.col("query_id").alias(query_id_col), "neighbor_id", "cos_sim"
+    )
+
+
+def _gen_path(cache_dir: str, fam_base: str) -> str:
+    return os.path.join(cache_dir, f"ivf_{fam_base}.generation")
+
+
+def _generation(cache_dir: str, fam_base: str) -> int:
+    """Current quantizer generation of an IVF family (0 = original)."""
+    try:
+        with open(_gen_path(cache_dir, fam_base)) as f:
+            return int(f.read().strip() or 0)
+    except (OSError, ValueError):
+        return 0
+
+
+def bump_generation(cache_dir: str, fam_base: str) -> int:
+    """Advance the family to the next quantizer generation (atomic
+    write-and-rename, like every artifact publish).  The next
+    ``ivf_index_cached`` call cold-builds: fresh Lloyd fit on the
+    current corpus + full assignment."""
+    g = _generation(cache_dir, fam_base) + 1
+    tmp = _gen_path(cache_dir, fam_base) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(g))
+    os.replace(tmp, _gen_path(cache_dir, fam_base))
+    return g
+
+
+def family_base(
+    source_path: str,
+    k_cells: int,
+    iters: int,
+    dim: int | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Generation-independent family digest (the marker-file key)."""
+    from stock_ops_spark.operators import artifacts
+
+    return artifacts.cache_key(
+        f"v1|{os.path.abspath(source_path)}|k={k_cells}|iters={iters}"
+        f"|dim={dim}|{id_col}|{vec_col}"
+    )
+
+
+def ivf_index_with_refresh(
+    df: DataFrame,
+    source_path: str,
+    queries: DataFrame,
+    k_cells: int = 8,
+    iters: int = 3,
+    target_recall: float = 0.95,
+    k: int = 5,
+    nprobes: tuple[int, ...] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    dim: int | None = None,
+    cache_dir: str | None = None,
+    stats: dict | None = None,
+) -> dict[str, DataFrame]:
+    """The quantizer REFRESH POLICY (VERDICT r9 #3) closing the loop
+    the frozen-quantizer discipline leaves open: appends re-measure
+    recall and re-feed nprobe, but after enough distribution shift NO
+    nprobe within budget hits the target — at that point the offline
+    re-train (FAISS's ``train()`` on fresh sample, ScaNN's rebuild)
+    must actually fire.
+
+    Serve-then-check: build/refresh the index incrementally as usual,
+    MEASURE recall@k of the artifact's cells over ``queries``
+    (``ivf_recall_curve`` — ground truth by brute force, so the check
+    is exact, not modeled), and if ``sizing.ivf_refresh_needed`` says
+    no nprobe ≤ k_cells/2 reaches the target (past half the cells the
+    "index" is scanning most of the corpus), bump the family's
+    generation and rebuild: fresh Lloyd fit on the CURRENT corpus +
+    full assignment — byte-identical to a cold build at this corpus
+    version (the generation shares the kmeans model artifact with
+    q113's family, so the fit itself is still computed once).
+
+    ``stats`` (optional) gains: ``recall_curve`` (pre-decision),
+    ``refreshed`` (bool), ``recall_curve_after`` (only when refreshed).
+    """
+    from stock_ops_spark.operators.similarity import ivf_recall_curve
+    from stock_ops_spark.plans import sizing
+
+    if cache_dir is None:
+        from stock_ops_spark.operators import artifacts
+
+        cache_dir = artifacts.default_cache_dir()
+    if nprobes is None:
+        nprobes, n = [], 1
+        while n <= max(1, k_cells // 2):
+            nprobes.append(n)
+            n *= 2
+        nprobes = tuple(nprobes)
+    kw = dict(
+        k_cells=k_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        dim=dim, cache_dir=cache_dir,
+    )
+    idx = ivf_index_cached(df, source_path, stats=stats, **kw)
+
+    def _curve(index):
+        tagged = df.join(
+            index["assign"].select(F.col("vec_id").alias(id_col), "cid"),
+            id_col,
+        )
+        pts = ivf_recall_curve(
+            tagged, queries, k=k, nprobes=nprobes, cluster_col="cid",
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        return [(int(r.nprobe), float(r.recall_at_k)) for r in pts.collect()]
+
+    curve = _curve(idx)
+    if stats is not None:
+        stats["recall_curve"] = curve
+        stats["refreshed"] = False
+    if sizing.ivf_refresh_needed(curve, target_recall, k_cells):
+        bump_generation(
+            cache_dir,
+            family_base(source_path, k_cells, iters, dim, id_col, vec_col),
+        )
+        idx = ivf_index_cached(df, source_path, stats=stats, **kw)
+        if stats is not None:
+            stats["refreshed"] = True
+            stats["recall_curve_after"] = _curve(idx)
+    return idx

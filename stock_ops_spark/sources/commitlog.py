@@ -638,6 +638,18 @@ class ManifestStore:
             return []
         if len(batches) == 1:
             return [self.ingest_batch(batches[0], mode)]
+        # Schema gate (r10, advice): the tag-union below uses
+        # ``allowMissingColumns=True`` so a batch MISSING a declared
+        # schema column would be silently NULL-padded and committed,
+        # where plain ``ingest_batch`` (and therefore the sequential
+        # fallback) raises on the same input.  Route any such group to
+        # the sequential path up front so observable semantics are
+        # EXACTLY sequential ingestion for malformed batches too —
+        # whatever error (or tolerance) the plain path has, the group
+        # entry point now has identically.
+        declared = set(S.SCHEMAS[mode].fieldNames())
+        if any(declared - set(b.columns) for b in batches):
+            return [self.ingest_batch(b, mode) for b in batches]
         tagged = batches[0].withColumn(_GBID, F.lit(0))
         for i, b in enumerate(batches[1:], 1):
             tagged = tagged.unionByName(

@@ -143,3 +143,81 @@ def test_group_then_single_interleave_reads_consistent(spark, tmp_path):
     assert g.read_all(MODE).count() == 200
     st = {r["ticker"]: r["row_count"] for r in g.table_stats(MODE).collect()}
     assert st == {"AAA": 80, "BBB": 80, "CCC": 40}
+
+
+def test_group_missing_declared_column_matches_sequential(spark, tmp_path):
+    """A batch MISSING a declared schema column must not be silently
+    NULL-padded by the group union (r10, advice): the group entry point
+    routes such groups to the sequential path, so the observable
+    outcome — the plain path's AnalysisException, after the valid
+    prefix committed — is exactly sequential ingestion's."""
+    from pyspark.errors import AnalysisException
+
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    s = ManifestStore(spark, str(tmp_path / "s"), auto_compact_every=0)
+    good = _batch(spark, "AAA", 0, n=6)
+    bad = _batch(spark, "BBB", 0, n=6).drop("close")
+    with pytest.raises(AnalysisException):
+        g.ingest_group([good, bad], MODE)
+    with pytest.raises(AnalysisException):
+        for b in (good, bad):
+            s.ingest_batch(b, MODE)
+    # sequential prefix semantics: the valid batch committed in both
+    assert _rows(g) == _rows(s)
+    assert g.version(MODE) == s.version(MODE) == 1
+
+
+def test_coordinator_groups_concurrent_streams(spark, tmp_path):
+    """GroupCommitCoordinator (r10, VERDICT #4): concurrent submitters
+    with key-disjoint batches coalesce into FEWER commits than batches
+    while the store ends exactly as sequential ingestion would."""
+    import threading
+
+    from stock_ops_spark.streaming.ingest import GroupCommitCoordinator
+
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    s = ManifestStore(spark, str(tmp_path / "s"), auto_compact_every=0)
+    coord = GroupCommitCoordinator(g, mode=MODE, linger_s=0.5)
+    bs = [_batch(spark, tk, 0, n=20) for tk in ("AAA", "BBB", "CCC", "DDD")]
+    results = {}
+
+    def run(i):
+        results[i] = coord.submit(bs[i], MODE)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results.values()) == [20, 20, 20, 20]
+    for b in bs:
+        s.ingest_batch(b, MODE)
+    assert _rows(g) == _rows(s)
+    assert _stats(g) == _stats(s)
+    # fewer commits than batches, and the telemetry shows real groups
+    assert g.version(MODE) < 4
+    assert sum(coord.groups_committed) == 4
+    assert max(coord.groups_committed) >= 2
+
+
+def test_coordinator_single_submitter_degrades_to_plain(spark, tmp_path):
+    from stock_ops_spark.streaming.ingest import GroupCommitCoordinator
+
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    coord = GroupCommitCoordinator(g, mode=MODE, linger_s=0.05)
+    assert coord.submit(_batch(spark, "AAA", 0, n=7), MODE) == 7
+    assert coord.submit(_batch(spark, "AAA", 1, n=7), MODE) == 7
+    assert g.version(MODE) == 2  # one commit per lone batch
+    assert coord.groups_committed == [1, 1]
+
+
+def test_coordinator_propagates_group_failure(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    from stock_ops_spark.streaming.ingest import GroupCommitCoordinator
+
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    coord = GroupCommitCoordinator(g, mode=MODE, linger_s=0.05)
+    bad = _batch(spark, "AAA", 0, n=4).drop("close")
+    with pytest.raises(AnalysisException):
+        coord.submit(bad, MODE)

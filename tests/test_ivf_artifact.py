@@ -213,3 +213,151 @@ def test_recall_drift_loop_post_append(spark, tmp_path):
     pick = ivf_nprobe(0.99, curve)
     assert pick in (1, 2, 4)
     assert dict(curve)[pick] >= 0.99
+
+
+def test_fingerprint_distinguishes_null_elements(spark, tmp_path):
+    """A NULLed element must CHANGE the fingerprint (r10, advice):
+    concat_ws skips nulls, so without explicit encoding
+    [1.0, NULL, 2.0] and [1.0, 2.0] collide and an embedding rewrite
+    that nulls an element would keep its stale cell assignment."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, None, 2.0]),
+            (1, [1.0, 2.0]),
+            (2, [1.0, 2.0, None]),
+            (3, [1.0, 2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    fps = {
+        r.vec_id: r.fp
+        for r in df.select("vec_id", IVF._fp("embedding").alias("fp")).collect()
+    }
+    assert fps[0] != fps[1]
+    assert fps[2] != fps[3]
+    assert fps[1] == fps[3]
+
+
+def test_knn_join_blocked_kernel_equals_hof(spark, tmp_path):
+    """The blocked numpy kernel (VERDICT r9 #1) must produce the same
+    k-NN join as the per-pair HOF path — including under adversarial
+    inputs: an exact-duplicate vector pair (ties at the batch-local
+    top-k boundary must be KEPT, not cut) and a zero-norm vector
+    (never wins a slot on either path)."""
+    rows = _vectors(140)
+    rows[57] = (57, list(rows[23][1]))  # exact duplicate → cosine tie
+    rows.append((900, [0.0] * DIM))     # zero-norm corpus vector
+    src = str(tmp_path / "emb.parquet")
+    e = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    idx = IVF.ivf_index_cached(
+        e, src, k_cells=4, iters=2, dim=DIM, cache_dir=cache
+    )
+    queries = e.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def run(kernel):
+        out = IVF.knn_join_from_index(
+            e, idx["centroids"], idx["assign"], queries,
+            k=3, nprobe=2, kernel=kernel,
+        )
+        return sorted(
+            (r.query_id, r.neighbor_id, round(r.cos_sim, 9))
+            for r in out.collect()
+        )
+
+    blocked, hof = run("blocked"), run("hof")
+    assert blocked == hof
+    assert len(blocked) > 0
+    # zero-norm vector never appears as a neighbor
+    assert all(n != 900 for _, n, _ in blocked)
+
+
+def test_quantizer_refresh_fires_on_drift_and_equals_cold_build(
+    spark, tmp_path
+):
+    """The refresh policy (VERDICT r9 #3): after appends drift the
+    corpus so far off the frozen quantizer that no nprobe <= cells/2
+    reaches the target, ``ivf_index_with_refresh`` must bump the
+    family generation and rebuild — and the rebuilt index must equal a
+    cold build at the current corpus version exactly (same Lloyd fit,
+    same full assignment)."""
+    rows = _vectors(120)
+    src = str(tmp_path / "emb.parquet")
+    v1 = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    IVF.ivf_index_cached(v1, src, k_cells=4, iters=2, dim=DIM, cache_dir=cache)
+    # drift adversarial to the FROZEN quantizer: a dense new region
+    # roughly EQUIDISTANT from every old centroid, so tiny noise
+    # scatters its cell membership across all 4 cells — a query there
+    # has true neighbors in more cells than nprobe <= cells/2 can probe
+    rng = random.Random(11)
+    rows2 = rows + [
+        (500 + i, [round(5.0 + rng.uniform(-0.3, 0.3), 4) for _ in range(DIM)])
+        for i in range(360)
+    ]
+    v2 = _write(spark, rows2, src)
+    queries = v2.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    stats: dict = {}
+    idx = IVF.ivf_index_with_refresh(
+        v2, src, queries, k_cells=4, iters=2, dim=DIM,
+        target_recall=0.999, k=5, cache_dir=cache, stats=stats,
+    )
+    assert stats["refreshed"] is True
+    assert len(stats["recall_curve"]) >= 1
+    # refresh == cold build at the current corpus version
+    cents_new = [
+        tuple(r.centroid) for r in idx["centroids"].orderBy("cid").collect()
+    ]
+    cold = [tuple(c) for c in kmeans_fit(v2, k=4, iters=2, dim=DIM)]
+    assert cents_new == cold
+    full = assign_clusters(v2, [list(c) for c in cold]).select("vec_id", "cid")
+    assert _assign_set(idx["assign"]) == _assign_set(full)
+    # and the post-refresh curve was re-measured
+    assert "recall_curve_after" in stats
+
+
+def test_quantizer_refresh_noop_when_target_met(spark, tmp_path):
+    """Control: when the measured curve meets the target within the
+    probe budget, the generation must NOT move and the centroids stay
+    frozen (byte-identical across the call)."""
+    rows = _vectors(120)
+    src = str(tmp_path / "emb.parquet")
+    v1 = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    idx1 = IVF.ivf_index_cached(
+        v1, src, k_cells=4, iters=2, dim=DIM, cache_dir=cache
+    )
+    frozen = [
+        tuple(r.centroid) for r in idx1["centroids"].orderBy("cid").collect()
+    ]
+    queries = v1.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    stats: dict = {}
+    idx = IVF.ivf_index_with_refresh(
+        v1, src, queries, k_cells=4, iters=2, dim=DIM,
+        target_recall=0.05, k=5, cache_dir=cache, stats=stats,
+    )
+    assert stats["refreshed"] is False
+    assert "recall_curve_after" not in stats
+    after = [
+        tuple(r.centroid) for r in idx["centroids"].orderBy("cid").collect()
+    ]
+    assert after == frozen
+
+
+def test_refresh_needed_rule():
+    from stock_ops_spark.plans.sizing import ivf_refresh_needed
+
+    # in-budget point meets target -> no refresh
+    assert not ivf_refresh_needed([(1, 0.7), (4, 0.96)], 0.95, 8)
+    # only out-of-budget points meet it -> refresh
+    assert ivf_refresh_needed([(1, 0.5), (2, 0.6), (8, 0.99)], 0.95, 8)
+    # empty curve -> conservative refresh
+    assert ivf_refresh_needed([], 0.9, 8)
+    with pytest.raises(ValueError):
+        ivf_refresh_needed([(1, 0.5)], 0.0, 8)

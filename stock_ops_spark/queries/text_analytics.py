@@ -4066,3 +4066,84 @@ def q327_long_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "removed_tokens",
         F.md5(F.col("text")).alias("scrub_fp"),
     )
+
+
+@_register(
+    "q328_streaming_span_state_served",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS p, array_to_string(w[i:i+3], ' ') AS gram
+      FROM d, unnest(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 4
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS iid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, iid, max(p) - min(p) + 4 AS span_toks
+      FROM isl2 GROUP BY doc_id, iid
+    ),
+    tl AS (SELECT doc_id, len(w) AS n_toks FROM d)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(s.span_toks) AS BIGINT) AS max_span,
+           CAST(sum(s.span_toks) AS BIGINT) AS covered_tokens,
+           CAST(any_value(tl.n_toks) AS BIGINT) AS n_tokens,
+           round(sum(s.span_toks) * 1.0 / any_value(tl.n_toks), 6) AS dup_frac
+    FROM spans s JOIN tl ON tl.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """,
+)
+def q328_streaming_span_state_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE span state, TWO write paths, end-to-end and driver-oracled
+    (VERDICT r9 #2): the documents corpus arrives as three STREAMING
+    micro-batches into ``streaming/spans.py::StreamingSpanIndex`` —
+    which folds each batch's ±delta into the SAME three tables the
+    batch artifact persists (postings/docstats/gramstats; gramstats as
+    log-structured partials) — and q318's per-doc duplicated-span
+    frame is then served from the STREAMED state.  The oracle is
+    q318's from-scratch batch SQL, so the equality pins the whole
+    unification claim: state folded batch-by-batch equals one
+    batch-mode pass over the union, bit-identical through the island
+    merge and the rounded ratio.  Scale shape per batch: tokenize THE
+    BATCH only, probe its grams against the merged gramstats view
+    (shuffle of the batch side, never a corpus rescan), append-only
+    state writes."""
+    import shutil
+    import tempfile
+
+    from stock_ops_spark.operators.spans import duplicated_spans
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="sspan_")
+    try:
+        idx = StreamingSpanIndex(spark, root)
+        for part in range(3):
+            idx.process_batch(d.where(F.col("doc_id") % 3 == part))
+        st = idx.state()
+        out = duplicated_spans(
+            st["postings"], st["gramstats"], st["docstats"]
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

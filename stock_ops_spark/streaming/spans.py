@@ -1,31 +1,59 @@
-"""Online (at-ingest) duplicated-SPAN flagging.
+"""Online (at-ingest) duplicated-SPAN flagging over the SAME state the
+batch span artifact persists — one state, two write paths (VERDICT r9
+directive #2).
 
-The batch span pipeline (operators/spans.py) measures how much of each
-document is covered by cross-document duplicated 4-grams; a streaming
-corpus needs each arriving micro-batch measured AGAINST EVERYTHING
-ALREADY INGESTED without rescanning it.  The state is the smallest
-thing that answers "has this gram been seen before": the DISTINCT gram
-set of the corpus so far.
+r9's index kept its own (gram, batch_seq) parquet next to the batch
+artifact's postings/docstats/gramstats for the same corpus: a batch
+rewrite after streaming ingest paid a full artifact rebuild and the two
+states could drift.  This rewrite makes the streaming path maintain the
+batch artifact's THREE TABLES directly, folded per micro-batch with the
+lexical/IVF ±delta discipline:
 
-- per batch: positioned 4-grams (the operators/spans.py tokenizer —
-  identical grams, identical positions)
-- probe: a batch gram is DUPLICATED iff it exists in the index (some
-  prior doc held it) OR occurs in ≥2 distinct docs of this batch —
-  which is exactly ``nd ≥ 2`` over the corpus so far, so the flags for
-  a batch EQUAL the batch-mode ``duplicated_spans`` over the full
-  corpus restricted to that batch's docs (the equivalence test pins
-  it).  Like every online flagger, the check is one-sided: the PRIOR
-  holder of a gram was not flagged at its own ingest (its nd was 1
-  then) — history is never rewritten, downstream batch jobs (q318)
-  re-measure the whole corpus when both sides matter.
-- append: only the batch's NEW grams join the index (anti-join), so
-  index growth is the corpus's gram-vocabulary growth, sublinear in
-  tokens on natural text.
+- ``postings``  (doc_id, p, gram, batch_seq) — append-only: each batch
+  appends the positioned 4-grams of its FRESH docs only.
+- ``docstats``  (doc_id, fp, n_toks, batch_seq) — append-only; the fp
+  is the same rewrite detector ``span_state_delta`` uses, so an
+  at-least-once re-delivery of an identical document is recognized and
+  contributes NOTHING (no postings, no incidence increment).
+- ``gramstats`` — append-only PARTIAL aggregates
+  (gram, nd, keep_doc, batch_seq): per batch, the distinct-doc count
+  and min doc of the batch's fresh postings.  Because the stream is
+  append-only and fresh-doc-filtered, every (gram, doc) pair appears in
+  exactly one partial, so the read view
+  ``groupBy(gram).agg(sum(nd), min(keep_doc))`` equals
+  ``operators/spans.gram_stats`` over the full postings EXACTLY — the
+  log-structured-merge shape; ``maintain()`` compacts partials without
+  changing the view.
 
-State is one flat parquet dataset of (gram, batch_seq) — at 100 TB the
-probe is a shuffle of the BATCH against a bucketed gram index, never a
-corpus scan.  Single-writer contract and maintenance discipline are
-``StreamingNearDupIndex``'s (streaming/dedup.py).
+Flag semantics (per batch, ADVICE r9 fix folded in): a batch gram
+occurrence (gram g, doc d) is DUPLICATED iff some OTHER distinct doc of
+the corpus-so-far holds g — i.e. ``nd >= 2`` counting DISTINCT doc_ids
+over state ∪ batch.  With (nd, keep_doc) from the state view and the
+batch's own distinct-doc count this is decidable without a postings
+self-join::
+
+    state_nd >= 2  OR  (state_nd == 1 AND keep_doc != d)  OR  batch_nd >= 2
+
+(the three clauses are exactly equivalent to union-distinct nd >= 2:
+if none hold, the only possible holder besides d is d itself).  A
+re-delivered document therefore no longer probes against its own prior
+grams — the r9 behavior the advice flagged — while the documented
+equivalence with batch-mode ``duplicated_spans`` restricted to the
+batch's docs now holds under at-least-once delivery too.
+
+Because the state IS the batch artifact's schema, ``publish_artifact``
+can hand the corpus's current span state to ``span_state_cached``'s
+cache (atomic publish under the same family/version digests), so
+q318/q319/q320 serve WARM right after streaming ingest — no rebuild,
+no second state.
+
+Like every online flagger, the check is one-sided: the PRIOR holder of
+a gram was not flagged at its own ingest (its nd was 1 then) — history
+is never rewritten; batch jobs (q318) re-measure both sides from the
+same tables.  **Single-writer contract** as in ``StreamingNearDupIndex``
+(streaming/dedup.py); identical re-delivery is tolerated (at-least-once
+safe), but a CHANGED text under an existing doc_id raises — in-place
+rewrites are the batch path's job (``span_state_cached`` folds them).
 
 Reference parity: none (training-data extension surface; the batch
 twins are q318/q319/q320).
@@ -40,20 +68,24 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stock_ops_spark.operators.spans import NGRAM, _islands, gram_postings
+from stock_ops_spark.operators.spans import (
+    NGRAM,
+    _islands,
+    doc_stats,
+    gram_postings,
+)
+
+_PARTS = ("postings", "docstats", "gramstats", "flags")
 
 
 class StreamingSpanIndex:
-    """Persisted distinct-gram index with per-batch probe + append.
+    """Persisted span-dedup state with per-batch probe + ±delta fold.
 
     Wire ``process_batch`` into ``foreachBatch`` (streaming) or call it
-    directly per ingest batch.  Layout under ``root``:
-
-    - ``grams/``  (gram, batch_seq) distinct-gram probe index
-    - ``flags/``  per-doc span stats of flagged docs (q318's columns +
-      batch_seq)
-
-    **Single-writer assumption** as in ``StreamingNearDupIndex``.
+    directly per ingest batch.  Layout under ``root``: the batch
+    artifact's three state tables (each + ``batch_seq``) plus
+    ``flags/`` (per-doc span stats of flagged docs, q318's columns +
+    ``batch_seq``).
     """
 
     def __init__(
@@ -76,19 +108,56 @@ class StreamingSpanIndex:
     def _path(self, part: str) -> str:
         return os.path.join(self.root, part)
 
+    def _recover(self, part: str) -> None:
+        """Heal ``maintain()``'s rename-aside crash window (ADVICE r9):
+        the swap is write-tmp → live→aside → tmp→live → drop-aside.  A
+        crash between the two renames leaves NO live dataset but a
+        COMPLETE ``__rewrite_`` (written fully before the swap began)
+        and a complete ``__old_`` aside — without recovery the index
+        would silently restart empty, aging out the dedup memory the
+        module contract forbids losing.  Recovery: finish the swap
+        (prefer the compacted rewrite; the aside holds identical rows).
+        When the live dataset EXISTS, any sibling is pre-swap litter
+        (a partial rewrite, or an aside whose drop crashed) — remove."""
+        live = self._path(part)
+        base = os.path.basename(live)
+        try:
+            sibs = [
+                os.path.join(self.root, n)
+                for n in os.listdir(self.root)
+                if n.startswith((f"{base}__rewrite_", f"{base}__old_"))
+            ]
+        except FileNotFoundError:
+            return
+        if os.path.isdir(live):
+            for s in sibs:
+                shutil.rmtree(s, ignore_errors=True)
+            return
+        rewrites = [s for s in sibs if f"{base}__rewrite_" in s]
+        asides = [s for s in sibs if f"{base}__old_" in s]
+        if rewrites and asides:
+            os.rename(rewrites[0], live)
+            for s in asides + rewrites[1:]:
+                shutil.rmtree(s, ignore_errors=True)
+        elif asides:
+            os.rename(asides[0], live)
+        elif rewrites:
+            os.rename(rewrites[0], live)
+
     def _existing(self, part: str) -> DataFrame | None:
+        self._recover(part)
         p = self._path(part)
         if not os.path.isdir(p):
             return None
         return self.spark.read.parquet(p)
 
     def _next_seq(self) -> int:
-        """Monotonic batch sequence, recovered from BOTH datasets (flags
-        are written before grams, so a crash between the writes must not
-        reuse a sequence already present in flags/)."""
+        """Monotonic batch sequence, recovered from EVERY dataset (a
+        crash between the per-part writes must not reuse a sequence
+        already present in any of them)."""
         if self._seq is None:
             highest = -1
-            for part in ("grams", "flags"):
+            for part in _PARTS:
                 ds = self._existing(part)
                 if ds is None:
                     continue
@@ -100,35 +169,93 @@ class StreamingSpanIndex:
         self._seq += 1
         return out
 
+    def _gramstats_view(self) -> DataFrame | None:
+        """(gram, nd, keep_doc) — the partials' merge, exactly
+        ``gram_stats`` over the state postings."""
+        gs = self._existing("gramstats")
+        if gs is None:
+            return None
+        return gs.groupBy("gram").agg(
+            F.sum("nd").cast("bigint").alias("nd"),
+            F.min("keep_doc").alias("keep_doc"),
+        )
+
+    def state(self) -> dict[str, DataFrame] | None:
+        """The batch artifact's three tables from the streamed state
+        (postings, docstats, gramstats — ``batch_seq`` dropped,
+        partials merged), or None before the first batch."""
+        posts = self._existing("postings")
+        ds = self._existing("docstats")
+        gs = self._gramstats_view()
+        if ds is None:
+            return None
+        if posts is None:  # all batches too short to emit grams
+            posts = self.spark.createDataFrame(
+                [], "doc_id long, p bigint, gram string"
+            )
+            gs = self.spark.createDataFrame(
+                [], "gram string, nd bigint, keep_doc long"
+            )
+        return {
+            "postings": posts.select("doc_id", "p", "gram"),
+            "docstats": ds.select("doc_id", "fp", "n_toks"),
+            "gramstats": gs,
+        }
+
     def process_batch(self, batch: DataFrame) -> int:
-        """Probe ``batch`` against the index, append its new grams, and
-        return the number of per-doc span flags written."""
+        """Probe ``batch`` against the state, fold its fresh docs in,
+        and return the number of per-doc span flags written."""
         seq = self._next_seq()
         posts = gram_postings(batch, self.id_col, self.text_col).localCheckpoint(
             eager=True
         )
-        batch_dup = (
-            posts.select("gram", "doc_id")
-            .distinct()
-            .groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= 2)
-            .select("gram")
+        ds_batch = doc_stats(batch, self.id_col, self.text_col).localCheckpoint(
+            eager=True
         )
-        idx = self._existing("grams")
-        seen = (
-            posts.join(idx.select("gram"), "gram", "left_semi").select("gram").distinct()
-            if idx is not None
-            else self.spark.createDataFrame([], "gram string")
+        old_ds = self._existing("docstats")
+        if old_ds is not None:
+            # at-least-once tolerance: identical re-delivery folds to
+            # nothing; a CHANGED text under a known doc_id is an
+            # in-place rewrite — the batch path's job, refuse here
+            fresh = ds_batch.join(
+                old_ds.select("doc_id", "fp"), ["doc_id", "fp"], "left_anti"
+            ).localCheckpoint(eager=True)
+            changed = fresh.join(
+                old_ds.select("doc_id"), "doc_id", "left_semi"
+            ).limit(1)
+            if changed.count():
+                raise ValueError(
+                    "doc_id re-delivered with different text: the "
+                    "streaming span index is append-only; rewrite the "
+                    "corpus through span_state_cached instead"
+                )
+        else:
+            fresh = ds_batch
+
+        # ---- probe: union-distinct nd >= 2, decided from the state
+        # view + the batch's own distinct-doc counts (module docstring)
+        pairs = posts.select("gram", "doc_id").distinct()
+        batch_nd = pairs.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("bnd")
         )
-        dup = seen.unionByName(batch_dup).distinct()
-        hits = posts.join(dup, "gram", "left_semi").select("doc_id", "p")
-        ntok = batch.select(
-            F.col(self.id_col).alias("doc_id"),
-            F.size(F.split(F.col(self.text_col), " ")).cast("bigint").alias(
-                "n_tokens"
-            ),
+        sv = self._gramstats_view()
+        probe = pairs.join(batch_nd, "gram")
+        if sv is not None:
+            probe = probe.join(sv, "gram", "left_outer")
+        else:
+            probe = probe.withColumn("nd", F.lit(None).cast("bigint")).withColumn(
+                "keep_doc", F.lit(None).cast("long")
+            )
+        snd = F.coalesce(F.col("nd"), F.lit(0))
+        dup_pairs = probe.where(
+            (snd >= 2)
+            | ((snd == 1) & (F.col("keep_doc") != F.col("doc_id")))
+            | (F.col("bnd") >= 2)
+        ).select("gram", "doc_id")
+        hits = posts.join(dup_pairs, ["gram", "doc_id"], "left_semi").select(
+            "doc_id", "p"
         )
+        ntok = ds_batch.select("doc_id", F.col("n_toks").alias("n_tokens"))
         flags = (
             _islands(hits)
             .groupBy("doc_id")
@@ -156,30 +283,90 @@ class StreamingSpanIndex:
             flags.withColumn("batch_seq", F.lit(seq)).write.mode(
                 "append"
             ).parquet(self._path("flags"))
-        new_grams = posts.select("gram").distinct()
-        if idx is not None:
-            new_grams = new_grams.join(idx.select("gram"), "gram", "left_anti")
-        new_grams.withColumn("batch_seq", F.lit(seq)).write.mode(
-            "append"
-        ).parquet(self._path("grams"))
+
+        # ---- fold: fresh docs only (append-only state)
+        fresh_posts = posts.join(
+            fresh.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        fresh.withColumn("batch_seq", F.lit(seq)).write.mode("append").parquet(
+            self._path("docstats")
+        )
+        if fresh_posts.limit(1).count():
+            fresh_posts.withColumn("batch_seq", F.lit(seq)).write.mode(
+                "append"
+            ).parquet(self._path("postings"))
+            partial = (
+                fresh_posts.select("gram", "doc_id")
+                .distinct()
+                .groupBy("gram")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("nd"),
+                    F.min("doc_id").alias("keep_doc"),
+                )
+                .withColumn("batch_seq", F.lit(seq))
+            )
+            partial.write.mode("append").parquet(self._path("gramstats"))
         return n_flags
 
     def flags(self) -> DataFrame | None:
         return self._existing("flags")
 
+    def publish_artifact(
+        self, source_path: str, cache_dir: str | None = None
+    ) -> dict[str, DataFrame]:
+        """Publish the streamed state into ``span_state_cached``'s
+        versioned artifact cache for ``source_path``'s CURRENT version
+        — same family digest (source abspath + cols + NGRAM + v-tag),
+        same version digest (source identity), same atomic publish —
+        so q318/q319/q320 serve warm right after streaming ingest with
+        no rebuild and no second state.  Idempotent per version;
+        returns {"postings", "docstats", "gramstats"} reading the
+        published artifacts (exactly ``span_state_cached``'s shape)."""
+        from stock_ops_spark.operators import artifacts
+
+        st = self.state()
+        if st is None:
+            raise ValueError("no batches ingested yet: nothing to publish")
+        if cache_dir is None:
+            cache_dir = artifacts.default_cache_dir()
+        famraw = (
+            f"v1|{os.path.abspath(source_path)}|{self.id_col}"
+            f"|{self.text_col}|{NGRAM}"
+        )
+        fam = artifacts.cache_key(famraw)
+        ver = artifacts.cache_key(artifacts.source_identity(source_path))
+        suffixes = [
+            ".postings.parquet", ".docstats.parquet", ".gramstats.parquet"
+        ]
+        paths = {
+            s.split(".")[1]: artifacts.versioned_path(
+                cache_dir, "spans", fam, ver, s
+            )
+            for s in suffixes
+        }
+        os.makedirs(cache_dir, exist_ok=True)
+        for k, p in paths.items():
+            if not os.path.isdir(p):
+                artifacts.publish(st[k], p)
+        return {
+            k: self.spark.read.parquet(p) for k, p in paths.items()
+        }
+
     def maintain(self, target_files: int = 8) -> dict[str, int]:
         """Bound the per-batch file litter: rewrite any dataset holding
         more part-files than ``target_files`` (plus one in-flight batch
         of slack) down to ``target_files``, via the same
-        materialize-to-temp + rename-aside swap as the LSH index.  No
-        retention knob: the gram index IS the dedup memory — aging grams
-        out silently un-flags future duplicates (the LSH index ages only
-        its advisory output, never silently; here even that stays
-        opt-out until a consumer needs it)."""
+        materialize-to-temp + rename-aside swap as the LSH index (crash
+        window healed by ``_recover`` — see its docstring).  The
+        gramstats rewrite also MERGES partials (per gram: sum nd, min
+        keep_doc, max batch_seq) — a pure compaction of the
+        log-structured table that leaves the read view unchanged.  No
+        retention knob: the state IS the dedup memory — aging grams out
+        silently un-flags future duplicates."""
         out: dict[str, int] = {}
-        for part in ("grams", "flags"):
-            path = self._path(part)
+        for part in _PARTS:
             df = self._existing(part)
+            path = self._path(part)
             if df is None:
                 out[part] = 0
                 continue
@@ -192,6 +379,12 @@ class StreamingSpanIndex:
             if len(files) <= target_files + 1:
                 out[part] = len(files)
                 continue
+            if part == "gramstats":
+                df = df.groupBy("gram").agg(
+                    F.sum("nd").cast("bigint").alias("nd"),
+                    F.min("keep_doc").alias("keep_doc"),
+                    F.max("batch_seq").cast("bigint").alias("batch_seq"),
+                )
             tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
             df.repartition(target_files).write.mode("overwrite").parquet(tmp)
             aside = f"{path}__old_{uuid.uuid4().hex[:8]}"

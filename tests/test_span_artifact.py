@@ -342,3 +342,123 @@ def test_streaming_span_index_equals_batch_restriction(spark, tmp_path):
         (F.col("doc_id") == 1) & (F.col("batch_seq") == last_seq)
     )
     assert early.count() == 0
+
+
+def test_streaming_state_equals_batch_state_and_serves_warm(spark, tmp_path):
+    """ONE state, two write paths (VERDICT r9 #2): after streaming N
+    batches, the index's three tables equal batch-mode ``span_state``
+    over the union EXACTLY, and ``publish_artifact`` hands them to the
+    span artifact cache so ``span_state_cached`` serves WARM — no
+    rebuild (stats dict untouched), q318's frame identical."""
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    rows = _corpus(36)
+    src = str(tmp_path / "docs.parquet")
+    full = _write(spark, rows, src)
+    idx = StreamingSpanIndex(spark, str(tmp_path / "sidx"))
+    for lo, hi in ((0, 12), (12, 24), (24, 36)):
+        idx.process_batch(
+            spark.createDataFrame(
+                [(i, t) for i, t in rows if lo <= i < hi],
+                "doc_id long, text string",
+            )
+        )
+    got = idx.state()
+    p, ds, gs = SP.span_state(full)
+    _assert_state_equal(
+        (got["postings"], got["docstats"], got["gramstats"]), (p, ds, gs)
+    )
+    # publish into the artifact cache -> span_state_cached hits the
+    # complete version: no rebuild, no tokenize
+    cache = str(tmp_path / "cache")
+    idx.publish_artifact(src, cache_dir=cache)
+    stats: dict = {}
+    st = SP.span_state_cached(full, src, cache_dir=cache, stats=stats)
+    assert "docs_tokenized" not in stats  # warm hit, not a rebuild
+    q318_stream = {
+        tuple(r)
+        for r in SP.duplicated_spans(
+            st["postings"], st["gramstats"], st["docstats"]
+        ).collect()
+    }
+    q318_batch = {tuple(r) for r in SP.duplicated_spans(p, gs, ds).collect()}
+    assert q318_stream == q318_batch and len(q318_batch) > 0
+
+
+def test_streaming_redelivery_is_a_noop_and_never_self_flags(spark, tmp_path):
+    """At-least-once tolerance (ADVICE r9): re-delivering a batch
+    IDENTICALLY must fold to nothing (state unchanged) and must NOT
+    flag a document against its own prior grams — flags still equal
+    batch-mode nd>=2 over DISTINCT doc_ids."""
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    rows = _corpus(24)
+    idx = StreamingSpanIndex(spark, str(tmp_path / "sidx"))
+    b1 = spark.createDataFrame(
+        [(i, t) for i, t in rows if i < 12], "doc_id long, text string"
+    )
+    idx.process_batch(b1)
+    before = {k: v.count() for k, v in idx.state().items()}
+    flags_before = idx.flags().count() if idx.flags() is not None else 0
+
+    n = idx.process_batch(b1)  # exact re-delivery
+    after = {k: v.count() for k, v in idx.state().items()}
+    assert after == before  # state unchanged
+    # flags written for the re-delivery must equal batch-mode
+    # duplicated_spans over the corpus restricted to these docs (the
+    # equivalence holds under replay — no self-matches)
+    full = spark.createDataFrame(
+        [(i, t) for i, t in rows if i < 12], "doc_id long, text string"
+    )
+    p, ds, gs = SP.span_state(full)
+    expect = SP.duplicated_spans(p, gs, ds).count()
+    assert n == expect
+    assert (idx.flags().count() if idx.flags() is not None else 0) == (
+        flags_before + n
+    )
+
+
+def test_streaming_changed_doc_refused(spark, tmp_path):
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    rows = _corpus(12)
+    idx = StreamingSpanIndex(spark, str(tmp_path / "sidx"))
+    idx.process_batch(spark.createDataFrame(rows, "doc_id long, text string"))
+    mutated = [(rows[0][0], rows[0][1] + " extra")]
+    with pytest.raises(ValueError, match="append-only"):
+        idx.process_batch(
+            spark.createDataFrame(mutated, "doc_id long, text string")
+        )
+
+
+def test_streaming_maintain_crash_window_recovers(spark, tmp_path):
+    """ADVICE r9: a crash between maintain()'s two renames leaves no
+    live dataset but a complete __old_/__rewrite_ pair — the index
+    must heal on next touch instead of silently restarting empty."""
+    import os
+
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    rows = _corpus(24)
+    root = str(tmp_path / "sidx")
+    idx = StreamingSpanIndex(spark, root)
+    idx.process_batch(
+        spark.createDataFrame(rows[:12], "doc_id long, text string")
+    )
+    n_grams = idx.state()["gramstats"].count()
+    # simulate the crash window: live renamed aside, rewrite complete
+    live = os.path.join(root, "gramstats")
+    rewrite = os.path.join(root, "gramstats__rewrite_deadbeef")
+    spark.read.parquet(live).repartition(1).write.parquet(rewrite)
+    os.rename(live, os.path.join(root, "gramstats__old_deadbeef"))
+    assert not os.path.isdir(live)
+
+    idx2 = StreamingSpanIndex(spark, root)  # fresh process
+    assert idx2.state()["gramstats"].count() == n_grams  # memory intact
+    assert os.path.isdir(live)
+    assert not os.path.isdir(os.path.join(root, "gramstats__old_deadbeef"))
+    # and the healed index keeps flagging cross-batch duplicates
+    n = idx2.process_batch(
+        spark.createDataFrame(rows[:12], "doc_id long, text string")
+    )
+    assert n >= 0

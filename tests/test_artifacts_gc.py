@@ -118,3 +118,22 @@ def test_gc_collects_suffixless_bucket_dirs(tmp_path):
     assert removed == [os.path.join(cache, f"bucket_orders_{fam}_{old_v}")]
     assert os.path.isdir(os.path.join(cache, f"bucket_orders_{fam}_{new_v}"))
     assert os.path.isdir(staging)  # in-flight staging never touched
+
+
+def test_gc_never_touches_generation_markers(tmp_path):
+    """The IVF quantizer-generation marker (r10) must survive every gc
+    policy: collecting it would silently reset a refreshed family to
+    generation 0 and resurrect the STALE pre-refresh quantizer on the
+    next build."""
+    from stock_ops_spark.operators.ivf import _generation, bump_generation
+
+    cache = str(tmp_path)
+    fam_base = "d" * 20
+    assert bump_generation(cache, fam_base) == 1
+    marker = os.path.join(cache, f"ivf_{fam_base}.generation")
+    t = time.time() - 10_000
+    os.utime(marker, (t, t))
+    removed = artifacts.gc(cache, max_age_s=1, keep_latest=1)
+    assert removed == []
+    assert os.path.exists(marker)
+    assert _generation(cache, fam_base) == 1

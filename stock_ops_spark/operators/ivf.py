@@ -314,7 +314,7 @@ def knn_join_from_index(
 
 def _blocked_cell_scores(
     corpus: DataFrame,
-    assign: DataFrame,
+    assign: DataFrame | None,
     routed: DataFrame,
     k: int,
     id_col: str,
@@ -330,18 +330,20 @@ def _blocked_cell_scores(
     The corpus is pruned to PROBED cells Catalyst-side (broadcast
     semi-join on cid) before any Python boundary — with a
     cell-partitioned layout that semi-join is partition pruning at the
-    scan, so the kernel only ever sees candidate rows."""
+    scan, so the kernel only ever sees candidate rows.  ``assign`` maps
+    corpus ids to cells; pass None when ``corpus`` already carries its
+    ``cid`` column (self-routed cells like q81's label join).  Cell
+    ids may be any hashable scalar type (int cells from the IVF
+    artifact, string labels)."""
     import numpy as np
 
     spark = corpus.sparkSession
-    by_cell: dict[int, list] = {}
+    by_cell: dict = {}
     for r in routed.collect():  # bounded: |queries| × nprobe
         qv = r[query_vec_col]
         if qv is None:
             continue
-        by_cell.setdefault(int(r["cid"]), []).append(
-            (int(r[query_id_col]), qv)
-        )
+        by_cell.setdefault(r["cid"], []).append((int(r[query_id_col]), qv))
     qmats = {}
     for cid, lst in by_cell.items():
         qids = np.array([q for q, _ in lst], dtype=np.int64)
@@ -349,15 +351,16 @@ def _blocked_cell_scores(
         qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
         qmats[cid] = (qids, qm, qn)
     bc = spark.sparkContext.broadcast(qmats)
-    probed = spark.createDataFrame(
-        [(int(c),) for c in sorted(by_cell)], "cid int"
-    )
-    tagged = corpus.join(
-        assign.join(F.broadcast(probed), "cid").select(
-            F.col("vec_id").alias(id_col), "cid"
-        ),
-        id_col,
-    )
+    probed = routed.select("cid").distinct()
+    if assign is not None:
+        tagged = corpus.join(
+            assign.join(F.broadcast(probed), "cid").select(
+                F.col("vec_id").alias(id_col), "cid"
+            ),
+            id_col,
+        )
+    else:
+        tagged = corpus.join(F.broadcast(probed), "cid", "left_semi")
 
     def score(batches):
         import pandas as pd
@@ -367,7 +370,7 @@ def _blocked_cell_scores(
             if not len(pdf):
                 continue
             for cid, grp in pdf.groupby("cid"):
-                ent = cells.get(int(cid))
+                ent = cells.get(cid.item() if hasattr(cid, "item") else cid)
                 if ent is None:
                     continue
                 qids, qm, qn = ent

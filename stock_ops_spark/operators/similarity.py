@@ -430,3 +430,51 @@ def simhash_bucketed_pairs(
         .distinct()
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+def knn_join_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Cell-blocked exact k-NN join scored by the blocked numpy kernel
+    (r10): both sides carry a cell id (``cluster_col`` — a label, an
+    IVF cell, any blocker), queries ship to executors as per-cell
+    matrices via ``sparkContext.broadcast``, and each (Arrow batch ×
+    cell) scores as ONE float64 Gram matmul with batch-local top-k
+    (ties kept), replacing a per-pair HOF cosine inside the equi-join.
+    Self-pairs excluded; exactness argument on
+    ``ivf.knn_join_from_index`` (float32 inputs → exact products; only
+    summation grouping differs, ~1e-14 ≪ the 6dp oracle grid).
+
+    Posture note (the q311 caveat applies): the query side is DRIVER-
+    COLLECTED, so this kernel is for query sets bounded by contract (a
+    curated query batch, a fixed eval set).  A fixed-FRACTION sample
+    grows with the corpus — at the 100 TB posture either bound the
+    sample or keep the pure-Catalyst equi-join path (AQE decides the
+    join strategy) that this function replaces."""
+    from stock_ops_spark.operators.ivf import _blocked_cell_scores
+
+    routed = queries.select(
+        query_id_col, query_vec_col, F.col(cluster_col).alias("cid")
+    )
+    tagged = corpus.select(
+        id_col, vec_col, F.col(cluster_col).alias("cid")
+    )
+    scored = _blocked_cell_scores(
+        tagged, None, routed, k, id_col, vec_col,
+        query_id_col, query_vec_col,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

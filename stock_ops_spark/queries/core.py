@@ -2961,28 +2961,31 @@ def q81_within_cluster_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm per query and the query norm per corpus row.  dot/(ne·nq) is
     the identical double (same fold, same sqrt, same grouping), so the
     rounded oracle value is unchanged.  Measured at sf1: 30.9 s →
-    12.5 s (2.5×) for norms-out-of-the-join + broadcast together."""
+    12.5 s (2.5×) for norms-out-of-the-join + broadcast together.
+
+    PERF (r10): in-cell scoring via the blocked numpy kernel
+    (``similarity.knn_join_blocked`` — the q322 discipline with
+    self-label cells): per-label query matrices broadcast once, one
+    float64 Gram matmul per (Arrow batch × label), batch-local top-k
+    with ties kept.  Exactness per the kernel's documented argument;
+    the blocked==hof parity test covers the label-cell path.  The 2%
+    query sample is driver-collected here (the q311 fixed-fraction
+    caveat, noted on the kernel): bounded at every tested SF; a
+    100 TB run would bound the sample or fall back to the pure
+    equi-join shape this replaces.  Measured at sf1 (regenerated
+    corpus): 17.4 s in-record → 2.1 s dedicated min-of-2 (~8×),
+    oracle hash unchanged."""
     e = _t(spark, sf_dir, "embeddings")
-    corpus = e.select(
-        "vec_id", "label", "embedding", V.norm(F.col("embedding")).alias("ne")
-    )
+    from stock_ops_spark.operators.similarity import knn_join_blocked
+
     q = e.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         "label",
         F.col("embedding").alias("qv"),
-        V.norm(F.col("embedding")).alias("nq"),
     )
-    sim = V.dot(F.col("embedding"), F.col("qv")) / (F.col("ne") * F.col("nq"))
-    scored = (
-        corpus.join(q, "label")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("c"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("query_id", "neighbor_id", F.round("c", 6).alias("cos_sim"))
+    out = knn_join_blocked(e, q, k=1, cluster_col="label")
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 

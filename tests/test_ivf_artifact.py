@@ -361,3 +361,56 @@ def test_refresh_needed_rule():
     assert ivf_refresh_needed([], 0.9, 8)
     with pytest.raises(ValueError):
         ivf_refresh_needed([(1, 0.5)], 0.0, 8)
+
+
+def test_knn_join_blocked_label_cells_equals_expression_path(spark):
+    """knn_join_blocked (q81's r10 path) over STRING label cells must
+    equal the pure-Catalyst equi-join + per-pair cosine expression it
+    replaces — including a duplicate vector (tie at top-1) and a
+    zero-norm vector."""
+    import random
+
+    from stock_ops_spark.functions import vector as V
+    from stock_ops_spark.operators.similarity import knn_join_blocked
+
+    rng = random.Random(5)
+    rows = [
+        (i, f"lab{i % 3}", [round(rng.uniform(-1, 1), 4) for _ in range(DIM)])
+        for i in range(90)
+    ]
+    rows[41] = (41, rows[11][1], list(rows[11][2]))  # same label, same vec
+    rows.append((900, "lab0", [0.0] * DIM))
+    e = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    q = e.where(F.col("vec_id") % 10 == 1).select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("embedding").alias("qv"),
+    )
+    blocked = sorted(
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 9))
+        for r in knn_join_blocked(e, q, k=2, cluster_col="label").collect()
+    )
+    from pyspark.sql import Window as W
+
+    sim = F.try_divide(
+        V.dot(F.col("embedding"), F.col("qv")),
+        V.norm(F.col("embedding")) * V.norm(F.col("qv")),
+    )
+    scored = (
+        e.join(q, "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                sim.alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("neighbor_id")
+    )
+    hof = sorted(
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 9))
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2).drop("rn").collect()
+    )
+    assert blocked == hof
+    assert len(blocked) > 0
+    assert all(n != 900 for _, n, _ in blocked)

@@ -209,9 +209,10 @@ class StreamingSpanIndex:
         posts = gram_postings(batch, self.id_col, self.text_col).localCheckpoint(
             eager=True
         )
-        ds_batch = doc_stats(batch, self.id_col, self.text_col).localCheckpoint(
-            eager=True
-        )
+        # not checkpointed (r10 trim): each reuse recomputes one cheap
+        # map-side md5+split over the batch — less than a checkpoint
+        # job's fixed cost at micro-batch sizes
+        ds_batch = doc_stats(batch, self.id_col, self.text_col)
         old_ds = self._existing("docstats")
         if old_ds is not None:
             # at-least-once tolerance: identical re-delivery folds to
@@ -291,21 +292,23 @@ class StreamingSpanIndex:
         fresh.withColumn("batch_seq", F.lit(seq)).write.mode("append").parquet(
             self._path("docstats")
         )
-        if fresh_posts.limit(1).count():
-            fresh_posts.withColumn("batch_seq", F.lit(seq)).write.mode(
-                "append"
-            ).parquet(self._path("postings"))
-            partial = (
-                fresh_posts.select("gram", "doc_id")
-                .distinct()
-                .groupBy("gram")
-                .agg(
-                    F.count(F.lit(1)).cast("bigint").alias("nd"),
-                    F.min("doc_id").alias("keep_doc"),
-                )
-                .withColumn("batch_seq", F.lit(seq))
+        # unconditional appends (r10 trim): an all-stale batch writes
+        # empty schema-only parts, which the read view and maintain()
+        # tolerate — cheaper than a per-batch emptiness probe job
+        fresh_posts.withColumn("batch_seq", F.lit(seq)).write.mode(
+            "append"
+        ).parquet(self._path("postings"))
+        partial = (
+            fresh_posts.select("gram", "doc_id")
+            .distinct()
+            .groupBy("gram")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("nd"),
+                F.min("doc_id").alias("keep_doc"),
             )
-            partial.write.mode("append").parquet(self._path("gramstats"))
+            .withColumn("batch_seq", F.lit(seq))
+        )
+        partial.write.mode("append").parquet(self._path("gramstats"))
         return n_flags
 
     def flags(self) -> DataFrame | None:

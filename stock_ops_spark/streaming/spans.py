@@ -55,6 +55,22 @@ same tables.  **Single-writer contract** as in ``StreamingNearDupIndex``
 safe), but a CHANGED text under an existing doc_id raises — in-place
 rewrites are the batch path's job (``span_state_cached`` folds them).
 
+**Per-seq commit protocol** (ADVICE r10): the four per-batch appends
+(flags, docstats, postings, gramstats) are not atomic as a group, and
+neither append order survives a crash+redelivery — docstats-first makes
+the fp dedup anti-join every redelivered doc out so its postings and
+gramstats partials are never written (silent divergence from the batch
+oracle); partials-first double-counts nd on redelivery.  So a batch_seq
+is folded under a marker pair: ``_commits/<seq>.pending`` is touched
+BEFORE the first append and renamed to ``_commits/<seq>`` (atomic)
+after the LAST append.  A seq is committed iff its final marker exists.
+On every entry point a leftover ``.pending`` marker identifies a
+crashed fold, and that seq's rows are PRUNED from all four tables
+(filtered rewrite through the same rename-aside swap ``maintain`` uses)
+before the redelivery check runs — the redelivered batch then folds as
+if the crashed attempt never happened.  The common path pays one
+listdir, zero Spark jobs.
+
 Reference parity: none (training-data extension surface; the batch
 twins are q318/q319/q320).
 """
@@ -107,6 +123,57 @@ class StreamingSpanIndex:
 
     def _path(self, part: str) -> str:
         return os.path.join(self.root, part)
+
+    # ---- per-seq commit markers (module docstring: commit protocol)
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    def _mark_pending(self, seq: int) -> None:
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        with open(os.path.join(self._commits_dir(), f"{seq}.pending"), "w"):
+            pass
+
+    def _mark_committed(self, seq: int) -> None:
+        d = self._commits_dir()
+        os.replace(
+            os.path.join(d, f"{seq}.pending"), os.path.join(d, str(seq))
+        )
+
+    def _swap_in(self, part: str, df: DataFrame, nfiles: int | None = None) -> None:
+        """Replace ``part``'s live dataset with ``df`` via the
+        materialize-to-temp + rename-aside swap (crash window healed by
+        ``_recover``)."""
+        path = self._path(part)
+        out = df.repartition(nfiles) if nfiles else df
+        tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
+        out.write.mode("overwrite").parquet(tmp)
+        aside = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, aside)
+        os.rename(tmp, path)
+        shutil.rmtree(aside)
+
+    def _recover_crashed(self) -> None:
+        """Prune every table of rows belonging to seqs whose fold
+        crashed mid-append (a ``.pending`` marker survived) so the
+        redelivered batch folds as if the crashed attempt never
+        happened.  No-op (one listdir, zero jobs) when no marker
+        exists — the common path."""
+        try:
+            names = os.listdir(self._commits_dir())
+        except FileNotFoundError:
+            return
+        bad = [int(n[: -len(".pending")]) for n in names if n.endswith(".pending")]
+        if not bad:
+            return
+        for part in _PARTS:
+            df = self._existing(part)
+            if df is None:
+                continue
+            self._swap_in(part, df.where(~F.col("batch_seq").isin(bad)))
+        for s in bad:
+            os.remove(os.path.join(self._commits_dir(), f"{s}.pending"))
+        self._seq = None  # recompute past the pruned state
 
     def _recover(self, part: str) -> None:
         """Heal ``maintain()``'s rename-aside crash window (ADVICE r9):
@@ -184,6 +251,7 @@ class StreamingSpanIndex:
         """The batch artifact's three tables from the streamed state
         (postings, docstats, gramstats — ``batch_seq`` dropped,
         partials merged), or None before the first batch."""
+        self._recover_crashed()
         posts = self._existing("postings")
         ds = self._existing("docstats")
         gs = self._gramstats_view()
@@ -205,6 +273,7 @@ class StreamingSpanIndex:
     def process_batch(self, batch: DataFrame) -> int:
         """Probe ``batch`` against the state, fold its fresh docs in,
         and return the number of per-doc span flags written."""
+        self._recover_crashed()
         seq = self._next_seq()
         posts = gram_postings(batch, self.id_col, self.text_col).localCheckpoint(
             eager=True
@@ -280,6 +349,7 @@ class StreamingSpanIndex:
             .localCheckpoint(eager=True)
         )
         n_flags = flags.count()
+        self._mark_pending(seq)  # first append next: open the commit window
         if n_flags:
             flags.withColumn("batch_seq", F.lit(seq)).write.mode(
                 "append"
@@ -309,9 +379,11 @@ class StreamingSpanIndex:
             .withColumn("batch_seq", F.lit(seq))
         )
         partial.write.mode("append").parquet(self._path("gramstats"))
+        self._mark_committed(seq)
         return n_flags
 
     def flags(self) -> DataFrame | None:
+        self._recover_crashed()
         return self._existing("flags")
 
     def publish_artifact(
@@ -366,6 +438,7 @@ class StreamingSpanIndex:
         log-structured table that leaves the read view unchanged.  No
         retention knob: the state IS the dedup memory — aging grams out
         silently un-flags future duplicates."""
+        self._recover_crashed()
         out: dict[str, int] = {}
         for part in _PARTS:
             df = self._existing(part)
@@ -388,12 +461,7 @@ class StreamingSpanIndex:
                     F.min("keep_doc").alias("keep_doc"),
                     F.max("batch_seq").cast("bigint").alias("batch_seq"),
                 )
-            tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
-            df.repartition(target_files).write.mode("overwrite").parquet(tmp)
-            aside = f"{path}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(path, aside)
-            os.rename(tmp, path)
-            shutil.rmtree(aside)
+            self._swap_in(part, df, target_files)
             out[part] = target_files
         return out
 

@@ -462,3 +462,108 @@ def test_streaming_maintain_crash_window_recovers(spark, tmp_path):
         spark.createDataFrame(rows[:12], "doc_id long, text string")
     )
     assert n >= 0
+
+
+def test_streaming_crash_after_docstats_recovers(spark, tmp_path):
+    """ADVICE r10 (medium): the four per-batch appends are not atomic —
+    a crash after the docstats append but before postings/gramstats,
+    followed by at-least-once redelivery, used to anti-join every doc
+    of the batch out as already-seen, silently losing its postings and
+    partials forever.  With the per-seq commit marker the crashed seq
+    is pruned on recovery and the redelivered batch folds completely:
+    final state EQUALS batch-mode span_state over the union."""
+    import os
+
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    rows = _corpus(24)
+    b1 = [(i, t) for i, t in rows if i < 12]
+    b2 = [(i, t) for i, t in rows if i >= 12]
+    root = str(tmp_path / "sidx")
+    idx = StreamingSpanIndex(spark, root)
+    idx.process_batch(spark.createDataFrame(b1, "doc_id long, text string"))
+
+    # simulate batch2's fold crashing right after the docstats append:
+    # pending marker open, docstats rows present, postings/gramstats and
+    # the commit marker missing — the exact on-disk state the advice's
+    # failure scenario leaves behind
+    idx._mark_pending(1)
+    SP.doc_stats(
+        spark.createDataFrame(b2, "doc_id long, text string"),
+        "doc_id", "text",
+    ).withColumn("batch_seq", F.lit(1)).write.mode("append").parquet(
+        os.path.join(root, "docstats")
+    )
+
+    idx2 = StreamingSpanIndex(spark, root)  # fresh process, redelivery
+    idx2.process_batch(spark.createDataFrame(b2, "doc_id long, text string"))
+    got = idx2.state()
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    p, ds, gs = SP.span_state(full)
+    _assert_state_equal(
+        (got["postings"], got["docstats"], got["gramstats"]), (p, ds, gs)
+    )
+    # no pending litter survives
+    assert not [
+        n for n in os.listdir(os.path.join(root, "_commits"))
+        if n.endswith(".pending")
+    ]
+
+
+def test_streaming_crash_before_commit_marker_no_double_count(spark, tmp_path):
+    """The dual failure mode: all four appends landed but the commit
+    marker didn't — redelivery must prune the uncommitted seq first,
+    or the gramstats partials double-count nd (the reason reordering
+    the appends alone cannot fix the crash window)."""
+    import os
+
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    rows = _corpus(24)
+    b1 = [(i, t) for i, t in rows if i < 12]
+    b2 = [(i, t) for i, t in rows if i >= 12]
+    root = str(tmp_path / "sidx")
+    idx = StreamingSpanIndex(spark, root)
+    idx.process_batch(spark.createDataFrame(b1, "doc_id long, text string"))
+    idx.process_batch(spark.createDataFrame(b2, "doc_id long, text string"))
+    # roll seq 1's commit back to pending: every append of that batch is
+    # on disk but the fold never committed
+    d = os.path.join(root, "_commits")
+    os.replace(os.path.join(d, "1"), os.path.join(d, "1.pending"))
+
+    idx2 = StreamingSpanIndex(spark, root)
+    idx2.process_batch(spark.createDataFrame(b2, "doc_id long, text string"))
+    got = idx2.state()
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    p, ds, gs = SP.span_state(full)
+    _assert_state_equal(
+        (got["postings"], got["docstats"], got["gramstats"]), (p, ds, gs)
+    )
+
+
+def test_streaming_first_batch_crash_recovers_from_empty(spark, tmp_path):
+    """Crash during the very FIRST fold (every row of every table is
+    uncommitted): recovery prunes to empty-but-readable datasets and
+    the redelivered batch cold-folds; reads before the redelivery see
+    an empty state, not the half-written one."""
+    import os
+
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    rows = _corpus(12)
+    root = str(tmp_path / "sidx")
+    idx = StreamingSpanIndex(spark, root)
+    idx.process_batch(spark.createDataFrame(rows, "doc_id long, text string"))
+    d = os.path.join(root, "_commits")
+    os.replace(os.path.join(d, "0"), os.path.join(d, "0.pending"))
+
+    idx2 = StreamingSpanIndex(spark, root)
+    st = idx2.state()
+    assert st is None or st["docstats"].count() == 0
+    idx2.process_batch(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = idx2.state()
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    p, ds, gs = SP.span_state(full)
+    _assert_state_equal(
+        (got["postings"], got["docstats"], got["gramstats"]), (p, ds, gs)
+    )

@@ -32,12 +32,35 @@ and DuckDB's kmeans CTE replay (the q321 oracle pins it end-to-end).
 from __future__ import annotations
 
 import os
+from collections import deque
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stock_ops_spark.functions.vector import cosine
 from stock_ops_spark.operators.clustering import assign_clusters
+
+#: blocked-kernel broadcasts kept live (see _blocked_cell_scores)
+_LIVE_BROADCASTS: deque = deque()
+_MAX_LIVE_BROADCASTS = 4
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _id_sql_type(df: DataFrame, col: str) -> str:
+    """Kernel output type for an id column: integral → bigint, string →
+    string, anything else raises at PLAN time (ADVICE r10 — the kernel
+    used to hard-cast every id to int64, silently corrupting non-integer
+    id columns the generic HOF path supports)."""
+    t = dict(df.dtypes)[col]
+    if t in _INTEGRAL_TYPES:
+        return "bigint"
+    if t == "string":
+        return "string"
+    raise TypeError(
+        f"blocked kernel supports integral or string id columns; "
+        f"{col!r} is {t!r} — use kernel='hof' for arbitrary id types"
+    )
 
 
 def _fp(vec_col: str) -> F.Column:
@@ -237,7 +260,8 @@ def knn_join_from_index(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
-    kernel: str = "blocked",
+    kernel: str = "auto",
+    max_routed: int = 100_000,
 ) -> DataFrame:
     """Approximate k-NN JOIN served from the persisted index — the
     ``knn_join_ivf`` shape with the artifact's frozen cells instead of
@@ -247,7 +271,15 @@ def knn_join_from_index(
 
     ``kernel`` picks the in-cell scoring path (VERDICT r9 #1):
 
-    - ``"blocked"`` (default): the q311/q280 Gram discipline — the
+    - ``"auto"`` (default, ADVICE r10): the blocked kernel DRIVER-
+      COLLECTS and broadcasts the routed set (queries × nprobe), so it
+      is only the right default for query sets bounded by contract.
+      Auto counts the query side once and picks ``"blocked"`` when
+      |queries| × nprobe ≤ ``max_routed`` (≈50 MB broadcast at d=64),
+      else falls back to the pure-Catalyst ``"hof"`` equi-join whose
+      both sides stay distributed — an unbounded query stream never
+      silently inherits the driver-bounded path.
+    - ``"blocked"``: the q311/q280 Gram discipline — the
       routed query set (the small side by construction: a query stream
       × nprobe) ships to executors via ``sparkContext.broadcast`` as
       per-cell numpy matrices, and each (Arrow batch × cell) scores as
@@ -272,7 +304,10 @@ def knn_join_from_index(
     6dp-rounded output match the sequential fold (pinned by the
     blocked==hof test and the q322 oracle).  Zero-norm vectors: the
     kernel DROPS non-finite cosines (the HOF path's try_divide NULLs
-    sort last and likewise never win a slot)."""
+    sort last and likewise never win a slot).  NULL / malformed corpus
+    vectors are dropped the same way (ADVICE r10) — the HOF cosine is
+    NULL for them, so they can never enter a top-k.  Id columns may be
+    any integral or string type (validated at plan time)."""
     qsim = cosine(F.col("centroid"), F.col(query_vec_col))
     w = Window.partitionBy(query_id_col).orderBy(
         qsim.desc_nulls_last(), F.col("cid")
@@ -283,6 +318,13 @@ def knn_join_from_index(
         .where(F.col("__rk") <= nprobe)
         .select(query_id_col, query_vec_col, "cid")
     )
+    if kernel == "auto":
+        # one count over the query side bounds |routed| = |Q| × nprobe
+        kernel = (
+            "blocked"
+            if queries.count() * nprobe <= max_routed
+            else "hof"
+        )
     if kernel == "blocked":
         scored = _blocked_cell_scores(
             corpus, assign, routed, k, id_col, vec_col,
@@ -334,23 +376,45 @@ def _blocked_cell_scores(
     corpus ids to cells; pass None when ``corpus`` already carries its
     ``cid`` column (self-routed cells like q81's label join).  Cell
     ids may be any hashable scalar type (int cells from the IVF
-    artifact, string labels)."""
+    artifact, string labels).  Id columns may be integral or string
+    (ADVICE r10 — validated here at plan time; anything else raises
+    with a pointer at the generic ``kernel="hof"`` path, which imposes
+    no id-type constraint).  Corpus rows whose vector is NULL,
+    malformed, or of the wrong dimension are DROPPED before stacking —
+    the HOF cosine is NULL for them, sorts last, and never wins a
+    top-k slot, so dropping is semantics-preserving."""
     import numpy as np
 
     spark = corpus.sparkSession
+    qid_t = _id_sql_type(routed, query_id_col)
+    nid_t = _id_sql_type(corpus, id_col)
+    qid_np = np.int64 if qid_t == "bigint" else object
     by_cell: dict = {}
     for r in routed.collect():  # bounded: |queries| × nprobe
         qv = r[query_vec_col]
         if qv is None:
             continue
-        by_cell.setdefault(r["cid"], []).append((int(r[query_id_col]), qv))
+        by_cell.setdefault(r["cid"], []).append((r[query_id_col], qv))
     qmats = {}
     for cid, lst in by_cell.items():
-        qids = np.array([q for q, _ in lst], dtype=np.int64)
+        qids = np.array([q for q, _ in lst], dtype=qid_np)
         qm = np.array([v for _, v in lst], dtype=np.float64)
         qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
         qmats[cid] = (qids, qm, qn)
     bc = spark.sparkContext.broadcast(qmats)
+    # bounded broadcast lifetime (ADVICE r10): a long-lived session
+    # calling the kernel repeatedly would otherwise accumulate one
+    # driver+executor broadcast block per call forever.  Keep the last
+    # few live and unpersist (non-blocking) the rest — unpersist drops
+    # executor copies only; a still-referenced older plan re-fetches
+    # from the driver on its next execution, so this is a memory bound,
+    # not a correctness hazard.
+    _LIVE_BROADCASTS.append(bc)
+    while len(_LIVE_BROADCASTS) > _MAX_LIVE_BROADCASTS:
+        try:
+            _LIVE_BROADCASTS.popleft().unpersist(blocking=False)
+        except Exception:
+            pass  # a torn-down SparkContext has nothing to unpersist
     probed = routed.select("cid").distinct()
     if assign is not None:
         tagged = corpus.join(
@@ -361,6 +425,8 @@ def _blocked_cell_scores(
         )
     else:
         tagged = corpus.join(F.broadcast(probed), "cid", "left_semi")
+
+    nid_np = np.int64 if nid_t == "bigint" else object
 
     def score(batches):
         import pandas as pd
@@ -374,8 +440,33 @@ def _blocked_cell_scores(
                 if ent is None:
                     continue
                 qids, qm, qn = ent
-                m = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
-                ids = grp[id_col].to_numpy().astype(np.int64)
+                raw = grp[vec_col].to_numpy()
+                ids = grp[id_col].to_numpy()
+                d = qm.shape[1]
+                try:
+                    m = np.stack(raw).astype(np.float64)
+                    if m.ndim != 2 or m.shape[1] != d:
+                        raise ValueError("dimension mismatch")
+                except (ValueError, TypeError):
+                    # slow path, dirty batches only: drop NULL / ragged
+                    # / non-numeric vectors row by row (ADVICE r10 —
+                    # the HOF cosine is NULL for these, sorts last)
+                    keep_v, keep_i = [], []
+                    for v, i in zip(raw, ids):
+                        if v is None:
+                            continue
+                        try:
+                            a = np.asarray(v, dtype=np.float64)
+                        except (ValueError, TypeError):
+                            continue
+                        if a.shape != (d,):
+                            continue
+                        keep_v.append(a)
+                        keep_i.append(i)
+                    if not keep_v:
+                        continue
+                    m = np.stack(keep_v)
+                    ids = np.asarray(keep_i, dtype=nid_np)
                 mn = np.sqrt(np.einsum("ij,ij->i", m, m))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = (m @ qm.T) / np.outer(mn, qn)
@@ -404,7 +495,7 @@ def _blocked_cell_scores(
     out = tagged.select(
         F.col(id_col), F.col("cid"), F.col(vec_col)
     ).mapInPandas(
-        score, "query_id long, neighbor_id long, cos_sim double"
+        score, f"query_id {qid_t}, neighbor_id {nid_t}, cos_sim double"
     )
     return out.select(
         F.col("query_id").alias(query_id_col), "neighbor_id", "cos_sim"

@@ -414,3 +414,156 @@ def test_knn_join_blocked_label_cells_equals_expression_path(spark):
     assert blocked == hof
     assert len(blocked) > 0
     assert all(n != 900 for _, n, _ in blocked)
+
+
+def test_blocked_kernel_dirty_vectors_match_hof(spark, tmp_path):
+    """ADVICE r10: NULL / ragged / element-NULL corpus vectors used to
+    crash the blocked kernel's np.stack (job failure) where the HOF
+    path yields NULL cosine that sorts last.  The kernel now DROPS such
+    rows — both paths must again agree on dirty data."""
+    rows = _vectors(120)
+    src = str(tmp_path / "emb.parquet")
+    e = _write(spark, rows, src)
+    dirty = spark.createDataFrame(
+        [
+            (901, None),                    # NULL vector
+            (902, [1.0] * (DIM - 2)),       # wrong dimension
+            (903, [1.0, None] + [0.5] * (DIM - 2)),  # NULL element
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    e_dirty = e.unionByName(dirty)
+    cache = str(tmp_path / "cache")
+    idx = IVF.ivf_index_cached(
+        e, src, k_cells=4, iters=2, dim=DIM, cache_dir=cache
+    )
+    # dirty ids share cells with clean rows so the kernel actually
+    # sees them: tag them onto every probed cell via the assign table
+    extra = idx["assign"].select("cid").distinct().crossJoin(
+        dirty.select(F.col("vec_id"), F.lit("x").alias("fp"))
+    ).select("vec_id", "cid", "fp")
+    assign_dirty = idx["assign"].unionByName(extra)
+    queries = e.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def run(kernel):
+        out = IVF.knn_join_from_index(
+            e_dirty, idx["centroids"], assign_dirty, queries,
+            k=3, nprobe=2, kernel=kernel,
+        )
+        return sorted(
+            (r.query_id, r.neighbor_id, round(r.cos_sim, 9))
+            for r in out.collect()
+        )
+
+    blocked, hof = run("blocked"), run("hof")
+    assert blocked == hof
+    assert len(blocked) > 0
+    assert all(n not in (901, 902, 903) for _, n, _ in blocked)
+
+
+def test_blocked_kernel_string_ids(spark, tmp_path):
+    """ADVICE r10: the kernel used to hard-cast ids to int64; string id
+    columns are now first-class (schema follows the input types)."""
+    from stock_ops_spark.operators.similarity import knn_join_blocked
+
+    rows = [(f"doc-{i}", lab, v) for (i, v), lab in zip(
+        _vectors(60), ["a", "b", "c"] * 20
+    )]
+    corpus = spark.createDataFrame(
+        rows, f"vec_id string, label string, embedding array<float>"
+    )
+    queries = corpus.limit(6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "label",
+    )
+    out = knn_join_blocked(
+        corpus, queries, k=2, cluster_col="label", id_col="vec_id"
+    )
+    got = out.collect()
+    assert len(got) > 0
+    assert all(isinstance(r.query_id, str) and isinstance(r.neighbor_id, str)
+               for r in got)
+    assert all(r.query_id != r.neighbor_id for r in got)
+
+
+def test_blocked_kernel_rejects_exotic_id_types(spark, tmp_path):
+    """Plan-time validation (ADVICE r10): a double id column raises a
+    clear TypeError instead of silently truncating through int64."""
+    rows = _vectors(40)
+    src = str(tmp_path / "emb.parquet")
+    e = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    idx = IVF.ivf_index_cached(
+        e, src, k_cells=2, iters=1, dim=DIM, cache_dir=cache
+    )
+    bad = e.select(
+        (F.col("vec_id") + 0.5).alias("vec_id"), "embedding"
+    )
+    queries = e.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    with pytest.raises(TypeError, match="kernel='hof'"):
+        IVF.knn_join_from_index(
+            bad, idx["centroids"], idx["assign"], queries,
+            k=1, nprobe=1, kernel="blocked",
+        )
+
+
+def test_kernel_auto_guard_falls_back_to_hof(spark, tmp_path, monkeypatch):
+    """ADVICE r10: kernel='auto' (the new default) driver-collects the
+    routed set only when |queries| x nprobe <= max_routed; past the
+    bound it must take the distributed HOF path — existing callers
+    with unbounded query streams never silently inherit the
+    driver-bounded kernel."""
+    rows = _vectors(80)
+    src = str(tmp_path / "emb.parquet")
+    e = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    idx = IVF.ivf_index_cached(
+        e, src, k_cells=4, iters=2, dim=DIM, cache_dir=cache
+    )
+    queries = e.where(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def boom(*a, **kw):
+        raise AssertionError("blocked kernel must not be chosen")
+
+    monkeypatch.setattr(IVF, "_blocked_cell_scores", boom)
+    # routed = |q| * nprobe > max_routed=1 -> hof, runs fine
+    out = IVF.knn_join_from_index(
+        e, idx["centroids"], idx["assign"], queries,
+        k=2, nprobe=2, kernel="auto", max_routed=1,
+    )
+    assert out.count() > 0
+    # generous bound -> auto picks blocked (the monkeypatched boom)
+    with pytest.raises(AssertionError, match="must not be chosen"):
+        IVF.knn_join_from_index(
+            e, idx["centroids"], idx["assign"], queries,
+            k=2, nprobe=2, kernel="auto", max_routed=10**9,
+        ).count()
+
+
+def test_blocked_broadcast_cache_is_bounded(spark, tmp_path):
+    """ADVICE r10: repeated kernel calls must not accumulate live
+    broadcasts without bound — the module keeps a bounded deque and
+    unpersists evictees."""
+    rows = _vectors(40)
+    src = str(tmp_path / "emb.parquet")
+    e = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    idx = IVF.ivf_index_cached(
+        e, src, k_cells=2, iters=1, dim=DIM, cache_dir=cache
+    )
+    queries = e.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    for _ in range(IVF._MAX_LIVE_BROADCASTS + 3):
+        IVF.knn_join_from_index(
+            e, idx["centroids"], idx["assign"], queries,
+            k=1, nprobe=1, kernel="blocked",
+        ).count()
+    assert len(IVF._LIVE_BROADCASTS) <= IVF._MAX_LIVE_BROADCASTS

@@ -583,7 +583,10 @@ def ivf_index_with_refresh(
     ``stats`` (optional) gains: ``recall_curve`` (pre-decision),
     ``refreshed`` (bool), ``recall_curve_after`` (only when refreshed).
     """
-    from stock_ops_spark.operators.similarity import ivf_recall_curve
+    from stock_ops_spark.operators.similarity import (
+        exact_topk_cached,
+        ivf_recall_curve,
+    )
     from stock_ops_spark.plans import sizing
 
     if cache_dir is None:
@@ -601,6 +604,14 @@ def ivf_index_with_refresh(
         dim=dim, cache_dir=cache_dir,
     )
     idx = ivf_index_cached(df, source_path, stats=stats, **kw)
+    # the ground truth is quantizer-INDEPENDENT (corpus version + query
+    # set + k), so one artifact serves both the pre- and post-refresh
+    # measurement — a generation bump never invalidates it (r11 #1)
+    truth = exact_topk_cached(
+        df, queries, k=k, source_path=source_path, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, cache_dir=cache_dir, stats=stats,
+    )
 
     def _curve(index):
         tagged = df.join(
@@ -610,7 +621,7 @@ def ivf_index_with_refresh(
         pts = ivf_recall_curve(
             tagged, queries, k=k, nprobes=nprobes, cluster_col="cid",
             id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
-            query_vec_col=query_vec_col,
+            query_vec_col=query_vec_col, truth=truth,
         )
         return [(int(r.nprobe), float(r.recall_at_k)) for r in pts.collect()]
 

@@ -172,6 +172,163 @@ def knn_join_ivf(
     )
 
 
+def exact_topk_cached(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    source_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    cache_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Persisted exact ground-truth top-k — ``(qid, nid)`` per query —
+    for recall measurement (VERDICT r10 #1).
+
+    The truth set is a pure function of (corpus version, query set, k):
+    it does not depend on any quantizer, cell layout, or nprobe, so ONE
+    artifact serves every recall measurement over the same corpus —
+    q317's curve, ``ivf_index_with_refresh``'s pre- AND post-refresh
+    checks (a quantizer refresh never invalidates it), quantization QA.
+    Before this artifact, q317 re-ranked every (query × corpus) pair on
+    each call — the single most expensive registry entry at sf1
+    (34.9 s), recomputing a value that changes only when the corpus or
+    the query sample does.
+
+    Key discipline (``operators/artifacts.py``): family = source
+    abspath + id/vec cols + k + v-tag; version = source identity
+    (mtime+size) + an order-insensitive md5 fingerprint of the query
+    rows — a corpus append or a different query sample recomputes, an
+    unchanged pair serves warm from parquet with zero scoring work.
+
+    Scoring is the ORDER-EXACT kernel of ``ivf_recall_curve`` (per-dim
+    left-to-right accumulation, dot/(nc·nq) grouping — bit-identical to
+    the Catalyst HOF fold), followed by the same (sim DESC, id ASC)
+    row_number cut, so the cached truth is row-for-row the set the
+    inline curve used to compute; a map-side partial top-k (cut at the
+    batch-local kth VALUE, ties kept — provably lossless) bounds what
+    crosses the shuffle to O(k·|Q|) per task.  Zero-norm rows on either
+    side never enter (the HOF cosine is NULL for them and sorts last);
+    rows with non-finite similarities are likewise dropped.
+
+    ``stats``: gains ``truth_cold_build`` (False on a warm hit)."""
+    import numpy as np
+
+    from stock_ops_spark.functions.vector import norm
+    from stock_ops_spark.operators import artifacts
+    from stock_ops_spark.operators.ivf import _id_sql_type
+
+    spark = corpus.sparkSession
+    if cache_dir is None:
+        cache_dir = artifacts.default_cache_dir()
+    qid_t = _id_sql_type(queries, query_id_col)
+    nid_t = _id_sql_type(corpus, id_col)
+    # order-insensitive query-set fingerprint (NULL elements encoded,
+    # the _fp discipline): one tiny job over the measurement sample
+    import os
+
+    qfp = (
+        queries.select(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(query_id_col).cast("string"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.col(query_vec_col),
+                            lambda x: F.coalesce(
+                                x.cast("string"), F.lit("\u0000")
+                            ),
+                        ),
+                    ),
+                )
+            ).alias("h")
+        )
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("h")))))
+        .collect()[0][0]
+    )
+    fam = artifacts.cache_key(
+        f"v1|{os.path.abspath(source_path)}|{id_col}|{vec_col}|k={k}"
+    )
+    ver = artifacts.cache_key(
+        f"{artifacts.source_identity(source_path)}|{qfp}"
+    )
+    path = artifacts.versioned_path(
+        cache_dir, "exacttopk", fam, ver, ".truth.parquet"
+    )
+    if os.path.isdir(path):
+        if stats is not None:
+            stats["truth_cold_build"] = False
+        return spark.read.parquet(path)
+    if stats is not None:
+        stats["truth_cold_build"] = True
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(query_vec_col).alias("qv"),
+        norm(F.col(query_vec_col)).alias("nq"),
+    ).collect()
+    qid_np = np.int64 if qid_t == "bigint" else object
+    qids = np.array([r.qid for r in qrows], dtype=qid_np)
+    qm = np.array([list(r.qv) for r in qrows], dtype=np.float64)
+    nq = np.array([r.nq for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qm, nq))
+
+    def score(batches):
+        import pandas as pd
+
+        bqids, bqm, bnq = bc.value
+        d = bqm.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            ids = pdf["cid"].to_numpy()
+            nc = pdf["nc"].to_numpy()
+            acc = np.zeros((len(ids), len(bqids)), dtype=np.float64)
+            for i in range(d):  # ORDER-EXACT: the HOF fold's op order
+                acc += np.outer(m[:, i], bqm[:, i])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = acc / np.outer(nc, bnq)
+            mask = (
+                (ids[:, None] != bqids[None, :])
+                & (nc[:, None] != 0.0)
+                & (bnq[None, :] != 0.0)
+            )
+            simm = np.where(mask, sim, -np.inf)
+            n_rows = simm.shape[0]
+            if n_rows > k:
+                kth = np.partition(simm, n_rows - k, axis=0)[n_rows - k]
+                keep = simm >= kth[None, :]
+            else:
+                keep = np.ones_like(simm, dtype=bool)
+            keep &= mask & np.isfinite(simm)
+            ri, qi = np.nonzero(keep)
+            if not len(ri):
+                continue
+            yield pd.DataFrame(
+                {"qid": bqids[qi], "nid": ids[ri], "s": sim[ri, qi]}
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("nc"),
+    ).mapInPandas(score, f"qid {qid_t}, nid {nid_t}, s double")
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("nid"))
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("qid", "nid")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    artifacts.publish(out, path)
+    return spark.read.parquet(path)
+
+
 def ivf_recall_curve(
     corpus: DataFrame,
     queries: DataFrame,
@@ -182,6 +339,7 @@ def ivf_recall_curve(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """Measured recall@k of ``knn_join_ivf`` against exact ground truth,
     per ``nprobe`` — the number a user needs to CHOOSE nprobe rationally
@@ -211,7 +369,17 @@ def ivf_recall_curve(
     top-k window passes over the 4M-row scored frame, one per probe
     setting plus truth).  The routed query set (|Q|·cells
     rows — a measurement-sized sample by contract) rides to the workers
-    as a per-label dict; centroids build once."""
+    as a per-label dict; centroids build once.
+
+    ``truth`` (VERDICT r10 #1): pass ``exact_topk_cached``'s frame to
+    serve the ground-truth side from the persisted artifact — the
+    full-corpus scoring pass then exists only for the APPROXIMATE
+    sides, so the routed set is filtered to ``cellrk <= max(nprobes)``,
+    unprobed cells are pruned Catalyst-side before the Python boundary,
+    and the heaviest window pass (top-k over the FULL scored frame)
+    disappears entirely.  The cached truth is bit-identical to the
+    inline computation (same kernel, same cut — see
+    ``exact_topk_cached``), so the curve is unchanged."""
     from stock_ops_spark.functions.vector import norm
 
     cents = centroids_by(corpus, cluster_col, vec_col).localCheckpoint(
@@ -251,6 +419,15 @@ def ivf_recall_curve(
         )
         for lab, v in by_label.items()
     }
+    if truth is not None:
+        maxp = max(nprobes)
+        pruned = {}
+        for lab, (aq, am, an, ar) in routed_np.items():
+            sel = ar <= maxp
+            if sel.any():
+                pruned[lab] = (aq[sel], am[sel], an[sel], ar[sel])
+        routed_np = pruned
+        corpus = corpus.where(F.col(cluster_col).isin(list(pruned.keys())))
     # r9 (advice): ship the routed-query dict as a TorrentBroadcast —
     # one copy per executor instead of one per task closure, so task
     # serialization stays O(1) as the measurement sample grows
@@ -322,7 +499,12 @@ def ivf_recall_curve(
             .select("__q", "__n")
         )
 
-    truth = _topk(scored).localCheckpoint(eager=False)
+    if truth is None:
+        truth = _topk(scored).localCheckpoint(eager=False)
+    else:
+        truth = truth.select(
+            F.col("qid").alias("__q"), F.col("nid").alias("__n")
+        )
     out = None
     for nprobe in nprobes:
         approx = _topk(scored.where(F.col("__cellrk") <= nprobe))

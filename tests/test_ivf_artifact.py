@@ -567,3 +567,150 @@ def test_blocked_broadcast_cache_is_bounded(spark, tmp_path):
             k=1, nprobe=1, kernel="blocked",
         ).count()
     assert len(IVF._LIVE_BROADCASTS) <= IVF._MAX_LIVE_BROADCASTS
+
+
+def test_exact_topk_cached_matches_inline_curve(spark, tmp_path):
+    """VERDICT r11 #1: the persisted ground-truth top-k must be
+    row-identical to the truth ivf_recall_curve computes inline, and a
+    curve served from it must equal the inline curve exactly —
+    including under a duplicate-vector tie at the k boundary."""
+    from stock_ops_spark.operators.similarity import (
+        exact_topk_cached,
+        ivf_recall_curve,
+    )
+
+    rows = _vectors(160)
+    rows[57] = (57, list(rows[23][1]))  # tie at the boundary
+    src = str(tmp_path / "emb.parquet")
+    e = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    idx = IVF.ivf_index_cached(
+        e, src, k_cells=4, iters=2, dim=DIM, cache_dir=cache
+    )
+    tagged = e.join(
+        idx["assign"].select(F.col("vec_id"), "cid"), "vec_id"
+    )
+    queries = e.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    stats: dict = {}
+    truth = exact_topk_cached(
+        e, queries, k=5, source_path=src, cache_dir=cache, stats=stats
+    )
+    assert stats["truth_cold_build"] is True
+
+    inline = ivf_recall_curve(
+        tagged, queries, k=5, nprobes=(1, 2), cluster_col="cid"
+    )
+    served = ivf_recall_curve(
+        tagged, queries, k=5, nprobes=(1, 2), cluster_col="cid",
+        truth=truth,
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+    # the artifact rows ARE the inline truth set: recall at
+    # nprobe=all-cells must be exactly 1.0 against the cached truth
+    full = ivf_recall_curve(
+        tagged, queries, k=5, nprobes=(4,), cluster_col="cid",
+        truth=truth,
+    ).collect()[0]
+    assert float(full.recall_at_k) == 1.0
+
+    # warm second call: no recompute
+    stats2: dict = {}
+    exact_topk_cached(
+        e, queries, k=5, source_path=src, cache_dir=cache, stats=stats2
+    )
+    assert stats2["truth_cold_build"] is False
+
+
+def test_exact_topk_cached_invalidates_on_corpus_and_query_change(
+    spark, tmp_path
+):
+    """A corpus append (new source identity) or a different query
+    sample must cold-build a NEW truth; the stale artifact is never
+    served."""
+    from stock_ops_spark.operators.similarity import exact_topk_cached
+
+    rows = _vectors(80)
+    src = str(tmp_path / "emb.parquet")
+    e = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    queries = e.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    s1: dict = {}
+    t1 = exact_topk_cached(
+        e, queries, k=3, source_path=src, cache_dir=cache, stats=s1
+    )
+    n1 = t1.count()
+    assert s1["truth_cold_build"] is True
+
+    # corpus append -> new version -> recompute, truth reflects the
+    # appended rows
+    rows2 = rows + _vectors(40, seed=17)[-40:]
+    rows2 = rows + [(500 + i, v) for i, (_, v) in enumerate(_vectors(40, seed=17))]
+    e2 = _write(spark, rows2, src)
+    q2 = e2.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    s2: dict = {}
+    t2 = exact_topk_cached(
+        e2, q2, k=3, source_path=src, cache_dir=cache, stats=s2
+    )
+    assert s2["truth_cold_build"] is True
+    assert t2.count() >= n1
+
+    # same corpus, different query sample -> also a cold build
+    q3 = e2.where(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    s3: dict = {}
+    exact_topk_cached(
+        e2, q3, k=3, source_path=src, cache_dir=cache, stats=s3
+    )
+    assert s3["truth_cold_build"] is True
+
+    # unchanged pair -> warm
+    s4: dict = {}
+    exact_topk_cached(
+        e2, q2, k=3, source_path=src, cache_dir=cache, stats=s4
+    )
+    assert s4["truth_cold_build"] is False
+
+
+def test_refresh_loop_reuses_truth_across_generations(spark, tmp_path):
+    """The ground truth is quantizer-independent: ivf_index_with_refresh
+    must measure the pre- AND post-refresh curves from ONE truth
+    artifact (one cold build per corpus version), and the refresh
+    decision itself must be unchanged by the caching."""
+    from stock_ops_spark.operators.similarity import exact_topk_cached
+
+    rows = _vectors(120)
+    src = str(tmp_path / "emb.parquet")
+    v1 = _write(spark, rows, src)
+    cache = str(tmp_path / "cache")
+    IVF.ivf_index_cached(v1, src, k_cells=4, iters=2, dim=DIM, cache_dir=cache)
+    rng = random.Random(11)
+    rows2 = rows + [
+        (500 + i, [round(5.0 + rng.uniform(-0.3, 0.3), 4) for _ in range(DIM)])
+        for i in range(360)
+    ]
+    v2 = _write(spark, rows2, src)
+    queries = v2.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    stats: dict = {}
+    IVF.ivf_index_with_refresh(
+        v2, src, queries, k_cells=4, iters=2, dim=DIM,
+        target_recall=0.999, k=5, cache_dir=cache, stats=stats,
+    )
+    assert stats["refreshed"] is True  # the drift still forces refresh
+    # the post-refresh measurement hit the SAME artifact: a direct call
+    # for this (corpus version, queries, k) is warm
+    s2: dict = {}
+    exact_topk_cached(
+        v2, queries, k=5, source_path=src, cache_dir=cache, stats=s2
+    )
+    assert s2["truth_cold_build"] is False

@@ -150,7 +150,7 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — advisory
             flagged = None
         if flagged:
-            label, slow = flagged
+            label, slow, _benv = flagged
             for q in sorted(slow):
                 print(f"# drift re-check (min-of-2) vs {label}: {q}",
                       file=sys.stderr)
@@ -158,6 +158,24 @@ def main() -> None:
                     timings[q] = round(min(timings[q], _time_query(q)), 3)
                 except Exception as ex:  # noqa: BLE001
                     print(f"# re-check {q} failed: {ex}", file=sys.stderr)
+
+    # load-aware flag adjudication (r11, VERDICT #2): the in-session
+    # min-of-2 retime runs under the SAME box load as the run it is
+    # confirming, so a polluted box re-confirms its own phantom flags
+    # — exactly the r9 (13 flags) and r10 (9 flags) driver records,
+    # all later cleared by dedicated idle re-runs.  Every surviving
+    # flag therefore ships WITH its adjudication data: when the env
+    # snapshot says the box was loaded (load_avg > 1, another JVM, or
+    # cpu_mark >15% over the baseline record's), the flag is
+    # "suspect_env", not a bare regression.
+    flags_out: list[dict] = []
+    try:
+        final = _find_slow(timings, sf)
+        if final:
+            label, slow, base_env = final
+            flags_out = _build_flag_entries(slow, label, env, base_env)
+    except Exception as ex:  # noqa: BLE001 — advisory
+        print(f"# flag adjudication skipped: {ex}", file=sys.stderr)
 
     total = sum(timings.values())
     doc = {
@@ -172,6 +190,8 @@ def main() -> None:
         doc["min_of"] = min_of
     if excluded:
         doc["excluded"] = sorted(excluded)
+    if flags_out:
+        doc["flags"] = flags_out
     print(json.dumps(doc))
     if env.get("concurrent_jvms", 0) > 0 or env.get("load_avg_1m", 0) > 4:
         print(
@@ -180,55 +200,114 @@ def main() -> None:
             " gets one clean dedicated re-run before it counts)",
             file=sys.stderr,
         )
-    _regression_report(timings, sf)
+    _emit_flag_report(flags_out, timings, sf)
 
 
-def _regression_report(timings: dict[str, float], sf: float) -> None:
-    """Inline regression guard: compare this run against the newest
-    BENCH_r*.json driver record AT THE SAME SF and flag >1.5x slowdowns
-    on stderr — the drift surfaces in the same run that produced it, not
-    one VERDICT later.  Advisory only: stdout stays one JSON line and
-    the exit code is untouched (the driver treats nonzero as a failed
-    bench).
+def _env_suspect(env: dict, base_env: dict) -> tuple[bool, dict]:
+    """Decide whether THIS run's environment can explain a flagged
+    slowdown, and return the numbers that decide it (the drift
+    protocol, encoded — VERDICT r10 #2).  Suspect when the box was
+    visibly loaded at snapshot time (load_avg_1m > 1.0 or another JVM
+    on the box) or when the calibrated single-core mark drifted >15%
+    over the baseline record's — the same three signals the r8-r10
+    adjudications used by hand."""
+    detail: dict = {}
+    suspect = False
+    load = env.get("load_avg_1m")
+    if load is not None:
+        detail["load_avg_1m"] = load
+        if load > 1.0:
+            suspect = True
+    jvms = env.get("concurrent_jvms")
+    if jvms:
+        detail["concurrent_jvms"] = jvms
+        suspect = True
+    cm = env.get("cpu_mark_ms")
+    bm = (base_env or {}).get("cpu_mark_ms")
+    if cm is not None:
+        detail["cpu_mark_ms"] = cm
+    if bm is not None:
+        detail["baseline_cpu_mark_ms"] = bm
+        if cm is not None and cm > 1.15 * bm:
+            suspect = True
+    return suspect, detail
+
+
+def _build_flag_entries(
+    slow: dict, label: str, env: dict, base_env: dict
+) -> list[dict]:
+    """One record-embedded entry per surviving flag, carrying its
+    adjudication data: a judge reading BENCH_r{N}.json sees WHY each
+    flag is (or is not) trustworthy without a forensic session."""
+    suspect, detail = _env_suspect(env, base_env)
+    out = []
+    for q, (b, t) in sorted(slow.items(), key=lambda kv: -kv[1][1]):
+        entry = {
+            "query": q,
+            "base_s": round(b, 3),
+            "now_s": round(t, 3),
+            "ratio": round(t / max(b, 0.1), 2),
+            "baseline": label,
+            "status": "suspect_env" if suspect else "regression",
+        }
+        entry.update(detail)
+        out.append(entry)
+    return out
+
+
+def _emit_flag_report(
+    flags_out: list[dict], timings: dict[str, float], sf: float
+) -> None:
+    """stderr twin of the record-embedded flags: SUSPECT-ENV lines name
+    the load numbers; bare REGRESSION lines survive only on a box the
+    snapshot could not incriminate.
 
     Drift protocol (r8 adjudication, codified per VERDICT r8 #5): a
     flagged query with ZERO git diff since the baseline record gets ONE
     clean dedicated re-run (`python bench.py <query>` on an idle box —
     check the emitted `env` snapshot) before it counts as a regression;
     sub-second queries sit at the local job floor where round-to-round
-    variance alone produces 1.5-2x phantom flags (r8 adjudicated five
-    such flags back to their round-5 levels this way)."""
-    try:
-        _regression_report_inner(timings, sf)
-    except Exception as ex:  # noqa: BLE001 — advisory path must never alter rc
-        print(f"# regression guard skipped (record parse error: {ex})", file=sys.stderr)
+    variance alone produces 1.5-2x phantom flags."""
+    if not flags_out:
+        print("# regression guard: no query >1.5x vs baseline record",
+              file=sys.stderr)
+        return
+    for e in flags_out:
+        envbits = ", ".join(
+            f"{k}={e[k]}"
+            for k in ("load_avg_1m", "concurrent_jvms", "cpu_mark_ms",
+                      "baseline_cpu_mark_ms")
+            if k in e
+        )
+        tag = ("SUSPECT-ENV" if e["status"] == "suspect_env"
+               else "REGRESSION")
+        print(
+            f"# {tag} vs {e['baseline']}: {e['query']} "
+            f"{e['base_s']:.2f}s -> {e['now_s']:.2f}s ({e['ratio']:.1f}x)"
+            + (f" [{envbits}]" if envbits else ""),
+            file=sys.stderr,
+        )
 
 
 def _find_slow(
     timings: dict[str, float], sf: float
-) -> tuple[str, dict] | None:
-    """(baseline label, {query: (base, t)}) of >1.5x slowdowns vs the
-    same-SF baseline record, or None — the shared detector behind both
-    the stderr report and main()'s min-of-2 drift re-check."""
+) -> tuple[str, dict, dict] | None:
+    """(baseline label, {query: (base, t)}, baseline env) of >1.5x
+    slowdowns vs the same-SF baseline record, or None — the shared
+    detector behind the record-embedded flags and main()'s min-of-2
+    drift re-check."""
     found: list = []
 
-    def probe(t, b, label):
+    def probe(t, b, label, benv):
         s = _slow_set(t, b)
         if s is not None:
-            found.append((label, s))
+            found.append((label, s, benv))
 
     _walk_baselines(timings, sf, probe)
     if not found:
         return None
-    label, s = found[0]
-    return (label, s) if s else None
-
-
-def _regression_report_inner(timings: dict[str, float], sf: float) -> None:
-    def probe(t, b, label):
-        _flag_slow(t, b, label)
-
-    _walk_baselines(timings, sf, probe)
+    label, s, benv = found[0]
+    return (label, s, benv) if s else None
 
 
 def _walk_baselines(timings: dict[str, float], sf: float, probe) -> None:
@@ -249,7 +328,8 @@ def _walk_baselines(timings: dict[str, float], sf: float, probe) -> None:
             if float(doc.get("sf", -2)) == sf and isinstance(
                 doc.get("queries"), dict
             ):
-                probe(timings, doc["queries"], os.path.basename(sf1))
+                probe(timings, doc["queries"], os.path.basename(sf1),
+                      doc.get("env") or {})
                 return
         except (OSError, json.JSONDecodeError, ValueError):
             pass
@@ -263,9 +343,11 @@ def _walk_baselines(timings: dict[str, float], sf: float, probe) -> None:
         if doc.get("rc") not in (0, None) or float(doc.get("sf", -2)) != sf:
             continue
         base = {}
+        benv = {}
         parsed = doc.get("parsed")
         if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
             base = parsed["queries"]
+            benv = parsed.get("env") or {}
         elif isinstance(doc.get("tail"), str):
             base = {
                 m.group(1): float(m.group(2))
@@ -273,7 +355,7 @@ def _walk_baselines(timings: dict[str, float], sf: float, probe) -> None:
             }
         if not base:
             continue
-        probe(timings, base, os.path.basename(path))
+        probe(timings, base, os.path.basename(path), benv)
         return
 
 
@@ -285,24 +367,6 @@ def _slow_set(
         for q, t in timings.items()
         if q in base and t > 1.5 * max(base[q], 0.1)  # sub-100ms = jitter
     }
-
-
-def _flag_slow(
-    timings: dict[str, float], base: dict[str, float], label: str
-) -> None:
-    slow = _slow_set(timings, base)
-    if slow:
-        for q, (b, t) in sorted(slow.items(), key=lambda kv: -kv[1][1]):
-            print(
-                f"# REGRESSION vs {label}: "
-                f"{q} {b:.2f}s -> {t:.2f}s ({t / max(b, 0.1):.1f}x)",
-                file=sys.stderr,
-            )
-    else:
-        print(
-            f"# regression guard: no query >1.5x vs {label}",
-            file=sys.stderr,
-        )
 
 
 if __name__ == "__main__":

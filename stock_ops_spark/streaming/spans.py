@@ -219,18 +219,31 @@ class StreamingSpanIndex:
         return self.spark.read.parquet(p)
 
     def _next_seq(self) -> int:
-        """Monotonic batch sequence, recovered from EVERY dataset (a
-        crash between the per-part writes must not reuse a sequence
-        already present in any of them)."""
+        """Monotonic batch sequence.  The commit markers are
+        authoritative (r11): every committed seq has a marker, pending
+        seqs were pruned by ``_recover_crashed`` before this runs, so
+        max(marker)+1 needs no Spark job.  Legacy pre-marker state
+        (r10 dirs without ``_commits``) falls back to a one-time scan
+        of every dataset; markers take over from the next fold."""
         if self._seq is None:
             highest = -1
-            for part in _PARTS:
-                ds = self._existing(part)
-                if ds is None:
-                    continue
-                row = ds.agg(F.max("batch_seq").alias("m")).collect()[0]
-                if row.m is not None:
-                    highest = max(highest, int(row.m))
+            try:
+                for n in os.listdir(self._commits_dir()):
+                    if not n.endswith(".pending"):
+                        highest = max(highest, int(n))
+            except (FileNotFoundError, ValueError):
+                highest = -1
+            if highest < 0:
+                # legacy state, or a legacy state whose first marker-era
+                # fold crashed and was pruned: an empty marker set must
+                # not alias legacy rows' seqs — scan the datasets once
+                for part in _PARTS:
+                    ds = self._existing(part)
+                    if ds is None:
+                        continue
+                    row = ds.agg(F.max("batch_seq").alias("m")).collect()[0]
+                    if row.m is not None:
+                        highest = max(highest, int(row.m))
             self._seq = highest + 1
         out = self._seq
         self._seq += 1
@@ -272,7 +285,18 @@ class StreamingSpanIndex:
 
     def process_batch(self, batch: DataFrame) -> int:
         """Probe ``batch`` against the state, fold its fresh docs in,
-        and return the number of per-doc span flags written."""
+        and return the number of per-doc span flags written.
+
+        Job budget (r11, VERDICT #3): SIX jobs per batch — the posts
+        checkpoint, the fold checkpoint (ONE join over the prior
+        docstats decides fresh/stale/changed, with the changed count
+        riding the checkpoint as an Observation), the flags append
+        (its count likewise observed instead of a separate
+        checkpoint+count pair), and the three state appends.  The r10
+        shape ran ~10: two extra checkpoints, a second old-docstats
+        scan for the changed probe, and a standalone flags count."""
+        from pyspark.sql import Observation
+
         self._recover_crashed()
         seq = self._next_seq()
         posts = gram_postings(batch, self.id_col, self.text_col).localCheckpoint(
@@ -284,47 +308,66 @@ class StreamingSpanIndex:
         ds_batch = doc_stats(batch, self.id_col, self.text_col)
         old_ds = self._existing("docstats")
         if old_ds is not None:
-            # at-least-once tolerance: identical re-delivery folds to
-            # nothing; a CHANGED text under a known doc_id is an
-            # in-place rewrite — the batch path's job, refuse here
-            fresh = ds_batch.join(
-                old_ds.select("doc_id", "fp"), ["doc_id", "fp"], "left_anti"
-            ).localCheckpoint(eager=True)
-            changed = fresh.join(
-                old_ds.select("doc_id"), "doc_id", "left_semi"
-            ).limit(1)
-            if changed.count():
+            # at-least-once tolerance: identical re-delivery (same fp)
+            # folds to nothing; a CHANGED text under a known doc_id is
+            # an in-place rewrite — the batch path's job, refuse here
+            obs = Observation()
+            fresh = (
+                ds_batch.join(
+                    old_ds.select("doc_id", F.col("fp").alias("__old_fp")),
+                    "doc_id",
+                    "left_outer",
+                )
+                .where(
+                    F.col("__old_fp").isNull()
+                    | (F.col("__old_fp") != F.col("fp"))
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.col("__old_fp").isNotNull().cast("long")
+                    ).alias("n_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if obs.get["n_changed"]:
                 raise ValueError(
                     "doc_id re-delivered with different text: the "
                     "streaming span index is append-only; rewrite the "
                     "corpus through span_state_cached instead"
                 )
+            fresh = fresh.drop("__old_fp")
         else:
             fresh = ds_batch
 
         # ---- probe: union-distinct nd >= 2, decided from the state
-        # view + the batch's own distinct-doc counts (module docstring)
-        pairs = posts.select("gram", "doc_id").distinct()
-        batch_nd = pairs.groupBy("gram").agg(
-            F.count(F.lit(1)).alias("bnd")
-        )
+        # view + the batch's own distinct-doc counts (module docstring).
+        # One gram-keyed pass (r11 trim): the batch-side distinct-doc
+        # count rides a window over the postings (bounded by the
+        # micro-batch's docs per gram) and the verdict is decided on
+        # the posting row itself — the r10 shape's distinct + groupBy +
+        # re-join + semi-join chain cost four extra Exchanges per batch
+        # for the same three-clause rule.
+        from pyspark.sql import Window
+
         sv = self._gramstats_view()
-        probe = pairs.join(batch_nd, "gram")
+        wg = Window.partitionBy("gram")
+        probed = posts.withColumn(
+            "bnd", F.size(F.collect_set("doc_id").over(wg))
+        )
         if sv is not None:
-            probe = probe.join(sv, "gram", "left_outer")
+            probed = probed.join(sv, "gram", "left_outer")
         else:
-            probe = probe.withColumn("nd", F.lit(None).cast("bigint")).withColumn(
-                "keep_doc", F.lit(None).cast("long")
-            )
+            probed = probed.withColumn(
+                "nd", F.lit(None).cast("bigint")
+            ).withColumn("keep_doc", F.lit(None).cast("long"))
         snd = F.coalesce(F.col("nd"), F.lit(0))
-        dup_pairs = probe.where(
+        hits = probed.where(
             (snd >= 2)
             | ((snd == 1) & (F.col("keep_doc") != F.col("doc_id")))
             | (F.col("bnd") >= 2)
-        ).select("gram", "doc_id")
-        hits = posts.join(dup_pairs, ["gram", "doc_id"], "left_semi").select(
-            "doc_id", "p"
-        )
+        ).select("doc_id", "p")
+        # broadcast by contract: ntok is one row per MICRO-BATCH doc
         ntok = ds_batch.select("doc_id", F.col("n_toks").alias("n_tokens"))
         flags = (
             _islands(hits)
@@ -334,7 +377,7 @@ class StreamingSpanIndex:
                 F.max("span_toks").cast("bigint").alias("max_span"),
                 F.sum("span_toks").cast("bigint").alias("covered_tokens"),
             )
-            .join(ntok, "doc_id")
+            .join(F.broadcast(ntok), "doc_id")
             .select(
                 "doc_id",
                 "n_spans",
@@ -346,34 +389,35 @@ class StreamingSpanIndex:
                 ),
             )
             .where(F.col("dup_frac") >= F.lit(self.min_dup_frac))
-            .localCheckpoint(eager=True)
         )
-        n_flags = flags.count()
         self._mark_pending(seq)  # first append next: open the commit window
-        if n_flags:
-            flags.withColumn("batch_seq", F.lit(seq)).write.mode(
-                "append"
-            ).parquet(self._path("flags"))
+        # unconditional appends (r10 trim): a flag-free or all-stale
+        # batch writes empty schema-only parts, which the read view and
+        # maintain() tolerate — cheaper than a per-batch emptiness
+        # probe job; the flag count rides the write as an Observation
+        obs_flags = Observation()
+        flags.observe(obs_flags, F.count(F.lit(1)).alias("n")).withColumn(
+            "batch_seq", F.lit(seq)
+        ).write.mode("append").parquet(self._path("flags"))
+        n_flags = int(obs_flags.get["n"])
 
-        # ---- fold: fresh docs only (append-only state)
+        # ---- fold: fresh docs only (append-only state); fresh_posts
+        # is not checkpointed (r11): both consumers recompute one
+        # broadcast semi-join over the checkpointed posts — cheaper
+        # than a third materialization job per batch
         fresh_posts = posts.join(
             fresh.select("doc_id"), "doc_id", "left_semi"
-        ).localCheckpoint(eager=True)
+        )
         fresh.withColumn("batch_seq", F.lit(seq)).write.mode("append").parquet(
             self._path("docstats")
         )
-        # unconditional appends (r10 trim): an all-stale batch writes
-        # empty schema-only parts, which the read view and maintain()
-        # tolerate — cheaper than a per-batch emptiness probe job
         fresh_posts.withColumn("batch_seq", F.lit(seq)).write.mode(
             "append"
         ).parquet(self._path("postings"))
         partial = (
-            fresh_posts.select("gram", "doc_id")
-            .distinct()
-            .groupBy("gram")
+            fresh_posts.groupBy("gram")
             .agg(
-                F.count(F.lit(1)).cast("bigint").alias("nd"),
+                F.countDistinct("doc_id").cast("bigint").alias("nd"),
                 F.min("doc_id").alias("keep_doc"),
             )
             .withColumn("batch_seq", F.lit(seq))

@@ -567,3 +567,37 @@ def test_streaming_first_batch_crash_recovers_from_empty(spark, tmp_path):
     _assert_state_equal(
         (got["postings"], got["docstats"], got["gramstats"]), (p, ds, gs)
     )
+
+
+def test_streaming_fold_job_budget(spark, tmp_path):
+    """r11 (VERDICT #3): a steady-state process_batch runs SIX driver
+    actions — posts checkpoint, fold checkpoint (changed count riding
+    it as an Observation), flags append (count observed), three state
+    appends.  statusTracker counts AQE stage-jobs, not actions, so the
+    enforceable pin is the stage-job total: 21 on this shape vs 33 on
+    r10's (distinct+groupBy+re-join+semi-join probe, two extra
+    checkpoints, standalone counts).  Bound at 24 to absorb AQE plan
+    jitter while still failing on any reintroduced per-batch pass;
+    q328 replays this per batch, so this is the replay's cost model."""
+    from stock_ops_spark.streaming.spans import StreamingSpanIndex
+
+    rows = _corpus(24)
+    idx = StreamingSpanIndex(spark, str(tmp_path / "sidx"))
+    idx.process_batch(
+        spark.createDataFrame(
+            [(i, t) for i, t in rows if i < 12], "doc_id long, text string"
+        )
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("span_fold_budget", "r11 job budget pin")
+    try:
+        idx.process_batch(
+            spark.createDataFrame(
+                [(i, t) for i, t in rows if i >= 12],
+                "doc_id long, text string",
+            )
+        )
+    finally:
+        sc.setJobGroup("span_fold_budget_done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("span_fold_budget")
+    assert len(jobs) <= 24, f"per-batch job budget blown: {len(jobs)} jobs"

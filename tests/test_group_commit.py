@@ -221,3 +221,38 @@ def test_coordinator_propagates_group_failure(spark, tmp_path):
     bad = _batch(spark, "AAA", 0, n=4).drop("close")
     with pytest.raises(AnalysisException):
         coord.submit(bad, MODE)
+
+
+def test_coordinator_auto_linger_tracks_cadence(spark, tmp_path):
+    """r11 (VERDICT #4): with linger_s='auto' (the new default) the
+    leader derives each linger from the observed submit cadence —
+    cold history uses the measured 0.1 s default; a phase-lock-shaped
+    arrival history yields a linger that covers the burst span and
+    stays below half the inter-burst gap.  A pinned float is honored
+    verbatim."""
+    from stock_ops_spark.plans.sizing import commit_linger_s
+    from stock_ops_spark.streaming.ingest import GroupCommitCoordinator
+
+    g = ManifestStore(spark, str(tmp_path / "g"), auto_compact_every=0)
+    coord = GroupCommitCoordinator(g, mode=MODE)  # default: auto
+    assert coord._resolve_linger() == 0.1  # no history -> r10 default
+    # inject the r10 phase-lock cadence into the measurement window:
+    # 4 streams, ~0.03 s intra-burst spread, ~0.5 s trigger period
+    t = 100.0
+    for _ in range(6):
+        for gap in (0.03, 0.03, 0.04):
+            coord._arrivals.append(t)
+            t += gap
+        coord._arrivals.append(t)
+        t += 0.5
+    auto = coord._resolve_linger()
+    assert auto >= 0.10 - 1e-9      # covers the 0.1 s burst span
+    assert auto <= 0.25             # below half the 0.5 s period
+    # the sizing rule is the single source of truth
+    arr = list(coord._arrivals)
+    assert auto == commit_linger_s([b - a for a, b in zip(arr, arr[1:])])
+    # pinned float: honored, and still commits correctly
+    pinned = GroupCommitCoordinator(g, mode=MODE, linger_s=0.05)
+    assert pinned._resolve_linger() == 0.05
+    assert pinned.submit(_batch(spark, "AAA", 0, n=5), MODE) == 5
+    assert pinned.lingers_used == [0.05]

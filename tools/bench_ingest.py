@@ -356,9 +356,10 @@ def main_streams() -> None:
     )
 
     coordinated = "--coordinated" in sys.argv
-    linger = 0.2
+    linger: float | str = "auto"  # r11: the coordinator's default
     if "--linger" in sys.argv:
-        linger = float(sys.argv[sys.argv.index("--linger") + 1])
+        v = sys.argv[sys.argv.index("--linger") + 1]
+        linger = v if v == "auto" else float(v)
     argv = [
         a
         for i, a in enumerate(sys.argv[1:], 1)
@@ -438,6 +439,11 @@ def main_streams() -> None:
                 "rows_per_sec": round(n / wall_s),
                 "commits": version,
                 "group_sizes": coord.groups_committed if coord else None,
+                "linger": linger,
+                "lingers_used": (
+                    [round(x, 3) for x in coord.lingers_used]
+                    if coord else None
+                ),
             }
         )
     )

@@ -151,16 +151,21 @@ def fit_or_load_centroids(
     return cents
 
 
-def kmeans_oracle_cte(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """DuckDB CTE chain replaying the identical Lloyd iterations over the
-    ``embeddings`` view; terminal CTE ``assign`` has (vec_id, cid,
-    dist_sq) against the final centroids.  Shared by every query whose
-    oracle needs the learned clustering."""
+def kmeans_oracle_cte(
+    k: int = 8, iters: int = 3, dim: int = 64, fit_source: str = "embeddings"
+) -> str:
+    """DuckDB CTE chain replaying the identical Lloyd iterations; the
+    FIT runs over ``fit_source`` (default the ``embeddings`` view — pass
+    a CTE name to freeze the quantizer on a subset, e.g. q331's
+    batch-0 bootstrap), while the terminal ``assign`` CTE assigns the
+    FULL ``embeddings`` view against the final centroids (vec_id, cid,
+    dist_sq).  Shared by every query whose oracle needs the learned
+    clustering."""
     parts = [
         f"""c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
              list_transform(embedding, x -> x::DOUBLE) AS cvec
-      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+      FROM (SELECT * FROM {fit_source} ORDER BY vec_id LIMIT {k})
     )"""
     ]
     mean_cols = ", ".join(
@@ -177,7 +182,7 @@ def kmeans_oracle_cte(k: int = 8, iters: int = 3, dim: int = 64) -> str:
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  list_sum(list_transform(range(1, {dim + 1}),
                    i -> (e.embedding[i]::DOUBLE - c.cvec[i]) * (e.embedding[i]::DOUBLE - c.cvec[i]))), c.cid) AS rn
-        FROM embeddings e CROSS JOIN c{it} c
+        FROM {fit_source} e CROSS JOIN c{it} c
       ) WHERE rn = 1
     )"""
         )
@@ -187,7 +192,7 @@ def kmeans_oracle_cte(k: int = 8, iters: int = 3, dim: int = 64) -> str:
       FROM c{it} p LEFT JOIN (
         SELECT a.cid, {mean_list} AS cvec FROM (
           SELECT a.cid, {mean_cols}
-          FROM a{it} a JOIN embeddings e USING (vec_id)
+          FROM a{it} a JOIN {fit_source} e USING (vec_id)
           GROUP BY a.cid
         ) a
       ) n USING (cid)

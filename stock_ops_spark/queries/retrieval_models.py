@@ -4116,8 +4116,15 @@ def q330_ivf_refresh_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target).  The oracle replays curve AND both decisions in SQL,
     pinning the policy — not just the measurement — bit-identically.
     Targets are chosen off the representable recall grid (multiples of
-    1/n_truth), so the ≥ comparisons never sit on a boundary."""
-    from stock_ops_spark.operators.similarity import ivf_recall_curve
+    1/n_truth), so the ≥ comparisons never sit on a boundary.
+
+    PERF (r11): the ground truth comes from the same
+    ``exact_topk_cached`` artifact q317 serves — identical corpus,
+    query sample, and k, so one cold build covers both entries."""
+    from stock_ops_spark.operators.similarity import (
+        exact_topk_cached,
+        ivf_recall_curve,
+    )
     from stock_ops_spark.plans.sizing import ivf_nprobe, ivf_refresh_needed
 
     e = _t(spark, sf_dir, "embeddings")
@@ -4125,9 +4132,15 @@ def q330_ivf_refresh_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     k_cells = e.select("label").distinct().count()
+    truth = exact_topk_cached(
+        e, queries, k=5,
+        source_path=catalog.table_path(sf_dir, "embeddings"),
+    )
     curve = [
         (int(r.nprobe), float(r.recall_at_k))
-        for r in ivf_recall_curve(e, queries, k=5, nprobes=(1, 2, 4)).collect()
+        for r in ivf_recall_curve(
+            e, queries, k=5, nprobes=(1, 2, 4), truth=truth
+        ).collect()
     ]
     rows = [
         (t, int(ivf_nprobe(t, curve)), bool(ivf_refresh_needed(curve, t, k_cells)))
@@ -4136,3 +4149,80 @@ def q330_ivf_refresh_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "target_recall double, nprobe_pick bigint, refresh_needed boolean"
     ).orderBy("target_recall")
+
+
+def _q331_oracle() -> str:
+    from stock_ops_spark.operators.clustering import kmeans_oracle_cte
+
+    return f"""
+    WITH b0 AS (SELECT * FROM embeddings WHERE vec_id % 3 = 0),
+    {kmeans_oracle_cte(k=8, iters=3, dim=64, fit_source="b0")}
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec,
+           CAST(min(vec_id) AS BIGINT) AS min_vec,
+           CAST(max(vec_id) AS BIGINT) AS max_vec
+    FROM assign
+    GROUP BY cid
+    ORDER BY cid
+    """
+
+
+@_register("q331_streaming_ivf_ingest", _q331_oracle())
+def q331_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF at-ingest assignment, end-to-end and driver-
+    oracled (VERDICT r10 #6 — the vector twin of q328's span
+    unification): the embeddings corpus arrives as three micro-batches
+    into ``streaming/ivf.py::StreamingIVFIndex``.  The coarse
+    quantizer is FROZEN from a Lloyd fit of the FIRST batch (the
+    bootstrap posture: train offline on what has arrived, assign
+    online forever after); each subsequent batch folds only its fresh
+    vectors (fingerprint ±delta, the batch artifact's own detector)
+    against those frozen centroids — one map-side assignment pass, no
+    corpus rescan.  Batch 2 is RE-DELIVERED identically before batch 3
+    (at-least-once), and must fold to nothing: the output histogram —
+    per-cell (count, sum, min, max) over every vec_id, an exact
+    checksum of the full assignment — would double-count under a
+    broken fold.  The oracle replays the same Lloyd iterations with
+    the fit restricted to batch 0 (``kmeans_oracle_cte(fit_source=
+    'b0')``) and assigns the full corpus, pinning quantizer, fold and
+    dedup bit-identically.  Scale shape per batch: one fingerprint
+    anti-join against the state (never a corpus rescan) + one
+    append."""
+    import shutil
+    import tempfile
+
+    from stock_ops_spark.operators.clustering import kmeans_fit
+    from stock_ops_spark.streaming.ivf import StreamingIVFIndex
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b0 = e.where(F.col("vec_id") % 3 == 0)
+    cents = kmeans_fit(b0, k=8, iters=3, dim=64)
+    root = tempfile.mkdtemp(prefix="sivf_")
+    try:
+        idx = StreamingIVFIndex(spark, root, cents)
+        for part in range(3):
+            idx.process_batch(e.where(F.col("vec_id") % 3 == part))
+            if part == 1:  # at-least-once: identical re-delivery
+                assert idx.process_batch(
+                    e.where(F.col("vec_id") % 3 == 1)
+                ) == 0
+        out = (
+            idx.state()["assign"]
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.sum("vec_id").cast("bigint").alias("sum_vec"),
+                F.min("vec_id").cast("bigint").alias("min_vec"),
+                F.max("vec_id").cast("bigint").alias("max_vec"),
+            )
+            .select(
+                F.col("cid").cast("bigint").alias("cid"),
+                "n_vectors", "sum_vec", "min_vec", "max_vec",
+            )
+            .orderBy("cid")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

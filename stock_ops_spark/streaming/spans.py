@@ -78,8 +78,6 @@ twins are q318/q319/q320).
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,11 +88,10 @@ from stock_ops_spark.operators.spans import (
     doc_stats,
     gram_postings,
 )
+from stock_ops_spark.streaming.foldstate import FoldStateIndex
 
-_PARTS = ("postings", "docstats", "gramstats", "flags")
 
-
-class StreamingSpanIndex:
+class StreamingSpanIndex(FoldStateIndex):
     """Persisted span-dedup state with per-batch probe + ±delta fold.
 
     Wire ``process_batch`` into ``foreachBatch`` (streaming) or call it
@@ -112,142 +109,14 @@ class StreamingSpanIndex:
         text_col: str = "text",
         min_dup_frac: float = 0.0,
     ):
-        self.spark = spark
-        self.root = root
+        super().__init__(spark, root)
         self.id_col = id_col
         self.text_col = text_col
         #: advisory threshold: only docs with dup_frac >= this are
         #: written to flags/ (0.0 = every doc with any duplicated span)
         self.min_dup_frac = min_dup_frac
-        self._seq: int | None = None
 
-    def _path(self, part: str) -> str:
-        return os.path.join(self.root, part)
-
-    # ---- per-seq commit markers (module docstring: commit protocol)
-
-    def _commits_dir(self) -> str:
-        return os.path.join(self.root, "_commits")
-
-    def _mark_pending(self, seq: int) -> None:
-        os.makedirs(self._commits_dir(), exist_ok=True)
-        with open(os.path.join(self._commits_dir(), f"{seq}.pending"), "w"):
-            pass
-
-    def _mark_committed(self, seq: int) -> None:
-        d = self._commits_dir()
-        os.replace(
-            os.path.join(d, f"{seq}.pending"), os.path.join(d, str(seq))
-        )
-
-    def _swap_in(self, part: str, df: DataFrame, nfiles: int | None = None) -> None:
-        """Replace ``part``'s live dataset with ``df`` via the
-        materialize-to-temp + rename-aside swap (crash window healed by
-        ``_recover``)."""
-        path = self._path(part)
-        out = df.repartition(nfiles) if nfiles else df
-        tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
-        out.write.mode("overwrite").parquet(tmp)
-        aside = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, aside)
-        os.rename(tmp, path)
-        shutil.rmtree(aside)
-
-    def _recover_crashed(self) -> None:
-        """Prune every table of rows belonging to seqs whose fold
-        crashed mid-append (a ``.pending`` marker survived) so the
-        redelivered batch folds as if the crashed attempt never
-        happened.  No-op (one listdir, zero jobs) when no marker
-        exists — the common path."""
-        try:
-            names = os.listdir(self._commits_dir())
-        except FileNotFoundError:
-            return
-        bad = [int(n[: -len(".pending")]) for n in names if n.endswith(".pending")]
-        if not bad:
-            return
-        for part in _PARTS:
-            df = self._existing(part)
-            if df is None:
-                continue
-            self._swap_in(part, df.where(~F.col("batch_seq").isin(bad)))
-        for s in bad:
-            os.remove(os.path.join(self._commits_dir(), f"{s}.pending"))
-        self._seq = None  # recompute past the pruned state
-
-    def _recover(self, part: str) -> None:
-        """Heal ``maintain()``'s rename-aside crash window (ADVICE r9):
-        the swap is write-tmp → live→aside → tmp→live → drop-aside.  A
-        crash between the two renames leaves NO live dataset but a
-        COMPLETE ``__rewrite_`` (written fully before the swap began)
-        and a complete ``__old_`` aside — without recovery the index
-        would silently restart empty, aging out the dedup memory the
-        module contract forbids losing.  Recovery: finish the swap
-        (prefer the compacted rewrite; the aside holds identical rows).
-        When the live dataset EXISTS, any sibling is pre-swap litter
-        (a partial rewrite, or an aside whose drop crashed) — remove."""
-        live = self._path(part)
-        base = os.path.basename(live)
-        try:
-            sibs = [
-                os.path.join(self.root, n)
-                for n in os.listdir(self.root)
-                if n.startswith((f"{base}__rewrite_", f"{base}__old_"))
-            ]
-        except FileNotFoundError:
-            return
-        if os.path.isdir(live):
-            for s in sibs:
-                shutil.rmtree(s, ignore_errors=True)
-            return
-        rewrites = [s for s in sibs if f"{base}__rewrite_" in s]
-        asides = [s for s in sibs if f"{base}__old_" in s]
-        if rewrites and asides:
-            os.rename(rewrites[0], live)
-            for s in asides + rewrites[1:]:
-                shutil.rmtree(s, ignore_errors=True)
-        elif asides:
-            os.rename(asides[0], live)
-        elif rewrites:
-            os.rename(rewrites[0], live)
-
-    def _existing(self, part: str) -> DataFrame | None:
-        self._recover(part)
-        p = self._path(part)
-        if not os.path.isdir(p):
-            return None
-        return self.spark.read.parquet(p)
-
-    def _next_seq(self) -> int:
-        """Monotonic batch sequence.  The commit markers are
-        authoritative (r11): every committed seq has a marker, pending
-        seqs were pruned by ``_recover_crashed`` before this runs, so
-        max(marker)+1 needs no Spark job.  Legacy pre-marker state
-        (r10 dirs without ``_commits``) falls back to a one-time scan
-        of every dataset; markers take over from the next fold."""
-        if self._seq is None:
-            highest = -1
-            try:
-                for n in os.listdir(self._commits_dir()):
-                    if not n.endswith(".pending"):
-                        highest = max(highest, int(n))
-            except (FileNotFoundError, ValueError):
-                highest = -1
-            if highest < 0:
-                # legacy state, or a legacy state whose first marker-era
-                # fold crashed and was pruned: an empty marker set must
-                # not alias legacy rows' seqs — scan the datasets once
-                for part in _PARTS:
-                    ds = self._existing(part)
-                    if ds is None:
-                        continue
-                    row = ds.agg(F.max("batch_seq").alias("m")).collect()[0]
-                    if row.m is not None:
-                        highest = max(highest, int(row.m))
-            self._seq = highest + 1
-        out = self._seq
-        self._seq += 1
-        return out
+    PARTS = ("postings", "docstats", "gramstats", "flags")
 
     def _gramstats_view(self) -> DataFrame | None:
         """(gram, nd, keep_doc) — the partials' merge, exactly
@@ -471,43 +340,18 @@ class StreamingSpanIndex:
             k: self.spark.read.parquet(p) for k, p in paths.items()
         }
 
-    def maintain(self, target_files: int = 8) -> dict[str, int]:
-        """Bound the per-batch file litter: rewrite any dataset holding
-        more part-files than ``target_files`` (plus one in-flight batch
-        of slack) down to ``target_files``, via the same
-        materialize-to-temp + rename-aside swap as the LSH index (crash
-        window healed by ``_recover`` — see its docstring).  The
-        gramstats rewrite also MERGES partials (per gram: sum nd, min
-        keep_doc, max batch_seq) — a pure compaction of the
-        log-structured table that leaves the read view unchanged.  No
-        retention knob: the state IS the dedup memory — aging grams out
-        silently un-flags future duplicates."""
-        self._recover_crashed()
-        out: dict[str, int] = {}
-        for part in _PARTS:
-            df = self._existing(part)
-            path = self._path(part)
-            if df is None:
-                out[part] = 0
-                continue
-            files = [
-                os.path.join(dp, f)
-                for dp, _d, fs in os.walk(path)
-                for f in fs
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            ]
-            if len(files) <= target_files + 1:
-                out[part] = len(files)
-                continue
-            if part == "gramstats":
-                df = df.groupBy("gram").agg(
-                    F.sum("nd").cast("bigint").alias("nd"),
-                    F.min("keep_doc").alias("keep_doc"),
-                    F.max("batch_seq").cast("bigint").alias("batch_seq"),
-                )
-            self._swap_in(part, df, target_files)
-            out[part] = target_files
-        return out
+    def _compact_df(self, part: str, df: DataFrame) -> DataFrame:
+        """maintain() hook: the gramstats rewrite MERGES partials (per
+        gram: sum nd, min keep_doc, max batch_seq) — a pure compaction
+        of the log-structured table that leaves the read view
+        unchanged."""
+        if part != "gramstats":
+            return df
+        return df.groupBy("gram").agg(
+            F.sum("nd").cast("bigint").alias("nd"),
+            F.min("keep_doc").alias("keep_doc"),
+            F.max("batch_seq").cast("bigint").alias("batch_seq"),
+        )
 
 
 __all__ = ["StreamingSpanIndex", "NGRAM"]

@@ -276,6 +276,89 @@ def span_state_cached(
     return {k: spark.read.parquet(p) for k, p in paths.items()}
 
 
+def source_gram_projection_cached(
+    docs: DataFrame,
+    source_path: str,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    cache_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Persisted distinct ``(source, word-n-gram)`` projection, DERIVED
+    from the span artifact's positioned ``NGRAM``-gram postings instead
+    of a fresh corpus tokenize (VERDICT r10 #7 — q193's hot path).
+
+    Derivation: within a document the postings' positions are the
+    consecutive integers 1..(n_toks-NGRAM+1), so the n-gram at p is the
+    NGRAM-gram at p extended by the LAST word of each of the grams at
+    p+1..p+(n-NGRAM) — a ``lead`` window over the postings (one
+    doc-keyed shuffle), never a re-tokenize.  ``lower`` distributes
+    over space-joined concatenation, so lowering the reconstructed
+    string equals n-gramming ``lower(text)`` exactly — the projection
+    is row-identical to the inline
+    ``split(lower(text))`` → transform → explode → distinct pipeline
+    (pinned by test), and q193's oracle hash is unchanged.
+
+    Versioning: family = source + cols + n + the NGRAM it derives from
+    + v-tag; version = source identity — the STALENESS GUARD: a corpus
+    rewrite moves the version digest, and the rebuild pulls
+    ``span_state_cached`` at that same identity, so the projection can
+    never be served against postings of a different corpus version.
+    Sources ride a slim (id, source) scan (column-pruned — the text
+    column is never read when the span artifact is warm)."""
+    from stock_ops_spark.operators import artifacts
+
+    if n < NGRAM:
+        raise ValueError(f"projection n-gram must be >= NGRAM ({NGRAM})")
+    spark = docs.sparkSession
+    if cache_dir is None:
+        cache_dir = artifacts.default_cache_dir()
+    famraw = (
+        f"v1|{os.path.abspath(source_path)}|{id_col}|{text_col}"
+        f"|{source_col}|n={n}|from={NGRAM}"
+    )
+    fam = artifacts.cache_key(famraw)
+    ver = artifacts.cache_key(artifacts.source_identity(source_path))
+    path = artifacts.versioned_path(
+        cache_dir, "srcgrams", fam, ver, ".grams.parquet"
+    )
+    if os.path.isdir(path):
+        if stats is not None:
+            stats["projection_built"] = False
+        return spark.read.parquet(path)
+    if stats is not None:
+        stats["projection_built"] = True
+    st = span_state_cached(
+        docs, source_path, id_col=id_col, text_col=text_col,
+        cache_dir=cache_dir, stats=stats,
+    )
+    posts = st["postings"]
+    w = Window.partitionBy("doc_id").orderBy("p")
+    d = n - NGRAM
+    cols = [F.col("gram")]
+    cur = posts
+    for j in range(1, d + 1):
+        cur = cur.withColumn(f"__g{j}", F.lead("gram", j).over(w))
+        cols.append(F.element_at(F.split(F.col(f"__g{j}"), " "), -1))
+    if d:
+        cur = cur.where(F.col(f"__g{d}").isNotNull())
+    gram_n = F.lower(F.concat_ws(" ", *cols))
+    src_map = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    out = (
+        cur.select("doc_id", gram_n.alias("gram"))
+        .join(src_map, "doc_id")
+        .select("source", "gram")
+        .distinct()
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    artifacts.publish(out, path)
+    return spark.read.parquet(path)
+
+
 def _islands(hits: DataFrame) -> DataFrame:
     """Gaps-and-islands over (doc_id, p) hit positions: merge gram
     intervals whose starts are <= GAP apart into maximal spans; returns

@@ -601,3 +601,60 @@ def test_streaming_fold_job_budget(spark, tmp_path):
         sc.setJobGroup("span_fold_budget_done", "")
     jobs = sc.statusTracker().getJobIdsForGroup("span_fold_budget")
     assert len(jobs) <= 24, f"per-batch job budget blown: {len(jobs)} jobs"
+
+
+def test_source_gram_projection_equals_inline(spark, tmp_path):
+    """VERDICT r11 #7: the (source, 5-gram) projection derived from
+    the 4-gram postings (lead-window reconstruction + lower) must be
+    ROW-IDENTICAL to the inline split(lower(text)) -> 5-gram ->
+    distinct pipeline — including mixed-case text (lower distributes
+    over the space-joined concat) and docs too short for any 5-gram.
+    Warm second call serves from parquet; a corpus rewrite rebuilds."""
+    rows = _corpus(30)
+    # mixed case + a doc with exactly 4 tokens (4-grams but no 5-gram)
+    rows[2] = (2, rows[2][1].upper())
+    rows[5] = (5, "Alpha beta GAMMA delta")
+    srcs = ["crawlA", "crawlB", "crawlC"]
+    data = [(i, t, srcs[i % 3]) for i, t in rows]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        data, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    docs = spark.read.parquet(src)
+    cache = str(tmp_path / "cache")
+
+    stats: dict = {}
+    got = SP.source_gram_projection_cached(
+        docs, src, n=5, cache_dir=cache, stats=stats
+    )
+    assert stats["projection_built"] is True
+
+    w = docs.select(
+        "source", F.split(F.lower("text"), " ").alias("ws")
+    ).where(F.size("ws") >= 5)
+    gram = F.expr(
+        "transform(sequence(1, size(ws) - 4), i -> "
+        "concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]))"
+    )
+    inline = w.select("source", F.explode(gram).alias("gram")).distinct()
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in inline.collect()
+    }
+
+    # warm: no rebuild
+    s2: dict = {}
+    SP.source_gram_projection_cached(docs, src, n=5, cache_dir=cache, stats=s2)
+    assert s2["projection_built"] is False
+
+    # staleness guard: a rewrite (append) moves the version and rebuilds
+    data2 = data + [(100, "zeta eta theta iota kappa lam", "crawlA")]
+    spark.createDataFrame(
+        data2, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    docs2 = spark.read.parquet(src)
+    s3: dict = {}
+    got2 = SP.source_gram_projection_cached(
+        docs2, src, n=5, cache_dir=cache, stats=s3
+    )
+    assert s3["projection_built"] is True
+    assert got2.where(F.col("gram") == "zeta eta theta iota kappa").count() == 1

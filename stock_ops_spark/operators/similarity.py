@@ -365,9 +365,13 @@ def ivf_recall_curve(
     operation order BIT-FOR-BIT (same casts, same add order, same
     multiply/divide grouping), so the measured recall and every oracle
     hash are unchanged while the per-pair HOF allocation cost is gone
-    (measured: 28.4 → 13.7 s at sf1 — the remainder is the four
-    top-k window passes over the 4M-row scored frame, one per probe
-    setting plus truth).  The routed query set (|Q|·cells
+    (measured: 28.4 → 13.7 s at sf1 — the remainder was the four
+    top-k window passes over the 4M-row scored frame; r11 adds a
+    batch-local kth-value cut inside the kernel — lossless for every
+    probe tier because all of a query's candidates in one (label ×
+    batch) group share that label's cell rank — so only O(k) rows per
+    (query, label, batch) cross the shuffle and the windows run over a
+    frame thousands of times smaller).  The routed query set (|Q|·cells
     rows — a measurement-sized sample by contract) rides to the workers
     as a per-label dict; centroids build once.
 
@@ -468,7 +472,25 @@ def ivf_recall_curve(
                     & (nc[:, None] != 0.0)
                     & (nq[None, :] != 0.0)
                 )
-                ti, qi = np.nonzero(mask)
+                # r11: batch-local top-k cut, lossless for EVERY tier.
+                # Within one (label × Arrow batch) group, all candidates
+                # of a query share that label's cell rank, so for any
+                # nprobe tier (and for the all-cells truth) the query's
+                # winners from this group are a subset of its top-k BY
+                # VALUE here — cut at the kth value, ties kept (the
+                # blocked-kernel argument).  Only O(k) rows per (query,
+                # label, batch) cross the shuffle instead of every pair.
+                simm = np.where(mask, sim, -np.inf)
+                nr = simm.shape[0]
+                if nr > k:
+                    kth = np.partition(simm, nr - k, axis=0)[nr - k]
+                    keep = simm >= kth[None, :]
+                else:
+                    keep = np.ones_like(simm, dtype=bool)
+                keep &= mask & np.isfinite(simm)
+                ti, qi = np.nonzero(keep)
+                if not len(ti):
+                    continue
                 yield pd.DataFrame(
                     {
                         "__q": qids[qi],

@@ -3773,13 +3773,19 @@ def q322_ivf_index_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the kmeans from scratch, pinning routing, cell
     membership and ranking end-to-end.
 
-    PERF (r10): in-cell scoring runs the BLOCKED numpy kernel — the
-    routed query set broadcasts as per-cell matrices and each (Arrow
-    batch × cell) scores as one float64 Gram matmul with batch-local
-    top-k (ties kept) instead of a zip_with+aggregate HOF per pair;
-    exactness argument on ``knn_join_from_index`` (float32 inputs →
-    exact products; only summation grouping differs, ~1e-14 ≪ the 6dp
-    grid).  Measured 49.8 → 10.5 s at sf1 (4.7×), oracle unchanged."""
+    PERF (r10, guarded r11): in-cell scoring runs the BLOCKED numpy
+    kernel — the routed query set broadcasts as per-cell matrices and
+    each (Arrow batch × cell) scores as one float64 Gram matmul with
+    batch-local top-k (ties kept) instead of a zip_with+aggregate HOF
+    per pair; exactness argument on ``knn_join_from_index`` (float32
+    inputs → exact products; only summation grouping differs, ~1e-14 ≪
+    the 6dp grid).  Measured 49.8 → 10.5 s at sf1 (4.7×), oracle
+    unchanged.  The default is now kernel='auto' (ADVICE r10): this
+    query's fixed-modulus sample grows with the corpus, so past
+    |queries|×nprobe = max_routed the call falls back to the
+    distributed HOF equi-join instead of silently driver-collecting an
+    unbounded routed set (at sf1 the sample is ~5.7k queries — well
+    inside the blocked regime)."""
     from stock_ops_spark.operators.ivf import ivf_index_cached, knn_join_from_index
 
     e = _t(spark, sf_dir, "embeddings")

@@ -156,21 +156,23 @@ class StreamingSpanIndex(FoldStateIndex):
         """Probe ``batch`` against the state, fold its fresh docs in,
         and return the number of per-doc span flags written.
 
-        Job budget (r11, VERDICT #3): SIX jobs per batch — the posts
-        checkpoint, the fold checkpoint (ONE join over the prior
-        docstats decides fresh/stale/changed, with the changed count
-        riding the checkpoint as an Observation), the flags append
-        (its count likewise observed instead of a separate
-        checkpoint+count pair), and the three state appends.  The r10
-        shape ran ~10: two extra checkpoints, a second old-docstats
-        scan for the changed probe, and a standalone flags count."""
-        from pyspark.sql import Observation
+        Job budget (r11, VERDICT #3): FIVE driver actions — the fold
+        checkpoint (ONE join over the prior docstats decides
+        fresh/stale/changed, with the batch/changed/fresh counts riding
+        it as Observations), the postings append (the batch's ONLY full
+        materialization — the appended slice is read back file-pruned
+        on batch_seq and reused as the postings frame for both the
+        gramstats partial and, on the no-stale common path, the probe),
+        the gramstats append, the docstats append, and the flags append
+        (count observed on the write).  A batch containing stale
+        (re-delivered) docs re-tokenizes inside the flags job — no
+        extra action — because the probe must still cover them.  The
+        r10 shape ran ~10 actions and materialized the postings TWICE
+        (checkpoint + append)."""
+        from pyspark.sql import Observation, Window
 
         self._recover_crashed()
         seq = self._next_seq()
-        posts = gram_postings(batch, self.id_col, self.text_col).localCheckpoint(
-            eager=True
-        )
         # not checkpointed (r10 trim): each reuse recomputes one cheap
         # map-side md5+split over the batch — less than a checkpoint
         # job's fixed cost at micro-batch sizes
@@ -179,35 +181,87 @@ class StreamingSpanIndex(FoldStateIndex):
         if old_ds is not None:
             # at-least-once tolerance: identical re-delivery (same fp)
             # folds to nothing; a CHANGED text under a known doc_id is
-            # an in-place rewrite — the batch path's job, refuse here
-            obs = Observation()
-            fresh = (
+            # an in-place rewrite — the batch path's job, refuse here.
+            # Both observations ride the checkpoint job: the pre-filter
+            # one counts the batch and the changed docs, the post-filter
+            # one the fresh docs (stale = batch - fresh).
+            obs_all = Observation()
+            obs_fresh = Observation()
+            fold = (
                 ds_batch.join(
                     old_ds.select("doc_id", F.col("fp").alias("__old_fp")),
                     "doc_id",
                     "left_outer",
                 )
-                .where(
-                    F.col("__old_fp").isNull()
-                    | (F.col("__old_fp") != F.col("fp"))
-                )
                 .observe(
-                    obs,
+                    obs_all,
+                    F.count(F.lit(1)).alias("n_batch"),
                     F.sum(
-                        F.col("__old_fp").isNotNull().cast("long")
+                        (
+                            F.col("__old_fp").isNotNull()
+                            & (F.col("__old_fp") != F.col("fp"))
+                        ).cast("long")
                     ).alias("n_changed"),
                 )
+                .where(F.col("__old_fp").isNull())
+                .observe(obs_fresh, F.count(F.lit(1)).alias("n_fresh"))
                 .localCheckpoint(eager=True)
             )
-            if obs.get["n_changed"]:
+            if obs_all.get["n_changed"]:
                 raise ValueError(
                     "doc_id re-delivered with different text: the "
                     "streaming span index is append-only; rewrite the "
                     "corpus through span_state_cached instead"
                 )
-            fresh = fresh.drop("__old_fp")
+            n_stale = int(obs_all.get["n_batch"] or 0) - int(
+                obs_fresh.get["n_fresh"] or 0
+            )
+            fresh = fold.drop("__old_fp")
         else:
             fresh = ds_batch
+            n_stale = 0
+
+        # the state's gram view, captured BEFORE this batch's gramstats
+        # append (the parquet file index snapshots at creation) — the
+        # probe must see the pre-batch state, not the in-flight fold
+        sv = self._gramstats_view()
+
+        self._mark_pending(seq)  # first append next: open the commit window
+        # ---- fold: fresh docs only (append-only state).  The postings
+        # append is the batch's one full materialization; unconditional
+        # appends (r10 trim): a flag-free or all-stale batch writes
+        # empty schema-only parts, which the read view and maintain()
+        # tolerate — cheaper than a per-batch emptiness probe job.
+        posts_all = gram_postings(batch, self.id_col, self.text_col)
+        fresh_posts = (
+            posts_all
+            if n_stale == 0
+            else posts_all.join(
+                F.broadcast(fresh.select("doc_id")), "doc_id", "left_semi"
+            )
+        )
+        fresh_posts.withColumn("batch_seq", F.lit(seq)).write.mode(
+            "append"
+        ).parquet(self._path("postings"))
+        # the appended slice, read back file-pruned: every part file
+        # carries ONE batch_seq, so min==max footer stats skip the rest
+        posts_fresh = (
+            self.spark.read.parquet(self._path("postings"))
+            .where(F.col("batch_seq") == seq)
+            .drop("batch_seq")
+        )
+        partial = (
+            posts_fresh.groupBy("gram")
+            .agg(
+                F.countDistinct("doc_id").cast("bigint").alias("nd"),
+                F.min("doc_id").alias("keep_doc"),
+            )
+            .withColumn("batch_seq", F.lit(seq))
+        )
+        partial.write.mode("append").parquet(self._path("gramstats"))
+        fresh.withColumn("batch_seq", F.lit(seq)).write.mode("append").parquet(
+            self._path("docstats")
+        )
 
         # ---- probe: union-distinct nd >= 2, decided from the state
         # view + the batch's own distinct-doc counts (module docstring).
@@ -216,10 +270,15 @@ class StreamingSpanIndex(FoldStateIndex):
         # micro-batch's docs per gram) and the verdict is decided on
         # the posting row itself — the r10 shape's distinct + groupBy +
         # re-join + semi-join chain cost four extra Exchanges per batch
-        # for the same three-clause rule.
-        from pyspark.sql import Window
-
-        sv = self._gramstats_view()
+        # for the same three-clause rule.  On the common path the
+        # postings frame is the slice just appended; with stale docs it
+        # re-tokenizes the batch (the probe covers re-delivered docs
+        # too — flags must equal batch-mode restricted to the batch).
+        posts = (
+            posts_fresh
+            if n_stale == 0
+            else gram_postings(batch, self.id_col, self.text_col)
+        )
         wg = Window.partitionBy("gram")
         probed = posts.withColumn(
             "bnd", F.size(F.collect_set("doc_id").over(wg))
@@ -259,39 +318,11 @@ class StreamingSpanIndex(FoldStateIndex):
             )
             .where(F.col("dup_frac") >= F.lit(self.min_dup_frac))
         )
-        self._mark_pending(seq)  # first append next: open the commit window
-        # unconditional appends (r10 trim): a flag-free or all-stale
-        # batch writes empty schema-only parts, which the read view and
-        # maintain() tolerate — cheaper than a per-batch emptiness
-        # probe job; the flag count rides the write as an Observation
         obs_flags = Observation()
         flags.observe(obs_flags, F.count(F.lit(1)).alias("n")).withColumn(
             "batch_seq", F.lit(seq)
         ).write.mode("append").parquet(self._path("flags"))
         n_flags = int(obs_flags.get["n"])
-
-        # ---- fold: fresh docs only (append-only state); fresh_posts
-        # is not checkpointed (r11): both consumers recompute one
-        # broadcast semi-join over the checkpointed posts — cheaper
-        # than a third materialization job per batch
-        fresh_posts = posts.join(
-            fresh.select("doc_id"), "doc_id", "left_semi"
-        )
-        fresh.withColumn("batch_seq", F.lit(seq)).write.mode("append").parquet(
-            self._path("docstats")
-        )
-        fresh_posts.withColumn("batch_seq", F.lit(seq)).write.mode(
-            "append"
-        ).parquet(self._path("postings"))
-        partial = (
-            fresh_posts.groupBy("gram")
-            .agg(
-                F.countDistinct("doc_id").cast("bigint").alias("nd"),
-                F.min("doc_id").alias("keep_doc"),
-            )
-            .withColumn("batch_seq", F.lit(seq))
-        )
-        partial.write.mode("append").parquet(self._path("gramstats"))
         self._mark_committed(seq)
         return n_flags
 

@@ -4129,14 +4129,18 @@ def q328_streaming_span_state_served(
     (shuffle of the batch side, never a corpus rescan), append-only
     state writes.
 
-    COST NOTE (sf1 dedicated 44.5 s): this entry replays the ENTIRE
-    3-batch ingest history per run — three sequenced micro-batches,
-    each paying the per-batch fixed costs (checkpoints, state parquet
-    write+read, probe jobs) the production path amortizes per
-    ARRIVAL.  The number to compare against q318's 4.3 s warm serve
-    is one batch's marginal cost, not the 3-batch replay; the
-    SCALE_CURVES span_delta exponent (0.454) is the scaling
-    adjudication."""
+    COST NOTE (sf1 idle min-of-3: 25.8 s, r11): this entry replays the
+    ENTIRE 3-batch ingest history per run — three sequenced 35k-doc
+    micro-batches whose cost is the WORK (per batch profiled:
+    tokenize+postings write 2.8 s, gramstats partial 2.9 s, probe
+    4.5 s), not fixed overhead — r11 cut the per-batch driver actions
+    10 → 5 (one postings materialization, Observation-carried counts,
+    one-pass probe; stage-jobs 33 → 16) and the replay moved only
+    27.1 → 25.8 s, which is the proof.  The number to compare against
+    q318's warm serve is one batch's marginal cost at production
+    micro-batch sizes, where the action trim IS the cost model; the
+    SCALE_CURVES span_delta exponent (0.454) and the flat
+    span_stream_batch curve are the scaling adjudication."""
     import shutil
     import tempfile
 

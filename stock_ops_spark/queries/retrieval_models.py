@@ -4232,3 +4232,93 @@ def q331_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
+    "q332_streaming_bm25_served",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    s AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM toks)      AS t),
+    q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('vector'), ('merge'))
+          AS v(term)),
+    df AS (SELECT tf.term, count(*) AS df
+           FROM tf JOIN q USING (term) GROUP BY tf.term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(
+               (CAST(2 * s.n - 2 * df.df + 1 AS HUGEINT)
+                  * CAST(22 * tf.tf AS HUGEINT)
+                  * CAST(s.t AS HUGEINT) * 1000000)
+               // (CAST(2 * df.df + 1 AS HUGEINT)
+                     * (CAST(10 * s.t AS HUGEINT) * tf.tf
+                        + CAST(3 * s.t AS HUGEINT)
+                        + CAST(9 * dl.dl AS HUGEINT) * s.n))
+               AS BIGINT) AS term_score
+      FROM tf JOIN q USING (term) JOIN df ON df.term = tf.term
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s
+    ),
+    docs AS (
+      SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score,
+             CAST(count(*) AS BIGINT) AS n_hit_terms
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score, n_hit_terms,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM docs
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(doc_id AS BIGINT) AS doc_id,
+           score, n_hit_terms
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q332_streaming_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k served from the STREAMED lexical state, end-to-end
+    and driver-oracled (r11 — the retrieval twin of q328's span and
+    q331's IVF unifications): the documents corpus arrives as three
+    micro-batches into ``streaming/lexical.py::StreamingLexicalIndex``,
+    which folds each batch's ±delta into the SAME three tables the
+    batch BM25 artifact persists (postings/dl append-only per fresh
+    doc; df as log-structured partials whose merge equals
+    doc_frequency exactly).  Batch 2 is RE-DELIVERED identically
+    before batch 3 (at-least-once) and must fold to nothing — df
+    partials would double-count and every score would shift under a
+    broken fold.  The serve is ``operators/lexical.bm25_topk`` over
+    the streamed state: exact-integer rational scoring, so the oracle
+    (q278's from-scratch HUGEINT SQL over the full corpus) pins
+    quantization-free equality between stream-folded retrieval and a
+    cold batch build.  Scale shape per batch: one fingerprint
+    anti-join against the state (never a corpus rescan), tokenize the
+    FRESH docs only, three appends."""
+    import shutil
+    import tempfile
+
+    from stock_ops_spark.operators.lexical import bm25_topk
+    from stock_ops_spark.streaming.lexical import StreamingLexicalIndex
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="slex_")
+    try:
+        idx = StreamingLexicalIndex(spark, root)
+        for part in range(3):
+            idx.process_batch(d.where(F.col("doc_id") % 3 == part))
+            if part == 1:  # at-least-once: identical re-delivery
+                assert idx.process_batch(
+                    d.where(F.col("doc_id") % 3 == 1)
+                ) == 0
+        st = idx.state()
+        out = bm25_topk(
+            spark, st["postings"], st["dl"], st["df"],
+            ["spark", "join", "vector", "merge"], k=10,
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -23,10 +23,11 @@ from stock_ops_spark.queries import text_analytics  # noqa: E402
 from stock_ops_spark.queries import orders_analytics  # noqa: E402
 from stock_ops_spark.queries import scale_ops  # noqa: E402
 from stock_ops_spark.queries import retrieval_models  # noqa: E402
+from stock_ops_spark.queries import scheduling_ops  # noqa: E402
 
 # attribute surface: Q.q13_session_ohlc etc. keep working
 for _m in (core, timeseries_clustering, text_analytics, orders_analytics,
-           scale_ops, retrieval_models):
+           scale_ops, retrieval_models, scheduling_ops):
     for _k in dir(_m):
         if _k[:1] == "q" and len(_k) > 1 and _k[1].isdigit():
             globals()[_k] = getattr(_m, _k)

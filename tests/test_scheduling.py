@@ -1,0 +1,563 @@
+"""Deployment scheduling: RRULE build/parse/expand, the distributed
+fleet expansion, lifecycle, and the scheduler loop.
+
+Reference surface: datapipe_ui/ui_backend.py:89-197 (build_schedule),
+api_backend.py:48-163 (lifecycle wire calls), utils.py:216-253 (status /
+schedule-state derivation), with Prefect's expand-and-fire loop replaced
+by SchedulerService over the engine's commit log."""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+from zoneinfo import ZoneInfo
+
+import pytest
+
+from stock_ops_spark.scheduling import (
+    _FIRE_SCHEMA,
+    DeploymentNotFound,
+    DeploymentOps,
+    LocalDeploymentAPI,
+    SchedulerService,
+    build_schedule,
+    fire_times_df,
+    normalize_deployment_status,
+    occurrences,
+    parse_schedule,
+    spark_runner,
+    summarize_schedule_state,
+)
+
+UTC = ZoneInfo("UTC")
+
+
+def _expand(payload: dict, end: datetime, start: datetime | None = None):
+    s = parse_schedule(payload["schedule"]["rrule"])
+    return list(occurrences(s, end, window_start=start))
+
+
+# ---------------------------------------------------------------------------
+# build_schedule (reference validation + emission rules)
+# ---------------------------------------------------------------------------
+
+
+def test_build_schedule_emission_rules():
+    p = build_schedule(
+        timezone="America/New_York",
+        freq="DAILY",
+        dtstart_local=datetime(2025, 3, 7, 9, 30),
+    )
+    rrule = p["schedule"]["rrule"]
+    assert rrule.startswith("DTSTART;TZID=America/New_York:20250307T093000\n")
+    # DAILY emits all three time refinements, defaulted from DTSTART
+    assert "BYHOUR=9" in rrule and "BYMINUTE=30" in rrule and "BYSECOND=0" in rrule
+
+    h = build_schedule(
+        timezone="UTC", freq="HOURLY", dtstart_local=datetime(2025, 1, 1, 4, 15)
+    )["schedule"]["rrule"]
+    # HOURLY refines minute+second only (over-restricting BYHOUR would
+    # collapse the rule to one fire per day — the reference comment)
+    assert "BYHOUR" not in h and "BYMINUTE=15" in h and "BYSECOND=0" in h
+
+    m = build_schedule(
+        timezone="UTC", freq="MINUTELY", dtstart_local=datetime(2025, 1, 1, 4, 15, 30)
+    )["schedule"]["rrule"]
+    assert "BYMINUTE" not in m and "BYSECOND=30" in m
+
+
+def test_build_schedule_until_is_utc_z():
+    p = build_schedule(
+        timezone="America/New_York",
+        freq="DAILY",
+        dtstart_local=datetime(2025, 1, 6, 9, 30),
+        until_local=date(2025, 1, 10),
+    )
+    # 23:59:59 EST == 04:59:59+1d UTC
+    assert "UNTIL=20250111T045959Z" in p["schedule"]["rrule"]
+
+
+def test_build_schedule_validation():
+    kw = dict(timezone="UTC", dtstart_local=datetime(2025, 1, 1, 8, 0))
+    with pytest.raises(ValueError, match="Invalid FREQ"):
+        build_schedule(freq="SECONDLY", **kw)
+    with pytest.raises(ValueError, match="INTERVAL"):
+        build_schedule(freq="DAILY", interval=0, **kw)
+    with pytest.raises(ValueError, match="BYDAY"):
+        build_schedule(freq="WEEKLY", byweekday=["MO", "XX"], **kw)
+    with pytest.raises(ValueError, match="BYMONTH value"):
+        build_schedule(freq="MONTHLY", bymonth=[13], **kw)
+    with pytest.raises(ValueError, match="UNTIL must be after"):
+        build_schedule(
+            freq="DAILY", until_local=datetime(2024, 1, 1), **kw
+        )
+
+
+# ---------------------------------------------------------------------------
+# occurrence expansion (RFC 5545 subset)
+# ---------------------------------------------------------------------------
+
+
+def test_daily_wall_time_stable_across_dst():
+    p = build_schedule(
+        timezone="America/New_York",
+        freq="DAILY",
+        dtstart_local=datetime(2025, 3, 7, 9, 30),
+    )
+    occ = _expand(p, datetime(2025, 3, 11, tzinfo=UTC))
+    # local wall time pinned at 09:30; UTC instant shifts with the offset
+    assert [t.strftime("%H:%M") for t in occ] == ["09:30"] * 4
+    utc = [t.astimezone(UTC).strftime("%m-%d %H:%M") for t in occ]
+    assert utc == ["03-07 14:30", "03-08 14:30", "03-09 13:30", "03-10 13:30"]
+
+
+def test_weekly_interval_anchored_at_dtstart_week():
+    p = build_schedule(
+        timezone="UTC",
+        freq="WEEKLY",
+        interval=2,
+        dtstart_local=datetime(2025, 1, 1, 8, 0),  # Wednesday
+        byweekday=["MO", "WE"],
+        until_local=date(2025, 2, 15),
+    )
+    occ = _expand(p, datetime(2026, 1, 1, tzinfo=UTC))
+    assert [t.strftime("%Y-%m-%d") for t in occ] == [
+        "2025-01-01",  # MO of dtstart week precedes DTSTART -> excluded
+        "2025-01-13", "2025-01-15",
+        "2025-01-27", "2025-01-29",
+        "2025-02-10", "2025-02-12",
+    ]
+
+
+def test_monthly_day31_skips_short_months():
+    p = build_schedule(
+        timezone="UTC", freq="MONTHLY", dtstart_local=datetime(2025, 1, 31, 6, 0)
+    )
+    occ = _expand(p, datetime(2025, 6, 1, tzinfo=UTC))
+    assert [t.strftime("%Y-%m-%d") for t in occ] == [
+        "2025-01-31", "2025-03-31", "2025-05-31",
+    ]
+
+
+def test_monthly_negative_bymonthday_is_month_end():
+    p = build_schedule(
+        timezone="UTC",
+        freq="MONTHLY",
+        dtstart_local=datetime(2025, 1, 1, 6, 0),
+        bymonthday=[-1],
+    )
+    occ = _expand(p, datetime(2025, 5, 1, tzinfo=UTC))
+    assert [t.strftime("%Y-%m-%d") for t in occ] == [
+        "2025-01-31", "2025-02-28", "2025-03-31", "2025-04-30",
+    ]
+
+
+def test_monthly_bysetpos_last_weekday():
+    p = build_schedule(
+        timezone="UTC",
+        freq="MONTHLY",
+        dtstart_local=datetime(2025, 1, 1, 17, 0),
+        byweekday=["MO", "TU", "WE", "TH", "FR"],
+        bysetpos=[-1],
+    )
+    occ = _expand(p, datetime(2025, 5, 1, tzinfo=UTC))
+    assert [t.strftime("%Y-%m-%d %a") for t in occ] == [
+        "2025-01-31 Fri", "2025-02-28 Fri", "2025-03-31 Mon", "2025-04-30 Wed",
+    ]
+
+
+def test_yearly_bymonth_expansion():
+    p = build_schedule(
+        timezone="UTC",
+        freq="YEARLY",
+        dtstart_local=datetime(2024, 3, 15, 12, 0),
+        bymonth=[3, 9],
+    )
+    occ = _expand(p, datetime(2025, 12, 31, tzinfo=UTC))
+    assert [t.strftime("%Y-%m-%d") for t in occ] == [
+        "2024-03-15", "2024-09-15", "2025-03-15", "2025-09-15",
+    ]
+
+
+def test_hourly_and_minutely_stride():
+    p = build_schedule(
+        timezone="UTC", freq="HOURLY", interval=6,
+        dtstart_local=datetime(2025, 1, 1, 1, 15),
+    )
+    occ = _expand(p, datetime(2025, 1, 2, 12, 0, tzinfo=UTC))
+    assert [t.strftime("%d %H:%M") for t in occ] == [
+        "01 01:15", "01 07:15", "01 13:15", "01 19:15", "02 01:15", "02 07:15",
+    ]
+    p2 = build_schedule(
+        timezone="UTC", freq="MINUTELY", interval=90,
+        dtstart_local=datetime(2025, 1, 1, 0, 0),
+    )
+    occ2 = _expand(p2, datetime(2025, 1, 1, 6, 0, tzinfo=UTC))
+    assert [t.strftime("%H:%M") for t in occ2] == [
+        "00:00", "01:30", "03:00", "04:30", "06:00",
+    ]
+
+
+def test_until_is_inclusive_and_window_start_exclusive():
+    p = build_schedule(
+        timezone="UTC",
+        freq="DAILY",
+        dtstart_local=datetime(2025, 1, 1, 8, 0),
+        until_local=datetime(2025, 1, 3, 8, 0),
+    )
+    occ = _expand(p, datetime(2026, 1, 1, tzinfo=UTC))
+    assert len(occ) == 3  # Jan 1, 2, 3 — UNTIL bound included (RFC)
+    occ2 = _expand(
+        p, datetime(2026, 1, 1, tzinfo=UTC),
+        start=datetime(2025, 1, 1, 8, 0, tzinfo=UTC),
+    )
+    assert [t.day for t in occ2] == [2, 3]  # t <= window_start excluded
+
+
+def test_daily_byday_filters():
+    p = build_schedule(
+        timezone="UTC",
+        freq="DAILY",
+        dtstart_local=datetime(2025, 1, 6, 8, 0),  # Monday
+        byweekday=["MO", "FR"],
+    )
+    occ = _expand(p, datetime(2025, 1, 20, tzinfo=UTC))
+    assert all(t.weekday() in (0, 4) for t in occ)
+    assert [t.strftime("%m-%d") for t in occ] == [
+        "01-06", "01-10", "01-13", "01-17",
+    ]
+
+
+def test_dst_gap_resolves_forward():
+    # 02:30 America/New_York does not exist on 2025-03-09 (spring-forward);
+    # the occurrence resolves to the first instant after the gap — the
+    # same instant java.time / ICU produce, so Spark and DuckDB agree.
+    p = build_schedule(
+        timezone="America/New_York",
+        freq="DAILY",
+        dtstart_local=datetime(2025, 3, 8, 2, 30),
+    )
+    occ = _expand(p, datetime(2025, 3, 10, tzinfo=UTC))
+    utc = [t.astimezone(UTC).strftime("%m-%d %H:%M") for t in occ]
+    assert utc == ["03-08 07:30", "03-09 07:30"]  # 07:30Z == 03:30 EDT
+
+
+# ---------------------------------------------------------------------------
+# distributed fleet expansion == driver expander
+# ---------------------------------------------------------------------------
+
+
+def test_fire_times_df_matches_driver_expander(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    tzs = ["America/New_York", "UTC", "Asia/Tokyo", "Europe/London"]
+    w0 = datetime(1996, 1, 1, tzinfo=UTC)
+    w1 = datetime(1996, 7, 1, tzinfo=UTC)
+    rng = random.Random(7)
+    rows, expect = [], set()
+    for i in range(30):
+        freq = ["DAILY", "WEEKLY", "MONTHLY"][i % 3]
+        interval = 1 + i % 4
+        tz = tzs[i % 4]
+        byday = None
+        if freq == "WEEKLY" or (freq == "DAILY" and i % 5 == 0):
+            byday = sorted(
+                rng.sample(["MO", "TU", "WE", "TH", "FR", "SA", "SU"], 1 + i % 3)
+            )
+        bymonthday = [[15], [-1], None][i % 3] if freq == "MONTHLY" else None
+        dt0 = datetime(1996, 1, 1 + i % 28, 4 + i % 20, (i * 7) % 60, i % 60)
+        until = None if i % 4 else datetime(1996, 5, 1 + i % 20, 12, 0)
+        p = build_schedule(
+            timezone=tz, freq=freq, dtstart_local=dt0, interval=interval,
+            byweekday=byday, bymonthday=bymonthday, until_local=until,
+        )
+        s = parse_schedule(p["schedule"]["rrule"])
+        until_utc = (
+            s.until.astimezone(UTC).strftime("%Y-%m-%d %H:%M:%S")
+            if s.until else None
+        )
+        rows.append(
+            (f"dep-{i:03d}", i, freq, interval, byday, None, bymonthday,
+             dt0.hour, dt0.minute, dt0.second, tz,
+             dt0.strftime("%Y-%m-%d %H:%M:%S"), until_utc)
+        )
+        # window_start is exclusive in occurrences; [w0, w1) in the DF —
+        # expand from just before w0 and clip identically
+        for t in occurrences(s, w1, window_start=w0 - timedelta(seconds=1)):
+            tu = t.astimezone(UTC)
+            if w0 <= tu < w1:
+                expect.add((f"dep-{i:03d}", i, tu.strftime("%Y-%m-%d %H:%M:%S")))
+
+    out = fire_times_df(
+        spark,
+        spark.createDataFrame(rows, _FIRE_SCHEMA),
+        "1996-01-01 00:00:00",
+        "1996-07-01 00:00:00",
+    )
+    got = {
+        (r.deployment_id, r.schedule_id, r.f)
+        for r in out.withColumn(
+            "f", F.date_format("fire_utc", "yyyy-MM-dd HH:mm:ss")
+        ).collect()
+    }
+    assert got == expect and len(got) > 500
+
+
+def test_fire_times_df_rejects_unsupported_freq(spark):
+    rows = [("d", 0, "HOURLY", 1, None, None, None, 1, 0, 0, "UTC",
+             "1996-01-01 01:00:00", None)]
+    with pytest.raises(ValueError, match="DAILY/WEEKLY/MONTHLY"):
+        fire_times_df(
+            spark, spark.createDataFrame(rows, _FIRE_SCHEMA),
+            "1996-01-01 00:00:00", "1996-02-01 00:00:00",
+        )
+
+
+# ---------------------------------------------------------------------------
+# lifecycle (LocalDeploymentAPI + DeploymentOps)
+# ---------------------------------------------------------------------------
+
+
+def _mk_ops(tmp_path, mode="hist"):
+    api = LocalDeploymentAPI(str(tmp_path))
+    return api, DeploymentOps(api, provider="EODHD-mock", mode=mode)
+
+
+def test_lifecycle_states(tmp_path):
+    api, ops = _mk_ops(tmp_path)
+    cfg = {"deployment_name": "d1", "deployment_id": None,
+           "ticker": "NVDA", "exchange": "US", "interval": "d",
+           "start": "2024-10-25", "end": "2024-10-28"}
+    assert ops.create_deployment(cfg) is True  # registered -> READY
+    dep_id = cfg["deployment_id"]
+
+    # PRIME: exists, no schedules
+    st, f = ops.get_deployment_status_bundle(dep_id)
+    assert (st, f["schedule_mode"], f["schedule_active"]) == ("READY", "PRIME", None)
+
+    cfg["schedules"] = [build_schedule(
+        timezone="UTC", freq="DAILY", dtstart_local=datetime(2025, 1, 1, 8, 0)
+    )]
+    assert ops.schedule_deployment(cfg) is True
+    st, f = ops.get_deployment_status_bundle(dep_id)
+    assert (st, f["schedule_mode"]) == ("READY", "ACTIVE")
+    assert len(f["server_schedules"]) == 1
+    # schedule parameters carry the controller command (reference shape)
+    params = f["server_schedules"][0]["parameters"]
+    assert params["command_type"] == "fetch_historical"
+    assert params["command"]["ticker"] == "NVDA"
+
+    ops.pause_schedule(dep_id)
+    st, f = ops.get_deployment_status_bundle(dep_id)
+    assert f["schedule_mode"] == "PAUSED" and f["schedule_paused"] is True
+    ops.resume_schedule(dep_id)
+    assert ops.get_deployment_status_bundle(dep_id)[1]["schedule_mode"] == "ACTIVE"
+
+    # second create_deployment with an existing id only re-checks status
+    assert ops.create_deployment(cfg) is True
+
+    ops.delete_active_deployment(dep_id)
+    st, f = ops.get_deployment_status_bundle(dep_id)  # 404 analog
+    assert (st, f["deleted_on_server"], f["schedule_mode"]) == (
+        "DELETED", True, "PRIME")
+    with pytest.raises(DeploymentNotFound):
+        api.check_deployment_status(dep_id)
+
+
+def test_status_and_schedule_state_helpers():
+    assert normalize_deployment_status({"status": {"status": "READY"}}) == "READY"
+    assert normalize_deployment_status({"status": "READY"}) == "READY"
+    assert normalize_deployment_status({"status": {"nope": 1}}) == "NOT_READY"
+    assert normalize_deployment_status("READY") == "READY"
+    assert normalize_deployment_status(42) == "NOT_READY"
+
+    assert summarize_schedule_state({"paused": True}) == (False, True, "PAUSED")
+    assert summarize_schedule_state(
+        {"schedules": [{"active": True}]}
+    ) == (True, False, "ACTIVE")
+    assert summarize_schedule_state(
+        {"schedules": [{"active": False}]}
+    ) == (False, False, "PRIME")
+    assert summarize_schedule_state({"schedules": []}) == (None, False, "PRIME")
+    assert summarize_schedule_state(None) == (None, None, "PRIME")
+
+
+def test_schedule_payload_validation(tmp_path):
+    api, ops = _mk_ops(tmp_path)
+    cfg = {"deployment_name": "d1", "deployment_id": None,
+           "ticker": "T", "exchange": "US", "interval": "d",
+           "start": "2024-01-01", "end": "2024-01-02"}
+    ops.create_deployment(cfg)
+    cfg["schedules"] = [{"nope": 1}]
+    with pytest.raises(ValueError, match="Invalid schedule object"):
+        ops.schedule_deployment(cfg)
+    cfg["schedules"] = []
+    with pytest.raises(ValueError, match="No schedules"):
+        ops.schedule_deployment(cfg)
+    # a malformed rrule is rejected at create time, not at first tick
+    cfg["schedules"] = [{"active": True, "schedule": {"rrule": "RRULE:FREQ=NOPE"}}]
+    with pytest.raises(ValueError):
+        ops.schedule_deployment(cfg)
+
+
+def test_stream_mode_command_shape(tmp_path):
+    api, ops = _mk_ops(tmp_path, mode="stream")
+    cfg = {"ticker": ["AAPL"], "exchange": "US", "stream_type": "trades",
+           "duration": 2}
+    cmd = ops.build_command(cfg)
+    assert cmd["duration"] == 7200.0 and cmd["stream_type"] == "trades"
+    assert ops.get_command_type() == "start_stream"
+
+
+def test_trigger_flow_and_refresh_state(tmp_path):
+    api, ops = _mk_ops(tmp_path)
+    cfg = {"deployment_name": "d1", "deployment_id": None,
+           "ticker": "NVDA", "exchange": "US", "interval": "d",
+           "start": "2024-10-25", "end": "2024-10-28"}
+    ops.create_deployment(cfg)
+    run_id, name = ops.trigger_flow(cfg)
+    cfg["flow_run_id"] = run_id
+    assert ops.refresh_flow_state(cfg) == "PENDING"
+    assert cfg["flow_state"] == "PENDING" and cfg["flow_run_name"] == name
+
+
+# ---------------------------------------------------------------------------
+# SchedulerService (the Prefect stand-in)
+# ---------------------------------------------------------------------------
+
+
+def _deploy_daily(ops, name="d", ticker="NVDA", dtstart=datetime(2025, 3, 7, 17, 0),
+                  tz="America/New_York"):
+    cfg = {"deployment_name": name, "deployment_id": None,
+           "ticker": ticker, "exchange": "US", "interval": "d",
+           "start": "2024-10-25", "end": "2024-10-28"}
+    ops.create_deployment(cfg)
+    cfg["schedules"] = [build_schedule(timezone=tz, freq="DAILY",
+                                       dtstart_local=dtstart)]
+    ops.schedule_deployment(cfg)
+    return cfg
+
+
+def test_tick_catchup_idempotence_and_effectively_once(spark, tmp_path):
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    api, ops = _mk_ops(tmp_path)
+    cfg = _deploy_daily(ops)
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    sched = SchedulerService(api, spark_runner(spark, store))
+
+    now = datetime(2025, 3, 10, 0, 0, tzinfo=UTC)
+    res = sched.tick(now)
+    # catch-up: 3 daily fires since dtstart (Mar 7/8/9 local 17:00)
+    assert [r.state for r in res] == ["COMPLETED"] * 3
+    # DST shift visible in the UTC instants (22:00Z -> 21:00Z)
+    assert [r.fire_utc[11:] for r in res] == [
+        "22:00:00Z", "22:00:00Z", "21:00:00Z"]
+
+    # re-tick same instant: no new runs (key-set dedup)
+    assert sched.tick(now) == []
+
+    # three runs all fetched the same mock range; the store's dedup
+    # writer keeps the ingest effectively-once
+    assert store.read_all("historical_interday").count() == 2
+    assert [r["state"]["type"] for r in sched.run_log()] == ["COMPLETED"] * 3
+
+
+def test_pause_advances_watermark_without_backfill(spark, tmp_path):
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    api, ops = _mk_ops(tmp_path)
+    cfg = _deploy_daily(ops)
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    sched = SchedulerService(api, spark_runner(spark, store))
+    sched.tick(datetime(2025, 3, 10, 0, 0, tzinfo=UTC))
+
+    ops.pause_schedule(cfg["deployment_id"])
+    assert sched.tick(datetime(2025, 3, 12, 0, 0, tzinfo=UTC)) == []
+    ops.resume_schedule(cfg["deployment_id"])
+    # Prefect semantics: fires during the pause are NOT backfilled (the
+    # paused tick still advanced the watermark); only post-resume fires run
+    res = sched.tick(datetime(2025, 3, 13, 0, 0, tzinfo=UTC))
+    assert [r.fire_utc for r in res] == ["2025-03-12T21:00:00Z"]
+
+
+def test_crash_between_record_and_dispatch_redelivers(spark, tmp_path):
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    api, ops = _mk_ops(tmp_path)
+    cfg = _deploy_daily(ops)
+    store = ParquetStore(spark, str(tmp_path / "store"))
+
+    calls = {"n": 0}
+    real = spark_runner(spark, store)
+
+    def crashy(params):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("executor lost")  # crash mid-dispatch
+        return real(params)
+
+    sched = SchedulerService(api, crashy)
+    res = sched.tick(datetime(2025, 3, 10, 0, 0, tzinfo=UTC))
+    states = [r.state for r in res]
+    assert states.count("FAILED") == 1 and states.count("COMPLETED") == 2
+
+    # FAILED is terminal (an operator re-triggers); PENDING is not: simulate
+    # a crash BEFORE dispatch by recording runs and killing the process —
+    # here, by building a second scheduler over the same log after manually
+    # recording a PENDING run
+    v = api._commit({"action": "flow_runs", "runs": [{
+        "id": "PENDING", "name": "d/recovery", "dep_id": cfg["deployment_id"],
+        "key": f"{cfg['deployment_id']}/0/2025-03-10T21:00:00Z",
+        "fire_utc": "2025-03-10T21:00:00Z",
+        "parameters": {"command_type": "fetch_historical",
+                       "command": {"ticker": "NVDA", "exchange": "US",
+                                   "interval": "d", "start": "2024-10-25",
+                                   "end": "2024-10-28"},
+                       "provider": "EODHD-mock"},
+    }]})
+    sched2 = SchedulerService(api, spark_runner(spark, store))
+    res2 = sched2.tick(datetime(2025, 3, 11, 0, 0, tzinfo=UTC))
+    # the stranded PENDING run re-dispatched; its key also dedups the
+    # Mar-10 fire so the occurrence does not double-run
+    assert [r.run_id for r in res2] == [f"run-{v:06d}-0"]
+    assert res2[0].state == "COMPLETED"
+    # store still effectively-once despite the redelivery
+    assert store.read_all("historical_interday").count() == 2
+
+
+def test_multi_deployment_fleet_tick(spark, tmp_path):
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    api, ops = _mk_ops(tmp_path)
+    cfgs = [
+        _deploy_daily(ops, name=f"d{i}", ticker=t,
+                      dtstart=datetime(2025, 3, 8, 17, 0))
+        for i, t in enumerate(["NVDA", "AAPL", "MSFT"])
+    ]
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    sched = SchedulerService(api, spark_runner(spark, store))
+    res = sched.tick(datetime(2025, 3, 10, 0, 0, tzinfo=UTC))
+    assert len(res) == 6  # 3 deployments x 2 fires
+    by_dep = {c["deployment_id"] for c in cfgs}
+    assert {r.deployment_id for r in res} == by_dep
+    # per-ticker rows: each ticker's 2 mock bars, deduped across its fires
+    df = store.read_all("historical_interday")
+    assert df.count() == 6
+
+
+def test_resolve_fire_tokens():
+    params = {
+        "command_type": "fetch_historical",
+        "command": {"ticker": "T", "start": "{fire_date-3}",
+                    "end": "{fire_date-1}", "note": ["{fire_date}", 7]},
+    }
+    out = SchedulerService.resolve_fire_tokens(params, "2025-01-08T08:00:00Z")
+    assert out["command"]["start"] == "2025-01-05"
+    assert out["command"]["end"] == "2025-01-07"
+    assert out["command"]["note"] == ["2025-01-08", 7]
+    # static parameters (the reference shape) pass through untouched
+    assert SchedulerService.resolve_fire_tokens(
+        {"start": "2024-01-01"}, "2025-01-08T08:00:00Z"
+    ) == {"start": "2024-01-01"}

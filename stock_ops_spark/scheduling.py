@@ -739,6 +739,7 @@ class LocalDeploymentAPI:
         deps: dict[str, dict] = {}
         runs: dict[str, dict] = {}
         marks: dict[str, str] = {}
+        seen_keys: set[str] = set()
         for c in self.log.commits():
             v = c["version"]
             e = c.get("event") or {}
@@ -768,6 +769,16 @@ class LocalDeploymentAPI:
                 deps.pop(e["dep_id"], None)
             elif a == "flow_runs":
                 for i, r in enumerate(e["runs"]):
+                    # racing ticks can both commit the same due fire; the
+                    # fold keeps the FIRST run per key, so concurrent
+                    # schedulers converge on one run record (dispatch may
+                    # still race — at-least-once, absorbed by the store's
+                    # dedup writer like every other redelivery)
+                    k = r.get("key")
+                    if k and k in seen_keys:
+                        continue
+                    if k:
+                        seen_keys.add(k)
                     rid = f"run-{v:06d}-{i}"
                     runs[rid] = dict(r, id=rid, state={"type": "PENDING"})
             elif a == "flow_run_state":
@@ -778,6 +789,8 @@ class LocalDeploymentAPI:
                         r["rows"] = e["rows"]
             elif a == "watermark":
                 marks[e["dep_id"]] = e["upto_utc"]
+            elif a == "watermarks":
+                marks.update(e["marks"])
         return {"deployments": deps, "flow_runs": runs, "watermarks": marks}
 
     # -- ApiLike surface --------------------------------------------------
@@ -1045,7 +1058,16 @@ class SchedulerService:
     Crash contract: a crash between (2) and (3) leaves PENDING runs
     whose next ``tick`` re-dispatches them (at-least-once); the store's
     dedup writer downstream makes the ingested rows effectively-once —
-    the same discipline as the streaming fold indexes."""
+    the same discipline as the streaming fold indexes.  Racing ticks
+    may both commit the same due fire; the fold keeps the first run per
+    key, so concurrent schedulers converge on one run record.
+
+    Scale posture: this loop is the REFERENCE-parity surface (a Prefect
+    server's working set — up to thousands of deployments, driver-side
+    expansion).  A true fleet (millions of schedules) keeps its
+    schedule table in parquet and expands with :func:`fire_times_df`;
+    the tick then dispatches the (deployment, fire) output partitions
+    distributively rather than folding one JSON event log."""
 
     def __init__(
         self,
@@ -1115,9 +1137,14 @@ class SchedulerService:
         mark = now_utc.astimezone(ZoneInfo("UTC")).strftime("%Y-%m-%dT%H:%M:%SZ")
         for r in pending_old + due:
             results.append(self._dispatch(r))
-        for dep_id in state["deployments"]:
+        if state["deployments"]:
+            # ONE commit advances every deployment's watermark (a
+            # per-deployment commit would write |fleet| files per tick)
             self.api._commit(
-                {"action": "watermark", "dep_id": dep_id, "upto_utc": mark}
+                {
+                    "action": "watermarks",
+                    "marks": {d: mark for d in state["deployments"]},
+                }
             )
         return results
 

@@ -561,3 +561,36 @@ def test_resolve_fire_tokens():
     assert SchedulerService.resolve_fire_tokens(
         {"start": "2024-01-01"}, "2025-01-08T08:00:00Z"
     ) == {"start": "2024-01-01"}
+
+
+def test_racing_ticks_converge_on_one_run_per_key(tmp_path):
+    api = LocalDeploymentAPI(str(tmp_path))
+    api.register_deployment("d1")
+    run = {
+        "id": "PENDING", "name": "d1/x", "dep_id": "dep-000001",
+        "key": "dep-000001/0/2025-01-06T08:00:00Z",
+        "fire_utc": "2025-01-06T08:00:00Z", "parameters": {},
+    }
+    # two racing schedulers commit the same due fire
+    v1 = api._commit({"action": "flow_runs", "runs": [run]})
+    v2 = api._commit({"action": "flow_runs", "runs": [dict(run)]})
+    runs = api._fold()["flow_runs"]
+    # the fold keeps the FIRST run per key — the loser's record is inert
+    assert [r["id"] for r in runs.values()] == [f"run-{v1:06d}-0"]
+    assert v2 == v1 + 1  # both commits landed; convergence is fold-side
+
+
+def test_tick_watermark_is_one_commit_for_the_fleet(spark, tmp_path):
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    api, ops = _mk_ops(tmp_path)
+    for i in range(3):
+        _deploy_daily(ops, name=f"d{i}", ticker="NVDA",
+                      dtstart=datetime(2025, 3, 9, 17, 0))
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    sched = SchedulerService(api, spark_runner(spark, store))
+    v_before = api.log.version()
+    sched.tick(datetime(2025, 3, 10, 0, 0, tzinfo=UTC))
+    commits = api.log.commits()[v_before:]
+    marks = [c for c in commits if c["event"]["action"] == "watermarks"]
+    assert len(marks) == 1 and len(marks[0]["event"]["marks"]) == 3

@@ -18,9 +18,7 @@ _TZS = ["America/New_York", "UTC", "Asia/Tokyo", "Europe/London"]
 _WD = ["MO", "TU", "WE", "TH", "FR", "SA", "SU"]
 
 
-@_register(
-    "q333_schedule_fleet_fires",
-    """
+_FLEET_FIRES_CTE = """
     WITH cfg AS (
       SELECT n_nationkey AS k,
              CASE n_nationkey % 3 WHEN 0 THEN 'DAILY'
@@ -64,30 +62,14 @@ _WD = ["MO", "TU", "WE", "TH", "FR", "SA", "SU"]
       WHERE fu >= TIMESTAMPTZ '1996-01-01 00:00:00+00'
         AND fu <  TIMESTAMPTZ '1996-12-31 00:00:00+00'
         AND (until_utc IS NULL OR fu <= until_utc))
-    SELECT 'dep-' || lpad(CAST(k AS VARCHAR), 3, '0') AS deployment_id,
-           CAST(count(*) AS BIGINT) AS n_fires,
-           strftime((min(fu) AT TIME ZONE 'UTC'),
-                    '%Y-%m-%d %H:%M:%S') AS first_fire,
-           strftime((max(fu) AT TIME ZONE 'UTC'),
-                    '%Y-%m-%d %H:%M:%S') AS last_fire,
-           CAST(sum(CAST(epoch(fu) AS BIGINT)) AS BIGINT) AS fire_epoch_sum
-    FROM fires GROUP BY k
-    ORDER BY deployment_id
-    """,
-)
-def q333_schedule_fleet_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed RRULE fleet expansion (scheduling.fire_times_df —
-    the Spark twin of the reference's per-schedule Prefect loop,
-    ui_backend.py:89-197): one schedule per nation with key-derived
-    frequency (DAILY / WEEKLY+BYDAY / MONTHLY±BYMONTHDAY), interval,
-    per-row IANA timezone and optional UNTIL, expanded over calendar
-    1996 as ONE declarative plan (sequence + explode + filters — no
-    driver loop, no UDF).  The per-deployment epoch-sum checksums every
-    fire INSTANT, so DST handoffs in four timezones (wall-time-stable
-    local fires, shifting UTC offsets) are pinned against DuckDB's
-    independent ICU reconstruction.  Scale shape: |fleet| × window-days
-    flat candidate rows, fully parallel until the final aggregate —
-    the 1M-deployment shape a Prefect server cannot expand."""
+"""
+
+
+def _fleet_fires(spark: SparkSession, sf_dir: str):
+    """The q333 fleet: one schedule per nation (key-derived freq /
+    interval / BYDAY / tz / UNTIL), expanded over calendar 1996 with
+    scheduling.fire_times_df.  Shared by q333 and q335; the DuckDB twin
+    is ``_FLEET_FIRES_CTE``."""
     from stock_ops_spark.scheduling import fire_times_df
 
     n = _t(spark, sf_dir, "nation").select(
@@ -149,9 +131,38 @@ def q333_schedule_fleet_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
             until.alias("until_utc"),
         )
     )
-    fires = fire_times_df(
+    return fire_times_df(
         spark, sch, "1996-01-01 00:00:00", "1996-12-31 00:00:00"
     )
+
+
+@_register(
+    "q333_schedule_fleet_fires",
+    _FLEET_FIRES_CTE + """    SELECT 'dep-' || lpad(CAST(k AS VARCHAR), 3, '0') AS deployment_id,
+           CAST(count(*) AS BIGINT) AS n_fires,
+           strftime((min(fu) AT TIME ZONE 'UTC'),
+                    '%Y-%m-%d %H:%M:%S') AS first_fire,
+           strftime((max(fu) AT TIME ZONE 'UTC'),
+                    '%Y-%m-%d %H:%M:%S') AS last_fire,
+           CAST(sum(CAST(epoch(fu) AS BIGINT)) AS BIGINT) AS fire_epoch_sum
+    FROM fires GROUP BY k
+    ORDER BY deployment_id
+    """,
+)
+def q333_schedule_fleet_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RRULE fleet expansion (scheduling.fire_times_df —
+    the Spark twin of the reference's per-schedule Prefect loop,
+    ui_backend.py:89-197): one schedule per nation with key-derived
+    frequency (DAILY / WEEKLY+BYDAY / MONTHLY±BYMONTHDAY), interval,
+    per-row IANA timezone and optional UNTIL, expanded over calendar
+    1996 as ONE declarative plan (sequence + explode + filters — no
+    driver loop, no UDF).  The per-deployment epoch-sum checksums every
+    fire INSTANT, so DST handoffs in four timezones (wall-time-stable
+    local fires, shifting UTC offsets) are pinned against DuckDB's
+    independent ICU reconstruction.  Scale shape: |fleet| × window-days
+    flat candidate rows, fully parallel until the final aggregate —
+    the 1M-deployment shape a Prefect server cannot expand."""
+    fires = _fleet_fires(spark, sf_dir)
     return (
         fires.groupBy("deployment_id")
         .agg(
@@ -330,3 +341,50 @@ def q334_scheduler_run_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_register(
+    "q335_fleet_thundering_herd",
+    _FLEET_FIRES_CTE + """    , per_min AS (
+      SELECT strftime((fu AT TIME ZONE 'UTC'), '%H:%M') AS minute_utc,
+             CAST(count(*) AS BIGINT) AS n_fires,
+             CAST(count(DISTINCT k) AS BIGINT) AS n_deployments
+      FROM fires GROUP BY 1),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n_fires DESC, minute_utc) AS rnk
+      FROM per_min)
+    SELECT CAST(rnk AS BIGINT) AS rnk, minute_utc, n_fires, n_deployments
+    FROM ranked WHERE rnk <= 10 ORDER BY rnk
+    """,
+)
+def q335_fleet_thundering_herd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet load-shape analysis (thundering-herd detection): fold the
+    q333 fleet's year of fire instants onto UTC minute-of-day and rank
+    the ten hottest minutes by fire count (deterministic tiebreak on
+    the minute).  This is the capacity question an orchestrator answers
+    before a fleet rollout — which wall-clock minutes concentrate load
+    when schedules cluster on round local times across timezones (the
+    reason CronCreate-style systems nudge off :00).  Scale shape: the
+    expansion is q333's flat candidate pipeline; the fold is a 1440-key
+    aggregate (partial map-side), then a 1440-row top-k — nothing
+    driver-side grows with the fleet."""
+    from pyspark.sql import Window
+
+    fires = _fleet_fires(spark, sf_dir)
+    per_min = (
+        fires.withColumn("minute_utc", F.date_format("fire_utc", "HH:mm"))
+        .groupBy("minute_utc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fires"),
+            F.countDistinct("deployment_id").cast("bigint").alias(
+                "n_deployments"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("n_fires").desc(), F.col("minute_utc"))
+    return (
+        per_min.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 10)
+        .select("rnk", "minute_utc", "n_fires", "n_deployments")
+        .orderBy("rnk")
+    )

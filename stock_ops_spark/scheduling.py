@@ -535,21 +535,23 @@ def fire_times_df(
         )
         return out.select("deployment_id", "schedule_id", "fire_utc")
 
-    def _day_filters(days: DataFrame) -> DataFrame:
+    def _month_filter(days: DataFrame) -> DataFrame:
         return days.where(
-            (
-                F.col("bymonth").isNull()
-                | F.array_contains("bymonth", F.month("fire_date"))
-            )
-            & (
-                F.col("bymonthday").isNull()
-                | F.array_contains("bymonthday", F.dayofmonth("fire_date"))
-                | F.array_contains(
-                    "bymonthday",
-                    F.dayofmonth("fire_date")
-                    - F.dayofmonth(F.last_day("fire_date"))
-                    - 1,
-                )
+            F.col("bymonth").isNull()
+            | F.array_contains("bymonth", F.month("fire_date"))
+        )
+
+    def _monthday_filter(days: DataFrame) -> DataFrame:
+        # BYMONTHDAY limits DAILY only (RFC 5545 forbids it with WEEKLY;
+        # the driver expander ignores it there — parity pinned in tests)
+        return days.where(
+            F.col("bymonthday").isNull()
+            | F.array_contains("bymonthday", F.dayofmonth("fire_date"))
+            | F.array_contains(
+                "bymonthday",
+                F.dayofmonth("fire_date")
+                - F.dayofmonth(F.last_day("fire_date"))
+                - 1,
             )
         )
 
@@ -649,8 +651,8 @@ def fire_times_df(
         )
     )
     return (
-        _finish(_day_filters(daily))
-        .unionByName(_finish(_day_filters(weekly)))
+        _finish(_monthday_filter(_month_filter(daily)))
+        .unionByName(_finish(_month_filter(weekly)))
         .unionByName(_finish(monthly))
     )
 

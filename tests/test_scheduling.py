@@ -265,7 +265,12 @@ def test_fire_times_df_matches_driver_expander(spark):
             byday = sorted(
                 rng.sample(["MO", "TU", "WE", "TH", "FR", "SA", "SU"], 1 + i % 3)
             )
-        bymonthday = [[15], [-1], None][i % 3] if freq == "MONTHLY" else None
+        if freq == "MONTHLY":
+            bymonthday = [[15], [-1], None][i % 3]
+        else:
+            # exercised on DAILY (a limit) AND WEEKLY (ignored — RFC 5545
+            # forbids BYMONTHDAY with WEEKLY; both paths must agree)
+            bymonthday = [10, 25] if i % 6 in (1, 3) else None
         dt0 = datetime(1996, 1, 1 + i % 28, 4 + i % 20, (i * 7) % 60, i % 60)
         until = None if i % 4 else datetime(1996, 5, 1 + i % 20, 12, 0)
         p = build_schedule(

@@ -733,7 +733,7 @@ class LocalDeploymentAPI:
                 continue
         raise CommitConflict("deployment log contention")
 
-    def _fold(self) -> dict:
+    def _fold(self, at_version: Optional[int] = None) -> dict:
         """Fold the event log.  Deployment and run ids are DERIVED from
         the commit number that created them (``dep-NNNNNN`` /
         ``run-NNNNNN-i``) — an append-only log cannot rewrite the
@@ -742,11 +742,24 @@ class LocalDeploymentAPI:
         runs: dict[str, dict] = {}
         marks: dict[str, str] = {}
         seen_keys: set[str] = set()
-        for c in self.log.commits():
+        for c in self.log.commits(upto=at_version):
             v = c["version"]
             e = c.get("event") or {}
             a = e.get("action")
-            if a == "register_deployment":
+            if a == "checkpoint":
+                # self-contained snapshot (see compact()): RESETS the
+                # fold, so the state is identical whether or not the
+                # pre-checkpoint commits still exist on disk — a crash
+                # between the rewrite and the deletion is harmless
+                snap = e["state"]
+                deps = dict(snap["deployments"])
+                runs = dict(snap["flow_runs"])
+                marks = dict(snap["watermarks"])
+                seen_keys = set(snap["done_keys"])
+                seen_keys.update(
+                    r["key"] for r in runs.values() if r.get("key")
+                )
+            elif a == "register_deployment":
                 dep_id = f"dep-{v:06d}"
                 deps[dep_id] = {
                     "id": dep_id,
@@ -794,6 +807,84 @@ class LocalDeploymentAPI:
             elif a == "watermarks":
                 marks.update(e["marks"])
         return {"deployments": deps, "flow_runs": runs, "watermarks": marks}
+
+    def compact(
+        self, retain_last: int = 64, keep_terminal_runs: int = 200
+    ) -> dict:
+        """Checkpoint-truncate the event log — the data-store vacuum
+        discipline (sources/commitlog.py::vacuum) applied to the
+        deployment log.  A long-lived scheduler appends one watermarks
+        commit per tick plus two state commits per run, and every fold
+        re-reads the whole log: O(commits) per tick, quadratic over the
+        deployment's lifetime.
+
+        Mechanics (each step crash-safe alone, like the store vacuum):
+        1. pick horizon H = current - retain_last + 1;
+        2. rewrite commit H in place (tmp + atomic rename) as a
+           self-contained ``checkpoint`` event: deployments, watermarks,
+           non-terminal runs IN FULL, the newest ``keep_terminal_runs``
+           terminal runs, and EVERY terminal run key — the at-least-once
+           dedup memory must survive truncation or a re-tick would
+           double-run old fires;
+        3. delete commits < H (idempotent; a crash after 2 leaves a
+           fold-identical log because the checkpoint RESETS the fold).
+
+        Truncation trades away old terminal run records (the store is
+        the system of record for the data they ingested) — never keys,
+        never non-terminal runs."""
+        import json as _json
+
+        cur = self.log.version()
+        lo = self.log.min_version()
+        horizon = cur - retain_last + 1
+        if cur == 0 or horizon <= lo:
+            return {"checkpointed": 0, "commits_dropped": 0}
+        st = self._fold(at_version=horizon)
+        terminal = {
+            rid: r
+            for rid, r in st["flow_runs"].items()
+            if r["state"]["type"] in ("COMPLETED", "FAILED")
+        }
+        keep_ids = (
+            sorted(terminal)[-keep_terminal_runs:]
+            if keep_terminal_runs > 0
+            else []
+        )
+        runs_kept = {
+            rid: r
+            for rid, r in st["flow_runs"].items()
+            if rid not in terminal or rid in keep_ids
+        }
+        done_keys = sorted(
+            r["key"] for r in terminal.values() if r.get("key")
+        )
+        doc = {
+            "version": horizon,
+            "event": {
+                "action": "checkpoint",
+                "state": {
+                    "deployments": st["deployments"],
+                    "flow_runs": runs_kept,
+                    "watermarks": st["watermarks"],
+                    "done_keys": done_keys,
+                },
+            },
+        }
+        final = self.log._path(horizon)
+        tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)  # atomic: readers see old or new, never torn
+        dropped = 0
+        for v in range(lo, horizon):
+            try:
+                os.remove(self.log._path(v))
+                dropped += 1
+            except OSError:
+                pass
+        return {"checkpointed": horizon, "commits_dropped": dropped}
 
     # -- ApiLike surface --------------------------------------------------
     def register_deployment(self, deployment_name: str) -> dict:
@@ -1075,9 +1166,13 @@ class SchedulerService:
         self,
         api: LocalDeploymentAPI,
         runner: Callable[[dict[str, Any]], int],
+        auto_compact: Optional[int] = 512,
     ):
         self.api = api
         self.runner = runner
+        # checkpoint-truncate the event log once it exceeds this many
+        # live commits (None disables) — keeps the per-tick fold O(recent)
+        self.auto_compact = auto_compact
 
     def _due(self, state: dict, now_utc: datetime) -> list[dict]:
         seen_keys = {
@@ -1123,6 +1218,10 @@ class SchedulerService:
     def tick(self, now_utc: datetime) -> list[RunResult]:
         if now_utc.tzinfo is None:
             raise ValueError("now_utc must be timezone-aware")
+        if self.auto_compact:
+            live = self.api.log.version() - self.api.log.min_version() + 1
+            if live > self.auto_compact:
+                self.api.compact(retain_last=max(8, self.auto_compact // 8))
         state = self.api._fold()
         due = self._due(state, now_utc)
         results: list[RunResult] = []

@@ -8,6 +8,7 @@ by SchedulerService over the engine's commit log."""
 
 from __future__ import annotations
 
+import os
 from datetime import date, datetime, timedelta
 from zoneinfo import ZoneInfo
 
@@ -599,3 +600,118 @@ def test_tick_watermark_is_one_commit_for_the_fleet(spark, tmp_path):
     commits = api.log.commits()[v_before:]
     marks = [c for c in commits if c["event"]["action"] == "watermarks"]
     assert len(marks) == 1 and len(marks[0]["event"]["marks"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# event-log compaction (the data-store vacuum discipline on the deployment log)
+# ---------------------------------------------------------------------------
+
+
+def _runner_const(params):
+    return 1
+
+
+def _tick_days(sched, start_day, n_days):
+    for d in range(n_days):
+        sched.tick(datetime(2025, 1, start_day + d, 12, 0, tzinfo=UTC))
+
+
+def test_compact_preserves_state_and_dedup_memory(tmp_path):
+    api, ops = _mk_ops(tmp_path)
+    cfg = {"deployment_name": "d1", "deployment_id": None,
+           "ticker": "T", "exchange": "US", "interval": "d",
+           "start": "2024-01-01", "end": "2024-01-02"}
+    ops.create_deployment(cfg)
+    cfg["schedules"] = [build_schedule(
+        timezone="UTC", freq="DAILY", dtstart_local=datetime(2025, 1, 6, 8, 0))]
+    ops.schedule_deployment(cfg)
+    sched = SchedulerService(api, _runner_const, auto_compact=None)
+    _tick_days(sched, 7, 5)  # 5 ticks, one new fire each
+    before = api._fold()
+    assert len(before["flow_runs"]) == 6  # Jan 6 catch-up + Jan 7..11
+
+    res = api.compact(retain_last=2)
+    assert res["commits_dropped"] > 0
+    after = api._fold()
+    # deployments / watermarks / run records and states identical
+    assert after["deployments"] == before["deployments"]
+    assert after["watermarks"] == before["watermarks"]
+    assert {r["key"] for r in after["flow_runs"].values()} == {
+        r["key"] for r in before["flow_runs"].values()}
+    # dedup memory intact: re-tick over the same window fires nothing
+    assert sched.tick(datetime(2025, 1, 11, 12, 0, tzinfo=UTC)) == []
+    # and the next real fire still happens exactly once
+    res2 = sched.tick(datetime(2025, 1, 12, 12, 0, tzinfo=UTC))
+    assert [r.fire_utc for r in res2] == ["2025-01-12T08:00:00Z"]
+
+
+def test_compact_crash_between_checkpoint_and_delete_is_harmless(tmp_path):
+    import shutil as _sh
+
+    api, ops = _mk_ops(tmp_path)
+    cfg = {"deployment_name": "d1", "deployment_id": None,
+           "ticker": "T", "exchange": "US", "interval": "d",
+           "start": "2024-01-01", "end": "2024-01-02"}
+    ops.create_deployment(cfg)
+    cfg["schedules"] = [build_schedule(
+        timezone="UTC", freq="DAILY", dtstart_local=datetime(2025, 1, 6, 8, 0))]
+    ops.schedule_deployment(cfg)
+    sched = SchedulerService(api, _runner_const, auto_compact=None)
+    _tick_days(sched, 7, 4)
+    backup = str(tmp_path / "log_backup")
+    _sh.copytree(api.log.log_dir, backup)
+
+    api.compact(retain_last=2)
+    after = api._fold()
+    # crash simulation: the deletes never happened — restore every
+    # pre-checkpoint commit alongside the checkpoint; the fold RESETS at
+    # the checkpoint so the state must be identical
+    for f in sorted(os.listdir(backup)):
+        dst = os.path.join(api.log.log_dir, f)
+        if not os.path.exists(dst):
+            _sh.copy(os.path.join(backup, f), dst)
+    assert api._fold() == after
+
+
+def test_compact_truncates_terminal_history_keeps_pending(tmp_path):
+    api, _ = _mk_ops(tmp_path)
+    api.register_deployment("d1")
+    for i in range(6):
+        v = api._commit({"action": "flow_runs", "runs": [{
+            "id": "PENDING", "name": f"d1/{i}", "dep_id": "dep-000001",
+            "key": f"dep-000001/0/f{i}", "fire_utc": "", "parameters": {}}]})
+        if i < 5:  # leave the last one PENDING
+            api._commit({"action": "flow_run_state",
+                         "run_id": f"run-{v:06d}-0", "state": "COMPLETED",
+                         "rows": i})
+    api.compact(retain_last=1, keep_terminal_runs=2)
+    st = api._fold()
+    states = [r["state"]["type"] for r in st["flow_runs"].values()]
+    assert states.count("PENDING") == 1      # non-terminal survives in full
+    assert states.count("COMPLETED") == 2    # newest terminal records kept
+    # every key survives as dedup memory even when its record is gone
+    seen = {r["key"] for r in st["flow_runs"].values()}
+    assert len(seen) == 3
+    fresh = api._commit({"action": "flow_runs", "runs": [{
+        "id": "PENDING", "name": "dup", "dep_id": "dep-000001",
+        "key": "dep-000001/0/f0", "fire_utc": "", "parameters": {}}]})
+    assert fresh > 0
+    # the duplicate of a truncated-but-remembered key is inert
+    assert len(api._fold()["flow_runs"]) == 3
+
+
+def test_auto_compact_bounds_the_fold(tmp_path):
+    api, ops = _mk_ops(tmp_path)
+    cfg = {"deployment_name": "d1", "deployment_id": None,
+           "ticker": "T", "exchange": "US", "interval": "d",
+           "start": "2024-01-01", "end": "2024-01-02"}
+    ops.create_deployment(cfg)
+    cfg["schedules"] = [build_schedule(
+        timezone="UTC", freq="DAILY", dtstart_local=datetime(2025, 1, 6, 8, 0))]
+    ops.schedule_deployment(cfg)
+    sched = SchedulerService(api, _runner_const, auto_compact=24)
+    _tick_days(sched, 7, 20)
+    live = api.log.version() - api.log.min_version() + 1
+    assert live <= 24 + 6  # ticks between compactions stay bounded
+    # and the scheduler is still exactly-once after multiple compactions
+    assert sched.tick(datetime(2025, 1, 26, 12, 0, tzinfo=UTC)) == []

@@ -1011,6 +1011,15 @@ class DeploymentOps:
                 "stream_type": cfg["stream_type"],
                 "duration": float(cfg["duration"]) * 3600,
             }
+        if self.mode == "maintain":
+            # engine extension: scheduled store maintenance (see
+            # services.run_command's maintain_store branch); op args
+            # pass through verbatim (target_file_bytes, keep_from, ...)
+            cmd = {"op": cfg["op"], "mode": cfg["store_mode"]}
+            for k in ("target_file_bytes", "keep_from"):
+                if k in cfg:
+                    cmd[k] = cfg[k]
+            return cmd
         raise ValueError(f"Unsupported mode: {self.mode}")
 
     def get_command_type(self) -> str:
@@ -1018,6 +1027,8 @@ class DeploymentOps:
             return "fetch_historical"
         if self.mode == "stream":
             return "start_stream"
+        if self.mode == "maintain":
+            return "maintain_store"
         raise ValueError(f"Unsupported mode: {self.mode!r}")
 
     def trigger_flow(self, cfg: dict[str, Any]) -> tuple[str, str]:

@@ -156,6 +156,33 @@ def run_command(
             end=command["end"],
             retry=retry,
         )
+    if command_type == "maintain_store":
+        # Engine extension (no reference analog: the reference trims its
+        # Redis buffer inline at write time, writer.py:35-37,293-297 —
+        # a parquet store runs maintenance as SCHEDULED jobs, which is
+        # exactly what the scheduling module dispatches here).  Command:
+        # {op: compact|retain|widen_types, mode: <store mode>, ...args}.
+        # Returns a job-size integer so the scheduler's run log stays
+        # uniform (files coalesced away / partitions dropped / files
+        # rewritten).
+        from stock_ops_spark.sources import maintenance as M
+
+        op = command["op"]
+        mode = command["mode"]
+        if op == "compact":
+            res = M.compact(
+                store,
+                mode,
+                target_file_bytes=int(
+                    command.get("target_file_bytes", 128 << 20)
+                ),
+            )
+            return res["files_before"] - res["files_after"]
+        if op == "retain":
+            return len(M.retain(store, mode, tuple(command["keep_from"])))
+        if op == "widen_types":
+            return M.widen_types(store, mode).get("files_rewritten", 0)
+        raise ValueError(f"Unsupported maintenance op: {op!r}")
     if command_type == "start_stream":
         tickers = command["tickers"]
         if isinstance(tickers, str):

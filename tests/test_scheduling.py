@@ -715,3 +715,76 @@ def test_auto_compact_bounds_the_fold(tmp_path):
     assert live <= 24 + 6  # ticks between compactions stay bounded
     # and the scheduler is still exactly-once after multiple compactions
     assert sched.tick(datetime(2025, 1, 26, 12, 0, tzinfo=UTC)) == []
+
+
+# ---------------------------------------------------------------------------
+# scheduled store maintenance (the ops-automation loop)
+# ---------------------------------------------------------------------------
+
+
+def test_scheduled_compaction_runs_through_the_scheduler(spark, tmp_path):
+    from stock_ops_spark import schemas as S
+    from stock_ops_spark.sources.ingest import ParquetStore
+    from stock_ops_spark.sources.maintenance import _data_files
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    base = 1736951400  # 2025-01-15 09:30 EST
+    for i in range(4):  # micro-batch litter: one file set per append
+        rows = [("SPY", base + 3600 * i, 1.0 * i, 2.0, 0.5, 1.5, 10 + i, "1h")]
+        df = spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY)
+        assert store.ingest_batch(df, "historical_intraday") == 1
+    path = store.data_path("historical_intraday")
+    files_before = len(_data_files(path))
+    assert files_before >= 4
+    before_rows = sorted(
+        map(tuple, store.read_all("historical_intraday").collect())
+    )
+
+    api = LocalDeploymentAPI(str(tmp_path / "api"))
+    ops = DeploymentOps(api, provider="EODHD-mock", mode="maintain")
+    cfg = {"deployment_name": "nightly-compact", "deployment_id": None,
+           "op": "compact", "store_mode": "historical_intraday"}
+    ops.create_deployment(cfg)
+    assert ops.get_command_type() == "maintain_store"
+    cfg["schedules"] = [build_schedule(
+        timezone="UTC", freq="DAILY", dtstart_local=datetime(2025, 1, 16, 3, 0))]
+    ops.schedule_deployment(cfg)
+
+    sched = SchedulerService(api, spark_runner(spark, store))
+    res = sched.tick(datetime(2025, 1, 16, 4, 0, tzinfo=UTC))
+    assert [r.state for r in res] == ["COMPLETED"]
+    assert res[0].rows == files_before - 1  # files coalesced away
+    assert len(_data_files(path)) == 1
+    after_rows = sorted(
+        map(tuple, store.read_all("historical_intraday").collect())
+    )
+    assert after_rows == before_rows
+    # next-night tick: nothing littered, compaction is a no-op run
+    res2 = sched.tick(datetime(2025, 1, 17, 4, 0, tzinfo=UTC))
+    assert [r.rows for r in res2] == [0]
+
+
+def test_maintain_retain_command_through_run_command(spark, tmp_path):
+    from stock_ops_spark import schemas as S
+    from stock_ops_spark.sources import services
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    rows = [  # Dec 2024 + Jan 2025 partitions (exchange-local routing)
+        ("SPY", 1734705000, 600.0, 601.0, 599.0, 600.5, 1000, "1h"),
+        ("SPY", 1736951400, 610.0, 611.0, 609.0, 610.5, 1100, "1h"),
+    ]
+    df = spark.createDataFrame(rows, schema=S.HISTORICAL_INTRADAY)
+    store.ingest_batch(df, "historical_intraday")
+    n = services.run_command(
+        spark, store, "maintain_store",
+        {"op": "retain", "mode": "historical_intraday", "keep_from": [2025]},
+    )
+    assert n == 1  # the 2024 partition dropped, metadata-only
+    left = store.read_all("historical_intraday").collect()
+    assert len(left) == 1 and left[0]["timestamp_UTC_s"] == 1736951400
+    with pytest.raises(ValueError, match="Unsupported maintenance op"):
+        services.run_command(
+            spark, store, "maintain_store",
+            {"op": "nope", "mode": "historical_intraday"},
+        )

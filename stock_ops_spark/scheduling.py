@@ -441,6 +441,31 @@ def occurrences(
     dt0_naive = s.dtstart.replace(tzinfo=None)
     n_out = 0
     p = 0
+    if window_start is not None:
+        # fast-forward: without this, every tick of a long-lived
+        # schedule re-iterates all periods since DTSTART (a year-old
+        # MINUTELY rule is ~500k empty iterations per tick).  One period
+        # of slack below the window start keeps boundary occurrences.
+        lo_local = window_start.astimezone(tz).replace(tzinfo=None) - timedelta(
+            days=2
+        )
+        delta = lo_local - _period_start(s, 0)
+        if s.freq == "DAILY":
+            p = int(delta.days // s.interval)
+        elif s.freq == "WEEKLY":
+            p = int(delta.days // (7 * s.interval))
+        elif s.freq == "HOURLY":
+            p = int(delta.total_seconds() // (3600 * s.interval))
+        elif s.freq == "MINUTELY":
+            p = int(delta.total_seconds() // (60 * s.interval))
+        elif s.freq == "MONTHLY":
+            months = (lo_local.year - dt0_naive.year) * 12 + (
+                lo_local.month - dt0_naive.month
+            )
+            p = (months - 1) // s.interval
+        else:  # YEARLY
+            p = (lo_local.year - dt0_naive.year - 1) // s.interval
+        p = max(0, p - 1)
     while _period_start(s, p) <= hi_local:
         for cand in _period_candidates(s, p):
             if cand < dt0_naive:

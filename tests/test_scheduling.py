@@ -788,3 +788,36 @@ def test_maintain_retain_command_through_run_command(spark, tmp_path):
             spark, store, "maintain_store",
             {"op": "nope", "mode": "historical_intraday"},
         )
+
+
+def test_occurrences_fast_forward_equals_full_iteration():
+    # windowed expansion (fast-forwarded periods) must equal the full
+    # iteration filtered to the window, for every freq and odd interval
+    import itertools as it
+
+    cases = []
+    for freq, interval in it.product(
+        ["DAILY", "WEEKLY", "MONTHLY", "YEARLY", "HOURLY", "MINUTELY"],
+        [1, 3, 7],
+    ):
+        # sub-daily grains get a nearer dtstart: their full-iteration
+        # reference arm is exactly the O(lifetime) cost fast-forward
+        # avoids (a 5-year MINUTELY baseline alone costs ~a minute)
+        d0 = (datetime(2025, 1, 31, 9, 30)
+              if freq in ("HOURLY", "MINUTELY")
+              else datetime(2020, 1, 31, 9, 30))
+        kw = dict(timezone="America/New_York", freq=freq, interval=interval,
+                  dtstart_local=d0)
+        if freq == "WEEKLY":
+            kw["byweekday"] = ["MO", "FR"]
+        if freq == "MONTHLY":
+            kw["bymonthday"] = [-1, 15]
+        cases.append(build_schedule(**kw))
+    # window years after dtstart, sized per grain to keep MINUTELY sane
+    w0 = datetime(2025, 3, 8, 0, 0, tzinfo=UTC)   # spans the DST gap
+    w1 = datetime(2025, 3, 12, 0, 0, tzinfo=UTC)
+    for p in cases:
+        s = parse_schedule(p["schedule"]["rrule"])
+        fast = list(occurrences(s, w1, window_start=w0))
+        full = [t for t in occurrences(s, w1) if t > w0]
+        assert fast == full, s.freq

@@ -528,6 +528,12 @@ def fire_times_df(
             "fire_times_df covers DAILY/WEEKLY/MONTHLY; use occurrences() "
             "for HOURLY/MINUTELY/YEARLY rules"
         )
+    # spread candidate generation across the cluster: the schedules dim
+    # usually arrives in a handful of file partitions, and Generate
+    # (explode) inherits them — a 1.5M-schedule fleet would fan 100M+
+    # candidate rows out of ~6 tasks.  One Exchange of |fleet| tiny rows
+    # buys full-width explode (measured sf10, 112M fires: 186.9 s -> 15.0 s).
+    s = s.repartition(spark.sparkContext.defaultParallelism)
     s = (
         s.withColumn("dt0", F.to_timestamp("dtstart"))
         .withColumn("d0", F.to_date("dt0"))

@@ -363,7 +363,16 @@ def _period_candidates(s: Schedule, p: int) -> list[datetime]:
             out.extend(datetime.combine(date(y, m, d), t) for t in times)
     elif s.freq == "YEARLY":
         y = d0.year + p * s.interval
-        months = list(s.bymonth) if s.bymonth else [d0.month]
+        # RFC 5545: for YEARLY, BYMONTHDAY and BYDAY are EXPANDING rules
+        # — without BYMONTH they apply across every month of the year
+        # (dateutil.rrule agrees; pinned by the cross-validation test).
+        # Only a bare YEARLY defaults to DTSTART's month.
+        if s.bymonth:
+            months = list(s.bymonth)
+        elif s.bymonthday or s.byday:
+            months = list(range(1, 13))
+        else:
+            months = [d0.month]
         for m in sorted(months):
             for d in _month_days(s, y, m, d0.day):
                 out.extend(datetime.combine(date(y, m, d), t) for t in times)

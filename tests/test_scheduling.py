@@ -821,3 +821,71 @@ def test_occurrences_fast_forward_equals_full_iteration():
         fast = list(occurrences(s, w1, window_start=w0))
         full = [t for t in occurrences(s, w1) if t > w0]
         assert fast == full, s.freq
+
+
+def test_expander_matches_dateutil_rrule_reference():
+    """Cross-validate against dateutil.rrule (the canonical RFC 5545
+    engine, present as a pandas dependency) on randomized rules: same
+    DTSTART, same BY* derivation as build_schedule's emission, compared
+    on local wall times.  BYMONTHDAY+WEEKLY is excluded (RFC forbids
+    the combination; this engine documents 'ignored')."""
+    du = pytest.importorskip("dateutil.rrule")
+    import random
+
+    FREQ = {"DAILY": du.DAILY, "WEEKLY": du.WEEKLY, "MONTHLY": du.MONTHLY,
+            "YEARLY": du.YEARLY, "HOURLY": du.HOURLY, "MINUTELY": du.MINUTELY}
+    WD = {"MO": du.MO, "TU": du.TU, "WE": du.WE, "TH": du.TH, "FR": du.FR,
+          "SA": du.SA, "SU": du.SU}
+    rng = random.Random(11)
+    n_checked = 0
+    for i in range(60):
+        freq = list(FREQ)[i % 6]
+        interval = [1, 2, 3, 5][i % 4]
+        byday = None
+        if freq in ("DAILY", "WEEKLY", "MONTHLY") and i % 3 != 0:
+            byday = sorted(rng.sample(list(WD), 1 + i % 3))
+        bymonthday = None
+        if freq in ("MONTHLY", "YEARLY") and i % 4 == 1 and not byday:
+            bymonthday = sorted(rng.sample([-1, -15, 1, 10, 28], 2))
+        bysetpos = [-1] if (freq == "MONTHLY" and byday and i % 5 == 0) else None
+        bymonth = sorted(rng.sample(range(1, 13), 2)) if i % 7 == 0 else None
+        dt0 = datetime(2024, 1 + i % 12, 1 + i % 28,
+                       i % 24, (i * 13) % 60, (i * 7) % 60)
+        horizon = datetime(2024 + (2 if freq in ("MONTHLY", "YEARLY") else 0),
+                           12, 31, 23, 59, 59)
+        if freq == "MINUTELY":
+            horizon = dt0 + timedelta(days=3)
+        if freq == "HOURLY":
+            horizon = dt0 + timedelta(days=45)
+
+        p = build_schedule(
+            timezone="UTC", freq=freq, dtstart_local=dt0, interval=interval,
+            byweekday=byday, bymonthday=bymonthday, bysetpos=bysetpos,
+            bymonth=bymonth,
+        )
+        s = parse_schedule(p["schedule"]["rrule"])
+        mine = [t.replace(tzinfo=None)
+                for t in occurrences(s, horizon.replace(tzinfo=UTC))]
+
+        kw = dict(freq=FREQ[freq], dtstart=dt0, interval=interval,
+                  until=horizon)
+        if byday:
+            kw["byweekday"] = [WD[d] for d in byday]
+        if bymonthday:
+            kw["bymonthday"] = bymonthday
+        if bysetpos:
+            kw["bysetpos"] = bysetpos
+        if bymonth:
+            kw["bymonth"] = bymonth
+        # mirror build_schedule's BY* time emission
+        if freq in ("DAILY", "WEEKLY", "MONTHLY", "YEARLY"):
+            kw.update(byhour=dt0.hour, byminute=dt0.minute, bysecond=dt0.second)
+        elif freq == "HOURLY":
+            kw.update(byminute=dt0.minute, bysecond=dt0.second)
+        else:
+            kw.update(bysecond=dt0.second)
+        ref = list(du.rrule(**kw))
+        assert mine == ref, (freq, interval, byday, bymonthday, bysetpos,
+                             bymonth, dt0, mine[:5], ref[:5])
+        n_checked += len(mine)
+    assert n_checked > 2000  # the comparison actually exercised fires

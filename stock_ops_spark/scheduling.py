@@ -69,6 +69,8 @@ __all__ = [
     "LocalDeploymentAPI",
     "DeploymentOps",
     "SchedulerService",
+    "backfill_batcher",
+    "spark_runner",
 ]
 
 _VALID_FREQ = ("MINUTELY", "HOURLY", "DAILY", "WEEKLY", "MONTHLY", "YEARLY")
@@ -1218,12 +1220,17 @@ class SchedulerService:
         api: LocalDeploymentAPI,
         runner: Callable[[dict[str, Any]], int],
         auto_compact: Optional[int] = 512,
+        batcher: Optional[Callable[[dict[str, Any], list[str]], dict]] = None,
     ):
         self.api = api
         self.runner = runner
         # checkpoint-truncate the event log once it exceeds this many
         # live commits (None disables) — keeps the per-tick fold O(recent)
         self.auto_compact = auto_compact
+        # optional batch dispatcher (see backfill_batcher): historical
+        # fetches sharing (provider, exchange, interval, resolved range)
+        # collapse into ONE distributed job instead of per-run jobs
+        self.batcher = batcher
 
     def _due(self, state: dict, now_utc: datetime) -> list[dict]:
         seen_keys = {
@@ -1287,7 +1294,13 @@ class SchedulerService:
             if r["state"]["type"] == "PENDING"
         ]
         mark = now_utc.astimezone(ZoneInfo("UTC")).strftime("%Y-%m-%dT%H:%M:%SZ")
-        for r in pending_old + due:
+        todo = pending_old + due
+        if self.batcher is not None:
+            groups, singles = self._coalesce(todo)
+            for grp in groups:
+                results.extend(self._dispatch_batch(grp))
+            todo = singles
+        for r in todo:
             results.append(self._dispatch(r))
         if state["deployments"]:
             # ONE commit advances every deployment's watermark (a
@@ -1299,6 +1312,103 @@ class SchedulerService:
                 }
             )
         return results
+
+    def _coalesce(
+        self, runs: list[dict]
+    ) -> tuple[list[list[dict]], list[dict]]:
+        """Partition dispatchable runs into batchable groups and
+        singles.  A run qualifies when it is a historical fetch whose
+        RESOLVED (provider, exchange, interval, start, end) matches
+        another run's — 5000 deployments firing the same nightly window
+        become one group.  Resolution happens here so rolling-window
+        tokens group by the window they actually fetch."""
+        groups: dict[tuple, list[dict]] = {}
+        singles: list[dict] = []
+        for r in runs:
+            p = r.get("parameters") or {}
+            cmd = p.get("command") or {}
+            if (
+                p.get("command_type") == "fetch_historical"
+                and r.get("fire_utc")
+                and {"ticker", "exchange", "interval", "start", "end"}
+                <= set(cmd)
+            ):
+                rc = self.resolve_fire_tokens(cmd, r["fire_utc"])
+                key = (
+                    p.get("provider"),
+                    rc["exchange"],
+                    rc["interval"],
+                    rc["start"],
+                    rc["end"],
+                )
+                grp = groups.setdefault(key, [])
+                if any(g["_resolved"]["ticker"] == rc["ticker"] for g in grp):
+                    # a second fire of the same ticker+window in one tick
+                    # (static-range catch-up): dispatch it per-run so the
+                    # store's dedup decides its rows, same as sequential
+                    singles.append(r)
+                else:
+                    grp.append(dict(r, _resolved=rc))
+            else:
+                singles.append(r)
+        out_groups: list[list[dict]] = []
+        for grp in groups.values():
+            if len(grp) >= 2:
+                out_groups.append(grp)
+            else:
+                singles.extend(
+                    {k: v for k, v in g.items() if k != "_resolved"}
+                    for g in grp
+                )
+        return out_groups, singles
+
+    def _dispatch_batch(self, grp: list[dict]) -> list[RunResult]:
+        """One distributed job for a whole group of same-window fetches
+        (see :func:`backfill_batcher`); per-run rows attributed from the
+        post-dedup delta's per-ticker counts."""
+        for r in grp:
+            self.api._commit(
+                {"action": "flow_run_state", "run_id": r["id"],
+                 "state": "RUNNING"}
+            )
+        rc0 = grp[0]["_resolved"]
+        params = dict(grp[0].get("parameters") or {})
+        tickers = sorted({g["_resolved"]["ticker"] for g in grp})
+        try:
+            counts = self.batcher(
+                {
+                    "provider": params.get("provider"),
+                    "exchange": rc0["exchange"],
+                    "interval": rc0["interval"],
+                    "start": rc0["start"],
+                    "end": rc0["end"],
+                },
+                tickers,
+            )
+        except Exception:
+            out = []
+            for r in grp:
+                self.api._commit(
+                    {"action": "flow_run_state", "run_id": r["id"],
+                     "state": "FAILED"}
+                )
+                out.append(
+                    RunResult(r["id"], r["dep_id"], r.get("fire_utc", ""),
+                              "FAILED")
+                )
+            return out
+        out = []
+        for r in grp:
+            rows = int(counts.get(r["_resolved"]["ticker"], 0))
+            self.api._commit(
+                {"action": "flow_run_state", "run_id": r["id"],
+                 "state": "COMPLETED", "rows": rows}
+            )
+            out.append(
+                RunResult(r["id"], r["dep_id"], r.get("fire_utc", ""),
+                          "COMPLETED", rows)
+            )
+        return out
 
     @staticmethod
     def resolve_fire_tokens(obj: Any, fire_utc: str) -> Any:
@@ -1365,6 +1475,52 @@ class SchedulerService:
         return sorted(
             self.api._fold()["flow_runs"].values(), key=lambda r: r["id"]
         )
+
+
+def backfill_batcher(
+    spark: SparkSession, store, provider: str | None = None
+) -> Callable[[dict[str, Any], list[str]], dict]:
+    """Batch dispatcher for :class:`SchedulerService`: a group of due
+    historical fetches sharing one resolved window runs as ONE
+    distributed job through ``services.run_historical_backfill`` (the
+    ``stockops_rest`` Python DataSource — one InputPartition per
+    ticker, fetch on executors, no payload through the driver).  This
+    is the fleet dispatch shape: 5000 due nightly fetches are one Spark
+    job, not 5000 sequential driver round-trips.
+
+    Per-run attribution: a temporary store observer reads the
+    POST-dedup delta's per-ticker counts (bounded collect: one row per
+    ticker), so each run's recorded ``rows`` matches what its ticker
+    actually appended — identical semantics to per-run dispatch."""
+
+    def _run(group: dict[str, Any], tickers: list[str]) -> dict:
+        from stock_ops_spark.sources import services
+
+        counts: dict[str, int] = {}
+
+        def _obs(delta, mode):
+            for row in delta.groupBy("ticker").count().collect():
+                counts[row["ticker"]] = counts.get(row["ticker"], 0) + int(
+                    row["count"]
+                )
+
+        store.observers.append(_obs)
+        try:
+            services.run_historical_backfill(
+                spark,
+                store,
+                provider or group.get("provider") or "EODHD-mock",
+                tickers=tickers,
+                exchange=group["exchange"],
+                interval=group["interval"],
+                start=group["start"],
+                end=group["end"],
+            )
+        finally:
+            store.observers.remove(_obs)
+        return counts
+
+    return _run
 
 
 def spark_runner(

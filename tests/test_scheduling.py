@@ -889,3 +889,74 @@ def test_expander_matches_dateutil_rrule_reference():
                              bymonth, dt0, mine[:5], ref[:5])
         n_checked += len(mine)
     assert n_checked > 2000  # the comparison actually exercised fires
+
+
+# ---------------------------------------------------------------------------
+# batch dispatch (fleet shape: N same-window fetches -> one distributed job)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_dispatch_coalesces_same_window_fetches(spark, tmp_path):
+    from stock_ops_spark.scheduling import backfill_batcher
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    api, ops = _mk_ops(tmp_path)
+    for i, t in enumerate(["NVDA", "AAPL", "MSFT"]):
+        _deploy_daily(ops, name=f"d{i}", ticker=t,
+                      dtstart=datetime(2025, 3, 9, 17, 0))
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    calls = {"n": 0}
+    real = backfill_batcher(spark, store)
+
+    def counting(group, tickers):
+        calls["n"] += 1
+        return real(group, tickers)
+
+    sched = SchedulerService(api, spark_runner(spark, store), batcher=counting)
+    res = sched.tick(datetime(2025, 3, 10, 0, 0, tzinfo=UTC))
+    # three same-window fetches -> ONE distributed backfill job
+    assert calls["n"] == 1 and len(res) == 3
+    assert {r.state for r in res} == {"COMPLETED"}
+    # per-run attribution: each ticker's 2 mock bars
+    assert [r.rows for r in res] == [2, 2, 2]
+    assert store.read_all("historical_interday").count() == 6
+    # re-fire next day, same static window: batch re-fetch dedups to zero
+    res2 = sched.tick(datetime(2025, 3, 11, 0, 0, tzinfo=UTC))
+    assert calls["n"] == 2 and [r.rows for r in res2] == [0, 0, 0]
+    assert store.read_all("historical_interday").count() == 6
+
+
+def test_batch_dispatch_mixed_groups_and_failure(spark, tmp_path):
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    api, ops = _mk_ops(tmp_path)
+    for i, t in enumerate(["NVDA", "AAPL"]):
+        _deploy_daily(ops, name=f"d{i}", ticker=t,
+                      dtstart=datetime(2025, 3, 9, 17, 0))
+    # a third deployment with a DIFFERENT interval: not batchable with them
+    cfg = {"deployment_name": "dw", "deployment_id": None,
+           "ticker": "SPY", "exchange": "US", "interval": "w",
+           "start": "2024-10-25", "end": "2024-10-28"}
+    ops.create_deployment(cfg)
+    cfg["schedules"] = [build_schedule(
+        timezone="America/New_York", freq="DAILY",
+        dtstart_local=datetime(2025, 3, 9, 17, 0))]
+    ops.schedule_deployment(cfg)
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    single_calls = {"n": 0}
+    real_runner = spark_runner(spark, store)
+
+    def counting_runner(params):
+        single_calls["n"] += 1
+        return real_runner(params)
+
+    def failing_batcher(group, tickers):
+        raise RuntimeError("cluster lost")
+
+    sched = SchedulerService(api, counting_runner, batcher=failing_batcher)
+    res = sched.tick(datetime(2025, 3, 10, 0, 0, tzinfo=UTC))
+    by_state = sorted((r.state for r in res))
+    # the NVDA+AAPL group FAILED together; the lone 'w' run went per-run
+    assert by_state == ["COMPLETED", "FAILED", "FAILED"]
+    assert single_calls["n"] == 1

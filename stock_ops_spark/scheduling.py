@@ -210,9 +210,10 @@ class Schedule:
 
 def parse_schedule(rrule_value: str, timezone: Optional[str] = None) -> Schedule:
     """Parse the two-line ``DTSTART;TZID=..\\nRRULE:..`` payload
-    build_schedule emits (also tolerates a bare ``RRULE:`` / rule-only
-    string plus an explicit ``timezone``, the reference's old style —
-    utils.py:60-75)."""
+    build_schedule emits.  The rule line tolerates a missing ``RRULE:``
+    prefix (the reference's old style, utils.py:60-75); DTSTART is
+    REQUIRED — a schedule with no anchor has no first occurrence, so a
+    rule-only payload raises rather than guessing one."""
     lines = [ln.strip() for ln in rrule_value.strip().splitlines() if ln.strip()]
     dtstart_line = next((ln for ln in lines if ln.startswith("DTSTART")), None)
     rr_line = next((ln for ln in lines if ln.startswith("RRULE")), None)
@@ -306,6 +307,12 @@ def _month_days(
             d = md if md > 0 else last + 1 + md
             if 1 <= d <= last:
                 days.append(d)
+        if s.byday:
+            # RFC 5545: with BYMONTHDAY present, BYDAY LIMITS (keeps
+            # only matching weekdays) for MONTHLY/YEARLY — dateutil
+            # agrees; pinned by the cross-validation test
+            want = {_WD_NUM[t] for t in s.byday}
+            days = [d for d in days if date(y, m, d).weekday() in want]
         return sorted(set(days))
     if s.byday:
         want = {_WD_NUM[t] for t in s.byday}
@@ -533,11 +540,25 @@ def fire_times_df(
     ``to_utc_timestamp`` (session tz is pinned UTC engine-wide), so DST
     instants match the driver expander exactly."""
     s = schedules
-    bad = s.where(~F.col("freq").isin("DAILY", "WEEKLY", "MONTHLY"))
+    # reject anything outside the DF path's subset EXPLICITLY — a rule
+    # silently dropped or silently narrowed would diverge from the
+    # driver expander without an error.  NULL freq must be called out
+    # (NULL fails isin() AND its negation, vanishing from both).
+    bad = s.where(
+        F.col("freq").isNull()
+        | ~F.col("freq").isin("DAILY", "WEEKLY", "MONTHLY")
+        | ((F.col("freq") == "MONTHLY") & F.col("byday").isNotNull())
+        | (
+            (F.col("freq") == "MONTHLY")
+            & F.col("bymonthday").isNotNull()
+            & (F.size("bymonthday") != 1)
+        )
+    )
     if bad.limit(1).count() > 0:  # schedules is a dim table; one tiny job
         raise ValueError(
-            "fire_times_df covers DAILY/WEEKLY/MONTHLY; use occurrences() "
-            "for HOURLY/MINUTELY/YEARLY rules"
+            "fire_times_df covers DAILY/WEEKLY/MONTHLY (MONTHLY with a "
+            "single BYMONTHDAY or DTSTART's day, no BYDAY); use "
+            "occurrences() for other rules"
         )
     # spread candidate generation across the cluster: the schedules dim
     # usually arrives in a handful of file partitions, and Generate
@@ -648,11 +669,22 @@ def fire_times_df(
         # guard: Spark `sequence` raises when start > stop with a +1mo step
         .where(F.trunc("d0", "MM") <= F.expr(
             "date_add(last_day(to_date(hi_local)), 1)"))
+        # clamp the spine to the window (one month of slack): the stride
+        # filter below anchors at trunc(d0,'MM') regardless, so starting
+        # the sequence near the window keeps results identical while a
+        # years-old DTSTART stops costing O(schedule age) months per call
+        .withColumn(
+            "mon0",
+            F.greatest(
+                F.trunc("d0", "MM"),
+                F.expr("trunc(add_months(to_date(lo_local), -1), 'MM')"),
+            ),
+        )
         .withColumn(
             "mon",
             F.explode(
                 F.expr(
-                    "sequence(trunc(d0, 'MM'), "
+                    "sequence(mon0, "
                     "date_add(last_day(to_date(hi_local)), 1), "
                     "interval 1 month)"
                 )
@@ -887,8 +919,15 @@ class LocalDeploymentAPI:
             for rid, r in st["flow_runs"].items()
             if r["state"]["type"] in ("COMPLETED", "FAILED")
         }
+        def _run_order(rid: str) -> tuple[int, int]:
+            # 'run-{version:06d}-{i}': numeric order — a lexical sort
+            # mis-orders sub-index 10 vs 2 within one large catch-up
+            # commit (and %06d past 999999)
+            _, v, i = rid.split("-")
+            return int(v), int(i)
+
         keep_ids = (
-            sorted(terminal)[-keep_terminal_runs:]
+            sorted(terminal, key=_run_order)[-keep_terminal_runs:]
             if keep_terminal_runs > 0
             else []
         )
@@ -1287,11 +1326,14 @@ class SchedulerService:
             v = self.api._commit({"action": "flow_runs", "runs": due})
             for i, r in enumerate(due):
                 r["id"] = f"run-{v:06d}-{i}"
-        # re-dispatch earlier PENDING runs (crash recovery) before new ones
+        # re-dispatch earlier non-terminal runs (crash recovery) before new
+        # ones: PENDING = crashed before dispatch, RUNNING = crashed mid-
+        # dispatch (its RUNNING commit landed but no terminal state did) —
+        # both re-run, at-least-once, dedup-absorbed downstream
         pending_old = [
             r
             for r in state["flow_runs"].values()
-            if r["state"]["type"] == "PENDING"
+            if r["state"]["type"] in ("PENDING", "RUNNING")
         ]
         mark = now_utc.astimezone(ZoneInfo("UTC")).strftime("%Y-%m-%dT%H:%M:%SZ")
         todo = pending_old + due

@@ -845,7 +845,8 @@ def test_expander_matches_dateutil_rrule_reference():
         if freq in ("DAILY", "WEEKLY", "MONTHLY") and i % 3 != 0:
             byday = sorted(rng.sample(list(WD), 1 + i % 3))
         bymonthday = None
-        if freq in ("MONTHLY", "YEARLY") and i % 4 == 1 and not byday:
+        if freq in ("MONTHLY", "YEARLY") and i % 4 == 1:
+            # with byday also set, RFC says BYDAY LIMITS the expansion
             bymonthday = sorted(rng.sample([-1, -15, 1, 10, 28], 2))
         bysetpos = [-1] if (freq == "MONTHLY" and byday and i % 5 == 0) else None
         bymonth = sorted(rng.sample(range(1, 13), 2)) if i % 7 == 0 else None
@@ -960,3 +961,84 @@ def test_batch_dispatch_mixed_groups_and_failure(spark, tmp_path):
     # the NVDA+AAPL group FAILED together; the lone 'w' run went per-run
     assert by_state == ["COMPLETED", "FAILED", "FAILED"]
     assert single_calls["n"] == 1
+
+
+def test_crash_mid_dispatch_redelivers_running_run(spark, tmp_path):
+    """A crash AFTER the RUNNING commit but before a terminal state must
+    re-dispatch on the next tick (the at-least-once contract names this
+    exact window) — RUNNING is non-terminal."""
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    api, ops = _mk_ops(tmp_path)
+    cfg = _deploy_daily(ops, dtstart=datetime(2025, 3, 9, 17, 0))
+    store = ParquetStore(spark, str(tmp_path / "store"))
+
+    class Boom(BaseException):
+        pass
+
+    def crashing(params):
+        raise Boom()  # BaseException skips _dispatch's except Exception
+
+    sched = SchedulerService(api, crashing)
+    with pytest.raises(Boom):
+        sched.tick(datetime(2025, 3, 10, 0, 0, tzinfo=UTC))
+    stranded = [r for r in api._fold()["flow_runs"].values()
+                if r["state"]["type"] == "RUNNING"]
+    assert len(stranded) == 1  # crashed mid-dispatch, no terminal state
+
+    sched2 = SchedulerService(api, spark_runner(spark, store))
+    res = sched2.tick(datetime(2025, 3, 10, 0, 0, tzinfo=UTC))
+    assert [r.state for r in res] == ["COMPLETED"]
+    assert res[0].run_id == stranded[0]["id"]  # the SAME run, re-driven
+    assert store.read_all("historical_interday").count() == 2
+
+
+def test_fire_times_df_validation_rejects_silent_narrowing(spark):
+    def _row(**kw):
+        base = dict(deployment_id="d", schedule_id=0, freq="DAILY",
+                    interval=1, byday=None, bymonth=None, bymonthday=None,
+                    byhour=8, byminute=0, bysecond=0, tz="UTC",
+                    dtstart="1996-01-01 08:00:00", until_utc=None)
+        base.update(kw)
+        return tuple(base[k] for k in (
+            "deployment_id", "schedule_id", "freq", "interval", "byday",
+            "bymonth", "bymonthday", "byhour", "byminute", "bysecond",
+            "tz", "dtstart", "until_utc"))
+
+    for bad in (
+        _row(freq=None),                                   # NULL freq
+        _row(freq="MONTHLY", byday=["FR"]),                # unsupported shape
+        _row(freq="MONTHLY", bymonthday=[1, 15]),          # multi BYMONTHDAY
+    ):
+        with pytest.raises(ValueError, match="fire_times_df covers"):
+            fire_times_df(
+                spark, spark.createDataFrame([bad], _FIRE_SCHEMA),
+                "1996-01-01 00:00:00", "1996-03-01 00:00:00",
+            )
+
+
+def test_fire_times_df_monthly_old_dtstart_clamped_window(spark):
+    """A MONTHLY schedule with a years-old DTSTART expanded over a short
+    window: the clamped month spine must return exactly the driver
+    expander's fires (and not pay O(schedule age))."""
+    from pyspark.sql import functions as F
+
+    rows = [("d", 0, "MONTHLY", 5, None, None, [-1], 6, 30, 0, "UTC",
+             "1988-03-01 06:30:00", None)]
+    out = fire_times_df(
+        spark, spark.createDataFrame(rows, _FIRE_SCHEMA),
+        "1996-01-01 00:00:00", "1996-12-31 00:00:00",
+    )
+    got = sorted(r.f for r in out.withColumn(
+        "f", F.date_format("fire_utc", "yyyy-MM-dd HH:mm:ss")).collect())
+    p = build_schedule(timezone="UTC", freq="MONTHLY", interval=5,
+                       bymonthday=[-1],
+                       dtstart_local=datetime(1988, 3, 1, 6, 30))
+    s = parse_schedule(p["schedule"]["rrule"])
+    expect = sorted(
+        t.strftime("%Y-%m-%d %H:%M:%S")
+        for t in occurrences(s, datetime(1996, 12, 31, tzinfo=UTC),
+                             window_start=datetime(1995, 12, 31, tzinfo=UTC))
+        if t >= datetime(1996, 1, 1, tzinfo=UTC)
+    )
+    assert got == expect and len(got) == 2  # stride-5 from 1988-03

@@ -546,19 +546,26 @@ def fire_times_df(
     # (NULL fails isin() AND its negation, vanishing from both).
     bad = s.where(
         F.col("freq").isNull()
-        | ~F.col("freq").isin("DAILY", "WEEKLY", "MONTHLY")
-        | ((F.col("freq") == "MONTHLY") & F.col("byday").isNotNull())
+        | ~F.col("freq").isin(
+            "DAILY", "WEEKLY", "MONTHLY", "YEARLY", "HOURLY", "MINUTELY"
+        )
         | (
-            (F.col("freq") == "MONTHLY")
-            & F.col("bymonthday").isNotNull()
-            & (F.size("bymonthday") != 1)
+            F.col("freq").isin("MONTHLY", "YEARLY")
+            & (
+                F.col("byday").isNotNull()
+                | (
+                    F.col("bymonthday").isNotNull()
+                    & (F.size("bymonthday") != 1)
+                )
+            )
         )
     )
     if bad.limit(1).count() > 0:  # schedules is a dim table; one tiny job
         raise ValueError(
-            "fire_times_df covers DAILY/WEEKLY/MONTHLY (MONTHLY with a "
-            "single BYMONTHDAY or DTSTART's day, no BYDAY); use "
-            "occurrences() for other rules"
+            "fire_times_df covers all six frequencies on their fleet "
+            "shapes (MONTHLY/YEARLY with a single BYMONTHDAY or "
+            "DTSTART's day, no BYDAY expansion); use occurrences() for "
+            "other rules"
         )
     # spread candidate generation across the cluster: the schedules dim
     # usually arrives in a handful of file partitions, and Generate
@@ -579,11 +586,17 @@ def fire_times_df(
     )
 
     def _finish(cand: DataFrame) -> DataFrame:
+        # sub-daily branches carry their own hour/minute (fh/fm);
+        # day-grain branches fall through to the rule's fixed time parts
+        for c in ("fh", "fm"):
+            if c not in cand.columns:
+                cand = cand.withColumn(c, F.lit(None).cast("int"))
         out = (
             cand.withColumn(
                 "fire_local",
                 F.expr("make_timestamp(year(fire_date), month(fire_date), "
-                       "day(fire_date), hh, mm, ss)"),
+                       "day(fire_date), coalesce(fh, hh), "
+                       "coalesce(fm, mm), ss)"),
             )
             .withColumn("fire_utc", F.to_utc_timestamp("fire_local", F.col("tz")))
             .where(F.col("fire_local") >= F.col("dt0"))
@@ -724,10 +737,120 @@ def fire_times_df(
             | F.array_contains("bymonth", F.month("fire_date"))
         )
     )
+    yearly = (
+        s.where(F.col("freq") == "YEARLY")
+        .where(F.trunc("d0", "MM") <= F.expr(
+            "date_add(last_day(to_date(hi_local)), 1)"))
+        .withColumn(
+            "mon0",
+            F.greatest(
+                F.trunc("d0", "MM"),
+                F.expr("trunc(add_months(to_date(lo_local), -1), 'MM')"),
+            ),
+        )
+        .withColumn(
+            "mon",
+            F.explode(
+                F.expr(
+                    "sequence(mon0, "
+                    "date_add(last_day(to_date(hi_local)), 1), "
+                    "interval 1 month)"
+                )
+            ),
+        )
+        .where((F.year("mon") - F.year("d0")) % F.col("interval") == 0)
+        # month set: BYMONTH expands; bare BYMONTHDAY expands across ALL
+        # months (RFC — the dateutil-pinned driver semantics); a bare
+        # YEARLY fires in DTSTART's month only
+        .where(
+            F.when(
+                F.col("bymonth").isNotNull(),
+                F.array_contains("bymonth", F.month("mon")),
+            ).otherwise(
+                F.col("bymonthday").isNotNull()
+                | (F.month("mon") == F.month("d0"))
+            )
+        )
+        .withColumn(
+            "dom",
+            F.when(
+                F.col("bymonthday").isNull(), F.dayofmonth("d0")
+            ).otherwise(
+                F.when(
+                    F.element_at("bymonthday", 1) > 0,
+                    F.element_at("bymonthday", 1),
+                ).otherwise(
+                    F.dayofmonth(F.last_day("mon"))
+                    + 1
+                    + F.element_at("bymonthday", 1)
+                )
+            ),
+        )
+        .where(
+            (F.col("dom") >= 1)
+            & (F.col("dom") <= F.dayofmonth(F.last_day("mon")))
+        )
+        .withColumn(
+            "fire_date",
+            F.expr("make_date(year(mon), month(mon), dom)"),
+        )
+    )
+
+    # sub-daily branches: day spine × hour/minute-of-day explode with the
+    # stride taken in WALL-CLOCK units from DTSTART (the driver expander's
+    # semantics — dateutil-pinned), so a DST transition never shifts the
+    # local fire pattern.  BYDAY/BYMONTH/BYMONTHDAY act as LIMITS here.
+    subdaily = (
+        s.where(F.col("freq").isin("HOURLY", "MINUTELY"))
+        .withColumn("lo_d", lo_d)
+        .withColumn("hi_d", hi_d)
+        .where(F.col("lo_d") <= F.col("hi_d"))
+        .withColumn(
+            "fire_date", F.explode(F.expr("sequence(lo_d, hi_d, interval 1 day)"))
+        )
+        .withColumn("daydiff", F.datediff("fire_date", "d0"))
+        .where(
+            F.col("byday").isNull()
+            | F.array_contains(
+                "byday",
+                F.element_at(F.lit(list(_WEEKDAYS)), F.weekday("fire_date") + 1),
+            )
+        )
+    )
+    hourly = (
+        subdaily.where(F.col("freq") == "HOURLY")
+        .withColumn("fh", F.explode(F.expr("sequence(0, 23)")))
+        .withColumn("fh", F.col("fh").cast("int"))
+        .withColumn("hidx", F.col("daydiff") * 24 + F.col("fh") - F.hour("dt0"))
+        .where((F.col("hidx") >= 0) & (F.col("hidx") % F.col("interval") == 0))
+        # BYHOUR (when given) LIMITS an HOURLY rule rather than setting
+        # the fire hour; the exploded hour must match it
+        .where(F.col("byhour").isNull() | (F.col("fh") == F.col("byhour")))
+        .withColumn("fm", F.lit(None).cast("int"))
+    )
+    minutely = (
+        subdaily.where(F.col("freq") == "MINUTELY")
+        .withColumn("mod_", F.explode(F.expr("sequence(0, 1439)")))
+        .withColumn("fh", (F.col("mod_") / 60).cast("int"))
+        .withColumn("fm", (F.col("mod_") % 60).cast("int"))
+        .withColumn(
+            "midx",
+            F.col("daydiff") * 1440
+            + F.col("mod_")
+            - (F.hour("dt0") * 60 + F.minute("dt0")),
+        )
+        .where((F.col("midx") >= 0) & (F.col("midx") % F.col("interval") == 0))
+        .where(F.col("byhour").isNull() | (F.col("fh") == F.col("byhour")))
+        .where(F.col("byminute").isNull() | (F.col("fm") == F.col("byminute")))
+    )
+
     return (
         _finish(_monthday_filter(_month_filter(daily)))
         .unionByName(_finish(_month_filter(weekly)))
         .unionByName(_finish(monthly))
+        .unionByName(_finish(yearly))
+        .unionByName(_finish(_monthday_filter(_month_filter(hourly))))
+        .unionByName(_finish(_monthday_filter(_month_filter(minutely))))
     )
 
 

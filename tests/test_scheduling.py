@@ -311,9 +311,9 @@ def test_fire_times_df_matches_driver_expander(spark):
 
 
 def test_fire_times_df_rejects_unsupported_freq(spark):
-    rows = [("d", 0, "HOURLY", 1, None, None, None, 1, 0, 0, "UTC",
+    rows = [("d", 0, "SECONDLY", 1, None, None, None, 1, 0, 0, "UTC",
              "1996-01-01 01:00:00", None)]
-    with pytest.raises(ValueError, match="DAILY/WEEKLY/MONTHLY"):
+    with pytest.raises(ValueError, match="fire_times_df covers"):
         fire_times_df(
             spark, spark.createDataFrame(rows, _FIRE_SCHEMA),
             "1996-01-01 00:00:00", "1996-02-01 00:00:00",
@@ -1042,3 +1042,77 @@ def test_fire_times_df_monthly_old_dtstart_clamped_window(spark):
         if t >= datetime(1996, 1, 1, tzinfo=UTC)
     )
     assert got == expect and len(got) == 2  # stride-5 from 1988-03
+
+
+def test_fire_times_df_subdaily_and_yearly_match_driver(spark):
+    """The HOURLY / MINUTELY / YEARLY DF branches against the driver
+    expander: wall-clock strides (DST transitions keep the local
+    pattern), BY* limits, YEARLY month-set semantics incl. the
+    bare-BYMONTHDAY all-months expansion."""
+    from pyspark.sql import functions as F
+
+    W0, W1 = "2025-03-01 00:00:00", "2025-03-20 00:00:00"
+    w0 = datetime(2025, 3, 1, tzinfo=UTC)
+    w1 = datetime(2025, 3, 20, tzinfo=UTC)
+    rows, rrules = [], []
+
+    def add(i, freq, interval, tz="America/New_York", byday=None,
+            bymonth=None, bymonthday=None, byhour=None, byminute=None,
+            dt0="20250210T041503", until=None):
+        parts = [f"FREQ={freq}", f"INTERVAL={interval}"]
+        if byday:
+            parts.append("BYDAY=" + ",".join(byday))
+        if bymonth:
+            parts.append("BYMONTH=" + ",".join(map(str, bymonth)))
+        if bymonthday:
+            parts.append("BYMONTHDAY=" + ",".join(map(str, bymonthday)))
+        if byhour is not None:
+            parts.append(f"BYHOUR={byhour}")
+        if byminute is not None:
+            parts.append(f"BYMINUTE={byminute}")
+        parts.append("BYSECOND=3")
+        rr = f"DTSTART;TZID={tz}:{dt0}\nRRULE:" + ";".join(parts)
+        rrules.append((i, rr))
+        d = datetime.strptime(dt0, "%Y%m%dT%H%M%S")
+        rows.append((f"dep-{i:03d}", i, freq, interval, byday, bymonth,
+                     bymonthday, byhour, byminute, 3, tz,
+                     d.strftime("%Y-%m-%d %H:%M:%S"), None))
+
+    add(0, "HOURLY", 5)                      # crosses the Mar-9 DST gap
+    add(1, "HOURLY", 7, tz="Asia/Tokyo", byday=["MO", "TH"])
+    add(2, "HOURLY", 1, byhour=9)            # BYHOUR as a LIMIT
+    add(3, "MINUTELY", 90, dt0="20250301T000003")
+    add(4, "MINUTELY", 137, tz="UTC", dt0="20250302T120003",
+        bymonthday=[5, 6, 7])                # BYMONTHDAY as a LIMIT
+    add(5, "MINUTELY", 720, byminute=15)     # BYMINUTE as a LIMIT
+    # YEARLY over a wider window
+    WY0, WY1 = "2024-01-01 00:00:00", "2028-01-01 00:00:00"
+    wy0 = datetime(2024, 1, 1, tzinfo=UTC)
+    wy1 = datetime(2028, 1, 1, tzinfo=UTC)
+    add(6, "YEARLY", 1, dt0="20240229T093000")          # leap-day skip
+    add(7, "YEARLY", 2, bymonth=[3, 9], dt0="20240315T093000")
+    add(8, "YEARLY", 1, bymonthday=[-1], dt0="20240131T093000")  # all months
+
+    expect = set()
+    for i, rr in rrules:
+        s = parse_schedule(rr)
+        lo, hi = (wy0, wy1) if s.freq == "YEARLY" else (w0, w1)
+        for t in occurrences(s, hi, window_start=lo - timedelta(seconds=1)):
+            tu = t.astimezone(UTC)
+            if lo <= tu < hi:
+                expect.add((f"dep-{i:03d}", i, tu.strftime("%Y-%m-%d %H:%M:%S")))
+
+    sdf = spark.createDataFrame(rows, _FIRE_SCHEMA)
+    got = set()
+    for lo_s, hi_s, freqs in ((W0, W1, ("HOURLY", "MINUTELY")),
+                              ((WY0, WY1, ("YEARLY",)))):
+        out = fire_times_df(
+            spark, sdf.where(F.col("freq").isin(*freqs)), lo_s, hi_s)
+        got |= {
+            (r.deployment_id, r.schedule_id, r.f)
+            for r in out.withColumn(
+                "f", F.date_format("fire_utc", "yyyy-MM-dd HH:mm:ss")
+            ).collect()
+        }
+    assert got == expect
+    assert len(got) > 150  # the comparison saw real volume

@@ -1224,6 +1224,15 @@ class DeploymentOps:
                 if k in cfg:
                     cmd[k] = cfg[k]
             return cmd
+        if self.mode == "drain":
+            # engine extension: cron-style streaming — each fire drains
+            # the landing zone availableNow under one persistent
+            # checkpoint (services.run_command's drain_stream branch)
+            cmd = {"path": cfg["path"], "checkpoint": cfg["checkpoint"]}
+            for k in ("store_mode", "max_files_per_trigger"):
+                if k in cfg:
+                    cmd["mode" if k == "store_mode" else k] = cfg[k]
+            return cmd
         raise ValueError(f"Unsupported mode: {self.mode}")
 
     def get_command_type(self) -> str:
@@ -1233,6 +1242,8 @@ class DeploymentOps:
             return "start_stream"
         if self.mode == "maintain":
             return "maintain_store"
+        if self.mode == "drain":
+            return "drain_stream"
         raise ValueError(f"Unsupported mode: {self.mode!r}")
 
     def trigger_flow(self, cfg: dict[str, Any]) -> tuple[str, str]:

@@ -156,6 +156,44 @@ def run_command(
             end=command["end"],
             retry=retry,
         )
+    if command_type == "drain_stream":
+        # Engine extension: scheduled micro-batch drain of a file
+        # landing zone — cron-style streaming.  The reference's
+        # start_stream holds a long-lived socket; a parquet-lake
+        # deployment often prefers periodic availableNow drains with
+        # the SAME checkpoint + dedup contract (offsets in the
+        # checkpoint progress exactly-once; the idempotent writer makes
+        # redelivered rows effectively-once).  Command: {path,
+        # checkpoint, mode?, max_files_per_trigger?}.  Returns rows
+        # appended (post-dedup), observed from the store's delta hook.
+        from stock_ops_spark.streaming.ingest import (
+            file_trade_source,
+            stream_ingest,
+        )
+
+        appended = {"n": 0}
+
+        def _count_delta(delta, _mode):
+            appended["n"] += delta.count()
+
+        source = file_trade_source(
+            spark,
+            command["path"],
+            max_files_per_trigger=int(command.get("max_files_per_trigger", 1)),
+        )
+        store.observers.append(_count_delta)
+        try:
+            q = stream_ingest(
+                source,
+                store,
+                mode=command.get("mode", "streaming"),
+                checkpoint=command["checkpoint"],
+                available_now=True,
+            )
+            q.awaitTermination()
+        finally:
+            store.observers.remove(_count_delta)
+        return appended["n"]
     if command_type == "maintain_store":
         # Engine extension (no reference analog: the reference trims its
         # Redis buffer inline at write time, writer.py:35-37,293-297 —

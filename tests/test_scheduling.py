@@ -1116,3 +1116,57 @@ def test_fire_times_df_subdaily_and_yearly_match_driver(spark):
         }
     assert got == expect
     assert len(got) > 150  # the comparison saw real volume
+
+
+def test_scheduled_stream_drain_cron_style(spark, tmp_path):
+    """Cron-style streaming: each scheduler fire drains the landing
+    zone availableNow under ONE persistent checkpoint — offsets
+    progress exactly-once across fires, the dedup writer absorbs
+    redelivered rows, and the run log records post-dedup counts."""
+    import json as _json
+
+    from stock_ops_spark.sources.ingest import ParquetStore
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def burst(name, rows):
+        with open(land / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    t0 = 1755526571000
+    burst("b1.json", [
+        {"ticker": "SPY", "timestamp_UTC_ms": t0, "price": 1.0, "volume": 1},
+        {"ticker": "SPY", "timestamp_UTC_ms": t0 + 1, "price": 1.1, "volume": 2},
+    ])
+
+    api, _ = _mk_ops(tmp_path)
+    ops = DeploymentOps(api, provider="EODHD-mock", mode="drain")
+    cfg = {"deployment_name": "drain-hourly", "deployment_id": None,
+           "path": str(land), "checkpoint": str(tmp_path / "ckpt")}
+    ops.create_deployment(cfg)
+    assert ops.get_command_type() == "drain_stream"
+    cfg["schedules"] = [build_schedule(
+        timezone="UTC", freq="HOURLY",
+        dtstart_local=datetime(2025, 1, 6, 8, 0))]
+    ops.schedule_deployment(cfg)
+
+    store = ParquetStore(spark, str(tmp_path / "store"))
+    sched = SchedulerService(api, spark_runner(spark, store))
+    res = sched.tick(datetime(2025, 1, 6, 8, 30, tzinfo=UTC))
+    assert [r.state for r in res] == ["COMPLETED"] and res[0].rows == 2
+    assert store.read_all("streaming").count() == 2
+
+    # new burst + a REDELIVERED row; next fire drains only the new file
+    # (checkpoint) and appends only the genuinely new row (dedup)
+    burst("b2.json", [
+        {"ticker": "SPY", "timestamp_UTC_ms": t0 + 1, "price": 1.1, "volume": 2},
+        {"ticker": "VOO", "timestamp_UTC_ms": t0 + 2, "price": 2.0, "volume": 3},
+    ])
+    res2 = sched.tick(datetime(2025, 1, 6, 9, 30, tzinfo=UTC))
+    assert [r.rows for r in res2] == [1]
+    assert store.read_all("streaming").count() == 3
+    # idle fire: nothing to drain
+    res3 = sched.tick(datetime(2025, 1, 6, 10, 30, tzinfo=UTC))
+    assert [r.rows for r in res3] == [0]

@@ -522,10 +522,15 @@ def fire_times_df(
 ) -> DataFrame:
     """Expand a FLEET of schedules into (deployment_id, schedule_id,
     fire_utc) with one declarative plan — the distributed twin of
-    :func:`occurrences` for the orchestration-common frequencies
-    (DAILY / WEEKLY / MONTHLY; BYDAY as DAILY filter or WEEKLY
-    expansion, BYMONTH/BYMONTHDAY filters, scalar BYHOUR/MINUTE/SECOND,
-    per-row tz, UNTIL).
+    :func:`occurrences` across all SIX frequencies on their fleet
+    shapes: DAILY / WEEKLY (BYDAY filter / expansion), MONTHLY / YEARLY
+    (single BYMONTHDAY or DTSTART's day; YEARLY BYMONTH set or the RFC
+    all-months bare-BYMONTHDAY expansion), HOURLY / MINUTELY
+    (wall-clock strides from DTSTART — a DST transition never shifts
+    the local pattern; BYDAY/BYMONTH/BYMONTHDAY/BYHOUR/BYMINUTE as
+    limits).  Shapes outside the subset (BYDAY expansion under
+    MONTHLY/YEARLY, multi-valued MONTHLY/YEARLY BYMONTHDAY) raise
+    rather than silently narrow.
 
     Input columns (see ``_FIRE_SCHEMA``): ``dtstart`` is local wall
     ``yyyy-MM-dd HH:mm:ss`` in ``tz``; ``until_utc`` nullable UTC
@@ -533,12 +538,14 @@ def fire_times_df(
     ``window_start <= fire < window_end`` and ``fire_local >= dtstart``
     and ``fire <= until``.
 
-    Scale shape: day candidates explode to |schedules| × window-days
-    tiny rows — fully parallel, no shuffle until the caller aggregates;
-    a 1M-deployment fleet over a 1-year window is ~365M flat rows, the
-    shape Spark eats for breakfast.  Fires round-trip through
-    ``to_utc_timestamp`` (session tz is pinned UTC engine-wide), so DST
-    instants match the driver expander exactly."""
+    Scale shape: candidates explode to |schedules| × window-days tiny
+    rows for day-grain rules (a 1M-deployment fleet over a 1-year
+    window is ~365M flat rows) and |schedules| × window-days ×
+    fires-per-day for sub-daily rules (the explode is stride-ALIGNED,
+    so only actual fire minutes/hours are generated, not all 1440/24) —
+    fully parallel, no shuffle until the caller aggregates.  Fires
+    round-trip through ``to_utc_timestamp`` (session tz is pinned UTC
+    engine-wide), so DST instants match the driver expander exactly."""
     s = schedules
     # reject anything outside the DF path's subset EXPLICITLY — a rule
     # silently dropped or silently narrowed would diverge from the
@@ -618,8 +625,9 @@ def fire_times_df(
         )
 
     def _monthday_filter(days: DataFrame) -> DataFrame:
-        # BYMONTHDAY limits DAILY only (RFC 5545 forbids it with WEEKLY;
-        # the driver expander ignores it there — parity pinned in tests)
+        # BYMONTHDAY limits DAILY and the sub-daily branches (RFC 5545
+        # forbids it with WEEKLY; the driver expander ignores it there —
+        # parity pinned in tests)
         return days.where(
             F.col("bymonthday").isNull()
             | F.array_contains("bymonthday", F.dayofmonth("fire_date"))
@@ -677,87 +685,76 @@ def fire_times_df(
             )
         )
     )
-    monthly = (
-        s.where(F.col("freq") == "MONTHLY")
-        # guard: Spark `sequence` raises when start > stop with a +1mo step
-        .where(F.trunc("d0", "MM") <= F.expr(
-            "date_add(last_day(to_date(hi_local)), 1)"))
-        # clamp the spine to the window (one month of slack): the stride
-        # filter below anchors at trunc(d0,'MM') regardless, so starting
-        # the sequence near the window keeps results identical while a
-        # years-old DTSTART stops costing O(schedule age) months per call
-        .withColumn(
-            "mon0",
-            F.greatest(
-                F.trunc("d0", "MM"),
-                F.expr("trunc(add_months(to_date(lo_local), -1), 'MM')"),
-            ),
+    def _month_spine(frame: DataFrame) -> DataFrame:
+        """Shared MONTHLY/YEARLY month spine: window-clamped (the stride
+        filters anchor at trunc(d0,'MM') regardless, so starting near
+        the window keeps results identical while a years-old DTSTART
+        stops costing O(schedule age) months per call), guarded against
+        Spark's start>stop `sequence` error."""
+        return (
+            frame.where(F.trunc("d0", "MM") <= F.expr(
+                "date_add(last_day(to_date(hi_local)), 1)"))
+            .withColumn(
+                "mon0",
+                F.greatest(
+                    F.trunc("d0", "MM"),
+                    F.expr("trunc(add_months(to_date(lo_local), -1), 'MM')"),
+                ),
+            )
+            .withColumn(
+                "mon",
+                F.explode(
+                    F.expr(
+                        "sequence(mon0, "
+                        "date_add(last_day(to_date(hi_local)), 1), "
+                        "interval 1 month)"
+                    )
+                ),
+            )
         )
-        .withColumn(
-            "mon",
-            F.explode(
-                F.expr(
-                    "sequence(mon0, "
-                    "date_add(last_day(to_date(hi_local)), 1), "
-                    "interval 1 month)"
-                )
-            ),
+
+    def _dom_fire(frame: DataFrame) -> DataFrame:
+        """Shared MONTHLY/YEARLY day-of-month resolution: the single
+        BYMONTHDAY (positive, or negative from month end) or DTSTART's
+        day, with invalid days skipped (the day-31 / leap-day rule)."""
+        return (
+            frame.withColumn(
+                "dom",
+                F.when(
+                    F.col("bymonthday").isNull(), F.dayofmonth("d0")
+                ).otherwise(
+                    F.when(
+                        F.element_at("bymonthday", 1) > 0,
+                        F.element_at("bymonthday", 1),
+                    ).otherwise(
+                        F.dayofmonth(F.last_day("mon"))
+                        + 1
+                        + F.element_at("bymonthday", 1)
+                    )
+                ),
+            )
+            .where(
+                (F.col("dom") >= 1)
+                & (F.col("dom") <= F.dayofmonth(F.last_day("mon")))
+            )
+            .withColumn(
+                "fire_date",
+                F.expr("make_date(year(mon), month(mon), dom)"),
+            )
         )
-        .where(
+
+    monthly = _dom_fire(
+        _month_spine(s.where(F.col("freq") == "MONTHLY")).where(
             F.months_between("mon", F.trunc("d0", "MM")).cast("int")
             % F.col("interval")
             == 0
         )
-        .withColumn(
-            "dom",
-            F.when(
-                F.col("bymonthday").isNull(), F.dayofmonth("d0")
-            ).otherwise(
-                # DF path: single BYMONTHDAY (positive or negative)
-                F.when(
-                    F.element_at("bymonthday", 1) > 0,
-                    F.element_at("bymonthday", 1),
-                ).otherwise(
-                    F.dayofmonth(F.last_day("mon"))
-                    + 1
-                    + F.element_at("bymonthday", 1)
-                )
-            ),
-        )
-        .where(
-            (F.col("dom") >= 1)
-            & (F.col("dom") <= F.dayofmonth(F.last_day("mon")))
-        )
-        .withColumn(
-            "fire_date",
-            F.expr("make_date(year(mon), month(mon), dom)"),
-        )
-        .where(
-            F.col("bymonth").isNull()
-            | F.array_contains("bymonth", F.month("fire_date"))
-        )
+    ).where(
+        F.col("bymonth").isNull()
+        | F.array_contains("bymonth", F.month("fire_date"))
     )
-    yearly = (
-        s.where(F.col("freq") == "YEARLY")
-        .where(F.trunc("d0", "MM") <= F.expr(
-            "date_add(last_day(to_date(hi_local)), 1)"))
-        .withColumn(
-            "mon0",
-            F.greatest(
-                F.trunc("d0", "MM"),
-                F.expr("trunc(add_months(to_date(lo_local), -1), 'MM')"),
-            ),
-        )
-        .withColumn(
-            "mon",
-            F.explode(
-                F.expr(
-                    "sequence(mon0, "
-                    "date_add(last_day(to_date(hi_local)), 1), "
-                    "interval 1 month)"
-                )
-            ),
-        )
+    yearly = _dom_fire(
+        _month_spine(s.where(F.col("freq") == "YEARLY"))
         .where((F.year("mon") - F.year("d0")) % F.col("interval") == 0)
         # month set: BYMONTH expands; bare BYMONTHDAY expands across ALL
         # months (RFC — the dateutil-pinned driver semantics); a bare
@@ -771,35 +768,14 @@ def fire_times_df(
                 | (F.month("mon") == F.month("d0"))
             )
         )
-        .withColumn(
-            "dom",
-            F.when(
-                F.col("bymonthday").isNull(), F.dayofmonth("d0")
-            ).otherwise(
-                F.when(
-                    F.element_at("bymonthday", 1) > 0,
-                    F.element_at("bymonthday", 1),
-                ).otherwise(
-                    F.dayofmonth(F.last_day("mon"))
-                    + 1
-                    + F.element_at("bymonthday", 1)
-                )
-            ),
-        )
-        .where(
-            (F.col("dom") >= 1)
-            & (F.col("dom") <= F.dayofmonth(F.last_day("mon")))
-        )
-        .withColumn(
-            "fire_date",
-            F.expr("make_date(year(mon), month(mon), dom)"),
-        )
     )
 
-    # sub-daily branches: day spine × hour/minute-of-day explode with the
-    # stride taken in WALL-CLOCK units from DTSTART (the driver expander's
-    # semantics — dateutil-pinned), so a DST transition never shifts the
-    # local fire pattern.  BYDAY/BYMONTH/BYMONTHDAY act as LIMITS here.
+    # sub-daily branches: day spine × a stride-ALIGNED time-of-day explode
+    # (only actual fire hours/minutes are generated — pmod picks each
+    # day's first aligned slot) with the stride taken in WALL-CLOCK units
+    # from DTSTART (the driver expander's semantics — dateutil-pinned),
+    # so a DST transition never shifts the local fire pattern.
+    # BYDAY/BYMONTH/BYMONTHDAY act as LIMITS here.
     subdaily = (
         s.where(F.col("freq").isin("HOURLY", "MINUTELY"))
         .withColumn("lo_d", lo_d)
@@ -819,10 +795,16 @@ def fire_times_df(
     )
     hourly = (
         subdaily.where(F.col("freq") == "HOURLY")
-        .withColumn("fh", F.explode(F.expr("sequence(0, 23)")))
+        .withColumn(
+            "first_h",
+            F.expr("pmod(hour(dt0) - daydiff * 24, interval)").cast("int"),
+        )
+        .where(F.col("first_h") <= 23)
+        .withColumn(
+            "fh", F.explode(F.expr("sequence(first_h, 23, interval)"))
+        )
         .withColumn("fh", F.col("fh").cast("int"))
-        .withColumn("hidx", F.col("daydiff") * 24 + F.col("fh") - F.hour("dt0"))
-        .where((F.col("hidx") >= 0) & (F.col("hidx") % F.col("interval") == 0))
+        .where(F.col("daydiff") * 24 + F.col("fh") - F.hour("dt0") >= 0)
         # BYHOUR (when given) LIMITS an HOURLY rule rather than setting
         # the fire hour; the exploded hour must match it
         .where(F.col("byhour").isNull() | (F.col("fh") == F.col("byhour")))
@@ -830,16 +812,24 @@ def fire_times_df(
     )
     minutely = (
         subdaily.where(F.col("freq") == "MINUTELY")
-        .withColumn("mod_", F.explode(F.expr("sequence(0, 1439)")))
+        .withColumn(
+            "first_m",
+            F.expr(
+                "pmod(hour(dt0) * 60 + minute(dt0) - daydiff * 1440, interval)"
+            ).cast("int"),
+        )
+        .where(F.col("first_m") <= 1439)
+        .withColumn(
+            "mod_", F.explode(F.expr("sequence(first_m, 1439, interval)"))
+        )
         .withColumn("fh", (F.col("mod_") / 60).cast("int"))
         .withColumn("fm", (F.col("mod_") % 60).cast("int"))
-        .withColumn(
-            "midx",
+        .where(
             F.col("daydiff") * 1440
             + F.col("mod_")
-            - (F.hour("dt0") * 60 + F.minute("dt0")),
+            - (F.hour("dt0") * 60 + F.minute("dt0"))
+            >= 0
         )
-        .where((F.col("midx") >= 0) & (F.col("midx") % F.col("interval") == 0))
         .where(F.col("byhour").isNull() | (F.col("fh") == F.col("byhour")))
         .where(F.col("byminute").isNull() | (F.col("fm") == F.col("byminute")))
     )

@@ -21,6 +21,39 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Size the local-mode driver heap from the machine, not a constant.
+
+    In ``local[N]`` the driver JVM hosts every executor thread, every
+    broadcast, every ``localCheckpoint`` block and all shuffle tracking
+    for the whole session.  The old fixed ``8g`` default starved
+    multi-query sessions: a 333-query bench session accumulates
+    broadcasts/blocks between context-cleaner GCs, and the r11 baseline
+    showed 10-30 s full-GC waves hitting the DECIMAL(38)-heavy queries
+    (q243/q244/q245/q278 inflated 6-17x vs their standalone runs while
+    plans were unchanged — measurement in OPTIMIZATION_r11.md).  Guide
+    §5: size memory to the workload.  Deterministic rule: 1/4 of
+    MemTotal, clamped to [8g, 48g]; ``SPARK_DRIVER_MEMORY`` still
+    overrides (cluster deployments size executors explicitly and are
+    unaffected — this default only matters for the local-mode driver).
+    """
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    total_gb = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    break
+    except (OSError, ValueError, IndexError):
+        pass
+    if total_gb <= 0:
+        return "8g"
+    return f"{min(max(total_gb // 4, 8), 48)}g"
+
+
 #: Streaming state-store providers.  The default (HDFS-backed) keeps all
 #: state on the executor heap with an HDFS snapshot — fine for bounded
 #: demo state, fatal when stream-stream join state reaches 100 TB-scale
@@ -81,7 +114,28 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", _default_driver_memory())
+        # Long multi-query sessions only reclaim shuffle files, broadcast
+        # blocks and localCheckpoint RDDs when a JVM GC runs (the context
+        # cleaner is weak-reference driven).  With a right-sized heap GC
+        # can go quiet for tens of minutes while dead blocks pin disk and
+        # storage memory; the periodic cleaner GC (default 30min) is too
+        # slow for a ~15-minute 333-query session.  5min bounds the lag.
+        .config("spark.cleaner.periodicGC.interval", "5min")
+        # Spark 4.1's checkpoint-file checksums (corruption DETECTION,
+        # new in 4.x; atomic-rename commit semantics are unaffected)
+        # leak their 64-thread ChecksumCheckpointFileManager pool on
+        # every streaming-query run in 4.1.2: measured 448 parked
+        # threads after 7 availableNow queries, 896 after 14, never
+        # reaped after termination.  Any long-lived session that churns
+        # streaming queries (exactly this engine's cron/drain posture)
+        # grows without bound.  Default off — the pre-4.x posture —
+        # overridable for deployments that want detection and accept
+        # the leak (SPARK_GRAFT_CKPT_CHECKSUM=true).
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("SPARK_GRAFT_CKPT_CHECKSUM", "false"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -252,3 +252,41 @@ def test_commit_linger_rule_tight_bursts_clamped_low():
     gaps = [0.001, 0.001, 0.001, 1.0] * 4
     linger = commit_linger_s(gaps)
     assert 0.02 <= linger <= 0.5
+
+
+# --- session: local-mode driver heap sizing (r11 session fix) ---------------
+
+
+def test_default_driver_memory_env_override(monkeypatch):
+    from stock_ops_spark.session import _default_driver_memory
+
+    monkeypatch.setenv("SPARK_DRIVER_MEMORY", "3g")
+    assert _default_driver_memory() == "3g"
+
+
+def test_default_driver_memory_quarter_of_ram_clamped(monkeypatch):
+    from stock_ops_spark import session as S
+
+    monkeypatch.delenv("SPARK_DRIVER_MEMORY", raising=False)
+    got = S._default_driver_memory()
+    assert got.endswith("g")
+    n = int(got[:-1])
+    # deterministic rule: MemTotal/4 clamped to [8, 48]
+    with open("/proc/meminfo") as f:
+        total_gb = next(
+            int(line.split()[1]) // (1024 * 1024)
+            for line in f
+            if line.startswith("MemTotal:")
+        )
+    assert n == min(max(total_gb // 4, 8), 48)
+
+
+def test_session_disables_leaky_checkpoint_checksum(spark):
+    # Spark 4.1.2 leaks the 64-thread ChecksumCheckpointFileManager pool
+    # per streaming-query run; the session default turns the checksum
+    # manager off (detection only — commit atomicity is unaffected).
+    assert (
+        spark.conf.get("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+        == "false"
+    )
+    assert spark.conf.get("spark.cleaner.periodicGC.interval") == "5min"

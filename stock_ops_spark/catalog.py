@@ -151,6 +151,17 @@ def _reader_confs(spark: SparkSession) -> None:
             pass
 
 
+#: (path, mtime) → inferred StructType.  Schema inference on a parquet
+#: path runs a footer-reading Spark job on EVERY ``spark.read.parquet``
+#: call; a session that builds hundreds of queries over the same static
+#: tables pays that job per table reference (r11 measurement: ~0.05-0.15 s
+#: each, 1-5 per query).  Real catalogs (Hive/Iceberg/Delta) cache table
+#: schemas as metadata for exactly this reason; this is the path-reader
+#: twin.  Keyed by file mtime so a rewritten/refreshed table re-infers —
+#: results are never cached, only the schema (metadata).
+_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Column pruning + predicate pushdown reach the scan
     because we return the raw declarative reader output; the only rewrite
@@ -159,7 +170,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the scan produce ``TimestampType`` natively.
     """
     _reader_confs(spark)
-    return normalize_ts(spark.read.parquet(table_path(sf_dir, name)))
+    path = table_path(sf_dir, name)
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None:
+        schema = _SCHEMA_CACHE.get(key)
+        if schema is None:
+            df = spark.read.parquet(path)
+            _SCHEMA_CACHE[key] = df.schema
+            return normalize_ts(df)
+        return normalize_ts(spark.read.schema(schema).parquet(path))
+    return normalize_ts(spark.read.parquet(path))
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str, stream_dir: str) -> DataFrame:
@@ -174,7 +197,16 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str, stream_dir: str) -
     canonical table path.
     """
     _reader_confs(spark)
-    schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    path = table_path(sf_dir, name)
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if key is not None:
+            _SCHEMA_CACHE[key] = schema
     return normalize_ts(spark.readStream.schema(schema).parquet(stream_dir))
 
 

@@ -289,3 +289,35 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     # and the result is the 3 hot buckets' rows exactly
     assert j.count() == fact.where(F.col("day_bucket") < 3).count()
+
+
+def test_schema_cache_mtime_invalidation(spark, tmp_path):
+    # catalog.load caches only the INFERRED SCHEMA (metadata), keyed by
+    # (path, mtime): a rewritten table must re-infer, never serve stale.
+    import os
+    import shutil
+    import time as _time
+
+    from stock_ops_spark import catalog as C
+
+    sf = str(tmp_path)
+    src = "/root/testdata/sf0.001"
+    shutil.copy(os.path.join(src, "region.parquet"), os.path.join(sf, "region.parquet"))
+    df1 = C.load(spark, sf, "region")
+    assert set(df1.columns) == {"r_regionkey", "r_name"}
+    # replace the file with a different-schema parquet under the same name
+    spark.range(3).selectExpr("id AS r_regionkey", "id AS extra_col").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "tmp_new"))
+    part = [
+        f
+        for f in os.listdir(os.path.join(sf, "tmp_new"))
+        if f.endswith(".parquet")
+    ][0]
+    shutil.copy(
+        os.path.join(sf, "tmp_new", part), os.path.join(sf, "region.parquet")
+    )
+    now = _time.time() + 2
+    os.utime(os.path.join(sf, "region.parquet"), (now, now))
+    df2 = C.load(spark, sf, "region")
+    assert set(df2.columns) == {"r_regionkey", "extra_col"}

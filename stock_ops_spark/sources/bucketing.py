@@ -128,7 +128,12 @@ def bucketed_twin(
         return spark.table(table)
 
     schema_ddl = _schema_ddl(df)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # The atomic tmp->path rename below IS the completeness marker: the
+    # directory only exists once a fully-written twin moved into place
+    # (a crash mid-write leaves only the tmp dir).  Do not probe for
+    # _SUCCESS — the session disables it (marksuccessfuljobs=false), and
+    # it was always redundant with the rename commit.
+    if not os.path.isdir(path):
         tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
         tmp_table = f"{table}_tmp_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys)

@@ -69,7 +69,10 @@ def test_twin_round_trips_and_caches(spark, cache_dir):
     assert o.count() == src.count()
     assert sorted(o.columns) == sorted(src.columns)
     census = _file_census(cache_dir)
-    assert any("_SUCCESS" in p for p in census)
+    # committed twin = bucket files renamed into a non-.tmp dir (the
+    # session skips _SUCCESS markers; the dir rename is the commit)
+    assert any(f.endswith(".parquet") and ".tmp" not in f for f in census)
+    assert not any(".tmp" in f for f in census)
     # second call: same session → catalog hit, zero writes
     o2, _ = _twins(spark, cache_dir)
     assert o2.count() == src.count()

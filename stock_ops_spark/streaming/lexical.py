@@ -77,9 +77,11 @@ class StreamingLexicalIndex(FoldStateIndex):
 
     def process_batch(self, batch: DataFrame) -> int:
         """Fold a micro-batch: detect fresh docs by text fingerprint,
-        tokenize ONLY them, append postings/dl/df-partial.  Returns the
+        tokenize ONLY them — and only ONCE: the postings append is the
+        sole tokenize pass; the df partial AND the dl table both derive
+        from the file-pruned read-back of that append.  Returns the
         number of fresh docs folded (0 for an identical re-delivery).
-        Four driver actions."""
+        Four driver actions warm (checkpoint + three appends)."""
         from pyspark.sql import Observation
 
         self._recover_crashed()
@@ -120,6 +122,7 @@ class StreamingLexicalIndex(FoldStateIndex):
                     "the corpus through lexical_stats_cached instead"
                 )
             n_fresh = int(obs.get["n_fresh"] or 0)
+            fresh_fps = fold.select("id", "fp")  # checkpointed: no recompute
             fresh_docs = batch.join(
                 F.broadcast(
                     fold.select(F.col("id").alias(self.id_col))
@@ -128,12 +131,13 @@ class StreamingLexicalIndex(FoldStateIndex):
                 "left_semi",
             )
         else:
+            fresh_fps = fps
             fresh_docs = batch
             n_fresh = -1  # counted on the dl append below
 
-        add_postings, add_dl = lexical_stats(
+        add_postings = lexical_stats(
             fresh_docs, self.id_col, self.text_col
-        )
+        )[0]
         self._mark_pending(seq)  # first append next: open the commit window
         add_postings.withColumn("batch_seq", F.lit(seq)).write.mode(
             "append"
@@ -151,6 +155,19 @@ class StreamingLexicalIndex(FoldStateIndex):
             .withColumn("batch_seq", F.lit(seq))
         )
         partial.write.mode("append").parquet(self._path("df"))
+        # dl = Σ tf over the just-written postings (postings are
+        # (id, term)-unique with tf = occurrence count, so the sum IS
+        # the doc length) — derived from the same file-pruned read-back
+        # as the df partial, so each batch is TOKENIZED ONCE instead of
+        # twice; zero-token docs keep their dl=0 row via the left join
+        # from the fingerprint frame (they are dedup memory too).
+        add_dl = fresh_fps.join(
+            posts_fresh.groupBy("id").agg(
+                F.sum("tf").cast("bigint").alias("dl")
+            ),
+            "id",
+            "left",
+        ).fillna({"dl": 0})
         obs_dl = Observation()
         add_dl.observe(obs_dl, F.count(F.lit(1)).alias("n")).withColumn(
             "batch_seq", F.lit(seq)

@@ -357,13 +357,14 @@ def q127_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     term pairs sharing a document, restricted to the global top-50
     vocabulary (the classic collocation / topic-signal measure used to
     audit corpus composition before training).  Scale shape: the vocab
-    is a 50-row broadcast so the token stream is filtered to <=50 rows
-    per doc BEFORE any pairing; pairs are generated map-side by a pure
-    Catalyst HOF over the per-doc sorted vocab-token set (<=C(50,2)
-    per doc, typically a handful), so the only shuffles are the two
-    hash aggregations (doc frequency, pair counts) — the corpus-wide
-    token pair space is never materialized.  PMI is one ln() of a
-    ratio of exact integers (IEEE-identical both engines)."""
+    rides as a 1-row broadcast ARRAY intersected with each doc's
+    distinct-token array in the scan projection, so the per-doc vocab
+    set never touches a shuffle; pairs are generated map-side by a pure
+    Catalyst HOF over that sorted set (<=C(50,2) per doc, typically a
+    handful), so the only shuffles are the two hash aggregations (doc
+    frequency, pair counts) — the corpus-wide token pair space is never
+    materialized.  PMI is one ln() of a ratio of exact integers
+    (IEEE-identical both engines)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -374,8 +375,16 @@ def q127_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = toks.select("doc_id", F.explode("t").alias("w"))
     df_tok = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     vocab = df_tok.orderBy(F.col("n").desc(), F.col("w")).limit(50)
-    dt = tok.join(F.broadcast(vocab.select("w")), "w")
-    per_doc = dt.groupBy("doc_id").agg(F.sort_array(F.collect_set("w")).alias("vw"))
+    # r11 (§2): the former explode ⋈ broadcast-vocab → groupBy(doc_id)
+    # collect_set reshuffled the whole filtered token stream by doc_id
+    # just to rebuild a per-doc set the scan-side array already holds.
+    # array_intersect(t, vocab) against the 1-row broadcast vocab ARRAY
+    # computes the same sorted set map-side (t is distinct per doc), so
+    # the doc_id shuffle and the second explode pass disappear.
+    vocab_arr = vocab.agg(F.collect_list("w").alias("vs"))
+    per_doc = toks.crossJoin(F.broadcast(vocab_arr)).select(
+        "doc_id", F.sort_array(F.array_intersect("t", "vs")).alias("vw")
+    )
     pairs = per_doc.select(
         F.explode(
             F.expr(

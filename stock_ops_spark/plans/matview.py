@@ -334,14 +334,23 @@ class MatView:
         store,
         mode: str,
         snapshot: DataFrame | None = None,
+        materialized: bool = False,
     ) -> dict:
         """The change-fold core shared by ``sync`` (batch pull) and
         ``stream_sync`` (stockops_cdc micro-batches): fold ``changes``
-        into the view and install with cursor ``v1`` atomically."""
+        into the view and install with cursor ``v1`` atomically.
+
+        The change set is materialized ONCE (r11, §5): every consumer —
+        the neg/pos counts, the fold, the enrich branch — reads the
+        checkpointed blocks; the old shape re-ran the CDC plan three
+        times (neg checkpoint, the fold's pos branch, ``pos.count()``).
+        ``materialized=True`` skips the checkpoint when the caller
+        already pinned the frame (``stream_sync``'s per-batch fold)."""
+        if not materialized:
+            changes = changes.localCheckpoint(eager=True)
         ct = F.col("_change_type")
         pos = changes.where(ct.isin("insert", "update_postimage"))
         neg = changes.where(ct.isin("delete", "update_preimage"))
-        neg = neg.localCheckpoint(eager=True)
         n_neg = neg.count()
         keys = self.group_cols
         n_recomputed = 0
@@ -385,7 +394,10 @@ class MatView:
             merged = merged.where(
                 F.coalesce(F.col(_MULT) != 0, F.lit(True))
             )
-        merged = merged.localCheckpoint(eager=True)
+        # no checkpoint here: _install_partials materializes merged
+        # (its own localCheckpoint) before any view file is touched —
+        # a second pin would just copy the blocks (r11: one fold
+        # materialization instead of two)
         n_pos = pos.count()
         self._install_partials(merged, v1)
         return {"from": cur, "to": v1, "pos_rows": n_pos, "neg_rows": n_neg,
@@ -434,7 +446,8 @@ class MatView:
                 return  # pure checkpoint replay: nothing new
             existing = view_self._table.read()
             view_self._fold_changes(
-                fresh, cur, int(row[0]), existing, store, mode
+                fresh, cur, int(row[0]), existing, store, mode,
+                materialized=True,
             )
 
         stream = (

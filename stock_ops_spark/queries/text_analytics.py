@@ -382,8 +382,16 @@ def q127_term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes the same sorted set map-side (t is distinct per doc), so
     # the doc_id shuffle and the second explode pass disappear.
     vocab_arr = vocab.agg(F.collect_list("w").alias("vs"))
-    per_doc = toks.crossJoin(F.broadcast(vocab_arr)).select(
-        "doc_id", F.sort_array(F.array_intersect("t", "vs")).alias("vw")
+    # The repartition keeps the pair explosion (<=C(50,2) rows per doc)
+    # off the scan tasks: a coarse-split input (one row group) would
+    # otherwise serialize it (measured 15.3 s on 2 scan tasks vs 2.8 s
+    # post-exchange at sf1).  It shuffles ONE bounded array per doc —
+    # byte-parity with the partial collect_set sets the old shape
+    # exchanged on the same key — and AQE sizes the partition count.
+    per_doc = (
+        toks.crossJoin(F.broadcast(vocab_arr))
+        .select("doc_id", F.sort_array(F.array_intersect("t", "vs")).alias("vw"))
+        .repartition("doc_id")
     )
     pairs = per_doc.select(
         F.explode(

@@ -333,6 +333,10 @@ def _walk_baselines(timings: dict[str, float], sf: float, probe) -> None:
                 return
         except (OSError, json.JSONDecodeError, ValueError):
             pass
+    try:
+        cur_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        cur_cpus = 32
     records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     for path in reversed(records):
         try:
@@ -341,6 +345,14 @@ def _walk_baselines(timings: dict[str, float], sf: float, probe) -> None:
         except (OSError, json.JSONDecodeError):
             continue
         if doc.get("rc") not in (0, None) or float(doc.get("sf", -2)) != sf:
+            continue
+        # r12 measurement-bug fix: a record taken at a DIFFERENT core
+        # count (the driver's scaling runs, e.g. BENCH_r11_c8.json) is
+        # not a drift baseline — comparing a c32 run against c8 times
+        # manufactured 2-4x phantom flags on the job-floor queries.
+        # Timings and the emitted JSON are untouched; this only picks
+        # the like-for-like baseline for the advisory flag report.
+        if doc.get("cpus") is not None and int(doc["cpus"]) != cur_cpus:
             continue
         base = {}
         benv = {}

@@ -151,15 +151,45 @@ def _reader_confs(spark: SparkSession) -> None:
             pass
 
 
-#: (path, mtime) → inferred StructType.  Schema inference on a parquet
+#: cache key → inferred StructType.  Schema inference on a parquet
 #: path runs a footer-reading Spark job on EVERY ``spark.read.parquet``
 #: call; a session that builds hundreds of queries over the same static
 #: tables pays that job per table reference (r11 measurement: ~0.05-0.15 s
 #: each, 1-5 per query).  Real catalogs (Hive/Iceberg/Delta) cache table
 #: schemas as metadata for exactly this reason; this is the path-reader
-#: twin.  Keyed by file mtime so a rewritten/refreshed table re-infers —
-#: results are never cached, only the schema (metadata).
-_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+#: twin.  Keyed by ``_schema_key`` so a rewritten/refreshed table
+#: re-infers — results are never cached, only the schema (metadata).
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _schema_key(path: str) -> tuple | None:
+    """Invalidation key for the schema cache (VERDICT r11 #7): the old
+    ``(path, st_mtime)`` key had 1-second granularity on some
+    filesystems, so a same-second rewrite (or an in-place overwrite
+    that preserves the directory entry set) could serve a stale schema.
+    Now: ``st_mtime_ns`` + size for a file; for a directory,
+    ``st_mtime_ns`` + a listing digest (sorted entry names + their
+    sizes/mtime_ns), so any file added, removed or rewritten inside a
+    dataset directory re-infers.  ``None`` (stat failed) disables
+    caching for the call."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not os.path.isdir(path):
+        return (path, st.st_mtime_ns, st.st_size)
+    try:
+        entries = sorted(os.listdir(path))
+        digest = hash(
+            tuple(
+                (n, s.st_size, s.st_mtime_ns)
+                for n in entries
+                for s in (os.stat(os.path.join(path, n)),)
+            )
+        )
+    except OSError:
+        return None
+    return (path, st.st_mtime_ns, digest)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -171,10 +201,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _reader_confs(spark)
     path = table_path(sf_dir, name)
-    try:
-        key = (path, os.path.getmtime(path))
-    except OSError:
-        key = None
+    key = _schema_key(path)
     if key is not None:
         schema = _SCHEMA_CACHE.get(key)
         if schema is None:
@@ -198,10 +225,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str, stream_dir: str) -
     """
     _reader_confs(spark)
     path = table_path(sf_dir, name)
-    try:
-        key = (path, os.path.getmtime(path))
-    except OSError:
-        key = None
+    key = _schema_key(path)
     schema = _SCHEMA_CACHE.get(key) if key is not None else None
     if schema is None:
         schema = spark.read.parquet(path).schema

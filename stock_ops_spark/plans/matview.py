@@ -141,6 +141,15 @@ class MatView:
         mv.serve(avg_px="px_cents / n")   # derived columns at read time
     """
 
+    #: widest sync span (in commits) whose change set is pinned with
+    #: ``localCheckpoint`` before folding.  A routine incremental sync
+    #: spans a handful of commits and the pin saves re-running the CDC
+    #: plan per consumer; a fresh-view bootstrap ("just sync" from
+    #: cursor 0 over deep history — ADVICE r11) would pin the ENTIRE
+    #: historical feed in executor memory, so past this bound the fold
+    #: reads the (replayable) CDC plan instead of pinning it.
+    SPAN_CKPT_MAX_COMMITS = 64
+
     def __init__(
         self,
         spark: SparkSession,
@@ -345,13 +354,46 @@ class MatView:
         checkpointed blocks; the old shape re-ran the CDC plan three
         times (neg checkpoint, the fold's pos branch, ``pos.count()``).
         ``materialized=True`` skips the checkpoint when the caller
-        already pinned the frame (``stream_sync``'s per-batch fold)."""
-        if not materialized:
-            changes = changes.localCheckpoint(eager=True)
+        already pinned the frame (``stream_sync``'s per-batch fold).
+
+        r12 refinements (§1/§5):
+
+        - the pos/neg counts RIDE the checkpoint job as Observations
+          (zero extra actions; previously two ``count()`` jobs per
+          sync), or fold into ONE grouped count when the frame is
+          already pinned;
+        - a span wider than ``SPAN_CKPT_MAX_COMMITS`` commits (a
+          fresh-view bootstrap over deep history — ADVICE r11) is NOT
+          localCheckpoint'ed: pinning the entire historical feed in
+          executor memory is the risk, re-reading the bounded CDC plan
+          once more is the price (the counts then come from the one
+          grouped-count pass)."""
         ct = F.col("_change_type")
-        pos = changes.where(ct.isin("insert", "update_postimage"))
-        neg = changes.where(ct.isin("delete", "update_preimage"))
-        n_neg = neg.count()
+        _POS_TYPES = ("insert", "update_postimage")
+        _NEG_TYPES = ("delete", "update_preimage")
+        n_pos = n_neg = None
+        if not materialized and (v1 - cur) <= self.SPAN_CKPT_MAX_COMMITS:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            changes = changes.observe(
+                obs,
+                F.sum(ct.isin(*_POS_TYPES).cast("long")).alias("n_pos"),
+                F.sum(ct.isin(*_NEG_TYPES).cast("long")).alias("n_neg"),
+            ).localCheckpoint(eager=True)
+            n_pos = int(obs.get["n_pos"] or 0)
+            n_neg = int(obs.get["n_neg"] or 0)
+        else:
+            by_type = {
+                r["_change_type"]: r["n"]
+                for r in changes.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_pos = sum(by_type.get(t, 0) for t in _POS_TYPES)
+            n_neg = sum(by_type.get(t, 0) for t in _NEG_TYPES)
+        pos = changes.where(ct.isin(*_POS_TYPES))
+        neg = changes.where(ct.isin(*_NEG_TYPES))
         keys = self.group_cols
         n_recomputed = 0
         if n_neg == 0:
@@ -398,7 +440,6 @@ class MatView:
         # (its own localCheckpoint) before any view file is touched —
         # a second pin would just copy the blocks (r11: one fold
         # materialization instead of two)
-        n_pos = pos.count()
         self._install_partials(merged, v1)
         return {"from": cur, "to": v1, "pos_rows": n_pos, "neg_rows": n_neg,
                 "recomputed_groups": n_recomputed}

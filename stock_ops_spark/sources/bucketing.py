@@ -132,7 +132,15 @@ def bucketed_twin(
     # directory only exists once a fully-written twin moved into place
     # (a crash mid-write leaves only the tmp dir).  Do not probe for
     # _SUCCESS — the session disables it (marksuccessfuljobs=false), and
-    # it was always redundant with the rename commit.
+    # it was always redundant with the rename commit.  The rename
+    # guarantee only covers dirs THIS code created, so sanity-check an
+    # adopted dir cheaply (ADVICE r11): a real twin contains at least
+    # one bucket-id-named parquet part; anything else (interrupted
+    # rsync/cp restore, foreign tooling) is rebuilt rather than served.
+    if os.path.isdir(path) and not any(
+        n.endswith(".parquet") and "_0" in n for n in os.listdir(path)
+    ):
+        shutil.rmtree(path, ignore_errors=True)
     if not os.path.isdir(path):
         tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
         tmp_table = f"{table}_tmp_{uuid.uuid4().hex[:8]}"

@@ -852,7 +852,21 @@ class ManifestStore:
             new_version = base_version + 1
             batch_dir = f"batch-{uuid.uuid4().hex[:12]}"
             out_frame = versioned.drop(*ign) if n_bids else versioned
-            writer = cluster_for_write(out_frame, mode).write.option(
+            # distinct partition-tuple count, free from the stats rows:
+            # pins the write's repartition width so each partition value
+            # is one task and its file create runs in parallel (r12 —
+            # see cluster_for_write)
+            n_parts = None
+            if parts and all(
+                r["tp"] is not None and len(r["tp"]) <= _MAX_PRUNE_PARTITIONS
+                for r in grows
+            ):
+                nset = len({tuple(t) for r in grows for t in r["tp"]})
+                if nset <= _MAX_PRUNE_PARTITIONS:
+                    n_parts = nset
+            writer = cluster_for_write(
+                out_frame, mode, n_rows=n, n_parts=n_parts
+            ).write.option(
                 "compression", "zstd"
             )
             if parts:
@@ -1060,11 +1074,17 @@ class ManifestStore:
         return meta
 
     def _write_batch_dir(
-        self, df: DataFrame, mode: str, meta_out: dict | None = None
+        self,
+        df: DataFrame,
+        mode: str,
+        meta_out: dict | None = None,
+        n_rows: int | None = None,
     ) -> str:
         parts = PARTITION_COLS[mode]
         batch_dir = f"batch-{uuid.uuid4().hex[:12]}"
-        writer = cluster_for_write(df, mode).write.option("compression", "zstd")
+        writer = cluster_for_write(df, mode, n_rows=n_rows).write.option(
+            "compression", "zstd"
+        )
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(os.path.join(self.data_path(mode), batch_dir))
@@ -1665,7 +1685,16 @@ class ManifestStore:
                 return {"rewritten": 0, "dirs_before": len(state["dirs"])}
             df = self._read_dirs(mode, state["dirs"])
             new_dir = f"batch-{uuid.uuid4().hex[:12]}"
-            writer = cluster_for_write(df, mode).write.option(
+            # live row count folds driver-side from the per-dir "n" meta
+            # (exactly what the auto-compact cadence reads) — lets the
+            # rewrite use the one-file-per-partition layout when small
+            metas = [state["meta"].get(d) for d in state["dirs"]]
+            live_rows = (
+                sum(m["n"] for m in metas)
+                if all(m and m.get("n") is not None for m in metas)
+                else None
+            )
+            writer = cluster_for_write(df, mode, n_rows=live_rows).write.option(
                 "compression", "zstd"
             )
             if parts:

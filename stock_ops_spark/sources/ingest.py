@@ -122,14 +122,63 @@ def compute_versioned_delta(
     return assign_versions(routed, existing, keys, payload)
 
 
-def cluster_for_write(versioned: DataFrame, mode: str) -> DataFrame:
+#: Write-layout bound (r12, guide §6): a delta KNOWN to be at most this
+#: many rows is hash-repartitioned onto its dynamic-partition columns
+#: before the write, so each (year[, month[, day]]) value is written by
+#: exactly ONE task — one file per partition value, the minimum the
+#: Hive layout permits, and the fewest create/rename metadata ops on
+#: the committer path (the e2e replay floor is disk-metadata-bound).
+#: Above the bound — or when the caller cannot know the size without an
+#: extra job — the spread layout stays: one task per partition value
+#: would serialize a large backfill's write into few tasks and can skew
+#: (guide §2.5); at ~100 B/tick row the bound keeps the worst single
+#: file ≈ 512 MB, inside the 128 MB–1 GB target band of guide §6.
+SMALL_WRITE_ROWS = 5_000_000
+
+
+def cluster_for_write(
+    versioned: DataFrame,
+    mode: str,
+    n_rows: int | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
     """Cluster rows within each partition file by (ticker, ts): parquet
     row-group min/max stats then prune per-ticker range reads without
     ticker being a partition column (the Z-ORDER stand-in from SURVEY
     §7.3.7).  Paired everywhere with zstd compression (~2x smaller than
     snappy on tick data for ~equal scan speed — at 100 TB the scan is
-    IO-bound and this is pure win)."""
-    return versioned.sortWithinPartitions("ticker", S.TS_COL[mode])
+    IO-bound and this is pure win).
+
+    r12 (§6): the within-task sort is prefixed with the mode's partition
+    columns.  Spark's V1 write path REQUIRES task rows ordered by the
+    dynamic-partition columns and inserts its own Sort when the child's
+    ordering does not satisfy that — so the old (ticker, ts)-only sort
+    was re-sorted by (year[, month[, day]]) inside the writer, paying
+    twice AND losing the promised (ticker, ts) clustering inside each
+    file.  With the partition prefix the writer's requirement is
+    satisfied by our sort and each file really is (ticker, ts)-runs.
+    ``n_rows``: when the caller already knows the delta's size (the
+    ingest paths collect it pre-write), small deltas are additionally
+    repartitioned onto the partition columns — see SMALL_WRITE_ROWS.
+    ``n_parts``: the delta's distinct partition-tuple count when the
+    caller already collected it (the ingest stats job does).  Passing
+    it pins the repartition width EXPLICITLY, which matters on the
+    micro-commit path: a keyless ``repartition(parts)`` of a tiny delta
+    is AQE-coalesced to ONE task, and that task then creates every
+    dynamic-partition file SEQUENTIALLY — measured 0.8-0.9 s for a
+    31-file commit on this box's `discard`-mounted ext4, the single
+    largest slice of the e2e replay commit floor (r12 job trace,
+    plans/r12/q306_jobtrace_before.txt).  With ``repartition(n_parts,
+    parts)`` each partition value is one task and the file creates run
+    in parallel."""
+    parts = PARTITION_COLS[mode]
+    out = versioned
+    if parts and n_rows is not None and 0 < n_rows <= SMALL_WRITE_ROWS:
+        if n_parts:
+            out = out.repartition(n_parts, *[F.col(c) for c in parts])
+        else:
+            out = out.repartition(*parts)
+    return out.sortWithinPartitions(*parts, "ticker", S.TS_COL[mode])
 
 
 class ParquetStore:
@@ -207,7 +256,7 @@ class ParquetStore:
         versioned = versioned.localCheckpoint(eager=True)
         n = versioned.count()
         if n:
-            writer = cluster_for_write(versioned, mode).write.mode(
+            writer = cluster_for_write(versioned, mode, n_rows=n).write.mode(
                 "append"
             ).option("compression", "zstd")
             if parts:

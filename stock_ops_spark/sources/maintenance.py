@@ -144,7 +144,10 @@ def compact(store, mode: str, target_file_bytes: int = _DEFAULT_TARGET_BYTES) ->
         repartitioned = df.repartition(*[F.col(c) for c in parts], salt)
     else:
         repartitioned = df.repartition(files_per_part, salt)
-    clustered = repartitioned.sortWithinPartitions("ticker", ts_col)
+    # partition-column prefix (r12, §6): the V1 writer requires task rows
+    # ordered by the dynamic-partition columns and would re-sort (and
+    # de-cluster) a (ticker, ts)-only order — see cluster_for_write
+    clustered = repartitioned.sortWithinPartitions(*parts, "ticker", ts_col)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -40,7 +40,13 @@ only state read; never a corpus rescan), the postings append (the
 batch's one full materialization; the appended slice reads back
 file-pruned for the df partial), the df append, and the dl append —
 four driver actions.  **Single-writer contract** as in
-``StreamingSpanIndex``.
+``StreamingSpanIndex`` — and note (ADVICE r11) that the dl derivation
+leans on it: dl is summed from the post-append READ-BACK of the
+postings directory filtered to ``batch_seq == seq``, which observes
+exactly this batch's files only while no concurrent ``process_batch``
+or ``maintain()`` compaction runs between the append and the dl write
+(``tests/test_streaming_lexical.py`` pins the read-back's id set
+against the fingerprint frame).
 
 Reference parity: none (training-data extension surface; the batch
 twins are q278/q310).

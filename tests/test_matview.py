@@ -336,6 +336,57 @@ def test_sync_advances_cursor_over_compaction_only_span(spark, tmp_path):
     assert {r.ticker: (r.n, r.vol) for r in mv.read().collect()} == before
 
 
+def test_sync_wide_span_skips_checkpoint_same_result(spark, tmp_path):
+    """ADVICE r11 / r12: a bootstrap span wider than
+    SPAN_CKPT_MAX_COMMITS must NOT pin the whole change feed with
+    localCheckpoint — and must fold to the identical view either way
+    (the un-pinned path re-reads the replayable CDC plan)."""
+    from unittest import mock
+
+    store = ManifestStore(spark, str(tmp_path / "cstore"))
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)
+    store.ingest_batch(_fact_df(spark, CDC_ROWS_B), MODE)
+    store.merge(
+        _fact_df(
+            spark,
+            [("SPY", 1751463000, 617.0, 618.7, 616.6, 618.6, 5000, "1h")],
+        ),
+        MODE,
+        on_observers="ignore",
+    )
+
+    mv = MatView(spark, str(tmp_path / "mv_wide"), ["ticker"], SUB_MEASURES)
+    mv.SPAN_CKPT_MAX_COMMITS = 0  # force the wide-span (no-pin) path
+    from pyspark.sql import DataFrame
+
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **k):
+        # the change span (and its pos/neg slices) carry _change_type;
+        # the merged-view install checkpoint does not — only the span
+        # pin is forbidden on the wide path
+        assert "_change_type" not in self.columns, "change span was pinned"
+        return orig(self, *a, **k)
+
+    with mock.patch(
+        "pyspark.sql.DataFrame.localCheckpoint", autospec=True,
+        side_effect=spy,
+    ):
+        res = mv.sync(store, MODE)
+    assert res["to"] == 3 and res["pos_rows"] == 6 and res["neg_rows"] == 1
+    _assert_view_equals_recompute(mv, store)
+
+    # control: the default (pinned) path folds to the identical view
+    mv2 = MatView(spark, str(tmp_path / "mv_pin"), ["ticker"], SUB_MEASURES)
+    res2 = mv2.sync(store, MODE)
+    assert (res2["pos_rows"], res2["neg_rows"]) == (
+        res["pos_rows"], res["neg_rows"]
+    )
+    assert {tuple(r) for r in mv2.read().collect()} == {
+        tuple(r) for r in mv.read().collect()
+    }
+
+
 def test_init_from_snapshot_equals_sync_from_zero(spark, tmp_path):
     store = ManifestStore(spark, str(tmp_path / "cstore"))
     store.ingest_batch(_fact_df(spark, CDC_ROWS_A), MODE)

@@ -321,3 +321,36 @@ def test_schema_cache_mtime_invalidation(spark, tmp_path):
     os.utime(os.path.join(sf, "region.parquet"), (now, now))
     df2 = C.load(spark, sf, "region")
     assert set(df2.columns) == {"r_regionkey", "extra_col"}
+
+
+def test_schema_cache_same_second_rewrite(spark, tmp_path):
+    # VERDICT r11 #7: a rewrite that lands in the SAME second (identical
+    # mtime down to the ns, forced with utime) must still re-infer — the
+    # hardened key includes st_size / a listing digest, not just mtime.
+    import os
+    import shutil
+
+    from stock_ops_spark import catalog as C
+
+    sf = str(tmp_path)
+    src = "/root/testdata/sf0.001"
+    dst = os.path.join(sf, "region.parquet")
+    shutil.copy(os.path.join(src, "region.parquet"), dst)
+    st0 = os.stat(dst)
+    df1 = C.load(spark, sf, "region")
+    assert set(df1.columns) == {"r_regionkey", "r_name"}
+    spark.range(3).selectExpr(
+        "id AS r_regionkey", "id AS same_second_col"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "tmp_new"))
+    part = [
+        f
+        for f in os.listdir(os.path.join(sf, "tmp_new"))
+        if f.endswith(".parquet")
+    ][0]
+    shutil.copy(os.path.join(sf, "tmp_new", part), dst)
+    # pin mtime/atime to the ORIGINAL file's exact nanoseconds: the old
+    # (path, getmtime) key would collide and serve the stale schema
+    os.utime(dst, ns=(st0.st_atime_ns, st0.st_mtime_ns))
+    assert os.stat(dst).st_mtime_ns == st0.st_mtime_ns
+    df2 = C.load(spark, sf, "region")
+    assert set(df2.columns) == {"r_regionkey", "same_second_col"}

@@ -65,6 +65,14 @@ def test_stream_equals_batch_and_serves_bm25(spark, tmp_path):
         idx.process_batch(full.where(F.col("doc_id") % 3 == part))
     st = idx.state()
 
+    # ADVICE r11: dl derives from the post-append read-back of the
+    # postings slice (batch_seq pruning) — pin that the read-back's id
+    # set never exceeds the fingerprint frame's (dl table) id set, i.e.
+    # the single-writer read-back saw exactly this stream's appends.
+    post_ids = {r.id for r in st["postings"].select("id").distinct().collect()}
+    dl_ids = {r.id for r in st["dl"].select("id").distinct().collect()}
+    assert post_ids <= dl_ids
+
     cache = str(tmp_path / "cache_batch")
     batch = LX.lexical_stats_cached(full, src, cache_dir=cache)
     assert _sets(st) == _sets(batch)

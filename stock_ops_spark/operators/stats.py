@@ -155,6 +155,8 @@ class StatsTable:
     def update(self, delta: DataFrame) -> None:
         import shutil
 
+        if self.merge_fn is merge_stats and self._update_arrow(delta):
+            return
         existing = self.read()
         merged = self.merge_fn(existing, delta, self.keys)
         # merged's plan reads self.path, which the swap below replaces —
@@ -167,6 +169,145 @@ class StatsTable:
             os.rename(self.path, self._aside)
         os.rename(self._tmp, self.path)
         shutil.rmtree(self._aside, ignore_errors=True)
+
+    def _update_arrow(self, delta: DataFrame) -> bool:
+        """Driver-side merge fast path for the DEFAULT stats merge (r12,
+        guide §1/§5).  The stats catalog is tiny by contract (one row
+        per ticker[, interval]), yet the Spark-side update paid three
+        jobs per call — read, checkpoint of the merged plan, coalesced
+        write — twice per ``ParquetStore.ingest_batch``; profiled at
+        ~0.3 s per call on the e2e replay floor (q334/q333/q45).  Here
+        the batch's delta is one small collect, the merge is a python
+        fold (same null-safe least/greatest semantics as
+        ``merge_stats``), and the write is one pyarrow file installed
+        through the SAME tmp-dir + two-rename swap, so the crash story
+        is unchanged.  Returns False — caller falls back to the Spark
+        merge — for value domains this path does not cover (ts cells
+        are int64 or string for every mode's ``batch_stats``; anything
+        else, or an undecidable type, declines).  MatView's custom
+        ``merge_fn`` never reaches this path."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = self.keys + ["row_count", "min_ts", "max_ts"]
+        try:
+            drows = delta.select(*cols).collect()  # tiny by contract
+        except Exception:
+            return False
+
+        def _ok(v) -> bool:
+            return v is None or isinstance(v, (int, str))
+
+        if not all(
+            _ok(r["min_ts"]) and _ok(r["max_ts"])
+            and all(v is None or isinstance(v, str) for v in (r[k] for k in self.keys))
+            for r in drows
+        ):
+            return False
+
+        # existing rows with read()'s exact adoption/heal semantics
+        existing = None
+        if os.path.exists(self.path):
+            try:
+                existing = pq.read_table(self.path)
+                shutil.rmtree(self._tmp, ignore_errors=True)
+                shutil.rmtree(self._aside, ignore_errors=True)
+            except Exception:
+                existing = None
+                shutil.rmtree(self.path, ignore_errors=True)
+        if existing is None:
+            for cand in (self._tmp, self._aside):
+                if not os.path.exists(cand):
+                    continue
+                try:
+                    existing = pq.read_table(cand)
+                except Exception:
+                    shutil.rmtree(cand, ignore_errors=True)
+                    continue
+                os.rename(cand, self.path)
+                shutil.rmtree(self._tmp, ignore_errors=True)
+                shutil.rmtree(self._aside, ignore_errors=True)
+                break
+        if existing is not None and (
+            set(cols) - set(existing.column_names)
+            or not all(
+                pa.types.is_int64(existing.schema.field(c).type)
+                or pa.types.is_string(existing.schema.field(c).type)
+                or pa.types.is_null(existing.schema.field(c).type)
+                for c in ("row_count", "min_ts", "max_ts")
+            )
+            or not all(
+                pa.types.is_string(existing.schema.field(k).type)
+                or pa.types.is_null(existing.schema.field(k).type)
+                for k in self.keys
+            )
+        ):
+            return False  # foreign schema: let the Spark merge resolve it
+
+        def _nmin(a, b):
+            return b if a is None else a if b is None else min(a, b)
+
+        def _nmax(a, b):
+            return b if a is None else a if b is None else max(a, b)
+
+        fold: dict = {}
+        if existing is not None:
+            edata = {c: existing.column(c).to_pylist() for c in cols}
+            for i in range(existing.num_rows):
+                k = tuple(edata[c][i] for c in self.keys)
+                fold[k] = [
+                    edata["row_count"][i] or 0,
+                    edata["min_ts"][i],
+                    edata["max_ts"][i],
+                ]
+        for r in drows:
+            k = tuple(r[c] for c in self.keys)
+            e = fold.get(k)
+            if e is None:
+                fold[k] = [r["row_count"] or 0, r["min_ts"], r["max_ts"]]
+            else:
+                e[0] += r["row_count"] or 0
+                e[1] = _nmin(e[1], r["min_ts"])
+                e[2] = _nmax(e[2], r["max_ts"])
+        if not fold:
+            return False  # nothing to write and no schema to write it with
+
+        ts_vals = [v for e in fold.values() for v in (e[1], e[2]) if v is not None]
+        if ts_vals:
+            if all(isinstance(v, str) for v in ts_vals):
+                ts_type = pa.string()
+            elif all(isinstance(v, int) for v in ts_vals):
+                ts_type = pa.int64()
+            else:
+                return False  # mixed domain: fall back
+        elif existing is not None:
+            ts_type = existing.schema.field("min_ts").type
+            if pa.types.is_null(ts_type):
+                ts_type = pa.int64()
+        else:
+            return False  # all-NULL ts with no prior schema: fall back
+
+        keys_sorted = sorted(fold, key=lambda k: tuple(map(str, k)))
+        arrays = [
+            pa.array([k[i] for k in keys_sorted], type=pa.string())
+            for i in range(len(self.keys))
+        ] + [
+            pa.array([fold[k][0] for k in keys_sorted], type=pa.int64()),
+            pa.array([fold[k][1] for k in keys_sorted], type=ts_type),
+            pa.array([fold[k][2] for k in keys_sorted], type=ts_type),
+        ]
+        tbl = pa.table(arrays, names=cols)
+        shutil.rmtree(self._tmp, ignore_errors=True)
+        shutil.rmtree(self._aside, ignore_errors=True)
+        os.makedirs(self._tmp)
+        pq.write_table(tbl, os.path.join(self._tmp, "part-00000.parquet"))
+        if os.path.exists(self.path):
+            os.rename(self.path, self._aside)
+        os.rename(self._tmp, self.path)
+        shutil.rmtree(self._aside, ignore_errors=True)
+        return True
 
     def rebuild(self, store_df: DataFrame, mode: str, by_interval: bool) -> None:
         """Maintenance-time heal: recompute the catalog from the store

@@ -68,6 +68,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
 
 
+def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny driver-local relation as ONE slice (r12, guide §2/§5):
+    ``createDataFrame(list)`` parallelizes ANY list into
+    ``defaultParallelism`` slices, so a ≤dozen-row audit result or rate
+    table pays 32 task launches + Python-worker roundtrips per action
+    on the bench box (~0.3 s idle, multi-second under load waves —
+    measured in the r12 q306 job trace).  One slice = one roundtrip;
+    values, schema and every downstream plan are unchanged."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1) if rows else rows,
+        schema,
+    )
+
+
 def _rev4() -> Column:
     """Discounted lineitem revenue in exact integer ten-thousandths
     (2dp price × 2dp discount factor ⇒ 4dp exact) — the q01/q185

@@ -26,6 +26,7 @@ from stock_ops_spark.operators.similarity import ivf_topk, knn_join  # noqa: F40
 from stock_ops_spark.operators.versioning import latest_version_view  # noqa: F401
 
 from stock_ops_spark.queries._base import (  # noqa: F401
+    _local_df,
     _neardup_pairs,
     _register,
     _rev4,
@@ -2639,7 +2640,8 @@ def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     strata keep 100%/10%/5%; unknown strata drop (inner join against the
     broadcast rate table)."""
     ev = _t(spark, sf_dir, "events")
-    rates = ev.sparkSession.createDataFrame(
+    rates = _local_df(
+        ev.sparkSession,
         [("purchase", 100), ("click", 10), ("view", 5)], "et string, rate int"
     )
     return (

@@ -26,6 +26,7 @@ from stock_ops_spark.operators.similarity import ivf_topk, knn_join  # noqa: F40
 from stock_ops_spark.operators.versioning import latest_version_view  # noqa: F401
 
 from stock_ops_spark.queries._base import (  # noqa: F401
+    _local_df,
     _neardup_pairs,
     _register,
     _rev4,
@@ -1102,7 +1103,7 @@ def q189_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join), then semi-probes the fact table — no fact table
     ever shuffles.  At 100 TB the same plan drives the actual delete's
     file-rewrite planning."""
-    targets = spark.createDataFrame([(3,), (7,), (42,)], "uid long")
+    targets = _local_df(spark, [(3,), (7,), (42,)], "uid long")
     ev = _t(spark, sf_dir, "events")
     cu = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -1121,7 +1122,7 @@ def q189_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orders_by_customer", n_orders),
         ("lineitems_via_orders", n_li),
     ]
-    return spark.createDataFrame(rows, "dataset string, n_rows long")
+    return _local_df(spark, rows, "dataset string, n_rows long")
 
 
 @_register(

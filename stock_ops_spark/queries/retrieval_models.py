@@ -26,6 +26,7 @@ from stock_ops_spark.operators.similarity import ivf_topk, knn_join  # noqa: F40
 from stock_ops_spark.operators.versioning import latest_version_view  # noqa: F401
 
 from stock_ops_spark.queries._base import (  # noqa: F401
+    _local_df,
     _neardup_pairs,
     _register,
     _rev4,
@@ -121,7 +122,7 @@ def q278_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n_docs = d.count()  # bounded driver scalars (q74 precedent)
     t_total = toks.count()
-    qterms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    qterms = _local_df(spark, [(t,) for t in _BM25_TERMS], "term string")
     tfq = tf.join(F.broadcast(qterms), "term")
     dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     num = (
@@ -2617,7 +2618,8 @@ def q306_commitlog_cdc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the store dir is deleted on return; materialize first
         rows = out.collect()
-        return spark.createDataFrame(
+        return _local_df(
+            spark,
             rows, "commit_version bigint, change_type string, n_rows bigint"
         ).orderBy("commit_version", "change_type")
     finally:
@@ -3256,7 +3258,8 @@ def q313_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("stats_row_total", stats_total),
             ("version", store.version("streaming")),
         ]
-        return spark.createDataFrame(
+        return _local_df(
+            spark,
             rows, "metric string, value bigint"
         ).orderBy("metric")
     finally:
@@ -3455,7 +3458,8 @@ def q315_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("rows_total", int(agg["n"])),
             ("version", store.version("streaming")),
         ]
-        return spark.createDataFrame(
+        return _local_df(
+            spark,
             rows, "metric string, value bigint"
         ).orderBy("metric")
     finally:
@@ -3644,7 +3648,8 @@ def q316_matview_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.delete_where("streaming", "volume % 3 = 0", on_observers="ignore")
         mv.sync(store, "streaming")
         rows = mv.read().collect()
-        return spark.createDataFrame(
+        return _local_df(
+            spark,
             [(r["grp"], int(r["n"]), int(r["cents"])) for r in rows],
             "grp string, n bigint, cents bigint",
         ).orderBy("grp")
@@ -3912,7 +3917,8 @@ def q325_group_commit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("version_after_group", int(v_group)),
             ("version_final", int(store.version("streaming"))),
         ]
-        return spark.createDataFrame(
+        return _local_df(
+            spark,
             rows, "metric string, value bigint"
         ).orderBy("metric")
     finally:
@@ -4031,7 +4037,8 @@ def q329_stream_group_commit_audit(
             ("replay_appended", int(replay)),
             ("rows_total", int(agg["n"])),
         ]
-        return spark.createDataFrame(
+        return _local_df(
+            spark,
             rows, "metric string, value bigint"
         ).orderBy("metric")
     finally:
@@ -4152,7 +4159,8 @@ def q330_ivf_refresh_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t, int(ivf_nprobe(t, curve)), bool(ivf_refresh_needed(curve, t, k_cells)))
         for t in (0.51, 0.87, 0.999)
     ]
-    return spark.createDataFrame(
+    return _local_df(
+            spark,
         rows, "target_recall double, nprobe_pick bigint, refresh_needed boolean"
     ).orderBy("target_recall")
 

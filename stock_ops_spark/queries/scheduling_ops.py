@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stock_ops_spark.queries._base import _register, _t
+from stock_ops_spark.queries._base import _local_df, _register, _t
 
 _TZS = ["America/New_York", "UTC", "Asia/Tokyo", "Europe/London"]
 _WD = ["MO", "TU", "WE", "TH", "FR", "SA", "SU"]
@@ -333,7 +333,8 @@ def q334_scheduler_run_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for d, acc in per_dep.items()
         ]
-        out = spark.createDataFrame(
+        out = _local_df(
+            spark,
             rows,
             "ticker string, n_runs bigint, n_completed bigint, "
             "rows_total bigint, store_days bigint",

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stock_ops_spark.functions.vector import cosine
+from stock_ops_spark.localrel import local_relation
 from stock_ops_spark.operators.clustering import assign_clusters
 
 #: blocked-kernel broadcasts kept live (see _blocked_cell_scores)
@@ -200,7 +201,8 @@ def ivf_index_cached(
             id_col=id_col, vec_col=vec_col, dim=dim, cache_dir=cache_dir,
         )
         assign = assign_table(df, cents, id_col, vec_col)
-        cent_df = spark.createDataFrame(
+        cent_df = local_relation(
+            spark,
             [(i, c) for i, c in enumerate(cents)],
             "cid int, centroid array<double>",
         )

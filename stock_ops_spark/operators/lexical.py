@@ -38,6 +38,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stock_ops_spark.localrel import local_relation
+
 
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term) token stream — q278's exact tokenizer."""
@@ -226,7 +228,7 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
     ).collect()[0]
     n_docs, t_total = int(scalars["n"]), int(scalars["t"])
-    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    qterms = local_relation(spark, [(t,) for t in terms], "term string")
     tfq = postings.join(F.broadcast(qterms), "term").select(
         F.col("id").alias("doc_id"), "term", "tf"
     )

@@ -186,16 +186,31 @@ class StatsTable:
         are int64 or string for every mode's ``batch_stats``; anything
         else, or an undecidable type, declines).  MatView's custom
         ``merge_fn`` never reaches this path."""
+        cols = self.keys + ["row_count", "min_ts", "max_ts"]
+        try:
+            drows = delta.select(*cols).collect()  # tiny by contract
+        except Exception:
+            return False
+        return self._merge_rows_arrow(drows)
+
+    def update_rows(self, rows: list) -> bool:
+        """Zero-job twin of ``update`` for a stats delta the caller has
+        ALREADY computed driver-side (the r12 micro-commit path): rows
+        are dicts/Rows with ``keys + [row_count, min_ts, max_ts]``.
+        Returns False — and writes nothing — when the merge needs Spark
+        (custom merge_fn, foreign catalog schema, uncovered ts domain);
+        the caller then goes through ``update`` with a DataFrame."""
+        if self.merge_fn is not merge_stats:
+            return False
+        return self._merge_rows_arrow(rows)
+
+    def _merge_rows_arrow(self, drows: list) -> bool:
         import shutil
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         cols = self.keys + ["row_count", "min_ts", "max_ts"]
-        try:
-            drows = delta.select(*cols).collect()  # tiny by contract
-        except Exception:
-            return False
 
         def _ok(v) -> bool:
             return v is None or isinstance(v, (int, str))

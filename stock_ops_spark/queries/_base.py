@@ -69,17 +69,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
-    """Tiny driver-local relation as ONE slice (r12, guide §2/§5):
-    ``createDataFrame(list)`` parallelizes ANY list into
-    ``defaultParallelism`` slices, so a ≤dozen-row audit result or rate
-    table pays 32 task launches + Python-worker roundtrips per action
-    on the bench box (~0.3 s idle, multi-second under load waves —
-    measured in the r12 q306 job trace).  One slice = one roundtrip;
-    values, schema and every downstream plan are unchanged."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1) if rows else rows,
-        schema,
-    )
+    """Tiny driver-local relation as a true LocalTableScan (r12, guide
+    §2/§5).  ``createDataFrame(list)`` parallelizes ANY list into an
+    RDD (``defaultParallelism`` slices), so a ≤dozen-row audit result
+    or rate table pays task launches + a Python-worker roundtrip per
+    action (~0.3 s idle, multi-second under load waves — measured in
+    the r12 q306 job trace).  Routing the rows through an Arrow table
+    plans as ``LocalTableScan`` instead — no RDD, no Python eval at
+    action time (measured 0.83 s → 0.11 s per action on a 10-row
+    relation).  Values, schema and every downstream plan operator are
+    unchanged; see ``stock_ops_spark.localrel``."""
+    from stock_ops_spark.localrel import local_relation
+
+    return local_relation(spark, rows, schema)
 
 
 def _rev4() -> Column:

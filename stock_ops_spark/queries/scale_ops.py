@@ -26,6 +26,7 @@ from stock_ops_spark.operators.similarity import ivf_topk, knn_join  # noqa: F40
 from stock_ops_spark.operators.versioning import latest_version_view  # noqa: F401
 
 from stock_ops_spark.queries._base import (  # noqa: F401
+    _local_df,
     _neardup_pairs,
     _register,
     _rev4,
@@ -713,7 +714,7 @@ def q243_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", F.coalesce("rc", F.lit(0)).cast("decimal(38,0)").alias("rc"))
         .localCheckpoint(eager=True)  # tiny calendar frame, read 2x below
     )
-    lags = spark.createDataFrame([(l,) for l in (1, 2, 3, 7, 14, 30)], "lag: int")
+    lags = _local_df(spark, [(l,) for l in (1, 2, 3, 7, 14, 30)], "lag int")
     x = daily.select(F.col("d").alias("dx"), F.col("rc").alias("x"))
     y = daily.select(F.col("d").alias("dy"), F.col("rc").alias("y"))
     pairs = (
@@ -3392,7 +3393,7 @@ def q275_revenue_click_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clicks"
         ),
     )
-    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    lags = spark.range(-7, 8, 1, 1).select(F.col("id").cast("int").alias("lag"))
     a = daily.select("d", "rev")
     b = daily.select(F.col("d").alias("bd"), "clicks")
     pairs = (

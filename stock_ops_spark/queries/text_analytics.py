@@ -1502,7 +1502,7 @@ def q142_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("period"),
     )
-    bands = spark.range(0, 6).select(F.col("id").alias("band"))
+    bands = spark.range(0, 6, 1, 1).select(F.col("id").alias("band"))
     counts = (
         F.broadcast(bands)
         .join(binned, "band", "left")
@@ -2348,7 +2348,7 @@ def q154_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("l_shipdate").alias("close_d"))
     )
     spine = (
-        spark.range(0, 84)
+        spark.range(0, 84, 1, 1)
         .select(
             F.last_day(
                 F.add_months(F.lit("1995-01-01").cast("date"), F.col("id").cast("int"))

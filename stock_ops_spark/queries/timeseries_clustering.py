@@ -1228,7 +1228,7 @@ def q109_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "d", F.col("value").alias("close"))
     )
-    days = spark.range(1).select(
+    days = spark.range(0, 1, 1, 1).select(
         F.explode(
             F.sequence(
                 F.lit("2024-01-01").cast("date"),

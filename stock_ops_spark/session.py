@@ -121,7 +121,13 @@ def get_spark(
         # can go quiet for tens of minutes while dead blocks pin disk and
         # storage memory; the periodic cleaner GC (default 30min) is too
         # slow for a ~15-minute 333-query session.  5min bounds the lag.
-        .config("spark.cleaner.periodicGC.interval", "5min")
+        # Env-overridable so the conf can be A/B'd without a code edit
+        # (VERDICT r11 #6 asked for an isolated measurement of this
+        # rider; see OPTIMIZATION_r12.md for the adjudication).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
+        )
         # Spark 4.1's checkpoint-file checksums (corruption DETECTION,
         # new in 4.x; atomic-rename commit semantics are unaffected)
         # leak their 64-thread ChecksumCheckpointFileManager pool on

@@ -56,6 +56,11 @@ from pyspark.sql import functions as F
 from stock_ops_spark import schemas as S
 from stock_ops_spark.operators.stats import batch_stats, merge_stats
 from stock_ops_spark.operators.versioning import latest_version_view
+from stock_ops_spark.sources.microcommit import (
+    collect_micro,
+    stat_rows_micro,
+    write_micro,
+)
 from stock_ops_spark.sources.ingest import (
     _MAX_PRUNE_PARTITIONS,
     cluster_for_write,
@@ -781,13 +786,32 @@ class ManifestStore:
         def _zero():
             return [0] * n_bids if n_bids else 0
 
+        def _materialize(v):
+            """(delta DF, stat rows, arrow table | None): the r12
+            micro-commit fast path.  A delta proven ≤ the micro bound is
+            collected ONCE as Arrow — one job instead of checkpoint +
+            grouped collect — and becomes a driver-local relation (as
+            severed from the store's lineage as the checkpoint was) with
+            its stat rows derived in-process; bigger deltas keep the
+            distributed checkpoint path (see sources/microcommit.py)."""
+            mtbl = collect_micro(v)
+            if mtbl is None:
+                v = v.localCheckpoint(eager=True)
+                return v, _stat_rows(v), None
+            return (
+                self.spark.createDataFrame(mtbl),
+                stat_rows_micro(
+                    mtbl, gb, tsc, parts, _MAX_PRUNE_PARTITIONS
+                ),
+                mtbl,
+            )
+
         for _attempt in range(self.MAX_COMMIT_RETRIES):
             state = log.state()
             versioned = compute_versioned_delta(
                 batch, None, mode, self.tz, ignore_cols=ign
             )
-            versioned = versioned.localCheckpoint(eager=True)
-            grows = _stat_rows(versioned)
+            versioned, grows, mtbl = _materialize(versioned)
             if n_bids:
                 # prove pairwise batch disjointness BEFORE any write;
                 # raises _GroupOverlap -> caller ingests sequentially
@@ -840,8 +864,7 @@ class ManifestStore:
                     touched=touched,
                     ignore_cols=ign,
                 )
-                versioned = versioned.localCheckpoint(eager=True)
-                grows = _stat_rows(versioned)
+                versioned, grows, mtbl = _materialize(versioned)
                 # no group re-check needed: the store anti-join only
                 # REMOVES rows — it cannot create cross-batch overlap
                 n = sum(r["rc"] for r in grows)
@@ -864,14 +887,26 @@ class ManifestStore:
                 nset = len({tuple(t) for r in grows for t in r["tp"]})
                 if nset <= _MAX_PRUNE_PARTITIONS:
                     n_parts = nset
-            writer = cluster_for_write(
-                out_frame, mode, n_rows=n, n_parts=n_parts
-            ).write.option(
-                "compression", "zstd"
+            dest = os.path.join(self.data_path(mode), batch_dir)
+            out_tbl = (
+                mtbl.drop_columns(list(ign))
+                if (mtbl is not None and ign)
+                else mtbl
             )
-            if parts:
-                writer = writer.partitionBy(*parts)
-            writer.parquet(os.path.join(self.data_path(mode), batch_dir))
+            # micro deltas: files come straight from the collected Arrow
+            # table, driver-side — the fresh batch dir stays invisible
+            # until the manifest rename, so the crash model is unchanged
+            if out_tbl is None or not write_micro(
+                out_tbl, parts, ["ticker", tsc], dest
+            ):
+                writer = cluster_for_write(
+                    out_frame, mode, n_rows=n, n_parts=n_parts
+                ).write.option(
+                    "compression", "zstd"
+                )
+                if parts:
+                    writer = writer.partitionBy(*parts)
+                writer.parquet(dest)
 
             # batch-only stats depend ONLY on this delta — written ONCE
             # as a version-independent INCREMENT (r8); readers fold it.

@@ -31,6 +31,11 @@ from pyspark.errors import AnalysisException
 
 from stock_ops_spark import schemas as S
 from stock_ops_spark.operators.stats import StatsTable, batch_stats
+from stock_ops_spark.sources.microcommit import (
+    batch_stats_rows_micro,
+    collect_micro,
+    write_micro,
+)
 from stock_ops_spark.operators.versioning import assign_versions, latest_version_view
 from stock_ops_spark.sources.layout import (
     PARTITION_COLS,
@@ -248,6 +253,35 @@ class ParquetStore:
         existing = self.read_all(mode)
         versioned = compute_versioned_delta(batch, existing, mode, self.tz)
         parts = PARTITION_COLS[mode]
+        # r12 micro-commit fast path: a delta proven ≤ the micro bound is
+        # collected ONCE as Arrow, then the append files, both stats
+        # merges and the observers' input all derive driver-side — one
+        # Spark job per commit instead of checkpoint + count + write +
+        # two stats collects (see sources/microcommit.py).  The local
+        # relation handed downstream is as severed from the store's
+        # lineage as the checkpoint was.
+        mtbl = collect_micro(versioned)
+        if mtbl is not None:
+            n = mtbl.num_rows
+            if n:
+                vdf = self.spark.createDataFrame(mtbl)
+                if not write_micro(
+                    mtbl,
+                    parts,
+                    ["ticker", S.TS_COL[mode]],
+                    self.data_path(mode),
+                    live_tree=True,
+                ):
+                    writer = cluster_for_write(vdf, mode, n_rows=n).write.mode(
+                        "append"
+                    ).option("compression", "zstd")
+                    if parts:
+                        writer = writer.partitionBy(*parts)
+                    writer.parquet(self.data_path(mode))
+                self._update_stats_micro(mtbl, vdf, mode)
+                for obs in self.observers:
+                    obs(vdf, mode)
+            return n
         # Sever lineage BEFORE appending: versioned's plan scans the store
         # path, and writing to that path invalidates any cache over it
         # (refreshByPath) — a plain .cache() would silently recompute the
@@ -273,6 +307,18 @@ class ParquetStore:
             for obs in self.observers:
                 obs(versioned, mode)
         return n
+
+    def _update_stats_micro(self, mtbl, vdf: DataFrame, mode: str) -> None:
+        """Both A5/A6 stats merges from the already-collected delta —
+        zero Spark jobs on the covered domains, DataFrame fallback
+        otherwise (same result either way)."""
+        st = self._stats(mode, by_interval=False)
+        if not st.update_rows(batch_stats_rows_micro(mtbl, mode, False)):
+            st.update(batch_stats(vdf, mode, by_interval=False))
+        if mode != "streaming":  # A6 interval stats: non-streaming only
+            st2 = self._stats(mode, by_interval=True)
+            if not st2.update_rows(batch_stats_rows_micro(mtbl, mode, True)):
+                st2.update(batch_stats(vdf, mode, by_interval=True))
 
     # -- maintenance -----------------------------------------------------
     def compact(self, mode: str, target_file_bytes: int | None = None) -> dict:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from stock_ops_spark.localrel import local_relation
 from stock_ops_spark.schemas import INTERDAY_INTERVALS
 from stock_ops_spark.sources import resilience as R
 from stock_ops_spark.sources import transform as X
@@ -68,11 +69,11 @@ def run_historical_task(
         raw_rows = p.fetch_historical(ticker, exchange, interval, start, end)
 
     if interval in INTERDAY_INTERVALS:
-        raw = spark.createDataFrame(raw_rows, _INTERDAY_RAW)
+        raw = local_relation(spark, raw_rows, _INTERDAY_RAW)
         normalized, _rejects = X.interday(raw, ticker, interval)
         mode = "historical_interday"
     else:
-        raw = spark.createDataFrame(raw_rows, _INTRADAY_RAW)
+        raw = local_relation(spark, raw_rows, _INTRADAY_RAW)
         normalized, _rejects = X.intraday(raw, ticker, interval)
         mode = "historical_intraday"
     return store.ingest_batch(normalized, mode)
@@ -119,10 +120,10 @@ def run_stream_task(
     if not frames:
         return 0
     if stream_type == "quotes":
-        raw = spark.createDataFrame(frames, _QUOTE_RAW)
+        raw = local_relation(spark, frames, _QUOTE_RAW)
         normalized, _rejects = X.quotes(raw)
     else:
-        raw = spark.createDataFrame(frames, _TRADE_RAW)
+        raw = local_relation(spark, frames, _TRADE_RAW)
         normalized, _rejects = X.trades(raw)
     return store.ingest_batch(normalized, "streaming")
 

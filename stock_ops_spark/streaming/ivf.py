@@ -48,6 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stock_ops_spark.localrel import local_relation
 from stock_ops_spark.operators.ivf import _fp, assign_table
 from stock_ops_spark.streaming.foldstate import FoldStateIndex
 
@@ -140,7 +141,8 @@ class StreamingIVFIndex(FoldStateIndex):
         a = self._existing("assign")
         if a is None:
             return None
-        cent = self.spark.createDataFrame(
+        cent = local_relation(
+            self.spark,
             [(i, c) for i, c in enumerate(self.centroids)],
             "cid int, centroid array<double>",
         )

@@ -82,6 +82,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stock_ops_spark.localrel import local_relation
 from stock_ops_spark.operators.spans import (
     NGRAM,
     _islands,
@@ -140,11 +141,11 @@ class StreamingSpanIndex(FoldStateIndex):
         if ds is None:
             return None
         if posts is None:  # all batches too short to emit grams
-            posts = self.spark.createDataFrame(
-                [], "doc_id long, p bigint, gram string"
+            posts = local_relation(
+                self.spark, [], "doc_id long, p bigint, gram string"
             )
-            gs = self.spark.createDataFrame(
-                [], "gram string, nd bigint, keep_doc long"
+            gs = local_relation(
+                self.spark, [], "gram string, nd bigint, keep_doc long"
             )
         return {
             "postings": posts.select("doc_id", "p", "gram"),

@@ -89,6 +89,12 @@ def main() -> None:
                     "stages": len(ev.get("Stage IDs", [])),
                     "tasks": sum(s.get("Number of Tasks", 0) for s in sinfos),
                     "site": (sinfos[-1].get("Stage Name", "") if sinfos else ""),
+                    # distinct per-stage callsites: the job-level site is
+                    # the LAST stage only, which hides what a fat
+                    # single-stage AQE job actually scans
+                    "stage_sites": sorted(
+                        {s.get("Stage Name", "") for s in sinfos}
+                    ),
                 }
             elif e == "SparkListenerJobEnd":
                 j = jobs.get(ev["Job ID"])
@@ -111,6 +117,9 @@ def main() -> None:
             f"  job {jid:4d}  {j.get('dt', -1):7.3f}s  stages={j['stages']:2d} "
             f"tasks={j.get('tasks', 0):4d}  {j.get('site', '')[:70]}"
         )
+        for s in j.get("stage_sites", []):
+            if s != j.get("site"):
+                print(f"        stage: {s[:76]}")
 
 
 if __name__ == "__main__":

@@ -58,6 +58,8 @@ from stock_ops_spark.operators.stats import batch_stats, merge_stats
 from stock_ops_spark.operators.versioning import latest_version_view
 from stock_ops_spark.sources.microcommit import (
     collect_micro,
+    dir_meta_micro,
+    materialize_micro,
     stat_rows_micro,
     write_micro,
 )
@@ -788,18 +790,19 @@ class ManifestStore:
 
         def _materialize(v):
             """(delta DF, stat rows, arrow table | None): the r12
-            micro-commit fast path.  A delta proven ≤ the micro bound is
-            collected ONCE as Arrow — one job instead of checkpoint +
-            grouped collect — and becomes a driver-local relation (as
-            severed from the store's lineage as the checkpoint was) with
-            its stat rows derived in-process; bigger deltas keep the
-            distributed checkpoint path (see sources/microcommit.py)."""
-            mtbl = collect_micro(v)
+            micro-commit fast path.  One eager checkpoint with the row
+            count riding as an Observation; a delta proven ≤ the micro
+            bound additionally comes back as one Arrow table collected
+            from the checkpointed blocks, so the stat rows derive
+            in-process (no grouped-collect job) and the batch files can
+            be written driver-side.  The returned DF is always the
+            checkpointed one — parallel partitions for the overlap
+            re-dedup (see sources/microcommit.py)."""
+            v, _n, mtbl = materialize_micro(v)
             if mtbl is None:
-                v = v.localCheckpoint(eager=True)
                 return v, _stat_rows(v), None
             return (
-                self.spark.createDataFrame(mtbl),
+                v,
                 stat_rows_micro(
                     mtbl, gb, tsc, parts, _MAX_PRUNE_PARTITIONS
                 ),
@@ -1108,6 +1111,17 @@ class ManifestStore:
         meta["n"] = row[2 * len(cols)]
         return meta
 
+    def _materialize_small(self, df: DataFrame):
+        """(checkpointed df, n, arrow table | None): the r12 micro
+        materialization — one eager checkpoint whose count rides as an
+        Observation (the count job is gone), plus a cheap Arrow collect
+        from the checkpointed blocks when the frame proves micro, so
+        downstream driver work (batch-dir files, dir meta, CDC files,
+        uniqueness checks) needs no further jobs.  The DataFrame keeps
+        the checkpoint's parallel partitioning (see
+        sources/microcommit.py)."""
+        return materialize_micro(df)
+
     def _write_batch_dir(
         self,
         df: DataFrame,
@@ -1116,22 +1130,45 @@ class ManifestStore:
         n_rows: int | None = None,
     ) -> str:
         parts = PARTITION_COLS[mode]
+        tsc = S.TS_COL[mode]
         batch_dir = f"batch-{uuid.uuid4().hex[:12]}"
+        dest = os.path.join(self.data_path(mode), batch_dir)
+        # micro rewrites (merge/delete/retain of a small store slice):
+        # files + data-skipping meta both derive from one collect; the
+        # fresh dir stays invisible until the manifest commit
+        mtbl = collect_micro(df)
+        if mtbl is not None:
+            if not write_micro(mtbl, parts, ["ticker", tsc], dest):
+                src = self.spark.createDataFrame(mtbl)
+                writer = cluster_for_write(
+                    src, mode, n_rows=mtbl.num_rows
+                ).write.option("compression", "zstd")
+                if parts:
+                    writer = writer.partitionBy(*parts)
+                writer.parquet(dest)
+            if meta_out is not None:
+                meta_out[batch_dir] = dir_meta_micro(mtbl, ["ticker", tsc])
+            return batch_dir
         writer = cluster_for_write(df, mode, n_rows=n_rows).write.option(
             "compression", "zstd"
         )
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(os.path.join(self.data_path(mode), batch_dir))
+        writer.parquet(dest)
         if meta_out is not None:
             meta_out[batch_dir] = self._dir_meta(df, mode)
         return batch_dir
 
     def _write_cdc(self, log: ManifestLog, version: int, cdc: DataFrame) -> str:
         rel = f"cdc-{version:08d}-{uuid.uuid4().hex[:8]}"
-        cdc.write.option("compression", "zstd").parquet(
-            os.path.join(log.log_dir, rel)
-        )
+        dest = os.path.join(log.log_dir, rel)
+        # micro change sets: one driver-side file (no sort — CDC rows
+        # carry no ordering contract), invisible until the commit
+        mtbl = collect_micro(cdc)
+        if mtbl is not None and write_micro(mtbl, [], [], dest):
+            return rel
+        src = self.spark.createDataFrame(mtbl) if mtbl is not None else cdc
+        src.write.option("compression", "zstd").parquet(dest)
         return rel
 
     def _check_observers(self, action: str, on_observers: str) -> None:
@@ -1178,10 +1215,21 @@ class ManifestStore:
         self._check_observers("merge", on_observers)
         keys = S.INDEX_COLS[mode]
         log = self.log(mode)
-        src = source.localCheckpoint(eager=True)
-        dup = src.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
-        if dup.count():
-            raise ValueError("merge source must be unique on index keys")
+        src, _n_src, stbl = self._materialize_small(source)
+        if stbl is not None:
+            # driver-side key-uniqueness check over the collected rows —
+            # same NULL handling as groupBy (NULL keys form groups)
+            from collections import Counter
+
+            kcols = [stbl.column(k).to_pylist() for k in keys]
+            if stbl.num_rows and max(
+                Counter(zip(*kcols)).values()
+            ) > 1:
+                raise ValueError("merge source must be unique on index keys")
+        else:
+            dup = src.groupBy(*keys).count().where(F.col("count") > 1).limit(1)
+            if dup.count():
+                raise ValueError("merge source must be unique on index keys")
         src_payload = [c for c in src.columns if c not in keys]
         for _attempt in range(self.MAX_COMMIT_RETRIES):
             state = log.state()
@@ -1227,8 +1275,7 @@ class ManifestStore:
                     if c not in tdf.columns
                 ]
                 post = tdf.join(s2, on=keys, how="inner").select(*repl, *new_cols)
-                post = post.localCheckpoint(eager=True)
-                n_upd = post.count()
+                post, n_upd, _ptbl = self._materialize_small(post)
                 rewrite = keep.unionByName(post, allowMissingColumns=True)
                 adds.append(
                     self._write_batch_dir(rewrite, mode, meta_out=meta_map)
@@ -1247,8 +1294,7 @@ class ManifestStore:
             else:
                 ins_src = src
             inserts = compute_versioned_delta(ins_src, None, mode, self.tz)
-            inserts = inserts.localCheckpoint(eager=True)
-            n_ins = inserts.count()
+            inserts, n_ins, _itbl = self._materialize_small(inserts)
             # pure update: carry the stats snapshot AND the outstanding
             # increment chain forward verbatim (index keys can't move);
             # with inserts, materialize a fresh cumulative snapshot
@@ -1362,14 +1408,17 @@ class ManifestStore:
                 return {"deleted": 0, "rewritten_dirs": 0,
                         "version": state["version"]}
             tdf = self._read_dirs(mode, touched)
-            doomed = tdf.where(cond_true).localCheckpoint(eager=True)
-            n_del = doomed.count()
-            keep = tdf.where(~cond_true)
+            doomed, n_del, _dtbl = self._materialize_small(
+                tdf.where(cond_true)
+            )
+            keep, n_keep, _ktbl = self._materialize_small(tdf.where(~cond_true))
             adds = []
             meta_map: dict[str, dict] = {}
-            if keep.limit(1).count():
+            if n_keep:
                 adds.append(
-                    self._write_batch_dir(keep, mode, meta_out=meta_map)
+                    self._write_batch_dir(
+                        keep, mode, meta_out=meta_map, n_rows=n_keep
+                    )
                 )
             new_version = state["version"] + 1
             untouched = [d for d in state["dirs"] if d not in touched]
@@ -1503,13 +1552,18 @@ class ManifestStore:
             affected = None  # tickers whose stats must be recomputed
             if straddle:
                 sdf = self._read_dirs(mode, straddle)
-                expired = sdf.where(F.col(tsc) < F.lit(cutoff))
-                expired = expired.localCheckpoint(eager=True)
-                if expired.limit(1).count():
-                    keep = sdf.where(~(F.col(tsc) < F.lit(cutoff)))
-                    if keep.limit(1).count():
+                expired, n_exp, _etbl = self._materialize_small(
+                    sdf.where(F.col(tsc) < F.lit(cutoff))
+                )
+                if n_exp:
+                    keep, n_keep, _ktbl = self._materialize_small(
+                        sdf.where(~(F.col(tsc) < F.lit(cutoff)))
+                    )
+                    if n_keep:
                         adds.append(
-                            self._write_batch_dir(keep, mode, meta_out=meta_map)
+                            self._write_batch_dir(
+                                keep, mode, meta_out=meta_map, n_rows=n_keep
+                            )
                         )
                     removes += straddle
                     affected = expired.select("ticker").distinct()
@@ -1534,7 +1588,7 @@ class ManifestStore:
             if not removes:
                 return {"deleted_dirs": 0, "rewritten_dirs": 0,
                         "version": state["version"]}
-            affected = affected.localCheckpoint(eager=True)
+            affected, _n_aff, _atbl = self._materialize_small(affected)
             new_version = state["version"] + 1
             untouched = [d for d in state["dirs"] if d not in set(removes)]
             post = self._read_dirs(mode, untouched + adds)

@@ -33,7 +33,7 @@ from stock_ops_spark import schemas as S
 from stock_ops_spark.operators.stats import StatsTable, batch_stats
 from stock_ops_spark.sources.microcommit import (
     batch_stats_rows_micro,
-    collect_micro,
+    materialize_micro,
     write_micro,
 )
 from stock_ops_spark.operators.versioning import assign_versions, latest_version_view
@@ -253,42 +253,34 @@ class ParquetStore:
         existing = self.read_all(mode)
         versioned = compute_versioned_delta(batch, existing, mode, self.tz)
         parts = PARTITION_COLS[mode]
-        # r12 micro-commit fast path: a delta proven ≤ the micro bound is
-        # collected ONCE as Arrow, then the append files, both stats
-        # merges and the observers' input all derive driver-side — one
-        # Spark job per commit instead of checkpoint + count + write +
-        # two stats collects (see sources/microcommit.py).  The local
-        # relation handed downstream is as severed from the store's
-        # lineage as the checkpoint was.
-        mtbl = collect_micro(versioned)
-        if mtbl is not None:
-            n = mtbl.num_rows
-            if n:
-                vdf = self.spark.createDataFrame(mtbl)
-                if not write_micro(
-                    mtbl,
-                    parts,
-                    ["ticker", S.TS_COL[mode]],
-                    self.data_path(mode),
-                    live_tree=True,
-                ):
-                    writer = cluster_for_write(vdf, mode, n_rows=n).write.mode(
-                        "append"
-                    ).option("compression", "zstd")
-                    if parts:
-                        writer = writer.partitionBy(*parts)
-                    writer.parquet(self.data_path(mode))
-                self._update_stats_micro(mtbl, vdf, mode)
-                for obs in self.observers:
-                    obs(vdf, mode)
-            return n
         # Sever lineage BEFORE appending: versioned's plan scans the store
         # path, and writing to that path invalidates any cache over it
         # (refreshByPath) — a plain .cache() would silently recompute the
         # anti-join against the already-appended data and yield an empty
-        # stats delta.  localCheckpoint materializes to executor storage.
-        versioned = versioned.localCheckpoint(eager=True)
-        n = versioned.count()
+        # stats delta.  The checkpoint carries its row count as an
+        # Observation, and a delta proven micro additionally comes back
+        # as one Arrow table collected from the checkpointed blocks —
+        # the append files, both stats merges and the observers' input
+        # then derive driver-side (r12, sources/microcommit.py).
+        versioned, n, mtbl = materialize_micro(versioned)
+        if mtbl is not None and n:
+            if not write_micro(
+                mtbl,
+                parts,
+                ["ticker", S.TS_COL[mode]],
+                self.data_path(mode),
+                live_tree=True,
+            ):
+                writer = cluster_for_write(
+                    versioned, mode, n_rows=n
+                ).write.mode("append").option("compression", "zstd")
+                if parts:
+                    writer = writer.partitionBy(*parts)
+                writer.parquet(self.data_path(mode))
+            self._update_stats_micro(mtbl, versioned, mode)
+            for obs in self.observers:
+                obs(versioned, mode)
+            return n
         if n:
             writer = cluster_for_write(versioned, mode, n_rows=n).write.mode(
                 "append"

@@ -51,12 +51,20 @@ from pyspark.sql import DataFrame
 #: distributed path's fixed costs are amortized by real work.
 MICRO_COMMIT_ROWS = 131_072
 
+#: Partition-value cap for the driver-side write: up to this many files
+#: a 16-wide thread pool beats a Spark write job's fixed cost; past it
+#: the one-task-per-value distributed layout wins on this disk.
+MICRO_WRITE_MAX_FILES = 128
+
 
 def collect_micro(df: DataFrame, bound: int = MICRO_COMMIT_ROWS):
     """The delta as one Arrow table iff it provably fits ``bound`` rows,
     else None.  The ``limit(bound+1)`` sentinel makes truncation visible:
     a table that comes back with the extra row is incomplete and unusable,
-    so the caller falls back to the distributed path."""
+    so the caller falls back to the distributed path.  Call this on
+    frames that are cheap to (partially) re-evaluate — already
+    checkpointed/local inputs — because a truncated probe's work is
+    discarded; for raw plans use ``materialize_micro``."""
     try:
         tbl = df.limit(bound + 1).toArrow()
     except Exception:  # unsupported type/conversion: not this path's job
@@ -64,6 +72,36 @@ def collect_micro(df: DataFrame, bound: int = MICRO_COMMIT_ROWS):
     if tbl.num_rows > bound:
         return None
     return tbl
+
+
+def materialize_micro(df: DataFrame, bound: int = MICRO_COMMIT_ROWS):
+    """(checkpointed df, n, Arrow table | None) — the safe micro
+    materialization for a frame of UNKNOWN size: one eager
+    localCheckpoint whose row count rides along as an Observation (no
+    count job), then — only when the count proves the frame micro — one
+    cheap Arrow collect *from the checkpointed blocks*.  The frame is
+    never computed twice (the r12.1 lesson: a direct ``limit`` probe
+    re-ran just-over-bound sf1 deltas in full before falling back), and
+    the returned DataFrame keeps the checkpoint's parallel partitioning
+    so downstream distributed consumers (overlap re-dedup, rewrites) do
+    not collapse onto a single-partition local relation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    ck = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    n = int(obs.get["n"] or 0)
+    tbl = None
+    if 0 < n <= bound:
+        try:
+            tbl = ck.toArrow()
+        except Exception:
+            tbl = None
+        if tbl is not None and tbl.num_rows != n:
+            tbl = None  # should not happen; never trust a mismatch
+    return ck, n, tbl
 
 
 def _columns(tbl, names):
@@ -193,10 +231,11 @@ def write_micro(
         for c in list(parts) + [c for c in order_cols if c not in parts]
         if c in tbl.column_names
     ]
-    try:
-        tbl = tbl.sort_by(sort_keys)
-    except Exception:
-        return False
+    if sort_keys:
+        try:
+            tbl = tbl.sort_by(sort_keys)
+        except Exception:
+            return False
 
     def _write_one(sub, d: str) -> None:
         os.makedirs(d, exist_ok=True)
@@ -223,8 +262,51 @@ def write_micro(
             starts.append(i)
             keys.append(t)
     starts.append(n)
-    for j, key in enumerate(keys):
-        sub = data_tbl.slice(starts[j], starts[j + 1] - starts[j])
-        d = os.path.join(dest, *[f"{c}={v}" for c, v in zip(parts, key)])
-        _write_one(sub, d)
+    if len(keys) > MICRO_WRITE_MAX_FILES:
+        # a wide-span commit (hundreds of partition values): the Spark
+        # writer's one-task-per-value layout beats driver-side creates
+        # even threaded — decline before touching the destination
+        return False
+    jobs = [
+        (
+            data_tbl.slice(starts[j], starts[j + 1] - starts[j]),
+            os.path.join(dest, *[f"{c}={v}" for c, v in zip(parts, key)]),
+        )
+        for j, key in enumerate(keys)
+    ]
+    if len(jobs) <= 8:
+        for sub, d in jobs:
+            _write_one(sub, d)
+        return True
+    # Many partition values (a wide-span commit): file creates stall on
+    # the disk, not the CPU (`discard`-mounted ext4), and pyarrow
+    # releases the GIL during write — a small thread pool recovers the
+    # parallelism the Spark writer's one-task-per-value layout had.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        list(pool.map(lambda sd: _write_one(*sd), jobs))
     return True
+
+
+def dir_meta_micro(tbl, cols: list[str]) -> dict:
+    """Driver twin of ``ManifestStore._dir_meta`` over a collected
+    delta: [min, max] per bound column (NULL-skipping, like Spark's
+    min/max) plus the row count, JSON-coerced the same way."""
+    import pyarrow.compute as pc
+
+    def j(v):
+        return v if v is None or isinstance(v, (int, float, str)) else str(v)
+
+    meta: dict = {}
+    for c in cols:
+        if c not in tbl.column_names:
+            continue
+        if tbl.num_rows:
+            mm = pc.min_max(tbl.column(c))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        else:
+            lo = hi = None
+        meta[c] = [j(lo), j(hi)]
+    meta["n"] = tbl.num_rows
+    return meta
